@@ -1,0 +1,123 @@
+"""Skip-block layout for posting lists.
+
+Replicates the reference's block-split policy (semantics of
+`UncompressedPostingList.writeToDiskMerged`
+search_engine/src/main/java/unipi/aide/mircv/model/UncompressedPostingList.java:241-284
+and `CompressedPostingList.writeToDiskMerged` CompressedPostingList.java:126-163):
+
+- single block when the whole list is small: ``df * 4 <= BLOCK_THRESHOLD``
+  bytes for the uncompressed/vbyte formats, or
+  ``ef_compressed_size(max_doc_id, df) <= BLOCK_THRESHOLD`` for Elias-Fano;
+- otherwise ``block_size = floor(sqrt(df))`` postings per block, last
+  block keeps the remainder (BlockDescriptor per block records
+  ``max_doc_id`` + posting count, BlockDescriptor.java:7-26).
+
+Instead of byte offsets into flat ``.dat`` files, blocks are stored
+structurally as an Arrow ``list<struct>`` column of the postings table —
+Parquet replaces the reference's offset bookkeeping (LexiconEntry.java:13-21).
+
+Codecs:
+- ``"vbyte"`` (primary, per the north-star spec): docId gaps varint-coded,
+  first gap relative to the previous block's max docId; tfs unary-coded.
+- ``"ef"``: absolute docIds Elias-Fano-coded per block (reference format);
+  tfs unary-coded.
+- ``"none"``: raw little-endian int64 docIds / int32 tfs (reference's
+  uncompressed mode, modulo 64-bit ids).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from .eliasfano import ef_compress, ef_compressed_size, ef_decompress, ef_get_l, round_up
+from .unary import unary_decode, unary_encode
+from .vbyte import vbyte_decode_gaps, vbyte_encode_gaps
+
+BLOCK_THRESHOLD = 2048  # bytes (Configuration.java:15 BLOCK_TRESHOLD)
+
+CODECS = ("vbyte", "ef", "none")
+
+
+def split_blocks(df: int, max_doc_id: int, codec: str,
+                 threshold: int = BLOCK_THRESHOLD) -> list[tuple[int, int]]:
+    """Return [(start, end), ...] posting-index ranges for each block."""
+    if df <= 0:
+        return []
+    if codec == "ef":
+        single = ef_compressed_size(int(max_doc_id), df) <= threshold
+    else:
+        single = df * 4 <= threshold
+    if single:
+        return [(0, df)]
+    block_size = int(math.isqrt(df))
+    bounds = list(range(0, df, block_size))
+    return [(s, min(s + block_size, df)) for s in bounds]
+
+
+def _encode_ids(ids: np.ndarray, codec: str, base: int) -> bytes:
+    if codec == "vbyte":
+        return vbyte_encode_gaps(ids, base=base)
+    if codec == "ef":
+        n = len(ids)
+        max_id = int(ids[-1])
+        l = ef_get_l(max_id, n)
+        size = (round_up(l * n) + round_up(ids_high_bits(ids, l))) // 8
+        out = bytearray(size)
+        ef_compress(ids, out, l, round_up(l * n))
+        return bytes(out)
+    if codec == "none":
+        return np.asarray(ids, dtype="<i8").tobytes()
+    raise ValueError(f"unknown codec {codec!r}")
+
+
+def ids_high_bits(ids: np.ndarray, l: int) -> int:
+    """Exact high-bits stream length for an EF block: n + high(max) + 1."""
+    return len(ids) + (int(ids[-1]) >> l) + 1
+
+
+def _encode_tfs(tfs: np.ndarray, codec: str) -> bytes:
+    if codec == "none":
+        return np.asarray(tfs, dtype="<i4").tobytes()
+    return unary_encode(tfs)
+
+
+def encode_blocks(doc_ids: np.ndarray, tfs: np.ndarray, codec: str,
+                  threshold: int = BLOCK_THRESHOLD) -> dict:
+    """Encode one posting list into its block structure.
+
+    Returns a dict suitable for an Arrow ``list<struct>`` cell:
+    ``{"max_doc_id": [...], "n": [...], "ids": [bytes...], "tfs": [bytes...]}``.
+    """
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    df = len(doc_ids)
+    ranges = split_blocks(df, int(doc_ids[-1]) if df else 0, codec, threshold)
+    out = {"max_doc_id": [], "n": [], "ids": [], "tfs": []}
+    prev_max = 0
+    for s, e in ranges:
+        ids = doc_ids[s:e]
+        out["max_doc_id"].append(int(ids[-1]))
+        out["n"].append(e - s)
+        out["ids"].append(_encode_ids(ids, codec, base=prev_max))
+        out["tfs"].append(_encode_tfs(tfs[s:e], codec))
+        prev_max = int(ids[-1])
+    return out
+
+
+def decode_block_ids(buf: bytes, codec: str, n: int, max_doc_id: int,
+                     base: int) -> np.ndarray:
+    if codec == "vbyte":
+        return vbyte_decode_gaps(buf, n, base=base)
+    if codec == "ef":
+        return ef_decompress(buf, n, max_doc_id)
+    if codec == "none":
+        return np.frombuffer(buf, dtype="<i8").astype(np.int64)
+    raise ValueError(f"unknown codec {codec!r}")
+
+
+def decode_block_tfs(buf: bytes, codec: str, n: int) -> np.ndarray:
+    if codec == "none":
+        return np.frombuffer(buf, dtype="<i4").astype(np.int64)
+    return unary_decode(buf, n)
