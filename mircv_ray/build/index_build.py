@@ -1,0 +1,384 @@
+"""Ray-Data-native inverted-index build.
+
+Pipeline (SURVEY.md §3 "Ray Data restatement"):
+
+    corpus (repo, path, commit, lang, content)
+      -> drop blank docs                       (InvertedIndex.java:45-47 skip path)
+      -> deterministic docId assignment        (replaces the arrival-order
+         counter InvertedIndex.java:22,51: docId = 1 + rank in (repo, path)
+         order, computed as per-repo base offsets + within-repo path rank —
+         data-dependent only, so identical at any parallelism)
+      -> map_batches(Tokenizer) + sha256       (M2..M10, zero-copy Arrow)
+      -> doc table parquet + collection stats  (D5/D6)
+      -> map_batches(explode)                  (M11: (term, doc_id, tf))
+      -> groupby(shard, seg).map_groups        (THE shuffle; replaces
+         SPIMI flush + k-way merge InvertedIndex.java:85-205)
+      -> postings parquet (hash-partitioned by term shard)
+      -> lexicon = segment-meta groupby(term) + idf/UB columns (A1,A5-A8)
+
+Scale design:
+- the only full-data exchanges are the id-assignment groupby(repo) and the
+  postings groupby; everything else is map-side or metadata-sized.
+- hot terms (code corpora: `def`, `return`, `0`) are split across
+  ``salt_buckets`` docId-range segments: each (term, seg) encodes
+  independently (segments are docId-disjoint ranges, so their
+  concatenation in seg order is the sorted posting list) and the lexicon
+  aggregates only per-segment metadata. Per-group memory is bounded by
+  segment size, not by a mega-term's df.
+- doc lengths are broadcast once via ``ray.put`` and read inside the
+  posting-build tasks (J2 as a broadcast join, never a shuffle).
+- output is partitioned Parquet with per-stage manifests (lineage +
+  tokens/s + postings/s + bytes) — completed stages are skipped on rerun.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import logging
+import math
+import time
+import zlib
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+
+import ray
+
+from ..codecs.blocks import encode_blocks
+from ..config import IndexConfig
+from ..text.tokenizer import Tokenizer
+from .manifests import read_manifest, stage_complete, write_manifest
+
+logger = logging.getLogger(__name__)
+
+BLOCK_STRUCT = pa.struct([
+    ("max_doc_id", pa.int64()), ("n", pa.int64()),
+    ("ids", pa.binary()), ("tfs", pa.binary()),
+])
+
+_worker_cache: dict = {}
+
+
+def _cached_get(ref):
+    key = ref.hex() if hasattr(ref, "hex") else id(ref)
+    if key not in _worker_cache:
+        _worker_cache[key] = ray.get(ref)
+    return _worker_cache[key]
+
+
+def term_shard(terms: list[str], num_shards: int) -> np.ndarray:
+    """Stable term -> shard hash (crc32; Python's hash() is salted)."""
+    return np.array([zlib.crc32(t.encode()) % num_shards for t in terms],
+                    dtype=np.int64)
+
+
+# ------------------------------------------------------------------ stage 1
+
+def _drop_blank(batch: pa.Table) -> pa.Table:
+    """InvertedIndex.java:45-47: blank docs are skipped entirely (no docId)."""
+    content = batch["content"]
+    keep = pc.and_(content.is_valid(),
+                   pc.greater(pc.binary_length(
+                       pc.utf8_trim_whitespace(content)), 0))
+    return batch.filter(keep)
+
+
+def _make_assign_ids(bases_ref):
+    def assign_ids(group: pa.Table) -> pa.Table:
+        bases = _cached_get(bases_ref)
+        repo = group["repo"][0].as_py()
+        order = pc.sort_indices(group, sort_keys=[("path", "ascending")])
+        group = group.take(order)
+        base = bases[repo]
+        ids = pa.array(np.arange(1, group.num_rows + 1, dtype=np.int64) + base)
+        return group.append_column("doc_id", ids)
+    return assign_ids
+
+
+class TokenizeHash:
+    """Tokenize + sha256 + doc_len; drops content (it never enters the shuffle)."""
+
+    def __init__(self, cfg: IndexConfig):
+        self.tok = Tokenizer(parse=cfg.parse, squeeze=cfg.squeeze,
+                             term_dimension=cfg.term_dimension)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        content = batch["content"]
+        if isinstance(content, pa.ChunkedArray):
+            content = content.combine_chunks()
+        tokens, doc_len = self.tok.tokenize_column(content)
+        sha = pa.array([hashlib.sha256(s).hexdigest()
+                        for s in content.cast(pa.binary()).to_pylist()])
+        out = batch.drop_columns(["content"])
+        return (out.append_column("doc_len", pa.array(doc_len, type=pa.int64()))
+                   .append_column("sha256", sha)
+                   .append_column("tokens", tokens))
+
+
+# ------------------------------------------------------------------ stage 2
+
+def _make_explode(num_shards: int, salt_buckets: int, n_docs: int):
+    def explode(batch: pa.Table) -> pa.Table:
+        tokens = batch["tokens"]
+        if isinstance(tokens, pa.ChunkedArray):
+            tokens = tokens.combine_chunks()
+        flat = pc.list_flatten(tokens)
+        parents = pc.list_parent_indices(tokens)
+        doc_ids = batch["doc_id"].take(parents)
+        pairs = pa.table({"term": flat, "doc_id": doc_ids})
+        # per-doc term counting (M11) — vectorized C++ group-by
+        tf_tbl = pairs.group_by(["term", "doc_id"], use_threads=False).aggregate(
+            [([], "count_all")])
+        terms = tf_tbl["term"]
+        if isinstance(terms, pa.ChunkedArray):
+            terms = terms.combine_chunks()
+        denc = pc.dictionary_encode(terms)
+        if isinstance(denc, pa.ChunkedArray):
+            denc = denc.combine_chunks()
+        vocab_shards = term_shard(denc.dictionary.to_pylist(), num_shards)
+        shard = pa.array(vocab_shards[denc.indices.to_numpy()], type=pa.int64())
+        did = tf_tbl["doc_id"].to_numpy()
+        seg = (did - 1) * salt_buckets // max(n_docs, 1)
+        return pa.table({
+            "term": terms, "doc_id": tf_tbl["doc_id"],
+            "tf": tf_tbl["count_all"].cast(pa.int64()),
+            "shard": shard, "seg": pa.array(seg, type=pa.int64()),
+        })
+    return explode
+
+
+def _make_build_segments(doc_len_ref, avg_doc_len: float, cfg: IndexConfig):
+    k1 = cfg.k1
+    b = cfg.b
+    codec = cfg.codec
+    threshold = cfg.block_threshold
+
+    def build_segments(group: pa.Table) -> pa.Table:
+        doc_lens = _cached_get(doc_len_ref)  # np.int64 array, index = docId-1
+        terms = group["term"]
+        if isinstance(terms, pa.ChunkedArray):
+            terms = terms.combine_chunks()
+        denc = pc.dictionary_encode(terms)
+        if isinstance(denc, pa.ChunkedArray):
+            denc = denc.combine_chunks()
+        codes = denc.indices.to_numpy().astype(np.int64)
+        vocab = denc.dictionary.to_pylist()
+        doc_ids = group["doc_id"].to_numpy().astype(np.int64)
+        tfs = group["tf"].to_numpy().astype(np.int64)
+        order = np.lexsort((doc_ids, codes))
+        codes, doc_ids, tfs = codes[order], doc_ids[order], tfs[order]
+        bounds = np.flatnonzero(np.diff(codes, prepend=-1))
+        bounds = np.append(bounds, len(codes))
+        shard_val = int(group["shard"][0].as_py())
+        seg_val = int(group["seg"][0].as_py())
+
+        out_term, out_df, out_max, out_b25, out_tfidf = [], [], [], [], []
+        out_bytes_ids, out_bytes_tfs = [], []
+        blk_max, blk_n, blk_ids, blk_tfs, blk_offsets = [], [], [], [], [0]
+        for gi in range(len(bounds) - 1):
+            s, e = bounds[gi], bounds[gi + 1]
+            ids = doc_ids[s:e]
+            f = tfs[s:e]
+            # O3: explicit ascending docId order (never rely on shuffle order)
+            bj = 0.3 + b * (doc_lens[ids - 1] / avg_doc_len)
+            bm25_core = float(np.max(f / (k1 * bj + f)))
+            tfidf_core = float(np.max(1.0 + np.log10(f)))
+            enc = encode_blocks(ids, f, codec, threshold)
+            out_term.append(vocab[codes[s]])
+            out_df.append(e - s)
+            out_max.append(int(ids[-1]))
+            out_b25.append(bm25_core)
+            out_tfidf.append(tfidf_core)
+            out_bytes_ids.append(sum(len(x) for x in enc["ids"]))
+            out_bytes_tfs.append(sum(len(x) for x in enc["tfs"]))
+            blk_max.extend(enc["max_doc_id"])
+            blk_n.extend(enc["n"])
+            blk_ids.extend(enc["ids"])
+            blk_tfs.extend(enc["tfs"])
+            blk_offsets.append(len(blk_max))
+        blocks = pa.ListArray.from_arrays(
+            pa.array(blk_offsets, type=pa.int32()),
+            pa.StructArray.from_arrays(
+                [pa.array(blk_max, type=pa.int64()),
+                 pa.array(blk_n, type=pa.int64()),
+                 pa.array(blk_ids, type=pa.binary()),
+                 pa.array(blk_tfs, type=pa.binary())],
+                fields=list(BLOCK_STRUCT)))
+        nt = len(out_term)
+        return pa.table({
+            "term": pa.array(out_term, type=pa.string()),
+            "shard": pa.array([shard_val] * nt, type=pa.int64()),
+            "seg": pa.array([seg_val] * nt, type=pa.int64()),
+            "df": pa.array(out_df, type=pa.int64()),
+            "max_doc_id": pa.array(out_max, type=pa.int64()),
+            "bm25_core": pa.array(out_b25, type=pa.float64()),
+            "tfidf_core": pa.array(out_tfidf, type=pa.float64()),
+            "bytes_ids": pa.array(out_bytes_ids, type=pa.int64()),
+            "bytes_tfs": pa.array(out_bytes_tfs, type=pa.int64()),
+            "blocks": blocks,
+        })
+    return build_segments
+
+
+# ------------------------------------------------------------------ stage 3
+
+def _lexicon_finalize(batch: pa.Table, n_docs: int) -> pa.Table:
+    df = batch["df"].to_numpy().astype(np.float64)
+    idf = np.log10(n_docs / df)   # A5 (InvertedIndex.java:166)
+    bm25_ub = idf * batch["bm25_core"].to_numpy()
+    tfidf_ub = idf * batch["tfidf_core"].to_numpy()
+    return (batch.append_column("idf", pa.array(idf, type=pa.float64()))
+                 .append_column("bm25_ub", pa.array(bm25_ub, type=pa.float64()))
+                 .append_column("tfidf_ub", pa.array(tfidf_ub, type=pa.float64())))
+
+
+# ------------------------------------------------------------------- driver
+
+def load_stats(index_dir: str) -> dict:
+    return json.loads((Path(index_dir) / "stats.json").read_text())
+
+
+def build_index(corpus, out_dir: str, cfg: IndexConfig | None = None,
+                lineage: dict | None = None) -> dict:
+    """Build the full index from a corpus Dataset. Returns the stats dict.
+
+    Stages (each manifest-checkpointed, skipped when already complete):
+      docs      doc table parquet (doc_id, repo, path, lang, doc_len, sha256)
+      postings  block-encoded posting segments, partitioned by term shard
+      lexicon   per-term df/idf/upper-bounds, sorted by term
+    """
+    cfg = cfg or IndexConfig()
+    cfg.codec_valid()
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    metrics: dict = {}
+
+    # ---------------- stage 1: docs ----------------
+    t0 = time.time()
+    tok_mat = None
+    if not stage_complete(out_dir, "docs"):
+        corpus_f = corpus.map_batches(_drop_blank, batch_format="pyarrow")
+        counts = corpus_f.select_columns(["repo"]).groupby("repo").count().take_all()
+        counts.sort(key=lambda r: r["repo"])
+        bases, acc = {}, 0
+        for r in counts:
+            bases[r["repo"]] = acc
+            acc += r["count()"]
+        bases_ref = ray.put(bases)
+        tok_ds = (corpus_f.groupby("repo")
+                  .map_groups(_make_assign_ids(bases_ref), batch_format="pyarrow")
+                  .map_batches(TokenizeHash(cfg), batch_format="pyarrow",
+                               batch_size=cfg.tokenize_batch_size))
+        # one tokenization pass feeds both the doc table and the postings
+        # shuffle (object store holds the token stream, spill-backed)
+        tok_mat = tok_ds.materialize()
+        tok_mat.drop_columns(["tokens"]).write_parquet(
+            str(out / "docs"), min_rows_per_file=200_000)
+        write_manifest(out_dir, "docs", {
+            "lineage": lineage or {}, "n_docs": acc,
+            "seconds": time.time() - t0,
+        })
+    docs_tbl = pq.read_table(str(out / "docs"),
+                             columns=["doc_id", "doc_len"])
+    n_docs = docs_tbl.num_rows
+    total_doc_len = int(pc.sum(docs_tbl["doc_len"]).as_py() or 0)
+    avg_doc_len = total_doc_len / max(n_docs, 1)
+    doc_lens = np.zeros(n_docs, dtype=np.int64)
+    doc_lens[docs_tbl["doc_id"].to_numpy() - 1] = docs_tbl["doc_len"].to_numpy()
+    metrics["docs_seconds"] = (read_manifest(out_dir, "docs") or {}).get("seconds")
+    metrics["n_docs"] = n_docs
+
+    # ---------------- stage 2: postings ----------------
+    t1 = time.time()
+    if not stage_complete(out_dir, "postings"):
+        doc_len_ref = ray.put(doc_lens)
+        if tok_mat is None:
+            # resume path (docs stage done in a previous run): re-derive the
+            # token stream — tokenization is deterministic, base offsets come
+            # from the checkpointed doc table.
+            tok_mat = (corpus.map_batches(_drop_blank, batch_format="pyarrow")
+                       .groupby("repo").map_groups(
+                           _make_assign_ids(ray.put(_bases_from_docs(out_dir))),
+                           batch_format="pyarrow")
+                       .map_batches(TokenizeHash(cfg), batch_format="pyarrow",
+                                    batch_size=cfg.tokenize_batch_size))
+        posts = tok_mat.select_columns(["doc_id", "tokens"]).map_batches(
+            _make_explode(cfg.num_shards, cfg.salt_buckets, n_docs),
+            batch_format="pyarrow")
+        seg_ds = posts.groupby(["shard", "seg"]).map_groups(
+            _make_build_segments(doc_len_ref, avg_doc_len, cfg),
+            batch_format="pyarrow")
+        seg_ds.write_parquet(str(out / "postings"), partition_cols=["shard"])
+        write_manifest(out_dir, "postings", {
+            "seconds": time.time() - t1, "codec": cfg.codec,
+            "salt_buckets": cfg.salt_buckets, "num_shards": cfg.num_shards,
+        })
+    seg_meta = pq.read_table(
+        str(out / "postings"),
+        columns=["term", "df", "bytes_ids", "bytes_tfs"])
+    n_postings = int(pc.sum(seg_meta["df"]).as_py() or 0)
+    bytes_ids = int(pc.sum(seg_meta["bytes_ids"]).as_py() or 0)
+    bytes_tfs = int(pc.sum(seg_meta["bytes_tfs"]).as_py() or 0)
+    metrics["postings_seconds"] = (read_manifest(out_dir, "postings") or {}).get("seconds")
+    metrics["n_postings"] = n_postings
+    metrics["bytes_ids"] = bytes_ids
+    metrics["bytes_tfs"] = bytes_tfs
+
+    # ---------------- stage 3: lexicon ----------------
+    t2 = time.time()
+    if not stage_complete(out_dir, "lexicon"):
+        import ray.data as rd
+        from ray.data.aggregate import Max, Sum
+        seg_slim = rd.read_parquet(
+            str(out / "postings"),
+            columns=["term", "shard", "df", "max_doc_id",
+                     "bm25_core", "tfidf_core"])
+        lex = seg_slim.groupby("term").aggregate(
+            Sum("df", alias_name="df"),
+            Max("max_doc_id", alias_name="max_doc_id"),
+            Max("bm25_core", alias_name="bm25_core"),
+            Max("tfidf_core", alias_name="tfidf_core"),
+            Max("shard", alias_name="shard"),
+        )
+        lex = lex.map_batches(lambda b: _lexicon_finalize(b, n_docs),
+                              batch_format="pyarrow")
+        lex.sort("term").write_parquet(str(out / "lexicon"),
+                                       min_rows_per_file=1_000_000)
+        write_manifest(out_dir, "lexicon", {"seconds": time.time() - t2})
+    num_terms = pads.dataset(str(out / "lexicon"), format="parquet",
+                             exclude_invalid_files=True).count_rows()
+    metrics["lexicon_seconds"] = (read_manifest(out_dir, "lexicon") or {}).get("seconds")
+
+    # ---------------- stats sidecar ----------------
+    stats = {
+        "n_docs": n_docs,                  # A2 collectionSize
+        "total_doc_len": total_doc_len,    # A3 documentsLen
+        "num_terms": num_terms,            # A4 numberOfTokens
+        "avg_doc_len": avg_doc_len,
+        "parse": cfg.parse, "squeeze": cfg.squeeze, "codec": cfg.codec,
+        "num_shards": cfg.num_shards, "salt_buckets": cfg.salt_buckets,
+        "k1": cfg.k1, "b": cfg.b,
+        "metrics": {
+            **metrics,
+            "tokens_per_s": (total_doc_len / metrics["docs_seconds"])
+                if metrics.get("docs_seconds") else None,
+            "postings_per_s": (n_postings / metrics["postings_seconds"])
+                if metrics.get("postings_seconds") else None,
+            "bytes_compressed": bytes_ids + bytes_tfs,
+        },
+    }
+    (out / "stats.json").write_text(json.dumps(stats, indent=2))
+    return stats
+
+
+def _bases_from_docs(out_dir: str) -> dict:
+    """Recompute per-repo base offsets from the checkpointed doc table."""
+    t = pq.read_table(str(Path(out_dir) / "docs"), columns=["repo", "doc_id"])
+    g = t.group_by("repo").aggregate([("doc_id", "min")])
+    return {r: int(m) - 1 for r, m in
+            zip(g["repo"].to_pylist(), g["doc_id_min"].to_pylist())}

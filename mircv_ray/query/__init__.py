@@ -1,0 +1,8 @@
+"""Query engine: posting cursors, MaxScore, scorer actors."""
+
+from .cursors import EXHAUSTED, PostingCursor
+from .scorer import max_score
+from .engine import IndexReader, QueryEngine, QueryScorer, run_queries, write_trec
+
+__all__ = ["EXHAUSTED", "PostingCursor", "max_score", "IndexReader",
+           "QueryEngine", "QueryScorer", "run_queries", "write_trec"]

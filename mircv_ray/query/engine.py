@@ -1,0 +1,219 @@
+"""Query engine: per-process index state + actor-pool batch scoring.
+
+Mirrors the reference's query lifecycle
+(QueryProcessorMain.java:14-131,165-176):
+
+  init: load collection stats (T5), doc-length array (T4, BM25 only in
+  the reference — always loaded here), lexicon (T3: the reference
+  binary-searches 100-byte records on disk per term, Lexicon.java:154-195;
+  here the lexicon Parquet is loaded once per actor into a dict).
+
+  per query: tokenize (M12) -> optional alphabetical term sort (M13)
+  -> fetch posting lists (J1; terms missing from the lexicon are silently
+  ignored, QueryProcessorMain.java:139-154; duplicate query terms create
+  duplicate cursors) -> sort cursors by term upper bound ascending
+  (QueryProcessorMain.java:169-171, stable like Arrays.sort) -> MaxScore
+  -> top-k with docno = str(docId-1) (DocumentIndex.java:82-84).
+
+Batch path: ``run_queries`` maps a queries Dataset through a
+``QueryScorer`` actor pool — each actor pays the index load once in
+``__init__`` and scores per batch. Posting fetches hit the term-hash-
+partitioned postings Parquet with shard + term predicate pushdown, with
+an LRU cache of decoded terms per actor.
+"""
+
+from __future__ import annotations
+
+import json
+from collections import OrderedDict
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+
+from ..config import QueryConfig
+from ..text import tokenize_text
+from .cursors import PostingCursor
+from .scorer import bm25_score, max_score, tfidf_score
+
+
+class IndexReader:
+    """Per-process (per-actor) read-only index state."""
+
+    def __init__(self, index_dir: str, term_cache_size: int = 4096):
+        self.index_dir = index_dir
+        self.stats = json.loads((Path(index_dir) / "stats.json").read_text())
+        self.codec = self.stats["codec"]
+        self.n_docs = self.stats["n_docs"]
+        self.avg_doc_len = self.stats["avg_doc_len"]
+        self.k1 = self.stats.get("k1", 1.5)
+        self.b = self.stats.get("b", 0.7)
+        # T4: doc lengths as a dense NumPy array (docId-1 -> len)
+        dt = pq.read_table(str(Path(index_dir) / "docs"),
+                           columns=["doc_id", "doc_len"])
+        self.doc_len = np.zeros(self.n_docs, dtype=np.int64)
+        self.doc_len[dt["doc_id"].to_numpy() - 1] = dt["doc_len"].to_numpy()
+        # T3: lexicon dict term -> row
+        lt = pq.read_table(str(Path(index_dir) / "lexicon"),
+                           columns=["term", "df", "idf", "bm25_ub",
+                                    "tfidf_ub", "shard"])
+        self._lex = {
+            t: (int(df), float(idf), float(b25), float(tfidf), int(sh))
+            for t, df, idf, b25, tfidf, sh in zip(
+                lt["term"].to_pylist(), lt["df"].to_numpy(),
+                lt["idf"].to_numpy(), lt["bm25_ub"].to_numpy(),
+                lt["tfidf_ub"].to_numpy(), lt["shard"].to_numpy())
+        }
+        self._postings = pads.dataset(str(Path(index_dir) / "postings"),
+                                      format="parquet", partitioning="hive")
+        self._cache: OrderedDict[str, tuple] = OrderedDict()
+        self._cache_size = term_cache_size
+
+    @property
+    def num_terms(self) -> int:
+        return self.stats["num_terms"]
+
+    def lexicon_entry(self, term: str):
+        return self._lex.get(term)
+
+    def _fetch_blocks(self, term: str, shard: int):
+        """Segment rows for a term (seg-ascending) -> flat block arrays."""
+        if term in self._cache:
+            self._cache.move_to_end(term)
+            return self._cache[term]
+        tbl = self._postings.to_table(
+            columns=["term", "seg", "blocks"],
+            filter=(pc.field("shard") == shard) & (pc.field("term") == term))
+        tbl = tbl.take(pc.sort_indices(tbl, sort_keys=[("seg", "ascending")]))
+        block_max, block_n, block_base, ids_bufs, tfs_bufs = [], [], [], [], []
+        for seg_blocks in tbl["blocks"].to_pylist():
+            prev = 0
+            for blk in seg_blocks:
+                block_max.append(blk["max_doc_id"])
+                block_n.append(blk["n"])
+                block_base.append(prev)
+                ids_bufs.append(blk["ids"])
+                tfs_bufs.append(blk["tfs"])
+                prev = blk["max_doc_id"]
+        entry = (np.array(block_max, dtype=np.int64),
+                 np.array(block_n, dtype=np.int64),
+                 np.array(block_base, dtype=np.int64),
+                 ids_bufs, tfs_bufs)
+        self._cache[term] = entry
+        if len(self._cache) > self._cache_size:
+            self._cache.popitem(last=False)
+        return entry
+
+    def posting_cursor(self, term: str, standard: str) -> PostingCursor | None:
+        lex = self._lex.get(term)
+        if lex is None:
+            return None  # J1 miss: silently ignored
+        df, idf, bm25_ub, tfidf_ub, shard = lex
+        ub = bm25_ub if standard == "BM25" else tfidf_ub
+        block_max, block_n, block_base, ids_bufs, tfs_bufs = \
+            self._fetch_blocks(term, shard)
+        return PostingCursor(term, df, idf, ub, self.codec, block_max,
+                             block_n, block_base, ids_bufs, tfs_bufs)
+
+    def docno(self, doc_id: int) -> str:
+        return str(doc_id - 1)  # DocumentIndex.java:82-84
+
+
+class QueryEngine:
+    def __init__(self, index_dir: str, qcfg: QueryConfig | None = None,
+                 reader: IndexReader | None = None):
+        self.qcfg = qcfg or QueryConfig()
+        self.reader = reader or IndexReader(index_dir)
+        r = self.reader
+        if self.qcfg.standard == "BM25":
+            self._score_fn = lambda c: bm25_score(
+                c.tf(), int(r.doc_len[c.doc_id() - 1]), r.avg_doc_len,
+                c.idf, r.k1, r.b)
+        else:
+            self._score_fn = lambda c: tfidf_score(c.tf(), c.idf)
+
+    def query_terms(self, text: str, sort_terms: bool = False) -> list[str]:
+        terms = tokenize_text(text, parse=self.qcfg.parse,
+                              squeeze=self.qcfg.squeeze)
+        if sort_terms:
+            terms = sorted(terms)  # M13 (evaluation mode)
+        return terms
+
+    def score_terms(self, terms: list[str],
+                    conjunctive: bool | None = None) -> list[tuple[int, float]]:
+        conjunctive = self.qcfg.conjunctive if conjunctive is None else conjunctive
+        cursors = [c for c in
+                   (self.reader.posting_cursor(t, self.qcfg.standard)
+                    for t in terms) if c is not None]
+        if not cursors:
+            return []
+        cursors.sort(key=lambda c: c.term_ub)  # O5 (stable, like Arrays.sort)
+        return max_score(cursors, self.qcfg.k, conjunctive, self._score_fn)
+
+    def query(self, text: str, conjunctive: bool | None = None,
+              sort_terms: bool = False) -> list[tuple[str, float]]:
+        """Returns [(docno, score)] ranked. A leading '+' marks conjunctive
+        (QueryProcessorMain.java:60-61; the '+' itself is stripped as
+        punctuation by the tokenizer)."""
+        if conjunctive is None and text.strip().startswith("+"):
+            conjunctive = True
+        res = self.score_terms(self.query_terms(text, sort_terms), conjunctive)
+        return [(self.reader.docno(d), s) for d, s in res]
+
+
+class QueryScorer:
+    """Actor for ``map_batches``: loads the index once, scores per batch.
+
+    Input batch columns: ``qid``, ``query`` and optionally ``conjunctive``.
+    Output: one row per (query, rank): qid, rank, docno, score, standard.
+    """
+
+    def __init__(self, index_dir: str, qcfg: QueryConfig | None = None,
+                 sort_terms: bool = True):
+        self.qcfg = qcfg or QueryConfig()
+        self.engine = QueryEngine(index_dir, self.qcfg)
+        self.sort_terms = sort_terms
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids, ranks, docnos, scores = [], [], [], []
+        has_conj = "conjunctive" in batch.schema.names
+        for i in range(batch.num_rows):
+            qid = batch["qid"][i].as_py()
+            text = batch["query"][i].as_py()
+            conj = bool(batch["conjunctive"][i].as_py()) if has_conj else None
+            for rank, (docno, score) in enumerate(
+                    self.engine.query(text, conjunctive=conj,
+                                      sort_terms=self.sort_terms), start=1):
+                qids.append(qid)
+                ranks.append(rank)
+                docnos.append(docno)
+                scores.append(score)
+        return pa.table({
+            "qid": pa.array(qids),
+            "rank": pa.array(ranks, type=pa.int64()),
+            "docno": pa.array(docnos, type=pa.string()),
+            "score": pa.array(scores, type=pa.float64()),
+            "standard": pa.array([self.qcfg.standard] * len(qids)),
+        })
+
+
+def run_queries(queries_ds, index_dir: str, qcfg: QueryConfig | None = None,
+                concurrency: int = 4, batch_size: int = 64,
+                sort_terms: bool = True):
+    """Batch scoring: queries Dataset -> results Dataset via an actor pool."""
+    qcfg = qcfg or QueryConfig()
+    return queries_ds.map_batches(
+        QueryScorer, fn_constructor_args=(index_dir, qcfg, sort_terms),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=1)
+
+
+def write_trec(results: pa.Table, path: str, run_name: str = "STANDARD") -> None:
+    """TREC run-file sink (S9): ``qid Q0 docno rank score STANDARD``."""
+    with open(path, "w") as f:
+        for row in results.to_pylist():
+            f.write(f"{row['qid']} Q0 {row['docno']} {row['rank']} "
+                    f"{row['score']} {row.get('standard', run_name)}\n")

@@ -1,0 +1,106 @@
+"""MaxScore dynamic pruning — faithful to the reference's semantics.
+
+Re-implements the observable behavior of `Scorer.maxScore`
+(search_engine/src/main/java/unipi/aide/mircv/queryProcessor/Scorer.java:85-162):
+
+- posting lists must arrive sorted by term upper bound ASCENDING;
+  ``upper_bounds`` are the prefix sums used for the essential/non-essential
+  split (Scorer.java:89-94);
+- the pivot advances while ``upper_bounds[pivot] <= theta``
+  (Scorer.java:150-152) where theta is the top-k heap's minimum once full
+  (Scorer.java:144-148);
+- essential lists are scored at ``current``; non-essential lists are
+  visited in descending index with the early break
+  ``score + upper_bounds[i] <= theta`` (Scorer.java:128-131);
+- conjunctive mode replicates the reference's ``-1``/``idToSkip`` dance
+  (Scorer.java:109-126,135-137) INCLUDING its quirk that a document
+  missing only from a NON-essential list keeps its partial score — this
+  is deliberately not a "clean" AND (see SURVEY.md §7.4);
+- top-k: bounded min-heap of size k; ties are broken deterministically by
+  ascending docId (the reference's heap compares score only and leaves
+  tie order unspecified, Scorer.java:205-208).
+
+Score formulas (Q3/Q4, Scorer.java:26-43):
+  BM25:  tf / (k1*Bj + tf) * idf,  Bj = 0.3 + 0.7*docLen/avgDocLen
+         (k1=1.5 — NOT the textbook (k1+1) numerator)
+  TFIDF: (1 + log10(tf)) * idf
+"""
+
+from __future__ import annotations
+
+import heapq
+import math
+
+import numpy as np
+
+from .cursors import EXHAUSTED, PostingCursor
+
+
+def bm25_score(tf: int, doc_len: int, avg_doc_len: float, idf: float,
+               k1: float = 1.5, b: float = 0.7, b_opp: float = 0.3) -> float:
+    # b_opp is the literal 0.30 from Scorer.java:14 — NOT computed as 1-b,
+    # so the float matches the reference bit-for-bit (1.0-0.7 != 0.3 in IEEE)
+    bj = b_opp + b * (doc_len / avg_doc_len)
+    return (tf / (k1 * bj + tf)) * idf
+
+
+def tfidf_score(tf: int, idf: float) -> float:
+    return (1.0 + math.log10(tf)) * idf
+
+
+def max_score(cursors: list[PostingCursor], k: int, conjunctive: bool,
+              score_fn) -> list[tuple[int, float]]:
+    """Run MaxScore over cursors (pre-sorted by term_ub ascending).
+
+    ``score_fn(cursor) -> float`` scores the cursor's CURRENT posting.
+    Returns [(doc_id, score)] ranked by (score desc, doc_id asc), len <= k.
+    """
+    if not cursors:
+        return []
+    n = len(cursors)
+    upper_bounds = np.cumsum([c.term_ub for c in cursors])
+    heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap
+    theta = 0.0
+    pivot = 0
+    id_to_skip = -1
+    current = min(c.doc_id() for c in cursors)
+
+    while pivot < n and current != EXHAUSTED:
+        score = 0.0
+        nxt = EXHAUSTED
+        # ---- essential lists (Scorer.java:105-124)
+        for i in range(pivot, n):
+            if cursors[i].doc_id() == current:
+                score += score_fn(cursors[i])
+                cursors[i].next()
+            elif conjunctive:
+                if current != -1:
+                    id_to_skip = current
+                    current = -1
+                    score = 0.0
+                elif cursors[i].doc_id() == id_to_skip:
+                    cursors[i].next()
+            nxt = min(nxt, cursors[i].doc_id())
+        if current > 0:
+            # ---- non-essential lists (Scorer.java:128-138)
+            for i in range(pivot - 1, -1, -1):
+                if score + upper_bounds[i] <= theta:
+                    break
+                cursors[i].next_geq(current)
+                if cursors[i].doc_id() == current:
+                    score += score_fn(cursors[i])
+                elif conjunctive:
+                    break
+            # ---- bounded heap (Scorer.java:140-153)
+            heapq.heappush(heap, (score, -current))
+            if len(heap) > k:
+                heapq.heappop(heap)
+            if len(heap) == k:
+                theta = heap[0][0]
+            while pivot < n and upper_bounds[pivot] <= theta:
+                pivot += 1
+        current = nxt
+
+    out = [(-neg, s) for s, neg in heap]
+    out.sort(key=lambda t: (-t[1], t[0]))
+    return out

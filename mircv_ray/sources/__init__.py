@@ -1,0 +1,17 @@
+"""Corpus sources: testdata adapters and the deterministic F1 generator."""
+
+from .corpus import (
+    CORPUS_COLUMNS,
+    documents_as_corpus,
+    documents_as_corpus_table,
+    generate_corpus_table,
+    write_corpus,
+)
+
+__all__ = [
+    "CORPUS_COLUMNS",
+    "documents_as_corpus",
+    "documents_as_corpus_table",
+    "generate_corpus_table",
+    "write_corpus",
+]

@@ -1,0 +1,177 @@
+"""Corpus input adapters.
+
+The engine's input table is the BASELINE.json `input_hint` shape:
+``(repo: string, path: string, commit: string, lang: string,
+content: string)`` — one row per source file.
+
+Two ways to obtain it here:
+
+1. `documents_as_corpus(sf_dir)` — adapt the driver-generated
+   ``documents.parquet`` (doc_id, text, lang, source, n_chars) into the
+   corpus shape. Deterministic: repo/path derive from source/doc_id, so
+   the (repo, path) sort order equals doc_id order. This is the corpus
+   used by the driver-facing `queries()` entries (DuckDB can mirror the
+   same mapping in SQL).
+
+2. `generate_corpus_table(n)` — the FIXTURES.md F1 deterministic
+   synthetic source-code corpus (seeded, no external data), used for
+   larger-scale tests and the benchmark where documents.parquet is too
+   small (5000 rows at sf0.1).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+CORPUS_COLUMNS = ["repo", "path", "commit", "lang", "content"]
+
+_LANGS = ["py", "java", "js", "go", "rs", "md"]
+
+
+def _commit_hex(key: str) -> str:
+    return hashlib.sha1(f"commit{key}".encode()).hexdigest()
+
+
+def documents_as_corpus_table(sf_dir: str) -> pa.Table:
+    """documents.parquet -> corpus table (pyarrow, driver-side)."""
+    t = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text", "lang", "source"])
+    doc_id = t["doc_id"].to_numpy()
+    repo = pc.binary_join_element_wise(
+        pa.array(["corpus"] * len(t)), t["source"].combine_chunks().cast(pa.string()), "/")
+    path = pa.array([f"doc_{d:08d}.txt" for d in doc_id])
+    commit = pa.array([_commit_hex(str(d)) for d in doc_id])
+    return pa.table({
+        "repo": repo,
+        "path": path,
+        "commit": commit,
+        "lang": t["lang"].combine_chunks().cast(pa.string()),
+        "content": t["text"].combine_chunks().cast(pa.string()),
+    })
+
+
+def documents_as_corpus(sf_dir: str, parallelism: int | None = None):
+    """documents.parquet -> ray.data.Dataset in corpus shape (streaming)."""
+    import ray.data as rd
+
+    def to_corpus(batch: pa.Table) -> pa.Table:
+        doc_id = batch["doc_id"].to_numpy()
+        repo = pc.binary_join_element_wise(
+            pa.array(["corpus"] * len(batch)),
+            batch["source"].combine_chunks().cast(pa.string()), "/")
+        return pa.table({
+            "repo": repo,
+            "path": pa.array([f"doc_{d:08d}.txt" for d in doc_id]),
+            "commit": pa.array([_commit_hex(str(d)) for d in doc_id]),
+            "lang": batch["lang"].combine_chunks().cast(pa.string()),
+            "content": batch["text"].combine_chunks().cast(pa.string()),
+        })
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "lang", "source"])
+    return ds.map_batches(to_corpus, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------- F1 gen
+
+_KEYWORDS = (
+    "def return if else for while import from class self None True False "
+    "public static void int long double string new try catch finally throw "
+    "func var let const fn pub mut impl struct enum match trait use mod "
+    "print println log error warn info debug assert test main init run "
+    "read write open close flush buffer stream file path dir list map set "
+    "dict array vector queue stack heap tree graph node edge hash sort "
+    "merge split join filter reduce fold scan count sum min max avg len "
+    "batch block shard partition shuffle spill index lexicon posting term "
+    "query score rank docid freq token parse stem stop word text doc"
+).split()
+
+_IDENTS = [f"var{i}" for i in range(40)] + [f"helper_{i}" for i in range(25)] + \
+          [f"Cls{i}" for i in range(15)]
+_NUMBERS = [str(x) for x in (0, 1, 2, 10, 42, 100, 255, 1000, 1024, 65536)]
+
+# rows exercising every tokenizer rule (FIXTURES.md F1 coverage rows)
+COVERAGE_CONTENTS = [
+    "<div>foo</div> bar",
+    "self.value += x;",
+    "University-of-PissSa",
+    "aaa111bbb xx1000yy",
+    "aaa aa",
+    "x" * 70 + " visible",
+    "café naïve über ascii_only",
+    "tab\there newline splits stay",
+    "the of and return",
+    "running runs runner",
+    "",
+    "   ",
+    "+conjunctive marker stripped",
+]
+
+
+def generate_corpus_table(n: int, seed: int = 42,
+                          with_sha: bool = True) -> pa.Table:
+    """Deterministic synthetic source-code corpus (F1).
+
+    Row i: repo = org{i%7}/repo{i%23}, path = src/mod{i%11}/file_{i}.{ext};
+    content = seeded pseudo-code lines from a fixed vocabulary salted with
+    a row-unique token. The first len(COVERAGE_CONTENTS) rows carry the
+    tokenizer-coverage payloads appended to generated text.
+    """
+    rng = np.random.default_rng(seed)
+    vocab = np.array(_KEYWORDS + _IDENTS + _NUMBERS)
+    repos, paths, commits, langs, contents = [], [], [], [], []
+    # content length distribution: mostly 30-300 tokens, a few big, a few empty
+    n_tokens = rng.integers(30, 300, size=n)
+    big = rng.random(n) < 0.005
+    n_tokens[big] = rng.integers(1500, 4000, size=int(big.sum()))
+    empty = rng.random(n) < 0.01
+    for i in range(n):
+        lang = _LANGS[i % len(_LANGS)]
+        repos.append(f"org{i % 7}/repo{i % 23}")
+        paths.append(f"src/mod{i % 11}/file_{i}.{lang}")
+        commits.append(_commit_hex(str(i)))
+        langs.append(lang)
+        if empty[i] and i >= len(COVERAGE_CONTENTS):
+            contents.append("" if i % 2 else "   \t ")
+            continue
+        toks = rng.choice(vocab, size=int(n_tokens[i]))
+        # salt with a row-unique token so docs differ
+        text = " ".join(toks.tolist() + [f"uniq{i}token"])
+        # sprinkle punctuation/code shape deterministically
+        if i % 3 == 0:
+            text = text.replace(" def ", " def fn_%d(): " % i, 1)
+        if i % 5 == 0:
+            text += f"\nx = [{i}, {i+1}]; # comment!"
+        if i < len(COVERAGE_CONTENTS):
+            text = COVERAGE_CONTENTS[i] + " " + text
+        contents.append(text)
+    cols = {
+        "repo": pa.array(repos), "path": pa.array(paths),
+        "commit": pa.array(commits), "lang": pa.array(langs),
+        "content": pa.array(contents),
+    }
+    if with_sha:
+        cols["sha256"] = pa.array(
+            [hashlib.sha256(c.encode()).hexdigest() for c in contents])
+    return pa.table(cols)
+
+
+def write_corpus(out_dir: str, n: int, seed: int = 42, num_files: int = 64) -> str:
+    """Write the F1 corpus as ``num_files`` parquet files (read parallelism
+    for the two-parallelism-level scaling runs, FIXTURES.md F6)."""
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    table = generate_corpus_table(n, seed=seed)
+    rows_per = (n + num_files - 1) // num_files
+    for f in range(num_files):
+        lo = f * rows_per
+        if lo >= n:
+            break
+        pq.write_table(table.slice(lo, rows_per), out / f"part-{f:05d}.parquet")
+    return str(out)
