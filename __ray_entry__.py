@@ -1,44 +1,395 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+`entry()` runs the flagship pipeline (index build + BM25 top-k over the
+sf0.001 corpus). `queries()` exposes one callable per implemented
+operator/pipeline (SURVEY.md §2 + the training-data ops); `oracle_sql()`
+gives the DuckDB-equivalent SQL for every SQL-expressible one, with
+matching column names (driver compares row-count + schema + value hash).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported — nothing
+here calls ray.init()/ray.shutdown().
+
+Float policy: every compared float column is rounded to 6 decimals on
+both sides (np.log10 and libm log10 differ by 1 ulp on ~10% of inputs);
+ranks are never part of compared output, and all orderings tie-break by
+id so top-k SETS are deterministic.
 """
 
 from __future__ import annotations
 
+import hashlib
 from collections.abc import Callable
+from pathlib import Path
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+_CACHE_ROOT = Path("/tmp/mircv_ray_cache")
+_CACHE_VERSION = 2  # bump when corpus mapping / index layout changes
+
+# ---------------------------------------------------------------------------
+# SQL building blocks (basic tokenizer: M2-M6 + trim; squeeze off — RE2 has
+# no backreferences, see mircv_ray/text/tokenizer.py docstring)
+# ---------------------------------------------------------------------------
+
+_TRIM = "e'" + "".join(f"\\x{c:02x}" for c in range(1, 0x21)) + "'"
+
+_TOKS_CTE = f"""
+docs AS (
+  SELECT doc_id, text FROM documents
+  WHERE text IS NOT NULL AND trim(text, {_TRIM}) <> ''
+),
+tok AS (
+  SELECT d.doc_id, t.term FROM (
+    SELECT doc_id,
+      list_filter(
+        list_transform(
+          list_filter(
+            string_split(lower(regexp_replace(regexp_replace(text,
+                '<[^>]+>', ' ', 'g'), '[[:punct:]]', ' ', 'g')), ' '),
+            x -> x <> '' AND strlen(x) < 64
+                 AND NOT regexp_matches(x, '[^\\x00-\\x7F]')),
+          x -> trim(x, {_TRIM})),
+        x -> x <> '') AS toks
+    FROM docs) d, UNNEST(d.toks) AS t(term)
+)
+"""
+
+_BM25_QUERIES: list[list[str]] = [
+    ["hash", "join", "table"],
+    ["dup"],
+    ["spark", "stream", "window"],
+    ["the", "a"],
+    ["merge", "merge", "sort"],          # duplicate term scores twice
+    ["xyznope", "filter"],               # unknown term silently ignored
+]
+
+
+def _values_clause() -> str:
+    rows = []
+    for qid, terms in enumerate(_BM25_QUERIES):
+        rows += [f"({qid}, '{t}')" for t in terms]
+    return "q(qid, term) AS (VALUES " + ", ".join(rows) + ")"
+
+
+def _topk_sql(score_expr: str) -> str:
+    return f"""
+WITH {_TOKS_CTE},
+{_values_clause()},
+doclen AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM docs) AS n,
+                 (SELECT count(*) FROM tok)::DOUBLE
+                 / (SELECT count(*) FROM docs) AS avgdl),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scores AS (
+  SELECT q.qid, tf.doc_id,
+         sum({score_expr}) AS score
+  FROM q
+  JOIN df ON df.term = q.term
+  JOIN tf ON tf.term = q.term
+  JOIN doclen dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.qid, tf.doc_id)
+SELECT qid, doc_id, round(score, 6) AS score FROM (
+  SELECT qid, doc_id, score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score DESC, doc_id) AS rn
+  FROM scores) WHERE rn <= 10
+"""
+
+
+_BM25_EXPR = ("(tf.tf / (1.5*(0.3 + 0.7*(dl.dl / s.avgdl)) + tf.tf)) "
+              "* log10(s.n / df.df)")
+_TFIDF_EXPR = "(1.0 + log10(tf.tf)) * log10(s.n / df.df)"
+
+
+# ---------------------------------------------------------------------------
+# Ray-side helpers
+# ---------------------------------------------------------------------------
+
+def _basic_index(sf_dir: str) -> str:
+    """Build (once, resumable) the basic-mode index for sf_dir."""
+    import ray.data as rd
+    from mircv_ray.build import build_index
+    from mircv_ray.config import IndexConfig
+    from mircv_ray.sources import documents_as_corpus
+    key = hashlib.sha1(f"{sf_dir}|v{_CACHE_VERSION}".encode()).hexdigest()[:12]
+    out = _CACHE_ROOT / f"basic_{key}"
+    cfg = IndexConfig(parse=False, squeeze=False, codec="vbyte",
+                      num_shards=4, salt_buckets=2)
+    build_index(documents_as_corpus(sf_dir), str(out), cfg,
+                lineage={"source": f"{sf_dir}/documents.parquet"})
+    return str(out)
+
+
+def _round6(tbl: pa.Table, col: str) -> pa.Table:
+    i = tbl.schema.get_field_index(col)
+    return tbl.set_column(i, col, pc.round(tbl[col], ndigits=6))
+
+
+def _docs_ds(sf_dir: str):
+    import ray.data as rd
+    return rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+
+def _non_blank(batch: pa.Table) -> pa.Table:
+    t = batch["text"]
+    keep = pc.and_(t.is_valid(),
+                   pc.greater(pc.binary_length(pc.utf8_trim_whitespace(t)), 0))
+    return batch.filter(keep)
+
+
+def _topk_run(sf_dir: str, standard: str) -> pa.Table:
+    from mircv_ray.config import QueryConfig
+    from mircv_ray.query import QueryEngine
+    idx = _basic_index(sf_dir)
+    eng = QueryEngine(idx, QueryConfig(standard=standard, k=10, parse=False,
+                                       squeeze=False))
+    qids, dids, scores = [], [], []
+    for qid, terms in enumerate(_BM25_QUERIES):
+        for doc_id, score in eng.score_terms(list(terms), conjunctive=False):
+            qids.append(qid)
+            dids.append(doc_id - 1)   # docno == original documents.doc_id
+            scores.append(round(score, 6))
+    return pa.table({"qid": pa.array(qids, type=pa.int64()),
+                     "doc_id": pa.array(dids, type=pa.int64()),
+                     "score": pa.array(scores, type=pa.float64())})
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: parsed BM25 index build + actor-pool query batch on
+    sf0.001. Returns the ranked results Dataset."""
+    import ray.data as rd
+    from mircv_ray.build import build_index
+    from mircv_ray.config import IndexConfig, QueryConfig
+    from mircv_ray.query import run_queries
+    from mircv_ray.sources import documents_as_corpus
+    sf_dir = "/root/testdata/sf0.001"
+    out = _CACHE_ROOT / "flagship_sf0001"
+    cfg = IndexConfig(parse=True, codec="vbyte", num_shards=4, salt_buckets=2)
+    build_index(documents_as_corpus(sf_dir), str(out), cfg,
+                lineage={"source": f"{sf_dir}/documents.parquet"})
+    qds = rd.from_items([
+        {"qid": 0, "query": "hash join table"},
+        {"qid": 1, "query": "spark stream window"},
+        {"qid": 2, "query": "+merge sort batch"},
+    ])
+    return run_queries(qds, str(out),
+                       QueryConfig(standard="BM25", k=10, parse=True),
+                       concurrency=2)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    import ray.data as rd
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def doc_stats(sf_dir: str):
+        from mircv_ray.ops import basic_token_stats
+        ds = (_docs_ds(sf_dir)
+              .map_batches(_non_blank, batch_format="pyarrow")
+              .map_batches(basic_token_stats, batch_format="pyarrow"))
+        n = ds.count()
+        total = ds.sum("doc_len")
+        return pa.table({"n_docs": pa.array([n], type=pa.int64()),
+                         "total_tokens": pa.array([total], type=pa.int64())})
+
+    def doc_lengths(sf_dir: str):
+        from mircv_ray.ops import basic_token_stats
+        return (_docs_ds(sf_dir)
+                .map_batches(_non_blank, batch_format="pyarrow")
+                .map_batches(basic_token_stats, batch_format="pyarrow"))
+
+    def term_df(sf_dir: str):
+        idx = _basic_index(sf_dir)
+        return pq.read_table(f"{idx}/lexicon", columns=["term", "df"])
+
+    def lexicon(sf_dir: str):
+        idx = _basic_index(sf_dir)
+        t = pq.read_table(f"{idx}/lexicon", columns=["term", "df", "idf"])
+        return _round6(t, "idf").rename_columns(["term", "df", "idf"])
+
+    def top_terms(sf_dir: str):
+        idx = _basic_index(sf_dir)
+        t = pq.read_table(f"{idx}/lexicon", columns=["term", "df"])
+        order = pc.sort_indices(t, sort_keys=[("df", "descending"),
+                                              ("term", "ascending")])
+        return t.take(order[:50])
+
+    def postings(sf_dir: str):
+        from mircv_ray.query.dump import dump_postings
+        idx = _basic_index(sf_dir)
+        return dump_postings(idx, docno_offset=-1)
+
+    def bm25_topk(sf_dir: str):
+        return _topk_run(sf_dir, "BM25")
+
+    def tfidf_topk(sf_dir: str):
+        return _topk_run(sf_dir, "TFIDF")
+
+    def dedup_exact(sf_dir: str):
+        from mircv_ray.ops import exact_dedup_keep
+        ds = _docs_ds(sf_dir)
+        return exact_dedup_keep(ds).select_columns(["keep_id", "n_dups"])
+
+    def token_count(sf_dir: str):
+        from mircv_ray.ops import token_count as tc
+        return _docs_ds(sf_dir).map_batches(tc, batch_format="pyarrow")
+
+    def quality_stats(sf_dir: str):
+        from mircv_ray.ops import quality_stats as qs
+        return _docs_ds(sf_dir).map_batches(qs, batch_format="pyarrow")
+
+    def ann_cosine_topk(sf_dir: str):
+        from mircv_ray.ops import cosine_topk
+        emb = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+        qvecs = np.stack([np.asarray(emb["embedding"][i].as_py())
+                          for i in range(3)])
+        ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+        out = cosine_topk(ds, qvecs, k=10)
+        return out.map_batches(lambda b: _round6(b, "score"),
+                               batch_format="pyarrow")
+
+    def ann_cosine_topk_ivf(sf_dir: str):
+        # IVF path probing ALL buckets == exact -> shares the ANN oracle SQL
+        from mircv_ray.ops import ivf_build_centroids, ivf_cosine_topk
+        emb = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+        qvecs = np.stack([np.asarray(emb["embedding"][i].as_py())
+                          for i in range(3)])
+        ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+        cents = ivf_build_centroids(ds, n_clusters=8, iters=5)
+        out = ivf_cosine_topk(ds, qvecs, cents, k=10, nprobe=8)
+        return out.map_batches(lambda b: _round6(b, "score"),
+                               batch_format="pyarrow")
+
+    def lang_id(sf_dir: str):
+        from mircv_ray.ops import lang_id as li
+        return _docs_ds(sf_dir).map_batches(li, batch_format="pyarrow")
+
+    def fingerprint(sf_dir: str):
+        from mircv_ray.ops import fingerprint as fp
+        return _docs_ds(sf_dir).map_batches(fp, batch_format="pyarrow")
+
+    def minhash_pairs(sf_dir: str):
+        from mircv_ray.ops import minhash_candidate_pairs
+        return minhash_candidate_pairs(_docs_ds(sf_dir), threshold=0.5)
+
+    def simhash_pairs(sf_dir: str):
+        from mircv_ray.ops import near_dup_pairs
+        return near_dup_pairs(_docs_ds(sf_dir), max_hamming=3)
+
+    def media_features(sf_dir: str):
+        from mircv_ray.ops import DecodeImage, make_media_table
+        ds = rd.from_arrow(make_media_table(120))
+        out = ds.map_batches(DecodeImage, fn_constructor_kwargs={"fake": True},
+                             batch_size=32, concurrency=2,
+                             batch_format="pyarrow", num_cpus=1)
+        feats = out.select_columns(["media_id", "kind"])
+        return feats
+
+    return {
+        "doc_stats": doc_stats,
+        "doc_lengths": doc_lengths,
+        "term_df": term_df,
+        "lexicon": lexicon,
+        "top_terms": top_terms,
+        "postings": postings,
+        "bm25_topk": bm25_topk,
+        "tfidf_topk": tfidf_topk,
+        "dedup_exact": dedup_exact,
+        "token_count": token_count,
+        "quality_stats": quality_stats,
+        "ann_cosine_topk": ann_cosine_topk,
+        "ann_cosine_topk_ivf": ann_cosine_topk_ivf,
+        "lang_id": lang_id,
+        "fingerprint": fingerprint,
+        "minhash_pairs": minhash_pairs,
+        "simhash_pairs": simhash_pairs,
+        "media_features": media_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    ann_sql = """
+WITH q AS (SELECT vec_id AS qv, embedding AS qe FROM embeddings
+           WHERE vec_id IN (0, 1, 2)),
+s AS (SELECT q.qv AS query_id, e.vec_id,
+             list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
+                                    CAST(e.embedding AS DOUBLE[])) AS sim
+      FROM q CROSS JOIN embeddings e)
+SELECT query_id, vec_id, round(sim, 6) AS score FROM (
+  SELECT query_id, vec_id, sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, vec_id) AS rn
+  FROM s) WHERE rn <= 10
+"""
+    return {
+        "doc_stats": f"""
+WITH {_TOKS_CTE}
+SELECT (SELECT count(*) FROM docs) AS n_docs,
+       (SELECT count(*) FROM tok) AS total_tokens
+""",
+        "doc_lengths": f"""
+WITH {_TOKS_CTE}
+SELECT d.doc_id, count(t.term) AS doc_len
+FROM docs d LEFT JOIN tok t ON d.doc_id = t.doc_id
+GROUP BY d.doc_id
+""",
+        "term_df": f"""
+WITH {_TOKS_CTE}
+SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term
+""",
+        "lexicon": f"""
+WITH {_TOKS_CTE},
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term)
+SELECT term, df,
+       round(log10((SELECT count(*) FROM docs)::DOUBLE / df), 6) AS idf
+FROM df
+""",
+        "top_terms": f"""
+WITH {_TOKS_CTE},
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term)
+SELECT term, df FROM df ORDER BY df DESC, term LIMIT 50
+""",
+        "postings": f"""
+WITH {_TOKS_CTE}
+SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY term, doc_id
+""",
+        "bm25_topk": _topk_sql(_BM25_EXPR),
+        "tfidf_topk": _topk_sql(_TFIDF_EXPR),
+        "dedup_exact": """
+SELECT min(doc_id) AS keep_id, count(*) AS n_dups
+FROM documents GROUP BY text
+""",
+        "token_count": r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::BIGINT
+         AS n_tokens
+FROM documents
+""",
+        "quality_stats": """
+SELECT doc_id,
+       length(text)::BIGINT AS n_chars,
+       (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::BIGINT AS n_punct,
+       (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::BIGINT AS n_digits,
+       (length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')))::BIGINT AS n_upper,
+       (length(text) - length(regexp_replace(text, ' ', '', 'g')))::BIGINT AS n_spaces
+FROM documents
+""",
+        "ann_cosine_topk": ann_sql,
+        "ann_cosine_topk_ivf": ann_sql,
+        # lang_id / fingerprint / minhash_pairs / simhash_pairs /
+        # media_features: intentionally no SQL oracle (heuristic, hash- or
+        # model-shaped ops) -> driver records the rows-only check.
+    }

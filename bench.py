@@ -1,0 +1,218 @@
+"""Benchmark driver.
+
+Headline pipelines over $GRAFT_SF_DIR (default /root/testdata/sf0.1):
+
+  build      full parsed inverted-index build (docId assignment, tokenize,
+             postings shuffle, block encode, lexicon) over the
+             deterministic F1 source-code corpus sized to the sf
+             (n = 500_000 * sf docs; documents.parquet is too small to
+             load 32 cores) — reports wall seconds + postings/s
+  query_p50  BM25 top-10 p50 latency over 60 queries (warm actor state)
+  query_batch  actor-pool batch scoring throughput (queries/s)
+  dedup_minhash  MinHash-LSH near-dup pairs over the same corpus
+  ann        brute-force cosine top-10 over embeddings.parquet
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <build sec>, "unit": "sec",
+   "queries": {...per-stage sec...}, "sf": ..., "num_cpus": N}
+
+`--scaling` runs the same bench twice in fresh processes at
+RAY_GRAFT_CPUS=8 and 32 and reports throughput + scaling efficiency
+(the sandbox stand-in for the north rule's N vs 4N cluster sizes), and
+refreshes the "Scaling runs" section of BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import statistics
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_QUERIES = [
+    "def return value function", "hash map set dict", "posting term lexicon",
+    "read write buffer stream", "sort merge join filter", "query score rank",
+    "class struct enum match", "batch block shard partition", "uniq42token",
+    "import from class self", "print log error warn", "tree graph node edge",
+]
+
+
+def _sf_from_dir(d: str) -> float:
+    m = re.search(r"sf([0-9.]+)", d)
+    return float(m.group(1)) if m else 0.1
+
+
+def corpus_dir(sf: float) -> str:
+    """Deterministic F1 corpus, cached under /tmp, >= 64 files (F6)."""
+    n = max(int(500_000 * sf), 1000)
+    out = f"/tmp/mircv_ray_bench/corpus_n{n}_seed42"
+    marker = Path(out) / "_COMPLETE"
+    if not marker.exists():
+        shutil.rmtree(out, ignore_errors=True)
+        from mircv_ray.sources import write_corpus
+        write_corpus(out, n, seed=42, num_files=64)
+        marker.touch()
+    return out
+
+
+def run_bench() -> dict:
+    import ray
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    import ray.data as rd
+    import numpy as np
+    from mircv_ray.build import build_index
+    from mircv_ray.config import IndexConfig, QueryConfig
+    from mircv_ray.query import QueryEngine, run_queries
+
+    sf = _sf_from_dir(SF_DIR)
+    cdir = corpus_dir(sf)
+    # warm the page cache so we measure compute + shuffle, not cold disk
+    rd.read_parquet(cdir).count()
+
+    out = f"/tmp/mircv_ray_bench/index_{NUM_CPUS}"
+    shutil.rmtree(out, ignore_errors=True)
+    timings: dict[str, float] = {}
+
+    t0 = time.time()
+    stats = build_index(
+        rd.read_parquet(cdir, columns=["repo", "path", "lang", "content"]),
+        out, IndexConfig(parse=True, codec="vbyte",
+                         num_shards=max(16, NUM_CPUS),
+                         salt_buckets=4))
+    timings["build"] = time.time() - t0
+    n_postings = stats["metrics"]["n_postings"]
+
+    # query latency (warm reader state, as the reference measures)
+    eng = QueryEngine(out, QueryConfig(standard="BM25", k=10, parse=True))
+    eng.query(BENCH_QUERIES[0])  # warm lexicon/doc state + parquet cache
+    lat = []
+    for rep in range(5):
+        for q in BENCH_QUERIES:
+            t0 = time.time()
+            eng.query(q)
+            lat.append(time.time() - t0)
+    timings["query_p50"] = statistics.median(lat)
+    timings["query_p95"] = statistics.quantiles(lat, n=20)[18]
+
+    # batch scoring throughput through the actor pool
+    qtbl = [{"qid": i, "query": BENCH_QUERIES[i % len(BENCH_QUERIES)]}
+            for i in range(200)]
+    t0 = time.time()
+    run_queries(rd.from_items(qtbl), out,
+                QueryConfig(standard="BM25", k=10, parse=True),
+                concurrency=max(2, NUM_CPUS // 4)).count()
+    timings["query_batch_200"] = time.time() - t0
+
+    # near-dup over the corpus (minhash + LSH)
+    from mircv_ray.ops import minhash_candidate_pairs
+    t0 = time.time()
+    docs = rd.read_parquet(cdir, columns=["path", "content"]).map_batches(
+        lambda b: b.rename_columns(["doc_id", "text"]), batch_format="pyarrow")
+    # doc_id must be int: derive from row position via path hash is fine for
+    # bench; use deterministic crc
+    import zlib
+    import pyarrow as pa
+
+    def add_id(b: pa.Table) -> pa.Table:
+        ids = [zlib.crc32(p.encode()) for p in b["doc_id"].to_pylist()]
+        return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                         "text": b["text"]})
+    minhash_candidate_pairs(docs.map_batches(add_id, batch_format="pyarrow"),
+                            threshold=0.5).count()
+    timings["dedup_minhash"] = time.time() - t0
+
+    # ANN brute-force cosine over embeddings.parquet
+    from mircv_ray.ops import cosine_topk
+    import pyarrow.parquet as pq
+    emb = pq.read_table(f"{SF_DIR}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    qv = np.stack([np.asarray(emb["embedding"][i].as_py()) for i in range(8)])
+    t0 = time.time()
+    cosine_topk(rd.read_parquet(f"{SF_DIR}/embeddings.parquet",
+                                columns=["vec_id", "embedding"]),
+                qv, k=10).count()
+    timings["ann"] = time.time() - t0
+
+    result = {
+        "metric": "index_build_seconds",
+        "value": round(timings["build"], 3),
+        "unit": "sec",
+        "queries": {k: round(v, 4) for k, v in timings.items()},
+        "sf": sf,
+        "num_cpus": NUM_CPUS,
+        "n_docs": stats["n_docs"],
+        "n_postings": n_postings,
+        "postings_per_s": round(n_postings / timings["build"], 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, __file__], env=env,
+                             capture_output=True, text=True, check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    thr_lo = r_lo["postings_per_s"]
+    thr_hi = r_hi["postings_per_s"]
+    eff = (thr_hi / thr_lo) / (hi / lo)
+    result = {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "cpus": [lo, hi],
+        "build_sec": [r_lo["value"], r_hi["value"]],
+        "postings_per_s": [thr_lo, thr_hi],
+        "query_p50": [r_lo["queries"]["query_p50"], r_hi["queries"]["query_p50"]],
+        "sf": r_lo["sf"],
+    }
+    _update_baseline_md(result)
+    return result
+
+
+def _update_baseline_md(res: dict) -> None:
+    p = Path(__file__).parent / "BASELINE.md"
+    marker = "<!-- scaling-runs -->"
+    section = f"""{marker}
+## Scaling runs (this repo, `bench.py --scaling`)
+
+Same input + pipeline in fresh processes at two parallelism levels
+(the sandbox stand-in for N vs 4N Ray clusters):
+
+| num_cpus | build sec | postings/s | BM25 top-10 p50 |
+|---|---|---|---|
+| {res['cpus'][0]} | {res['build_sec'][0]} | {res['postings_per_s'][0]} | {res['query_p50'][0]*1000:.1f} ms |
+| {res['cpus'][1]} | {res['build_sec'][1]} | {res['postings_per_s'][1]} | {res['query_p50'][1]*1000:.1f} ms |
+
+Throughput scaling efficiency ({res['cpus'][0]} -> {res['cpus'][1]} cpus):
+**{res['value']}** (target >= 0.8 over a 4x resource ratio). sf={res['sf']}.
+"""
+    text = p.read_text()
+    if marker in text:
+        text = text[: text.index(marker)] + section
+    else:
+        text = text + "\n" + section
+    p.write_text(text)
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -63,6 +63,10 @@ BLOCK_STRUCT = pa.struct([
 
 _worker_cache: dict = {}
 
+# above this many (term, seg) metadata rows the lexicon aggregation runs as
+# a Ray groupby shuffle instead of a driver-side Arrow group_by
+DRIVER_LEXICON_MAX_SEGROWS = 2_000_000
+
 
 def _cached_get(ref):
     key = ref.hex() if hasattr(ref, "hex") else id(ref)
@@ -98,6 +102,73 @@ def _make_assign_ids(bases_ref):
         ids = pa.array(np.arange(1, group.num_rows + 1, dtype=np.int64) + base)
         return group.append_column("doc_id", ids)
     return assign_ids
+
+
+def build_id_mapping(corpus, ray_mod) -> pa.Table:
+    """Deterministic docId mapping from a SLIM key-only pass.
+
+    Shuffles only (repo, path) keys (never content) by repo, sorts paths
+    within repo and assigns ``doc_id = repo_base + rank``. Content then
+    flows map-only through tokenization with a broadcast lookup — the
+    corpus itself is never shuffled (at 10^12 keys the broadcast dict
+    becomes a hash-partitioned join of corpus against this mapping table
+    on (repo, path); same lineage, documented here). Blank docs are
+    filtered BEFORE ranking so they never consume a docId
+    (InvertedIndex.java:45-47).
+    """
+    slim = (corpus.map_batches(_drop_blank, batch_format="pyarrow")
+            .select_columns(["repo", "path"]))
+    counts = slim.groupby("repo").count().take_all()
+    counts.sort(key=lambda r: r["repo"])
+    bases, acc = {}, 0
+    for r in counts:
+        bases[r["repo"]] = acc
+        acc += r["count()"]
+    bases_ref = ray_mod.put(bases)
+    mapping_ds = slim.groupby("repo").map_groups(
+        _make_assign_ids(bases_ref), batch_format="pyarrow")
+    tbls = [t for t in ray_mod.get(mapping_ds.to_arrow_refs()) if t.num_rows]
+    if not tbls:
+        return pa.table({"repo": pa.array([], pa.string()),
+                         "path": pa.array([], pa.string()),
+                         "doc_id": pa.array([], pa.int64())})
+    return pa.concat_tables(tbls).combine_chunks()
+
+
+def _mapping_dict(mapping_ref) -> dict:
+    """(repo,path)->doc_id dict, built once per worker PROCESS (module
+    cache — map_batches tasks reuse workers, so the dict build amortizes
+    across all batches a worker sees)."""
+    key = ("idmap", mapping_ref.hex() if hasattr(mapping_ref, "hex")
+           else id(mapping_ref))
+    if key not in _worker_cache:
+        tbl = ray.get(mapping_ref)
+        _worker_cache[key] = {
+            (r, p): i for r, p, i in zip(tbl["repo"].to_pylist(),
+                                         tbl["path"].to_pylist(),
+                                         tbl["doc_id"].to_pylist())}
+    return _worker_cache[key]
+
+
+class AttachIdsTokenizeHash:
+    """Map-only stage: broadcast (repo,path)->doc_id lookup + tokenize +
+    sha256; drops content and blank docs. One pass, no content shuffle.
+
+    At 10^12 keys the broadcast dict becomes a hash-partitioned join of
+    the corpus against the mapping table on (repo, path); the bench-scale
+    path keeps it a ray.put broadcast read once per worker."""
+
+    def __init__(self, cfg: IndexConfig, mapping_ref):
+        self.tok = TokenizeHash(cfg)
+        self.mapping_ref = mapping_ref
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _mapping_dict(self.mapping_ref)
+        batch = _drop_blank(batch)
+        ids = pa.array([m[(r, p)] for r, p in
+                        zip(batch["repo"].to_pylist(),
+                            batch["path"].to_pylist())], type=pa.int64())
+        return self.tok(batch.append_column("doc_id", ids))
 
 
 class TokenizeHash:
@@ -261,26 +332,23 @@ def build_index(corpus, out_dir: str, cfg: IndexConfig | None = None,
     # ---------------- stage 1: docs ----------------
     t0 = time.time()
     tok_mat = None
+    mapping_ref = None
     if not stage_complete(out_dir, "docs"):
-        corpus_f = corpus.map_batches(_drop_blank, batch_format="pyarrow")
-        counts = corpus_f.select_columns(["repo"]).groupby("repo").count().take_all()
-        counts.sort(key=lambda r: r["repo"])
-        bases, acc = {}, 0
-        for r in counts:
-            bases[r["repo"]] = acc
-            acc += r["count()"]
-        bases_ref = ray.put(bases)
-        tok_ds = (corpus_f.groupby("repo")
-                  .map_groups(_make_assign_ids(bases_ref), batch_format="pyarrow")
-                  .map_batches(TokenizeHash(cfg), batch_format="pyarrow",
-                               batch_size=cfg.tokenize_batch_size))
+        # slim key-only id assignment; content then flows MAP-ONLY (the
+        # corpus itself is never shuffled — the only full-data exchange in
+        # the whole build is the postings groupby)
+        mapping_tbl = build_id_mapping(corpus, ray)
+        mapping_ref = ray.put(mapping_tbl)
+        tok_ds = corpus.map_batches(
+            AttachIdsTokenizeHash(cfg, mapping_ref),
+            batch_format="pyarrow", batch_size=cfg.tokenize_batch_size)
         # one tokenization pass feeds both the doc table and the postings
         # shuffle (object store holds the token stream, spill-backed)
         tok_mat = tok_ds.materialize()
         tok_mat.drop_columns(["tokens"]).write_parquet(
             str(out / "docs"), min_rows_per_file=200_000)
         write_manifest(out_dir, "docs", {
-            "lineage": lineage or {}, "n_docs": acc,
+            "lineage": lineage or {}, "n_docs": mapping_tbl.num_rows,
             "seconds": time.time() - t0,
         })
     docs_tbl = pq.read_table(str(out / "docs"),
@@ -299,14 +367,13 @@ def build_index(corpus, out_dir: str, cfg: IndexConfig | None = None,
         doc_len_ref = ray.put(doc_lens)
         if tok_mat is None:
             # resume path (docs stage done in a previous run): re-derive the
-            # token stream — tokenization is deterministic, base offsets come
-            # from the checkpointed doc table.
-            tok_mat = (corpus.map_batches(_drop_blank, batch_format="pyarrow")
-                       .groupby("repo").map_groups(
-                           _make_assign_ids(ray.put(_bases_from_docs(out_dir))),
-                           batch_format="pyarrow")
-                       .map_batches(TokenizeHash(cfg), batch_format="pyarrow",
-                                    batch_size=cfg.tokenize_batch_size))
+            # token stream — the id mapping comes from the checkpointed doc
+            # table, tokenization is deterministic.
+            mapping_tbl = pq.read_table(str(out / "docs"),
+                                        columns=["repo", "path", "doc_id"])
+            tok_mat = corpus.map_batches(
+                AttachIdsTokenizeHash(cfg, ray.put(mapping_tbl)),
+                batch_format="pyarrow", batch_size=cfg.tokenize_batch_size)
         posts = tok_mat.select_columns(["doc_id", "tokens"]).map_batches(
             _make_explode(cfg.num_shards, cfg.salt_buckets, n_docs),
             batch_format="pyarrow")
@@ -332,23 +399,49 @@ def build_index(corpus, out_dir: str, cfg: IndexConfig | None = None,
     # ---------------- stage 3: lexicon ----------------
     t2 = time.time()
     if not stage_complete(out_dir, "lexicon"):
-        import ray.data as rd
-        from ray.data.aggregate import Max, Sum
-        seg_slim = rd.read_parquet(
-            str(out / "postings"),
-            columns=["term", "shard", "df", "max_doc_id",
-                     "bm25_core", "tfidf_core"])
-        lex = seg_slim.groupby("term").aggregate(
-            Sum("df", alias_name="df"),
-            Max("max_doc_id", alias_name="max_doc_id"),
-            Max("bm25_core", alias_name="bm25_core"),
-            Max("tfidf_core", alias_name="tfidf_core"),
-            Max("shard", alias_name="shard"),
-        )
-        lex = lex.map_batches(lambda b: _lexicon_finalize(b, n_docs),
-                              batch_format="pyarrow")
-        lex.sort("term").write_parquet(str(out / "lexicon"),
-                                       min_rows_per_file=1_000_000)
+        seg_rows = seg_meta.num_rows
+        if seg_rows <= DRIVER_LEXICON_MAX_SEGROWS:
+            # vocabulary metadata is tiny relative to the corpus (Heaps'
+            # law) — a driver-side Arrow group_by beats a Ray shuffle for
+            # anything that fits one heap
+            seg_cols = pq.read_table(
+                str(out / "postings"),
+                columns=["term", "shard", "df", "max_doc_id",
+                         "bm25_core", "tfidf_core"])
+            # hive partition column reads back dictionary-encoded
+            i = seg_cols.schema.get_field_index("shard")
+            seg_cols = seg_cols.set_column(
+                i, "shard", seg_cols["shard"].cast(pa.int64()))
+            agg = seg_cols.group_by("term").aggregate([
+                ("df", "sum"), ("max_doc_id", "max"), ("bm25_core", "max"),
+                ("tfidf_core", "max"), ("shard", "max")])
+            lex_tbl = _lexicon_finalize(pa.table({
+                "term": agg["term"], "df": agg["df_sum"],
+                "max_doc_id": agg["max_doc_id_max"],
+                "bm25_core": agg["bm25_core_max"],
+                "tfidf_core": agg["tfidf_core_max"],
+                "shard": agg["shard_max"]}), n_docs)
+            lex_tbl = lex_tbl.take(pc.sort_indices(lex_tbl["term"]))
+            (out / "lexicon").mkdir(exist_ok=True)
+            pq.write_table(lex_tbl, str(out / "lexicon" / "part-0.parquet"))
+        else:
+            import ray.data as rd
+            from ray.data.aggregate import Max, Sum
+            seg_slim = rd.read_parquet(
+                str(out / "postings"),
+                columns=["term", "shard", "df", "max_doc_id",
+                         "bm25_core", "tfidf_core"])
+            lex = seg_slim.groupby("term").aggregate(
+                Sum("df", alias_name="df"),
+                Max("max_doc_id", alias_name="max_doc_id"),
+                Max("bm25_core", alias_name="bm25_core"),
+                Max("tfidf_core", alias_name="tfidf_core"),
+                Max("shard", alias_name="shard"),
+            )
+            lex = lex.map_batches(lambda b: _lexicon_finalize(b, n_docs),
+                                  batch_format="pyarrow")
+            lex.sort("term").write_parquet(str(out / "lexicon"),
+                                           min_rows_per_file=1_000_000)
         write_manifest(out_dir, "lexicon", {"seconds": time.time() - t2})
     num_terms = pads.dataset(str(out / "lexicon"), format="parquet",
                              exclude_invalid_files=True).count_rows()
@@ -376,9 +469,3 @@ def build_index(corpus, out_dir: str, cfg: IndexConfig | None = None,
     return stats
 
 
-def _bases_from_docs(out_dir: str) -> dict:
-    """Recompute per-repo base offsets from the checkpointed doc table."""
-    t = pq.read_table(str(Path(out_dir) / "docs"), columns=["repo", "doc_id"])
-    g = t.group_by("repo").aggregate([("doc_id", "min")])
-    return {r: int(m) - 1 for r, m in
-            zip(g["repo"].to_pylist(), g["doc_id_min"].to_pylist())}

@@ -1,0 +1,19 @@
+"""Training-data-pipeline operators beyond the reference's scope:
+deduplication (exact, MinHash-LSH, SimHash, n-gram Jaccard), similarity
+search over embeddings, text analysis (lang-id, quality, token counts,
+fingerprints), and multimodal column plumbing (decode stubs)."""
+
+from .textops import (
+    basic_token_stats, token_count, quality_stats, lang_id, fingerprint,
+)
+from .dedup import exact_dedup_keep, minhash_signatures, minhash_candidate_pairs, simhash64, near_dup_pairs
+from .similarity import cosine_topk, ivf_build_centroids, ivf_cosine_topk
+from .multimodal import DecodeImage, SampleFrames, make_media_table
+
+__all__ = [
+    "DecodeImage", "SampleFrames", "make_media_table",
+    "basic_token_stats", "token_count", "quality_stats", "lang_id",
+    "fingerprint", "exact_dedup_keep", "minhash_signatures",
+    "minhash_candidate_pairs", "simhash64", "near_dup_pairs",
+    "cosine_topk", "ivf_build_centroids", "ivf_cosine_topk",
+]

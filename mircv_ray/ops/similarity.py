@@ -1,0 +1,137 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+- ``cosine_topk``: brute-force cosine top-k — per-batch NumPy matmul of
+  the batch's embedding matrix against a broadcast query matrix, partial
+  top-k per batch, small final merge per query. Scales linearly: the
+  full-vector data never shuffles, only (query_id, vec_id, score)
+  candidates (batches x queries x k rows).
+- ``ivf_cosine_topk``: IVF-style scale path — deterministic k-means
+  centroids (built once from a sample), per-batch bucket assignment,
+  probe only the ``nprobe`` nearest buckets per query. With
+  ``nprobe == n_clusters`` it reproduces brute force exactly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _emb_matrix(batch: pa.Table, emb_col: str) -> np.ndarray:
+    col = batch[emb_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    dim = len(col[0])
+    return col.values.to_numpy(zero_copy_only=False).reshape(-1, dim) \
+        .astype(np.float64)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def _topk_table(qid, vid, score):
+    return pa.table({"query_id": pa.array(qid, type=pa.int64()),
+                     "vec_id": pa.array(vid, type=pa.int64()),
+                     "score": pa.array(score, type=pa.float64())})
+
+
+def cosine_topk(emb_ds, queries: np.ndarray, k: int = 10,
+                emb_col: str = "embedding", id_col: str = "vec_id"):
+    """Brute-force cosine top-k. Returns Dataset (query_id, vec_id, score)
+    with exactly k rows per query (ties broken by ascending vec_id)."""
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+
+    def batch_candidates(batch: pa.Table) -> pa.Table:
+        m = _normalize(_emb_matrix(batch, emb_col))
+        sims = qn @ m.T                                 # (q, batch)
+        ids = batch[id_col].to_numpy()
+        q_out, v_out, s_out = [], [], []
+        kk = min(k, sims.shape[1])
+        for qi in range(sims.shape[0]):
+            s = sims[qi]
+            # partial top-k with deterministic (score desc, vec_id asc)
+            part = np.argpartition(-s, kk - 1)[:kk]
+            order = part[np.lexsort((ids[part], -s[part]))]
+            q_out.append(np.full(kk, qi, dtype=np.int64))
+            v_out.append(ids[order])
+            s_out.append(s[order])
+        return _topk_table(np.concatenate(q_out), np.concatenate(v_out),
+                           np.concatenate(s_out))
+
+    def final_topk(group: pa.Table) -> pa.Table:
+        s = group["score"].to_numpy()
+        v = group["vec_id"].to_numpy()
+        order = np.lexsort((v, -s))[:k]
+        return _topk_table(group["query_id"].to_numpy()[order], v[order],
+                           s[order])
+
+    cands = emb_ds.map_batches(batch_candidates, batch_format="pyarrow")
+    return cands.groupby("query_id").map_groups(final_topk,
+                                                batch_format="pyarrow")
+
+
+def ivf_build_centroids(emb_ds, n_clusters: int = 16, iters: int = 10,
+                        sample_limit: int = 20000,
+                        emb_col: str = "embedding", seed: int = 42) -> np.ndarray:
+    """Deterministic mini k-means on a driver-side sample (centroids are
+    the broadcast small side; the dataset itself never materializes)."""
+    sample = emb_ds.limit(sample_limit).to_pandas()
+    m = _normalize(np.stack(sample[emb_col].to_numpy()).astype(np.float64))
+    rng = np.random.default_rng(seed)
+    cent = m[rng.choice(len(m), size=min(n_clusters, len(m)), replace=False)]
+    for _ in range(iters):
+        assign = (m @ cent.T).argmax(axis=1)
+        for c in range(len(cent)):
+            mask = assign == c
+            if mask.any():
+                cent[c] = m[mask].mean(axis=0)
+        cent = _normalize(cent)
+    return cent
+
+
+def ivf_cosine_topk(emb_ds, queries: np.ndarray, centroids: np.ndarray,
+                    k: int = 10, nprobe: int = 4,
+                    emb_col: str = "embedding", id_col: str = "vec_id"):
+    """IVF probe search: score only vectors whose nearest centroid is among
+    each query's nprobe closest centroids."""
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    cn = _normalize(np.asarray(centroids, dtype=np.float64))
+    nprobe = min(nprobe, len(cn))
+    # per query: the set of probed buckets
+    probe = np.argsort(-(qn @ cn.T), axis=1)[:, :nprobe]   # (q, nprobe)
+
+    def batch_candidates(batch: pa.Table) -> pa.Table:
+        m = _normalize(_emb_matrix(batch, emb_col))
+        bucket = (m @ cn.T).argmax(axis=1)                  # (batch,)
+        ids = batch[id_col].to_numpy()
+        q_out, v_out, s_out = [], [], []
+        for qi in range(len(qn)):
+            mask = np.isin(bucket, probe[qi])
+            if not mask.any():
+                continue
+            s = m[mask] @ qn[qi]
+            sub_ids = ids[mask]
+            kk = min(k, len(s))
+            part = np.argpartition(-s, kk - 1)[:kk]
+            order = part[np.lexsort((sub_ids[part], -s[part]))]
+            q_out.append(np.full(kk, qi, dtype=np.int64))
+            v_out.append(sub_ids[order])
+            s_out.append(s[order])
+        if not q_out:
+            return _topk_table([], [], [])
+        return _topk_table(np.concatenate(q_out), np.concatenate(v_out),
+                           np.concatenate(s_out))
+
+    def final_topk(group: pa.Table) -> pa.Table:
+        s = group["score"].to_numpy()
+        v = group["vec_id"].to_numpy()
+        order = np.lexsort((v, -s))[:k]
+        return _topk_table(group["query_id"].to_numpy()[order], v[order],
+                           s[order])
+
+    cands = emb_ds.map_batches(batch_candidates, batch_format="pyarrow")
+    return cands.groupby("query_id").map_groups(final_topk,
+                                                batch_format="pyarrow")

@@ -79,17 +79,10 @@ class IndexReader:
     def lexicon_entry(self, term: str):
         return self._lex.get(term)
 
-    def _fetch_blocks(self, term: str, shard: int):
-        """Segment rows for a term (seg-ascending) -> flat block arrays."""
-        if term in self._cache:
-            self._cache.move_to_end(term)
-            return self._cache[term]
-        tbl = self._postings.to_table(
-            columns=["term", "seg", "blocks"],
-            filter=(pc.field("shard") == shard) & (pc.field("term") == term))
-        tbl = tbl.take(pc.sort_indices(tbl, sort_keys=[("seg", "ascending")]))
+    def _store(self, term: str, rows: list[list[dict]]):
+        """Segment block-lists (seg-ascending) -> flat cursor arrays."""
         block_max, block_n, block_base, ids_bufs, tfs_bufs = [], [], [], [], []
-        for seg_blocks in tbl["blocks"].to_pylist():
+        for seg_blocks in rows:
             prev = 0
             for blk in seg_blocks:
                 block_max.append(blk["max_doc_id"])
@@ -106,6 +99,41 @@ class IndexReader:
         if len(self._cache) > self._cache_size:
             self._cache.popitem(last=False)
         return entry
+
+    def prefetch(self, terms: list[str]) -> None:
+        """One parquet scan for every not-yet-cached query term (per-query
+        fixed cost instead of per-term — dataset-scan setup dominates
+        single-term reads)."""
+        missing = sorted({t for t in terms
+                          if t in self._lex and t not in self._cache})
+        if not missing:
+            return
+        shards = sorted({self._lex[t][4] for t in missing})
+        tbl = self._postings.to_table(
+            columns=["term", "seg", "blocks"],
+            filter=(pc.field("shard").isin(shards)
+                    & pc.field("term").isin(missing)))
+        tbl = tbl.take(pc.sort_indices(
+            tbl, sort_keys=[("term", "ascending"), ("seg", "ascending")]))
+        terms_col = tbl["term"].to_pylist()
+        blocks_col = tbl["blocks"].to_pylist()
+        i = 0
+        while i < len(terms_col):
+            j = i
+            while j < len(terms_col) and terms_col[j] == terms_col[i]:
+                j += 1
+            self._store(terms_col[i], blocks_col[i:j])
+            i = j
+
+    def _fetch_blocks(self, term: str, shard: int):
+        if term in self._cache:
+            self._cache.move_to_end(term)
+            return self._cache[term]
+        tbl = self._postings.to_table(
+            columns=["term", "seg", "blocks"],
+            filter=(pc.field("shard") == shard) & (pc.field("term") == term))
+        tbl = tbl.take(pc.sort_indices(tbl, sort_keys=[("seg", "ascending")]))
+        return self._store(term, tbl["blocks"].to_pylist())
 
     def posting_cursor(self, term: str, standard: str) -> PostingCursor | None:
         lex = self._lex.get(term)
@@ -145,6 +173,7 @@ class QueryEngine:
     def score_terms(self, terms: list[str],
                     conjunctive: bool | None = None) -> list[tuple[int, float]]:
         conjunctive = self.qcfg.conjunctive if conjunctive is None else conjunctive
+        self.reader.prefetch(terms)
         cursors = [c for c in
                    (self.reader.posting_cursor(t, self.qcfg.standard)
                     for t in terms) if c is not None]

@@ -39,16 +39,18 @@ def _commit_hex(key: str) -> str:
 
 
 def documents_as_corpus_table(sf_dir: str) -> pa.Table:
-    """documents.parquet -> corpus table (pyarrow, driver-side)."""
+    """documents.parquet -> corpus table (pyarrow, driver-side).
+
+    Single repo + zero-padded doc_id paths so the engine's (repo, path)
+    docId order equals doc_id order -> docno == str(original doc_id).
+    """
     t = pq.read_table(f"{sf_dir}/documents.parquet",
-                      columns=["doc_id", "text", "lang", "source"])
+                      columns=["doc_id", "text", "lang"])
     doc_id = t["doc_id"].to_numpy()
-    repo = pc.binary_join_element_wise(
-        pa.array(["corpus"] * len(t)), t["source"].combine_chunks().cast(pa.string()), "/")
     path = pa.array([f"doc_{d:08d}.txt" for d in doc_id])
     commit = pa.array([_commit_hex(str(d)) for d in doc_id])
     return pa.table({
-        "repo": repo,
+        "repo": pa.array(["corpus"] * len(t)),
         "path": path,
         "commit": commit,
         "lang": t["lang"].combine_chunks().cast(pa.string()),
@@ -62,11 +64,8 @@ def documents_as_corpus(sf_dir: str, parallelism: int | None = None):
 
     def to_corpus(batch: pa.Table) -> pa.Table:
         doc_id = batch["doc_id"].to_numpy()
-        repo = pc.binary_join_element_wise(
-            pa.array(["corpus"] * len(batch)),
-            batch["source"].combine_chunks().cast(pa.string()), "/")
         return pa.table({
-            "repo": repo,
+            "repo": pa.array(["corpus"] * len(batch)),
             "path": pa.array([f"doc_{d:08d}.txt" for d in doc_id]),
             "commit": pa.array([_commit_hex(str(d)) for d in doc_id]),
             "lang": batch["lang"].combine_chunks().cast(pa.string()),
@@ -74,7 +73,7 @@ def documents_as_corpus(sf_dir: str, parallelism: int | None = None):
         })
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                         columns=["doc_id", "text", "lang", "source"])
+                         columns=["doc_id", "text", "lang"])
     return ds.map_batches(to_corpus, batch_format="pyarrow")
 
 

@@ -1,0 +1,91 @@
+"""Local simulation of the driver's correctness gate:
+runs queries()[name](sf_dir) and oracle_sql()[name] side by side,
+compares row count, schema (sorted column names) and an
+order-insensitive value hash. Usage: python scripts/check_oracle.py [sf_dir]
+"""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+
+
+def to_pandas(res) -> pd.DataFrame:
+    if isinstance(res, pd.DataFrame):
+        return res
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res.to_pandas()  # ray Dataset
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+def main(sf_dir: str) -> int:
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=8, include_dashboard=False,
+                 logging_level="ERROR")
+        from ray.data import DataContext
+        DataContext.get_current().enable_progress_bars = False
+    import __ray_entry__ as entry_mod
+
+    con = duckdb.connect()
+    for name in ["region", "nation", "customer", "supplier", "part", "orders",
+                 "lineitem", "events", "documents", "embeddings"]:
+        p = f"{sf_dir}/{name}.parquet"
+        if Path(p).exists():
+            con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        try:
+            got = canon(to_pandas(fn(sf_dir)))
+        except Exception as e:
+            print(f"FAIL  {name}: query raised {type(e).__name__}: {e}")
+            failures += 1
+            continue
+        if name not in oracles:
+            print(f"rows  {name}: {len(got)} rows (no SQL oracle)")
+            continue
+        try:
+            exp = canon(con.execute(oracles[name]).fetchdf())
+        except Exception as e:
+            print(f"FAIL  {name}: oracle SQL raised {type(e).__name__}: {e}")
+            failures += 1
+            continue
+        ok_rows = len(got) == len(exp)
+        ok_cols = list(got.columns) == list(exp.columns)
+        ok_vals = False
+        if ok_rows and ok_cols:
+            try:
+                pd.testing.assert_frame_equal(got, exp, check_dtype=False,
+                                              check_exact=True)
+                ok_vals = True
+            except AssertionError as e:
+                msg = str(e).splitlines()[0]
+        if ok_rows and ok_cols and ok_vals:
+            print(f"OK    {name}: {len(got)} rows")
+        else:
+            failures += 1
+            print(f"FAIL  {name}: rows {len(got)} vs {len(exp)}, "
+                  f"cols {list(got.columns)} vs {list(exp.columns)}"
+                  + ("" if ok_vals or not (ok_rows and ok_cols)
+                     else f", values differ: {msg}"))
+    return failures
+
+
+if __name__ == "__main__":
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    rc = main(sf)
+    import ray
+    ray.shutdown()
+    sys.exit(1 if rc else 0)
