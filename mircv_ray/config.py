@@ -44,3 +44,6 @@ class QueryConfig:
     conjunctive: bool = False
     parse: bool = True              # must match the index build's parse flag
     squeeze: bool = True
+    algo: str = "auto"              # "auto" (vectorized TAAT for disjunctive,
+                                    # MaxScore for conjunctive) | "maxscore"
+                                    # (always the faithful Scorer.java loop)

@@ -71,6 +71,12 @@ class IndexReader:
                                       format="parquet", partitioning="hive")
         self._cache: OrderedDict[str, tuple] = OrderedDict()
         self._cache_size = term_cache_size
+        # decoded-postings cache for the vectorized scorer: term ->
+        # (ids, tfs) full NumPy arrays (LRU, bounded by term count)
+        self._dec_cache: OrderedDict[str, tuple] = OrderedDict()
+        # Bj = 0.3 + 0.7*docLen/avgDocLen precomputed once (Scorer.java:30);
+        # same op order as the scalar path so floats match bit-for-bit
+        self.bj = 0.3 + self.b * (self.doc_len / self.avg_doc_len)
 
     @property
     def num_terms(self) -> int:
@@ -135,6 +141,30 @@ class IndexReader:
         tbl = tbl.take(pc.sort_indices(tbl, sort_keys=[("seg", "ascending")]))
         return self._store(term, tbl["blocks"].to_pylist())
 
+    def decoded(self, term: str) -> tuple[np.ndarray, np.ndarray] | None:
+        """Full decoded (doc_ids, tfs) arrays for a term (LRU-cached)."""
+        hit = self._dec_cache.get(term)
+        if hit is not None:
+            self._dec_cache.move_to_end(term)
+            return hit
+        lex = self._lex.get(term)
+        if lex is None:
+            return None
+        block_max, block_n, block_base, ids_bufs, tfs_bufs = \
+            self._fetch_blocks(term, lex[4])
+        from ..codecs.blocks import decode_block_ids, decode_block_tfs
+        ids = [decode_block_ids(ids_bufs[i], self.codec, int(block_n[i]),
+                                int(block_max[i]), int(block_base[i]))
+               for i in range(len(block_max))]
+        tfs = [decode_block_tfs(tfs_bufs[i], self.codec, int(block_n[i]))
+               for i in range(len(block_max))]
+        entry = (np.concatenate(ids) if ids else np.empty(0, np.int64),
+                 np.concatenate(tfs) if tfs else np.empty(0, np.int64))
+        self._dec_cache[term] = entry
+        if len(self._dec_cache) > self._cache_size:
+            self._dec_cache.popitem(last=False)
+        return entry
+
     def posting_cursor(self, term: str, standard: str) -> PostingCursor | None:
         lex = self._lex.get(term)
         if lex is None:
@@ -155,6 +185,7 @@ class QueryEngine:
                  reader: IndexReader | None = None):
         self.qcfg = qcfg or QueryConfig()
         self.reader = reader or IndexReader(index_dir)
+        self._acc = None  # reusable dense score accumulator (TAAT path)
         r = self.reader
         if self.qcfg.standard == "BM25":
             self._score_fn = lambda c: bm25_score(
@@ -173,6 +204,14 @@ class QueryEngine:
     def score_terms(self, terms: list[str],
                     conjunctive: bool | None = None) -> list[tuple[int, float]]:
         conjunctive = self.qcfg.conjunctive if conjunctive is None else conjunctive
+        # disjunctive queries take the vectorized term-at-a-time path:
+        # exhaustive TAAT returns the same top-k as MaxScore (the pruning
+        # is lossless), but NumPy-per-term instead of Python-per-posting.
+        # Conjunctive queries keep the faithful MaxScore loop — its
+        # non-clean-AND quirks (SURVEY.md §7.4) are sequential semantics.
+        algo = getattr(self.qcfg, "algo", "auto")
+        if algo != "maxscore" and not conjunctive:
+            return self._score_terms_taat(terms)
         self.reader.prefetch(terms)
         cursors = [c for c in
                    (self.reader.posting_cursor(t, self.qcfg.standard)
@@ -181,6 +220,45 @@ class QueryEngine:
             return []
         cursors.sort(key=lambda c: c.term_ub)  # O5 (stable, like Arrays.sort)
         return max_score(cursors, self.qcfg.k, conjunctive, self._score_fn)
+
+    def _score_terms_taat(self, terms: list[str]) -> list[tuple[int, float]]:
+        """Vectorized exhaustive disjunctive scoring (rank-identical to
+        MaxScore; duplicate query terms score twice, unknown terms are
+        silently ignored, both as in QueryProcessorMain.java:139-154)."""
+        r = self.reader
+        bm25 = self.qcfg.standard == "BM25"
+        lists = []
+        for t in terms:
+            lex = r.lexicon_entry(t)
+            if lex is None:
+                continue
+            ids, tfs = r.decoded(t)
+            lists.append((ids, tfs, lex[1]))  # idf
+        if not lists:
+            return []
+        if self._acc is None or len(self._acc) < r.n_docs:
+            self._acc = np.zeros(r.n_docs, dtype=np.float64)
+        scores = self._acc
+        for ids, tfs, idf in lists:
+            idx = ids - 1
+            if bm25:
+                contrib = (tfs / (r.k1 * r.bj[idx] + tfs)) * idf
+            else:
+                contrib = (1.0 + np.log10(tfs)) * idf
+            scores[idx] += contrib  # ids unique per term -> fancy += is exact
+        cand = (lists[0][0] if len(lists) == 1
+                else np.unique(np.concatenate([l[0] for l in lists])))
+        sc = scores[cand - 1]
+        # reusable accumulator: zero only the touched slots
+        for ids, _, _ in lists:
+            scores[ids - 1] = 0.0
+        k = self.qcfg.k
+        if len(cand) > k:
+            kth = -np.partition(-sc, k - 1)[k - 1]
+            keep = sc >= kth       # includes boundary ties
+            sc, cand = sc[keep], cand[keep]
+        order = np.lexsort((cand, -sc))[:k]  # score desc, docId asc (O4 ties)
+        return [(int(cand[i]), float(sc[i])) for i in order]
 
     def query(self, text: str, conjunctive: bool | None = None,
               sort_terms: bool = False) -> list[tuple[str, float]]:
