@@ -104,20 +104,40 @@ def _make_assign_ids(bases_ref):
     return assign_ids
 
 
-def build_id_mapping(corpus, ray_mod) -> pa.Table:
-    """Deterministic docId mapping from a SLIM key-only pass.
+# above this many docs the id assignment runs as a Ray groupby over the
+# slim key table instead of one driver-side Arrow sort
+DRIVER_IDMAP_MAX_ROWS = 5_000_000
 
-    Shuffles only (repo, path) keys (never content) by repo, sorts paths
-    within repo and assigns ``doc_id = repo_base + rank``. Content then
-    flows map-only through tokenization with a broadcast lookup — the
-    corpus itself is never shuffled (at 10^12 keys the broadcast dict
-    becomes a hash-partitioned join of corpus against this mapping table
-    on (repo, path); same lineage, documented here). Blank docs are
-    filtered BEFORE ranking so they never consume a docId
-    (InvertedIndex.java:45-47).
+_EMPTY_MAPPING = pa.table({"repo": pa.array([], pa.string()),
+                           "path": pa.array([], pa.string()),
+                           "doc_id": pa.array([], pa.int64())})
+
+
+def build_id_mapping(slim, ray_mod) -> pa.Table:
+    """Deterministic docId mapping from a SLIM (repo, path) dataset.
+
+    ``slim`` must already be blank-filtered (blank docs never consume a
+    docId, InvertedIndex.java:45-47) and projected to the two key columns
+    — pass e.g. ``tok.select_columns(["repo", "path"])`` over the
+    materialized token stream so content is scanned exactly once per
+    build. docId = 1 + rank in (repo, path) order: data-dependent only,
+    identical at any parallelism. Small key sets sort driver-side; large
+    ones shuffle only the keys (per-repo base offsets + within-repo path
+    rank). At 10^12 keys the broadcast of the result becomes a
+    hash-partitioned join of the corpus against this mapping table on
+    (repo, path); same lineage, documented here.
     """
-    slim = (corpus.map_batches(_drop_blank, batch_format="pyarrow")
-            .select_columns(["repo", "path"]))
+    if slim.count() <= DRIVER_IDMAP_MAX_ROWS:
+        tbls = [t for t in ray_mod.get(slim.to_arrow_refs()) if t.num_rows]
+        if not tbls:
+            return _EMPTY_MAPPING
+        keys = pa.concat_tables(tbls).combine_chunks()
+        order = pc.sort_indices(keys, sort_keys=[("repo", "ascending"),
+                                                 ("path", "ascending")])
+        keys = keys.take(order)
+        return keys.append_column(
+            "doc_id", pa.array(np.arange(1, keys.num_rows + 1,
+                                         dtype=np.int64)))
     counts = slim.groupby("repo").count().take_all()
     counts.sort(key=lambda r: r["repo"])
     bases, acc = {}, 0
@@ -129,10 +149,23 @@ def build_id_mapping(corpus, ray_mod) -> pa.Table:
         _make_assign_ids(bases_ref), batch_format="pyarrow")
     tbls = [t for t in ray_mod.get(mapping_ds.to_arrow_refs()) if t.num_rows]
     if not tbls:
-        return pa.table({"repo": pa.array([], pa.string()),
-                         "path": pa.array([], pa.string()),
-                         "doc_id": pa.array([], pa.int64())})
+        return _EMPTY_MAPPING
     return pa.concat_tables(tbls).combine_chunks()
+
+
+class AttachIds:
+    """Map-only: broadcast (repo,path)->doc_id lookup over the token
+    stream (dict built once per worker process, see _mapping_dict)."""
+
+    def __init__(self, mapping_ref):
+        self.mapping_ref = mapping_ref
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _mapping_dict(self.mapping_ref)
+        ids = pa.array([m[(r, p)] for r, p in
+                        zip(batch["repo"].to_pylist(),
+                            batch["path"].to_pylist())], type=pa.int64())
+        return batch.append_column("doc_id", ids)
 
 
 def _mapping_dict(mapping_ref) -> dict:
@@ -169,6 +202,17 @@ class AttachIdsTokenizeHash:
                         zip(batch["repo"].to_pylist(),
                             batch["path"].to_pylist())], type=pa.int64())
         return self.tok(batch.append_column("doc_id", ids))
+
+
+class TokenizeHashDropBlank:
+    """Single-content-scan stage: blank filter + tokenize + sha256 (no
+    doc ids yet — they attach afterwards from the slim key mapping)."""
+
+    def __init__(self, cfg: IndexConfig):
+        self.tok = TokenizeHash(cfg)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return self.tok(_drop_blank(batch))
 
 
 class TokenizeHash:
@@ -334,17 +378,20 @@ def build_index(corpus, out_dir: str, cfg: IndexConfig | None = None,
     tok_mat = None
     mapping_ref = None
     if not stage_complete(out_dir, "docs"):
-        # slim key-only id assignment; content then flows MAP-ONLY (the
+        # ONE content scan: blank-filter + tokenize + sha256, materialized
+        # into the object store (spill-backed); this single token stream
+        # feeds id assignment, the doc table AND the postings shuffle. The
         # corpus itself is never shuffled — the only full-data exchange in
-        # the whole build is the postings groupby)
-        mapping_tbl = build_id_mapping(corpus, ray)
+        # the whole build is the postings groupby.
+        tok0 = corpus.map_batches(
+            TokenizeHashDropBlank(cfg), batch_format="pyarrow",
+            batch_size=cfg.tokenize_batch_size).materialize()
+        # docIds from the SLIM materialized keys (no second content pass)
+        mapping_tbl = build_id_mapping(
+            tok0.select_columns(["repo", "path"]), ray)
         mapping_ref = ray.put(mapping_tbl)
-        tok_ds = corpus.map_batches(
-            AttachIdsTokenizeHash(cfg, mapping_ref),
-            batch_format="pyarrow", batch_size=cfg.tokenize_batch_size)
-        # one tokenization pass feeds both the doc table and the postings
-        # shuffle (object store holds the token stream, spill-backed)
-        tok_mat = tok_ds.materialize()
+        tok_mat = tok0.map_batches(AttachIds(mapping_ref),
+                                   batch_format="pyarrow")
         tok_mat.drop_columns(["tokens"]).write_parquet(
             str(out / "docs"), min_rows_per_file=200_000)
         write_manifest(out_dir, "docs", {
