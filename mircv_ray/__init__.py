@@ -19,3 +19,27 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+
+def use_push_shuffle(ds=None) -> None:
+    """Select Ray Data's push-based sort shuffle for wide operations.
+
+    The default pull-based sort shuffle degrades sharply with task count
+    on the all-to-all exchanges this engine relies on (measured 62s vs
+    9s for the 19M-row postings groupby at 32 CPUs); push-based
+    (magnet-style) shuffle is also the right topology for multi-node
+    clusters. Called at the entry of every shuffle-heavy pipeline.
+
+    A Dataset captures its DataContext at CREATION time, so setting the
+    global context inside a pipeline does not affect datasets the caller
+    already built — pass ``ds`` to retarget its captured context too."""
+    from ray.data import DataContext
+    from ray.data.context import ShuffleStrategy
+    DataContext.get_current().shuffle_strategy = \
+        ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
+    if ds is not None:
+        try:
+            ds.context.shuffle_strategy = \
+                ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
+        except AttributeError:
+            pass

@@ -155,53 +155,57 @@ def build_id_mapping(slim, ray_mod) -> pa.Table:
 
 class AttachIds:
     """Map-only: broadcast (repo,path)->doc_id lookup over the token
-    stream (dict built once per worker process, see _mapping_dict)."""
+    stream via binary search against the sorted key array (the mapping is
+    sorted by (repo, path) and doc_id == rank+1, so the POSITION of a key
+    is its docId-1 — no values, no Python dict; the key array is built
+    once per worker process)."""
 
     def __init__(self, mapping_ref):
         self.mapping_ref = mapping_ref
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        m = _mapping_dict(self.mapping_ref)
-        ids = pa.array([m[(r, p)] for r, p in
-                        zip(batch["repo"].to_pylist(),
-                            batch["path"].to_pylist())], type=pa.int64())
-        return batch.append_column("doc_id", ids)
+        keys, ids = _mapping_keys(self.mapping_ref)
+        bkeys = pc.binary_join_element_wise(
+            batch["repo"], batch["path"], "\x00").to_numpy(
+                zero_copy_only=False)
+        pos = np.searchsorted(keys, bkeys)
+        return batch.append_column(
+            "doc_id", pa.array(ids[pos], type=pa.int64()))
 
 
-def _mapping_dict(mapping_ref) -> dict:
-    """(repo,path)->doc_id dict, built once per worker PROCESS (module
-    cache — map_batches tasks reuse workers, so the dict build amortizes
-    across all batches a worker sees)."""
-    key = ("idmap", mapping_ref.hex() if hasattr(mapping_ref, "hex")
+def _mapping_keys(mapping_ref) -> tuple[np.ndarray, np.ndarray]:
+    """(sorted 'repo\\x00path' key array, parallel doc_id array), built
+    once per worker process. '\\x00' sorts below every other byte, so the
+    joined-key order equals the (repo, path) two-column order."""
+    key = ("idmapkeys", mapping_ref.hex() if hasattr(mapping_ref, "hex")
            else id(mapping_ref))
     if key not in _worker_cache:
         tbl = ray.get(mapping_ref)
-        _worker_cache[key] = {
-            (r, p): i for r, p, i in zip(tbl["repo"].to_pylist(),
-                                         tbl["path"].to_pylist(),
-                                         tbl["doc_id"].to_pylist())}
+        joined = pc.binary_join_element_wise(
+            tbl["repo"], tbl["path"], "\x00")
+        keys = joined.to_numpy(zero_copy_only=False)
+        ids = tbl["doc_id"].to_numpy()
+        order = np.argsort(keys, kind="stable")
+        _worker_cache[key] = (keys[order], ids[order])
     return _worker_cache[key]
 
 
-class AttachIdsTokenizeHash:
-    """Map-only stage: broadcast (repo,path)->doc_id lookup + tokenize +
-    sha256; drops content and blank docs. One pass, no content shuffle.
 
-    At 10^12 keys the broadcast dict becomes a hash-partitioned join of
-    the corpus against the mapping table on (repo, path); the bench-scale
+
+class AttachIdsTokenizeHash:
+    """Map-only stage for the resume path: blank filter + broadcast
+    (repo,path)->doc_id lookup + tokenize + sha256 in one content scan.
+
+    At 10^12 keys the broadcast becomes a hash-partitioned join of the
+    corpus against the mapping table on (repo, path); the bench-scale
     path keeps it a ray.put broadcast read once per worker."""
 
     def __init__(self, cfg: IndexConfig, mapping_ref):
         self.tok = TokenizeHash(cfg)
-        self.mapping_ref = mapping_ref
+        self.attach = AttachIds(mapping_ref)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        m = _mapping_dict(self.mapping_ref)
-        batch = _drop_blank(batch)
-        ids = pa.array([m[(r, p)] for r, p in
-                        zip(batch["repo"].to_pylist(),
-                            batch["path"].to_pylist())], type=pa.int64())
-        return self.tok(batch.append_column("doc_id", ids))
+        return self.tok(self.attach(_drop_blank(batch)))
 
 
 class TokenizeHashDropBlank:
@@ -238,6 +242,14 @@ class TokenizeHash:
 # ------------------------------------------------------------------ stage 2
 
 def _make_explode(num_shards: int, salt_buckets: int, n_docs: int):
+    """SPIMI-style map-side combine (replaces the reference's in-memory
+    partial index, InvertedIndex.java:30-113): each task turns its doc
+    batch into PARTIAL POSTING LISTS — one row per (term, seg) run with
+    the run's docIds/tfs packed into binary columns — so the shuffle
+    moves ~vocab-sized list rows instead of one row per posting (76M
+    posting rows -> ~1M partial rows at 800k docs; Ray's sort exchange
+    moves binary buffers cheaply but pays per ROW)."""
+
     def explode(batch: pa.Table) -> pa.Table:
         tokens = batch["tokens"]
         if isinstance(tokens, pa.ChunkedArray):
@@ -255,14 +267,29 @@ def _make_explode(num_shards: int, salt_buckets: int, n_docs: int):
         denc = pc.dictionary_encode(terms)
         if isinstance(denc, pa.ChunkedArray):
             denc = denc.combine_chunks()
-        vocab_shards = term_shard(denc.dictionary.to_pylist(), num_shards)
-        shard = pa.array(vocab_shards[denc.indices.to_numpy()], type=pa.int64())
-        did = tf_tbl["doc_id"].to_numpy()
+        codes = denc.indices.to_numpy().astype(np.int64)
+        did = tf_tbl["doc_id"].to_numpy().astype(np.int64)
+        tfs = tf_tbl["count_all"].to_numpy().astype(np.int32)
+        # seg is monotone in doc_id, so sorting by (code, doc_id) also
+        # sorts by (code, seg) — one lexsort yields the runs
+        order = np.lexsort((did, codes))
+        codes, did, tfs = codes[order], did[order], tfs[order]
         seg = (did - 1) * salt_buckets // max(n_docs, 1)
+        change = (np.diff(codes) != 0) | (np.diff(seg) != 0)
+        starts = np.flatnonzero(np.append(True, change))
+        ends = np.append(starts[1:], len(codes))
+        vocab = denc.dictionary
+        vshards = term_shard(vocab.to_pylist(), num_shards)
+        run_codes = codes[starts]
+        ids_raw = [did[s:e].tobytes() for s, e in zip(starts, ends)]
+        tfs_raw = [tfs[s:e].tobytes() for s, e in zip(starts, ends)]
         return pa.table({
-            "term": terms, "doc_id": tf_tbl["doc_id"],
-            "tf": tf_tbl["count_all"].cast(pa.int64()),
-            "shard": shard, "seg": pa.array(seg, type=pa.int64()),
+            "term": vocab.take(pa.array(run_codes, type=pa.int64())),
+            "shard": pa.array(vshards[run_codes], type=pa.int64()),
+            "seg": pa.array(seg[starts], type=pa.int64()),
+            "n": pa.array(ends - starts, type=pa.int64()),
+            "ids_raw": pa.array(ids_raw, type=pa.binary()),
+            "tfs_raw": pa.array(tfs_raw, type=pa.binary()),
         })
     return explode
 
@@ -274,38 +301,49 @@ def _make_build_segments(doc_len_ref, avg_doc_len: float, cfg: IndexConfig):
     threshold = cfg.block_threshold
 
     def build_segments(group: pa.Table) -> pa.Table:
+        """Merge the partial posting lists of one (shard, seg) group into
+        final block-encoded segments (the reference's k-way merge,
+        InvertedIndex.java:115-214, as one grouped task)."""
         doc_lens = _cached_get(doc_len_ref)  # np.int64 array, index = docId-1
-        terms = group["term"]
-        if isinstance(terms, pa.ChunkedArray):
-            terms = terms.combine_chunks()
-        denc = pc.dictionary_encode(terms)
-        if isinstance(denc, pa.ChunkedArray):
-            denc = denc.combine_chunks()
-        codes = denc.indices.to_numpy().astype(np.int64)
-        vocab = denc.dictionary.to_pylist()
-        doc_ids = group["doc_id"].to_numpy().astype(np.int64)
-        tfs = group["tf"].to_numpy().astype(np.int64)
-        order = np.lexsort((doc_ids, codes))
-        codes, doc_ids, tfs = codes[order], doc_ids[order], tfs[order]
-        bounds = np.flatnonzero(np.diff(codes, prepend=-1))
-        bounds = np.append(bounds, len(codes))
+        order = pc.sort_indices(group["term"])
+        group = group.take(order)
+        terms_col = group["term"].to_pylist()
+        n_col = group["n"].to_numpy()
+        ids_bufs = group["ids_raw"].to_pylist()
+        tfs_bufs = group["tfs_raw"].to_pylist()
         shard_val = int(group["shard"][0].as_py())
         seg_val = int(group["seg"][0].as_py())
+        # term run boundaries over the sorted partial rows
+        bounds = [0]
+        for i in range(1, len(terms_col)):
+            if terms_col[i] != terms_col[i - 1]:
+                bounds.append(i)
+        bounds.append(len(terms_col))
 
         out_term, out_df, out_max, out_b25, out_tfidf = [], [], [], [], []
         out_bytes_ids, out_bytes_tfs = [], []
         blk_max, blk_n, blk_ids, blk_tfs, blk_offsets = [], [], [], [], [0]
         for gi in range(len(bounds) - 1):
             s, e = bounds[gi], bounds[gi + 1]
-            ids = doc_ids[s:e]
-            f = tfs[s:e]
+            if e - s == 1:
+                ids = np.frombuffer(ids_bufs[s], dtype=np.int64)
+                f = tfs_bufs[s]
+            else:
+                ids = np.concatenate([np.frombuffer(x, dtype=np.int64)
+                                      for x in ids_bufs[s:e]])
+                f = b"".join(tfs_bufs[s:e])
+            f = np.frombuffer(f, dtype=np.int32).astype(np.int64)
+            if e - s > 1:
+                # partial runs from different tasks overlap in docId range
+                o = np.argsort(ids, kind="stable")
+                ids, f = ids[o], f[o]
             # O3: explicit ascending docId order (never rely on shuffle order)
             bj = 0.3 + b * (doc_lens[ids - 1] / avg_doc_len)
             bm25_core = float(np.max(f / (k1 * bj + f)))
             tfidf_core = float(np.max(1.0 + np.log10(f)))
             enc = encode_blocks(ids, f, codec, threshold)
-            out_term.append(vocab[codes[s]])
-            out_df.append(e - s)
+            out_term.append(terms_col[s])
+            out_df.append(len(ids))
             out_max.append(int(ids[-1]))
             out_b25.append(bm25_core)
             out_tfidf.append(tfidf_core)
@@ -369,6 +407,8 @@ def build_index(corpus, out_dir: str, cfg: IndexConfig | None = None,
     """
     cfg = cfg or IndexConfig()
     cfg.codec_valid()
+    from .. import use_push_shuffle
+    use_push_shuffle(corpus)
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
     metrics: dict = {}
@@ -423,7 +463,7 @@ def build_index(corpus, out_dir: str, cfg: IndexConfig | None = None,
                 batch_format="pyarrow", batch_size=cfg.tokenize_batch_size)
         posts = tok_mat.select_columns(["doc_id", "tokens"]).map_batches(
             _make_explode(cfg.num_shards, cfg.salt_buckets, n_docs),
-            batch_format="pyarrow")
+            batch_format="pyarrow", batch_size=cfg.explode_batch_size)
         seg_ds = posts.groupby(["shard", "seg"]).map_groups(
             _make_build_segments(doc_len_ref, avg_doc_len, cfg),
             batch_format="pyarrow")

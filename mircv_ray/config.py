@@ -27,6 +27,8 @@ class IndexConfig:
     num_shards: int = 16            # term-hash partitions of the postings/lexicon output
     salt_buckets: int = 1           # docId-range segments per term (>1 splits hot terms)
     tokenize_batch_size: int = 1024     # docs per tokenizer batch
+    explode_batch_size: int = 8192      # docs per SPIMI-partial batch (bigger
+                                        # batches consolidate partial lists)
     group_batch_size: int = 4096        # (term[,seg]) groups per build batch
     squeeze: bool = True            # run-of-3+ squeeze (Parser.java:63-90); the
                                     # "basic" SQL-checkable mode turns this off

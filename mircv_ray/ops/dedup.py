@@ -94,6 +94,8 @@ def exact_hash_batch(batch: pa.Table, text_col: str = "text",
 def exact_dedup_keep(ds, text_col: str = "text", id_col: str = "doc_id"):
     """Dataset of (content_hash, keep_id=min id, n_dups) per distinct text."""
     from ray.data.aggregate import Count, Min
+    from .. import use_push_shuffle
+    use_push_shuffle(ds)
     hashed = ds.map_batches(
         lambda b: exact_hash_batch(b, text_col, id_col), batch_format="pyarrow")
     return hashed.groupby("content_hash").aggregate(
@@ -168,6 +170,8 @@ def minhash_candidate_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     num_perm) — the scale-appropriate check (exact shingle Jaccard would
     re-shuffle full text).
     """
+    from .. import use_push_shuffle
+    use_push_shuffle(ds)
     sigs = ds.map_batches(
         lambda b: minhash_signatures(b, text_col, id_col, num_perm, seed=seed),
         batch_format="pyarrow")
@@ -242,6 +246,8 @@ def near_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     Hamming distance <= max_hamming share at least one full band ->
     bucket-groupby per band, pair within buckets, verify popcount(xor).
     """
+    from .. import use_push_shuffle
+    use_push_shuffle(ds)
     bands = max_hamming + 1
     width = 64 // bands
 
