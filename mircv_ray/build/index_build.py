@@ -64,8 +64,10 @@ BLOCK_STRUCT = pa.struct([
 _worker_cache: dict = {}
 
 # above this many (term, seg) metadata rows the lexicon aggregation runs as
-# a Ray groupby shuffle instead of a driver-side Arrow group_by
-DRIVER_LEXICON_MAX_SEGROWS = 2_000_000
+# shard-local Ray tasks instead of a driver-side Arrow group_by (arrow's
+# multithreaded hash aggregation handles tens of millions of slim rows in
+# seconds, so the driver path covers most single-node builds)
+DRIVER_LEXICON_MAX_SEGROWS = 30_000_000
 
 
 def _cached_get(ref):
@@ -132,9 +134,17 @@ def build_id_mapping(slim, ray_mod) -> pa.Table:
         if not tbls:
             return _EMPTY_MAPPING
         keys = pa.concat_tables(tbls).combine_chunks()
-        order = pc.sort_indices(keys, sort_keys=[("repo", "ascending"),
-                                                 ("path", "ascending")])
-        keys = keys.take(order)
+        try:
+            # polars sorts multithreaded (byte-order on strings, same as
+            # arrow); the driver sort is on the critical path
+            import polars as pl
+            keys = pl.from_arrow(keys).sort(["repo", "path"]).to_arrow()
+            keys = keys.cast(pa.schema([("repo", pa.string()),
+                                        ("path", pa.string())]))
+        except ImportError:
+            keys = keys.take(pc.sort_indices(
+                keys, sort_keys=[("repo", "ascending"),
+                                 ("path", "ascending")]))
         return keys.append_column(
             "doc_id", pa.array(np.arange(1, keys.num_rows + 1,
                                          dtype=np.int64)))
@@ -150,7 +160,11 @@ def build_id_mapping(slim, ray_mod) -> pa.Table:
     tbls = [t for t in ray_mod.get(mapping_ds.to_arrow_refs()) if t.num_rows]
     if not tbls:
         return _EMPTY_MAPPING
-    return pa.concat_tables(tbls).combine_chunks()
+    tbl = pa.concat_tables(tbls).combine_chunks()
+    # groups arrive in arbitrary block order; doc_id order IS (repo, path)
+    # order, so a cheap numeric sort restores the invariant _mapping_keys
+    # relies on
+    return tbl.take(pc.sort_indices(tbl["doc_id"]))
 
 
 class AttachIds:
@@ -174,19 +188,19 @@ class AttachIds:
 
 
 def _mapping_keys(mapping_ref) -> tuple[np.ndarray, np.ndarray]:
-    """(sorted 'repo\\x00path' key array, parallel doc_id array), built
-    once per worker process. '\\x00' sorts below every other byte, so the
-    joined-key order equals the (repo, path) two-column order."""
+    """('repo\\x00path' key array, parallel doc_id array), built once per
+    worker process. The broadcast mapping table MUST already be sorted by
+    (repo, path) — build_id_mapping guarantees it and the resume path
+    re-sorts the checkpointed table — so no per-worker sort is needed
+    ('\\x00' sorts below every other byte, making joined-key order equal
+    the two-column order)."""
     key = ("idmapkeys", mapping_ref.hex() if hasattr(mapping_ref, "hex")
            else id(mapping_ref))
     if key not in _worker_cache:
         tbl = ray.get(mapping_ref)
-        joined = pc.binary_join_element_wise(
-            tbl["repo"], tbl["path"], "\x00")
-        keys = joined.to_numpy(zero_copy_only=False)
-        ids = tbl["doc_id"].to_numpy()
-        order = np.argsort(keys, kind="stable")
-        _worker_cache[key] = (keys[order], ids[order])
+        keys = pc.binary_join_element_wise(
+            tbl["repo"], tbl["path"], "\x00").to_numpy(zero_copy_only=False)
+        _worker_cache[key] = (keys, tbl["doc_id"].to_numpy())
     return _worker_cache[key]
 
 
@@ -458,6 +472,8 @@ def build_index(corpus, out_dir: str, cfg: IndexConfig | None = None,
             # table, tokenization is deterministic.
             mapping_tbl = pq.read_table(str(out / "docs"),
                                         columns=["repo", "path", "doc_id"])
+            mapping_tbl = mapping_tbl.take(
+                pc.sort_indices(mapping_tbl["doc_id"]))  # _mapping_keys invariant
             tok_mat = corpus.map_batches(
                 AttachIdsTokenizeHash(cfg, ray.put(mapping_tbl)),
                 batch_format="pyarrow", batch_size=cfg.tokenize_batch_size)
@@ -472,66 +488,84 @@ def build_index(corpus, out_dir: str, cfg: IndexConfig | None = None,
             "seconds": time.time() - t1, "codec": cfg.codec,
             "salt_buckets": cfg.salt_buckets, "num_shards": cfg.num_shards,
         })
-    seg_meta = pq.read_table(
-        str(out / "postings"),
-        columns=["term", "df", "bytes_ids", "bytes_tfs"])
-    n_postings = int(pc.sum(seg_meta["df"]).as_py() or 0)
-    bytes_ids = int(pc.sum(seg_meta["bytes_ids"]).as_py() or 0)
-    bytes_tfs = int(pc.sum(seg_meta["bytes_tfs"]).as_py() or 0)
     metrics["postings_seconds"] = (read_manifest(out_dir, "postings") or {}).get("seconds")
-    metrics["n_postings"] = n_postings
-    metrics["bytes_ids"] = bytes_ids
-    metrics["bytes_tfs"] = bytes_tfs
 
     # ---------------- stage 3: lexicon ----------------
+    _SEG_AGG = [("df", "sum"), ("max_doc_id", "max"), ("bm25_core", "max"),
+                ("tfidf_core", "max"), ("bytes_ids", "sum"),
+                ("bytes_tfs", "sum")]
+
+    def _agg_to_lex(a: pa.Table, shard_col: pa.Array) -> pa.Table:
+        return _lexicon_finalize(pa.table({
+            "term": a["term"], "df": a["df_sum"],
+            "max_doc_id": a["max_doc_id_max"],
+            "bm25_core": a["bm25_core_max"],
+            "tfidf_core": a["tfidf_core_max"],
+            "bytes_ids": a["bytes_ids_sum"],
+            "bytes_tfs": a["bytes_tfs_sum"],
+            "shard": shard_col}), n_docs)
+
     t2 = time.time()
     if not stage_complete(out_dir, "lexicon"):
-        seg_rows = seg_meta.num_rows
+        seg_rows = pads.dataset(str(out / "postings"), format="parquet",
+                                partitioning="hive").count_rows()
         if seg_rows <= DRIVER_LEXICON_MAX_SEGROWS:
             # vocabulary metadata is tiny relative to the corpus (Heaps'
             # law) — a driver-side Arrow group_by beats a Ray shuffle for
             # anything that fits one heap
             seg_cols = pq.read_table(
                 str(out / "postings"),
-                columns=["term", "shard", "df", "max_doc_id",
-                         "bm25_core", "tfidf_core"])
+                columns=["term", "shard", "df", "max_doc_id", "bm25_core",
+                         "tfidf_core", "bytes_ids", "bytes_tfs"])
             # hive partition column reads back dictionary-encoded
             i = seg_cols.schema.get_field_index("shard")
             seg_cols = seg_cols.set_column(
                 i, "shard", seg_cols["shard"].cast(pa.int64()))
-            agg = seg_cols.group_by("term").aggregate([
-                ("df", "sum"), ("max_doc_id", "max"), ("bm25_core", "max"),
-                ("tfidf_core", "max"), ("shard", "max")])
-            lex_tbl = _lexicon_finalize(pa.table({
-                "term": agg["term"], "df": agg["df_sum"],
-                "max_doc_id": agg["max_doc_id_max"],
-                "bm25_core": agg["bm25_core_max"],
-                "tfidf_core": agg["tfidf_core_max"],
-                "shard": agg["shard_max"]}), n_docs)
+            agg = seg_cols.group_by("term").aggregate(
+                _SEG_AGG + [("shard", "max")])
+            lex_tbl = _agg_to_lex(agg, agg["shard_max"])
             lex_tbl = lex_tbl.take(pc.sort_indices(lex_tbl["term"]))
             (out / "lexicon").mkdir(exist_ok=True)
             pq.write_table(lex_tbl, str(out / "lexicon" / "part-0.parquet"))
         else:
+            # term -> shard is functional, so lexicon aggregation never
+            # crosses shards: run the SAME arrow group_by shard-locally,
+            # one task per postings shard partition (no term-wide shuffle
+            # and no global sort — the query side loads the lexicon as a
+            # dict, where order is irrelevant; the driver path keeps the
+            # sorted output for reference parity on small builds)
             import ray.data as rd
-            from ray.data.aggregate import Max, Sum
-            seg_slim = rd.read_parquet(
-                str(out / "postings"),
-                columns=["term", "shard", "df", "max_doc_id",
-                         "bm25_core", "tfidf_core"])
-            lex = seg_slim.groupby("term").aggregate(
-                Sum("df", alias_name="df"),
-                Max("max_doc_id", alias_name="max_doc_id"),
-                Max("bm25_core", alias_name="bm25_core"),
-                Max("tfidf_core", alias_name="tfidf_core"),
-                Max("shard", alias_name="shard"),
-            )
-            lex = lex.map_batches(lambda b: _lexicon_finalize(b, n_docs),
-                                  batch_format="pyarrow")
-            lex.sort("term").write_parquet(str(out / "lexicon"),
-                                           min_rows_per_file=1_000_000)
+            shard_dirs = sorted(
+                p for p in (out / "postings").iterdir()
+                if p.is_dir() and p.name.startswith("shard="))
+            def shard_lexicon(batch: pa.Table) -> pa.Table:
+                sub = []
+                for d, s in zip(batch["dir"].to_pylist(),
+                                batch["shard"].to_pylist()):
+                    t = pq.read_table(d, columns=[
+                        "term", "df", "max_doc_id", "bm25_core",
+                        "tfidf_core", "bytes_ids", "bytes_tfs"])
+                    a = t.group_by("term").aggregate(_SEG_AGG)
+                    sub.append(_agg_to_lex(
+                        a, pa.array([s] * a.num_rows, type=pa.int64())))
+                return pa.concat_tables(sub)
+            rd.from_arrow(pa.table({
+                "dir": pa.array([str(p) for p in shard_dirs]),
+                "shard": pa.array([int(p.name.split("=")[1])
+                                   for p in shard_dirs], type=pa.int64()),
+            })).repartition(len(shard_dirs)).map_batches(
+                shard_lexicon, batch_format="pyarrow",
+                batch_size=1).write_parquet(str(out / "lexicon"))
         write_manifest(out_dir, "lexicon", {"seconds": time.time() - t2})
-    num_terms = pads.dataset(str(out / "lexicon"), format="parquet",
-                             exclude_invalid_files=True).count_rows()
+    lex_meta = pq.read_table(str(out / "lexicon"),
+                             columns=["df", "bytes_ids", "bytes_tfs"])
+    num_terms = lex_meta.num_rows
+    n_postings = int(pc.sum(lex_meta["df"]).as_py() or 0)
+    bytes_ids = int(pc.sum(lex_meta["bytes_ids"]).as_py() or 0)
+    bytes_tfs = int(pc.sum(lex_meta["bytes_tfs"]).as_py() or 0)
+    metrics["n_postings"] = n_postings
+    metrics["bytes_ids"] = bytes_ids
+    metrics["bytes_tfs"] = bytes_tfs
     metrics["lexicon_seconds"] = (read_manifest(out_dir, "lexicon") or {}).get("seconds")
 
     # ---------------- stats sidecar ----------------
