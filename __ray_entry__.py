@@ -289,6 +289,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from mircv_ray.ops import near_dup_pairs
         return near_dup_pairs(_docs_ds(sf_dir), max_hamming=3)
 
+    def ngram_jaccard(sf_dir: str):
+        from mircv_ray.ops import ngram_jaccard_pairs
+        out = ngram_jaccard_pairs(_docs_ds(sf_dir), threshold=0.5)
+        return out.map_batches(lambda b: _round6(b, "jaccard"),
+                               batch_format="pyarrow")
+
+    def embedding_near_dups(sf_dir: str):
+        # the synthetic embeddings are iid random (max pairwise cosine
+        # ~0.48), so near-dups are PLANTED deterministically: vec_id+10^6
+        # is a lightly perturbed copy of each of the first 20 vectors
+        from mircv_ray.ops import embedding_near_dup_pairs
+        emb = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+        base = np.array(emb["embedding"].to_pylist())
+        rng = np.random.default_rng(7)
+        planted = base[:20] + 0.02 * rng.standard_normal((20, base.shape[1]))
+        dim = base.shape[1]
+        aug = pa.table({
+            "vec_id": pa.array(
+                list(emb["vec_id"].to_numpy()) +
+                [int(v) + 1_000_000 for v in emb["vec_id"].to_numpy()[:20]],
+                type=pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(np.concatenate([base, planted]).reshape(-1)), dim),
+        })
+        out = embedding_near_dup_pairs(rd.from_arrow(aug), threshold=0.9)
+        return out.map_batches(lambda b: _round6(b, "cosine"),
+                               batch_format="pyarrow")
+
     def media_features(sf_dir: str):
         from mircv_ray.ops import DecodeImage, make_media_table
         ds = rd.from_arrow(make_media_table(120))
@@ -316,6 +345,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": fingerprint,
         "minhash_pairs": minhash_pairs,
         "simhash_pairs": simhash_pairs,
+        "ngram_jaccard": ngram_jaccard,
+        "embedding_near_dups": embedding_near_dups,
         "media_features": media_features,
     }
 
@@ -390,6 +421,8 @@ FROM documents
         "ann_cosine_topk": ann_sql,
         "ann_cosine_topk_ivf": ann_sql,
         # lang_id / fingerprint / minhash_pairs / simhash_pairs /
-        # media_features: intentionally no SQL oracle (heuristic, hash- or
-        # model-shaped ops) -> driver records the rows-only check.
+        # ngram_jaccard / embedding_near_dups / media_features:
+        # intentionally no SQL oracle (heuristic, hash- or model-shaped
+        # ops) -> driver records the rows-only check; exact-value
+        # verification lives in tests/test_ops.py against brute force.
     }

@@ -6,8 +6,8 @@ fingerprints), and multimodal column plumbing (decode stubs)."""
 from .textops import (
     basic_token_stats, token_count, quality_stats, lang_id, fingerprint,
 )
-from .dedup import exact_dedup_keep, minhash_signatures, minhash_candidate_pairs, simhash64, near_dup_pairs
-from .similarity import cosine_topk, ivf_build_centroids, ivf_cosine_topk
+from .dedup import exact_dedup_keep, minhash_signatures, minhash_candidate_pairs, simhash64, near_dup_pairs, ngram_jaccard_pairs, shingle_sets
+from .similarity import cosine_topk, ivf_build_centroids, ivf_cosine_topk, embedding_near_dup_pairs
 from .multimodal import DecodeImage, SampleFrames, make_media_table
 
 __all__ = [
@@ -16,4 +16,5 @@ __all__ = [
     "fingerprint", "exact_dedup_keep", "minhash_signatures",
     "minhash_candidate_pairs", "simhash64", "near_dup_pairs",
     "cosine_topk", "ivf_build_centroids", "ivf_cosine_topk",
+    "ngram_jaccard_pairs", "shingle_sets", "embedding_near_dup_pairs",
 ]

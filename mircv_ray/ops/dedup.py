@@ -294,3 +294,95 @@ def near_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
              .map_groups(bucket_pairs, batch_format="pyarrow"))
     return pairs.groupby(["a", "b"]).map_groups(
         lambda g: g.slice(0, 1), batch_format="pyarrow")
+
+
+# ----------------------------------------------------------- n-gram jaccard
+
+def shingle_sets(batch: pa.Table, text_col: str = "text",
+                 id_col: str = "doc_id", shingle_k: int = 3) -> pa.Table:
+    """(doc_id, shingles: list<int64>) — sorted distinct k-token shingle
+    hashes per doc (the exact-Jaccard ground set)."""
+    base, counts = _token_ids_flat(batch, text_col)
+    hashes, _ = _shingle_hashes(base, counts, shingle_k)
+    offsets = [0]
+    flat = []
+    for h in hashes:
+        u = np.unique(h)
+        flat.append(u)
+        offsets.append(offsets[-1] + len(u))
+    values = (np.concatenate(flat) if flat else np.zeros(0, np.uint64))
+    return pa.table({
+        id_col: batch[id_col],
+        "shingles": pa.ListArray.from_arrays(
+            pa.array(offsets, type=pa.int32()),
+            pa.array(values.astype(np.int64))),
+    })
+
+
+def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
+                        threshold: float = 0.5, shingle_k: int = 3,
+                        num_perm: int = _NUM_PERM, bands: int = 16,
+                        seed: int = 1):
+    """Near-dup pairs with EXACT n-gram (shingle-set) Jaccard >= threshold.
+
+    Candidates come from the same MinHash-LSH banding as
+    minhash_candidate_pairs (recall bounded by the band curve); the
+    verification intersects the true shingle sets, so no estimation error
+    on the reported pairs. Shingle sets are broadcast via ray.put at this
+    scale; at 10^12 docs verification becomes a hash-partitioned join of
+    pair ids against the shingle-set table.
+    """
+    import ray
+
+    from .. import use_push_shuffle
+    use_push_shuffle(ds)
+    sig_in = ds.map_batches(
+        lambda b: minhash_signatures(b, text_col, id_col, num_perm,
+                                     shingle_k, seed),
+        batch_format="pyarrow")
+    band_rows = sig_in.map_batches(
+        lambda b: explode_bands(b, id_col, bands), batch_format="pyarrow")
+    pairs = band_rows.groupby(["band", "band_hash"]).map_groups(
+        lambda g: _bucket_pairs(g, id_col), batch_format="pyarrow")
+
+    sets_ds = ds.map_batches(
+        lambda b: shingle_sets(b, text_col, id_col, shingle_k),
+        batch_format="pyarrow")
+    sets_tbl = pa.concat_tables(
+        [t for t in ray.get(sets_ds.to_arrow_refs()) if t.num_rows])
+    sh = sets_tbl["shingles"].combine_chunks()
+    vals = sh.values.to_numpy(zero_copy_only=False)
+    offs = sh.offsets.to_numpy(zero_copy_only=False)
+    by_id = {int(d): (int(offs[i]), int(offs[i + 1]))
+             for i, d in enumerate(sets_tbl[id_col].to_numpy())}
+    sets_ref = ray.put((by_id, vals, offs))
+
+    def verify(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"a": pa.array([], type=pa.int64()),
+                          "b": pa.array([], type=pa.int64()),
+                          "jaccard": pa.array([], type=pa.float64())})
+        if batch.num_rows == 0:
+            return empty
+        id_rng, v, _ = ray.get(sets_ref)
+        a = batch["a"].to_numpy()
+        b = batch["b"].to_numpy()
+        uniq = np.unique(np.stack([a, b], axis=1), axis=0)
+        out_a, out_b, out_j = [], [], []
+        for x, y in uniq:
+            sx, ex = id_rng[int(x)]
+            sy, ey = id_rng[int(y)]
+            inter = np.intersect1d(v[sx:ex], v[sy:ey],
+                                   assume_unique=True).size
+            union = (ex - sx) + (ey - sy) - inter
+            j = inter / union if union else 0.0
+            if j >= threshold:
+                out_a.append(int(x))
+                out_b.append(int(y))
+                out_j.append(j)
+        return pa.table({"a": pa.array(out_a, type=pa.int64()),
+                         "b": pa.array(out_b, type=pa.int64()),
+                         "jaccard": pa.array(out_j, type=pa.float64())})
+
+    verified = pairs.map_batches(verify, batch_format="pyarrow")
+    return verified.groupby(["a", "b"]).map_groups(
+        lambda g: g.slice(0, 1), batch_format="pyarrow")

@@ -135,3 +135,80 @@ def ivf_cosine_topk(emb_ds, queries: np.ndarray, centroids: np.ndarray,
     cands = emb_ds.map_batches(batch_candidates, batch_format="pyarrow")
     return cands.groupby("query_id").map_groups(final_topk,
                                                 batch_format="pyarrow")
+
+
+def embedding_near_dup_pairs(emb_ds, threshold: float = 0.9,
+                             id_col: str = "vec_id",
+                             emb_col: str = "embedding",
+                             bands: int = 4, bits: int = 64, seed: int = 9):
+    """Embedding-cosine near-dup pairs (a < b, cosine >= threshold).
+
+    Random-hyperplane LSH: a 64-bit sign sketch per vector, banded into
+    ``bands`` buckets (pairs within Hamming distance 64/bands of each
+    other share a band with high probability for high-cosine pairs);
+    exact cosine verification inside each bucket. Normalized embeddings
+    are broadcast via ray.put for verification at this scale; at larger
+    scale the verify step becomes a partitioned join on vector id.
+    """
+    import ray
+
+    from .. import use_push_shuffle
+    use_push_shuffle(emb_ds)
+
+    state = {}
+
+    def sketch(batch: pa.Table) -> pa.Table:
+        m = _normalize(_emb_matrix(batch, emb_col))
+        if "planes" not in state:
+            rng = np.random.default_rng(seed)
+            state["planes"] = rng.standard_normal((m.shape[1], bits))
+        signs = (m @ state["planes"]) > 0
+        h = np.zeros(len(m), dtype=np.uint64)
+        for j in range(bits):
+            h |= signs[:, j].astype(np.uint64) << np.uint64(j)
+        width = bits // bands
+        ids_out, band_out, key_out, h_out = [], [], [], []
+        for bi in range(bands):
+            shift = np.uint64(bi * width)
+            mask = np.uint64((1 << width) - 1)
+            ids_out.append(batch[id_col].to_numpy())
+            band_out.append(np.full(len(m), bi, dtype=np.int64))
+            key_out.append(((h >> shift) & mask).astype(np.int64))
+        return pa.table({
+            id_col: pa.array(np.concatenate(ids_out)),
+            "band": pa.array(np.concatenate(band_out)),
+            "band_key": pa.array(np.concatenate(key_out)),
+        })
+
+    # broadcast normalized embeddings for exact verification
+    tbls = [t for t in ray.get(
+        emb_ds.select_columns([id_col, emb_col]).to_arrow_refs())
+        if t.num_rows]
+    full = pa.concat_tables(tbls)
+    mat = _normalize(_emb_matrix(full, emb_col))
+    idx_of = {int(v): i for i, v in enumerate(full[id_col].to_numpy())}
+    emb_ref = ray.put((idx_of, mat))
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        empty = pa.table({"a": pa.array([], type=pa.int64()),
+                          "b": pa.array([], type=pa.int64()),
+                          "cosine": pa.array([], type=pa.float64())})
+        n = group.num_rows
+        if n < 2 or n > 1000:
+            return empty
+        idx_map, m = ray.get(emb_ref)
+        ids = np.sort(group[id_col].to_numpy())
+        rows = np.array([idx_map[int(x)] for x in ids])
+        sims = m[rows] @ m[rows].T
+        ia, ib = np.triu_indices(n, k=1)
+        cs = sims[ia, ib]
+        keep = cs >= threshold
+        return pa.table({"a": pa.array(ids[ia][keep]),
+                         "b": pa.array(ids[ib][keep]),
+                         "cosine": pa.array(cs[keep], type=pa.float64())})
+
+    pairs = (emb_ds.map_batches(sketch, batch_format="pyarrow")
+             .groupby(["band", "band_key"])
+             .map_groups(bucket_pairs, batch_format="pyarrow"))
+    return pairs.groupby(["a", "b"]).map_groups(
+        lambda g: g.slice(0, 1), batch_format="pyarrow")

@@ -178,3 +178,44 @@ class TestDeterminism:
         # rerun: all stages complete -> manifests untouched
         build_index(ds, out, cfg)
         assert read_manifest(out, "docs")["completed_at"] == m1["completed_at"]
+
+    def test_resume_mid_build_matches_clean_build(self, ray_session,
+                                                  tmp_path):
+        """Kill-after-docs resume: delete the postings+lexicon manifests
+        (as if the build died mid-shuffle) and rerun — the docs stage is
+        skipped, the token stream is re-derived through the checkpointed
+        id mapping, and the final index equals a clean build's."""
+        import shutil
+
+        import pyarrow.parquet as pq
+        import ray.data as rd
+        from mircv_ray.build import build_index, read_manifest
+        from mircv_ray.build.manifests import stage_complete
+        table = generate_corpus_table(60, seed=13)
+        cfg = IndexConfig(parse=True, num_shards=4, salt_buckets=2)
+        clean = str(tmp_path / "clean")
+        ds = rd.from_arrow(table.drop_columns(["sha256"]))
+        build_index(ds, clean, cfg)
+
+        resumed = str(tmp_path / "resumed")
+        build_index(ds, resumed, cfg)
+        docs_stamp = read_manifest(resumed, "docs")["completed_at"]
+        # simulate a crash between the docs and postings stages
+        for stage in ("postings", "lexicon"):
+            (tmp_path / "resumed" / "_manifests" / f"{stage}.json").unlink()
+        shutil.rmtree(tmp_path / "resumed" / "postings")
+        shutil.rmtree(tmp_path / "resumed" / "lexicon")
+        assert not stage_complete(resumed, "postings")
+        build_index(ds, resumed, cfg)  # exercises the resume path
+        assert read_manifest(resumed, "docs")["completed_at"] == docs_stamp
+
+        a = pq.read_table(f"{clean}/lexicon").sort_by([("term", "ascending")])
+        b = pq.read_table(f"{resumed}/lexicon").sort_by(
+            [("term", "ascending")]).select(a.column_names)
+        assert a.equals(b)
+        ra, rb = IndexReader(clean), IndexReader(resumed)
+        for term in list(ra._lex)[:25]:
+            ia, ta = _decode_term_postings(ra, term)
+            ib, tb = _decode_term_postings(rb, term)
+            assert ia.tolist() == ib.tolist()
+            assert ta.tolist() == tb.tolist()

@@ -1,0 +1,171 @@
+"""Training-data ops vs brute-force ground truth (dedup family,
+similarity search, text analysis). The Ray pipelines must agree with a
+driver-side exhaustive computation on small synthetic inputs."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+
+def _docs_table(n=60, dup_every=7, seed=11):
+    """Synthetic docs with planted exact dups and near-dups."""
+    rng = np.random.default_rng(seed)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
+             "theta", "iota", "kappa", "lambda", "mu"]
+    texts = []
+    for i in range(n):
+        body = " ".join(rng.choice(words, size=30))
+        if i % dup_every == 1 and i > 0:
+            texts.append(texts[i - 1])                     # exact dup
+        elif i % dup_every == 2 and i > 1:
+            texts.append(texts[i - 2] + " omega")          # near dup
+        else:
+            texts.append(body)
+    return pa.table({"doc_id": pa.array(np.arange(n, dtype=np.int64)),
+                     "text": pa.array(texts)})
+
+
+def _brute_jaccard(texts, k=3):
+    """Exact shingle-set Jaccard for every pair, driver-side."""
+    import zlib
+    sets = []
+    for t in texts:
+        toks = [w for w in __import__("re").split(r"[^a-z0-9]+", t.lower())
+                if w]
+        sh = set()
+        for i in range(len(toks) - k + 1):
+            sh.add(tuple(toks[i:i + k]))
+        sets.append(sh)
+    out = {}
+    for a in range(len(texts)):
+        for b in range(a + 1, len(texts)):
+            u = len(sets[a] | sets[b])
+            out[(a, b)] = (len(sets[a] & sets[b]) / u) if u else 0.0
+    return out
+
+
+class TestDedup:
+    def test_exact_dedup(self, ray_session):
+        from mircv_ray.ops import exact_dedup_keep
+        tbl = _docs_table()
+        res = exact_dedup_keep(rd.from_arrow(tbl)).to_pandas()
+        # ground truth driver-side
+        import collections
+        groups = collections.defaultdict(list)
+        for i, t in enumerate(tbl["text"].to_pylist()):
+            groups[t].append(i)
+        assert len(res) == len(groups)
+        want = sorted((min(v), len(v)) for v in groups.values())
+        got = sorted(zip(res["keep_id"], res["n_dups"]))
+        assert [tuple(map(int, g)) for g in got] == want
+
+    def test_ngram_jaccard_pairs_exact_values(self, ray_session):
+        from mircv_ray.ops import ngram_jaccard_pairs
+        tbl = _docs_table()
+        res = ngram_jaccard_pairs(rd.from_arrow(tbl), threshold=0.5)
+        got = {(int(r["a"]), int(r["b"])): r["jaccard"]
+               for r in res.to_pandas().to_dict("records")}
+        truth = _brute_jaccard(tbl["text"].to_pylist())
+        # every reported pair must carry the EXACT brute-force jaccard
+        for (a, b), j in got.items():
+            assert truth[(a, b)] == pytest.approx(j)
+            assert j >= 0.5
+        # exact duplicates (jaccard 1.0) must always be found (any band
+        # collides when signatures are identical)
+        for (a, b), j in truth.items():
+            if j == 1.0:
+                assert (a, b) in got
+
+    def test_minhash_pairs_find_exact_dups(self, ray_session):
+        from mircv_ray.ops import minhash_candidate_pairs
+        tbl = _docs_table()
+        res = minhash_candidate_pairs(rd.from_arrow(tbl), threshold=0.9)
+        got = {(int(r["a"]), int(r["b"]))
+               for r in res.select_columns(["a", "b"]).to_pandas()
+               .to_dict("records")}
+        truth = _brute_jaccard(tbl["text"].to_pylist())
+        for (a, b), j in truth.items():
+            if j == 1.0:
+                assert (a, b) in got
+
+    def test_simhash_identical_docs_zero_hamming(self, ray_session):
+        from mircv_ray.ops import near_dup_pairs
+        tbl = _docs_table()
+        res = near_dup_pairs(rd.from_arrow(tbl), max_hamming=3).to_pandas()
+        texts = tbl["text"].to_pylist()
+        pairs = {(int(a), int(b)): int(h)
+                 for a, b, h in zip(res["a"], res["b"], res["hamming"])}
+        for (a, b), h in pairs.items():
+            assert h <= 3
+        for a in range(len(texts)):
+            for b in range(a + 1, len(texts)):
+                if texts[a] == texts[b]:
+                    assert pairs.get((a, b)) == 0
+
+
+class TestSimilarity:
+    def _emb_table(self, n=80, d=16, seed=5):
+        rng = np.random.default_rng(seed)
+        m = rng.standard_normal((n, d))
+        m[10] = m[3] + 0.01 * rng.standard_normal(d)   # planted near-dup
+        m[25] = m[25 - 1]                               # exact dup vector
+        return pa.table({
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(m.reshape(-1)), d),
+        }), m
+
+    def test_cosine_topk_matches_numpy(self, ray_session):
+        from mircv_ray.ops import cosine_topk
+        tbl, m = self._emb_table()
+        q = m[:3]
+        res = cosine_topk(rd.from_arrow(tbl), q, k=5).to_pandas()
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+        sims = qn @ mn.T
+        for qi in range(3):
+            want = np.lexsort((np.arange(len(m)), -sims[qi]))[:5]
+            got = res[res["query_id"] == qi].sort_values(
+                ["score", "vec_id"], ascending=[False, True])["vec_id"]
+            assert list(got) == list(want)
+
+    def test_embedding_near_dup_pairs(self, ray_session):
+        from mircv_ray.ops import embedding_near_dup_pairs
+        tbl, m = self._emb_table()
+        res = embedding_near_dup_pairs(rd.from_arrow(tbl),
+                                       threshold=0.95).to_pandas()
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        got = {(int(a), int(b)): c
+               for a, b, c in zip(res["a"], res["b"], res["cosine"])}
+        # reported cosines must be exact
+        for (a, b), c in got.items():
+            assert mn[a] @ mn[b] == pytest.approx(c)
+            assert c >= 0.95
+        # the planted exact-duplicate vector is always found (identical
+        # sketch -> same bucket in every band)
+        assert (24, 25) in got
+        assert (3, 10) in got  # planted near-dup, cosine ~0.9999
+
+
+class TestTextOps:
+    def test_token_count_and_quality(self, ray_session):
+        from mircv_ray.ops import quality_stats, token_count
+        tbl = _docs_table(20)
+        tc = rd.from_arrow(tbl).map_batches(
+            token_count, batch_format="pyarrow").to_pandas()
+        assert (tc["n_tokens"] > 0).all()
+        qs = rd.from_arrow(tbl).map_batches(
+            quality_stats, batch_format="pyarrow").to_pandas()
+        texts = tbl["text"].to_pylist()
+        assert list(qs["n_chars"]) == [len(t) for t in texts]
+        assert list(qs["n_spaces"]) == [t.count(" ") for t in texts]
+
+    def test_lang_id_shape(self, ray_session):
+        from mircv_ray.ops import lang_id
+        tbl = _docs_table(20)
+        out = rd.from_arrow(tbl).map_batches(
+            lang_id, batch_format="pyarrow").to_pandas()
+        assert set(out.columns) >= {"doc_id", "lang_pred"}
+        assert len(out) == 20
