@@ -318,6 +318,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out.map_batches(lambda b: _round6(b, "cosine"),
                                batch_format="pyarrow")
 
+    def window_agg(sf_dir: str):
+        from mircv_ray.ops import tumbling_window_agg
+        ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["ts", "event_type", "value"])
+        return tumbling_window_agg(ev)
+
+    def sessions(sf_dir: str):
+        from mircv_ray.ops import sessionize
+        ev = rd.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["user_id", "ts", "event_id", "value"])
+        return sessionize(ev)
+
     def media_features(sf_dir: str):
         from mircv_ray.ops import DecodeImage, make_media_table
         ds = rd.from_arrow(make_media_table(120))
@@ -347,6 +360,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": simhash_pairs,
         "ngram_jaccard": ngram_jaccard,
         "embedding_near_dups": embedding_near_dups,
+        "window_agg": window_agg,
+        "sessions": sessions,
         "media_features": media_features,
     }
 
@@ -420,6 +435,35 @@ FROM documents
 """,
         "ann_cosine_topk": ann_sql,
         "ann_cosine_topk_ivf": ann_sql,
+        "window_agg": """
+SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
+       event_type,
+       count(*)::BIGINT AS n_events,
+       CAST(round(sum(value) * 100) AS BIGINT) AS sum_value_cents
+FROM events GROUP BY 1, 2
+""",
+        "sessions": """
+WITH o AS (
+  SELECT user_id, event_id, value, epoch_us(ts) AS t,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev_t
+  FROM events),
+m AS (
+  SELECT user_id, event_id, value, t,
+         CASE WHEN prev_t IS NULL OR t - prev_t > 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM o),
+s AS (
+  SELECT user_id, value, t,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY t, event_id
+                             ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+  FROM m)
+SELECT user_id, session_id,
+       count(*)::BIGINT AS n_events,
+       min(t) AS start_us, max(t) AS end_us,
+       CAST(round(sum(value) * 100) AS BIGINT) AS sum_value_cents
+FROM s GROUP BY user_id, session_id
+""",
         # lang_id / fingerprint / minhash_pairs / simhash_pairs /
         # ngram_jaccard / embedding_near_dups / media_features:
         # intentionally no SQL oracle (heuristic, hash- or model-shaped

@@ -16,10 +16,14 @@ Prints ONE JSON line:
   {"metric": ..., "value": <build sec>, "unit": "sec",
    "queries": {...per-stage sec...}, "sf": ..., "num_cpus": N}
 
-`--scaling` runs the same bench twice in fresh processes at
-RAY_GRAFT_CPUS=8 and 32 and reports throughput + scaling efficiency
-(the sandbox stand-in for the north rule's N vs 4N cluster sizes), and
-refreshes the "Scaling runs" section of BASELINE.md.
+`--scaling` runs the build-focused lite bench in fresh processes at
+RAY_GRAFT_CPUS=8 and 32 (interleaved, three samples per level, best
+wall per level, steady-state second-build timing, 32x corpus so work
+dominates stage startup) and reports raw + node-normalized throughput
+scaling efficiency (the sandbox stand-in for the north rule's N vs 4N
+cluster sizes), refreshing the "Scaling runs" section of BASELINE.md.
+Env knobs: RAY_GRAFT_CPUS, RAY_GRAFT_SCALE_MULT (corpus multiplier),
+RAY_GRAFT_LITE=1 (build+query latency only, two builds, report second).
 """
 
 from __future__ import annotations
@@ -101,7 +105,8 @@ def run_bench() -> dict:
     # steady-state throughput (warm worker pool, warm page cache) is the
     # quantity a long-running cluster job sees; first-run effects are a
     # one-off per session, not per unit of data.
-    for rep in range(2 if lite else 1):
+    n_reps = int(os.environ.get("RAY_GRAFT_REPS", "2" if lite else "1"))
+    for rep in range(n_reps):
         shutil.rmtree(out, ignore_errors=True)
         t0 = time.time()
         stats = build_index(

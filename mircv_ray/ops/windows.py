@@ -1,0 +1,102 @@
+"""Windowed aggregates over the events stream table.
+
+The reference has no streaming operators (SURVEY.md §2.10); these are
+the training-data-pipeline additions for event-shaped data:
+
+- ``tumbling_window_agg``: fixed-width time windows, pre-aggregated
+  inside ``map_batches`` (map-side combine: one row per (window, type)
+  per batch) before a small groupby — the shuffle moves window metadata,
+  never events.
+- ``sessionize``: per-user gap-based session windows via
+  ``groupby(user_id).map_groups`` with an explicit (ts, event_id) sort —
+  the partitioning assumption is one user's events fit one task (true
+  unless a single user exceeds ~10^8 events; salt by day for such keys).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+US_PER_HOUR = 3_600_000_000
+
+
+def tumbling_window_agg(events_ds, width_us: int = US_PER_HOUR):
+    """(window_start_us, event_type) -> n_events, sum_value.
+
+    Map-side partial aggregation per batch, then a groupby over the tiny
+    (window, type) partials — equivalent to a streaming tumbling-window
+    count/sum with batch semantics.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    from .. import use_push_shuffle
+    use_push_shuffle(events_ds)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64()).to_numpy()  # epoch micros
+        win = (ts // width_us) * width_us
+        t = pa.table({"window_start_us": pa.array(win, type=pa.int64()),
+                      "event_type": batch["event_type"],
+                      "value": batch["value"]})
+        a = t.group_by(["window_start_us", "event_type"]).aggregate(
+            [([], "count_all"), ("value", "sum")])
+        return pa.table({"window_start_us": a["window_start_us"],
+                         "event_type": a["event_type"],
+                         "n": a["count_all"].cast(pa.int64()),
+                         "v": a["value_sum"]})
+
+    partials = events_ds.map_batches(partial, batch_format="pyarrow")
+    agg = partials.groupby(["window_start_us", "event_type"]).aggregate(
+        Sum("n", alias_name="n_events"), Sum("v", alias_name="sum_value"))
+
+    def finalize(b: pa.Table) -> pa.Table:
+        # value has 2 decimal places in the source, so the sum in cents is
+        # integral up to fp error — an int64 column compares exactly across
+        # engines where a rounded float can straddle a rounding boundary
+        i = b.schema.get_field_index("sum_value")
+        cents = pc.round(pc.multiply(b["sum_value"], 100.0)).cast(pa.int64())
+        return b.remove_column(i).append_column("sum_value_cents", cents)
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def sessionize(events_ds, gap_us: int = 30 * 60 * 1_000_000):
+    """Per-user gap-based sessions: a new session starts when the time
+    since the previous event (ordered by ts, event_id) exceeds ``gap_us``.
+
+    Returns (user_id, session_id [0-based per user], n_events,
+    start_us, end_us, sum_value).
+    """
+    from .. import use_push_shuffle
+    use_push_shuffle(events_ds)
+
+    def build(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group, sort_keys=[("ts", "ascending"),
+                                                  ("event_id", "ascending")])
+        group = group.take(order)
+        ts = group["ts"].cast(pa.int64()).to_numpy()
+        val = group["value"].to_numpy()
+        user = int(group["user_id"][0].as_py())
+        new_sess = np.empty(len(ts), dtype=np.int64)
+        new_sess[0] = 0
+        if len(ts) > 1:
+            new_sess[1:] = (np.diff(ts) > gap_us).astype(np.int64)
+        sess = np.cumsum(new_sess)
+        starts = np.flatnonzero(np.diff(sess, prepend=-1))
+        ends = np.append(starts[1:], len(sess))
+        return pa.table({
+            "user_id": pa.array([user] * len(starts), type=pa.int64()),
+            "session_id": pa.array(sess[starts], type=pa.int64()),
+            "n_events": pa.array(ends - starts, type=pa.int64()),
+            "start_us": pa.array(ts[starts], type=pa.int64()),
+            "end_us": pa.array(ts[ends - 1], type=pa.int64()),
+            "sum_value_cents": pa.array(
+                np.round(np.add.reduceat(val, starts) * 100.0).astype(
+                    np.int64)),
+        })
+
+    return (events_ds
+            .select_columns(["user_id", "ts", "event_id", "value"])
+            .groupby("user_id")
+            .map_groups(build, batch_format="pyarrow"))

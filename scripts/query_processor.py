@@ -1,0 +1,87 @@
+"""Query CLI — the reference's QueryProcessorMain
+(search_engine/src/main/java/unipi/aide/mircv/queryProcessor/
+QueryProcessorMain.java:14-131) re-expressed against the Parquet index.
+
+Interactive mode (S11): reads queries from stdin, `q` exits, a leading
+`+` marks the query conjunctive.
+
+Evaluation mode (S8/S9): `--eval QUERIES.tsv --run-out RUN.txt` reads a
+TREC `qid \t text` file, scores every query (terms sorted, disjunctive,
+as QueryProcessorMain.evaluation:90-131 does), writes a TREC run file
+`qid Q0 docno rank score STANDARD` and prints the average latency.
+
+Usage:
+    python scripts/query_processor.py INDEX_DIR [--standard BM25|TFIDF]
+        [--k K] [--no-parse] [--eval QUERIES.tsv --run-out RUN.txt]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("index_dir")
+    ap.add_argument("--standard", default="BM25", choices=["BM25", "TFIDF"])
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--no-parse", action="store_true")
+    ap.add_argument("--eval", dest="eval_tsv", default=None)
+    ap.add_argument("--run-out", default="run.txt")
+    ap.add_argument("--maxscore", action="store_true",
+                    help="force the sequential MaxScore loop")
+    args = ap.parse_args()
+
+    from mircv_ray.config import QueryConfig
+    from mircv_ray.query import QueryEngine
+
+    qcfg = QueryConfig(standard=args.standard, k=args.k,
+                       parse=not args.no_parse,
+                       algo="maxscore" if args.maxscore else "auto")
+    eng = QueryEngine(args.index_dir, qcfg)
+
+    if args.eval_tsv:
+        rows = []
+        lat = []
+        with open(args.eval_tsv) as f:
+            for line in f:
+                if "\t" not in line:
+                    continue
+                qid, text = line.rstrip("\n").split("\t", 1)
+                t0 = time.time()
+                # evaluation mode sorts terms and is always disjunctive
+                # (QueryProcessorMain.java:105-109)
+                res = eng.query(text, conjunctive=False, sort_terms=True)
+                lat.append(time.time() - t0)
+                for rank, (docno, score) in enumerate(res, start=1):
+                    rows.append(f"{qid} Q0 {docno} {rank} {score} "
+                                f"{args.standard}\n")
+        Path(args.run_out).write_text("".join(rows))
+        avg = sum(lat) / max(len(lat), 1)
+        print(f"{len(lat)} queries, avg latency {avg * 1000:.1f} ms, "
+              f"run file: {args.run_out}")
+        return
+
+    # interactive loop (QueryProcessorMain.java:48-85)
+    print("enter query ('+' prefix = conjunctive, 'q' to exit)")
+    for line in sys.stdin:
+        text = line.strip()
+        if text == "q":
+            break
+        if not text:
+            continue
+        t0 = time.time()
+        res = eng.query(text)
+        dt = (time.time() - t0) * 1000
+        for rank, (docno, score) in enumerate(res, start=1):
+            print(f"{rank:3d}. docno={docno:>10s}  score={score:.6f}")
+        print(f"({len(res)} results in {dt:.1f} ms)")
+
+
+if __name__ == "__main__":
+    main()

@@ -166,6 +166,33 @@ class TestDeterminism:
             assert ia.tolist() == ib.tolist()
             assert ta.tolist() == tb.tolist()
 
+    @pytest.mark.parametrize("codec", ["ef", "none"])
+    def test_codec_invariance(self, ray_session, tmp_path, codec):
+        """Compression choice changes bytes, never postings or scores:
+        an 'ef'/'none' index decodes identically to the vbyte one and
+        returns identical query results (SURVEY.md §2.8 note)."""
+        import ray.data as rd
+        from mircv_ray.build import build_index
+        table = generate_corpus_table(70, seed=21)
+        ds = rd.from_arrow(table.drop_columns(["sha256"]))
+        readers = {}
+        for c in ["vbyte", codec]:
+            out = str(tmp_path / f"idx_{c}")
+            build_index(ds, out, IndexConfig(parse=True, codec=c,
+                                             num_shards=4, salt_buckets=2))
+            readers[c] = IndexReader(out)
+        a, b = readers["vbyte"], readers[codec]
+        assert set(a._lex) == set(b._lex)
+        for term in a._lex:
+            ia, ta = _decode_term_postings(a, term)
+            ib, tb = _decode_term_postings(b, term)
+            assert ia.tolist() == ib.tolist()
+            assert ta.tolist() == tb.tolist()
+        ea = QueryEngine(None, QueryConfig(standard="BM25", k=10), reader=a)
+        eb = QueryEngine(None, QueryConfig(standard="BM25", k=10), reader=b)
+        for q in QUERIES:
+            assert ea.query(q) == eb.query(q)
+
     def test_resume_skips_completed_stages(self, ray_session, tmp_path):
         import ray.data as rd
         from mircv_ray.build import build_index, read_manifest
