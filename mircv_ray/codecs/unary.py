@@ -51,6 +51,34 @@ def unary_decode(buf: bytes, count: int) -> np.ndarray:
     return np.diff(zeros, prepend=-1) - 1
 
 
+def unary_decode_blocks(bufs: list[bytes], counts) -> np.ndarray:
+    """Decode many byte-aligned unary blocks with ONE unpackbits pass.
+
+    Equivalent to concatenating ``unary_decode(buf, n)`` per block, but
+    the bit expansion and zero-scan run once over the concatenation —
+    per-block cost drops to a searchsorted + diff (hot for cold-term
+    decodes of long posting lists, where √df blocks are small)."""
+    counts = np.asarray(counts, dtype=np.int64)
+    total = int(counts.sum())
+    if total == 0:
+        return np.zeros(0, dtype=np.int64)
+    concat = b"".join(bufs)
+    bits = np.unpackbits(np.frombuffer(concat, dtype=np.uint8))
+    zeros = np.flatnonzero(bits == 0)
+    lens = np.array([len(b) for b in bufs], dtype=np.int64)
+    bit_offs = (np.cumsum(lens) - lens) * 8
+    out = np.empty(total, dtype=np.int64)
+    pos = 0
+    for off, cnt in zip(bit_offs, counts):
+        if cnt == 0:
+            continue
+        i0 = int(np.searchsorted(zeros, off))
+        z = zeros[i0:i0 + cnt]
+        out[pos:pos + cnt] = np.diff(z, prepend=off - 1) - 1
+        pos += cnt
+    return out
+
+
 def unary_get(buf: bytes, index: int, last_read: int, bit_offset: int) -> tuple[int, int]:
     """Sequential cursor read mirroring `UnaryCompressor.get`
     (UnaryCompressor.java:66-84): advance from ``last_read`` to ``index``,

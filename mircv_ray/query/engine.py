@@ -152,14 +152,35 @@ class IndexReader:
             return None
         block_max, block_n, block_base, ids_bufs, tfs_bufs = \
             self._fetch_blocks(term, lex[4])
-        from ..codecs.blocks import decode_block_ids, decode_block_tfs
-        ids = [decode_block_ids(ids_bufs[i], self.codec, int(block_n[i]),
-                                int(block_max[i]), int(block_base[i]))
-               for i in range(len(block_max))]
-        tfs = [decode_block_tfs(tfs_bufs[i], self.codec, int(block_n[i]))
-               for i in range(len(block_max))]
-        entry = (np.concatenate(ids) if ids else np.empty(0, np.int64),
-                 np.concatenate(tfs) if tfs else np.empty(0, np.int64))
+        total = int(block_n.sum())
+        if self.codec == "vbyte" and total:
+            # one varint pass for the whole term: block gap-bases chain
+            # (first gap of a block is relative to the previous block's
+            # max), so a global cumsum is correct WITHIN a segment;
+            # segment starts (base == 0) re-anchor via subtraction
+            from ..codecs.unary import unary_decode_blocks
+            from ..codecs.vbyte import vbyte_decode
+            gaps = vbyte_decode(b"".join(ids_bufs), total)
+            csum = np.cumsum(gaps)
+            val_starts = np.cumsum(block_n) - block_n
+            seg_start_vals = val_starts[block_base == 0]
+            offs = np.where(seg_start_vals > 0,
+                            csum[seg_start_vals - 1], 0)
+            seg_lens = np.diff(np.append(seg_start_vals, total))
+            ids_arr = csum - np.repeat(offs, seg_lens)
+            tfs_arr = unary_decode_blocks(tfs_bufs, block_n)
+            entry = (ids_arr, tfs_arr)
+        else:
+            from ..codecs.blocks import decode_block_ids, decode_block_tfs
+            ids = [decode_block_ids(ids_bufs[i], self.codec,
+                                    int(block_n[i]), int(block_max[i]),
+                                    int(block_base[i]))
+                   for i in range(len(block_max))]
+            tfs = [decode_block_tfs(tfs_bufs[i], self.codec,
+                                    int(block_n[i]))
+                   for i in range(len(block_max))]
+            entry = (np.concatenate(ids) if ids else np.empty(0, np.int64),
+                     np.concatenate(tfs) if tfs else np.empty(0, np.int64))
         self._dec_cache[term] = entry
         if len(self._dec_cache) > self._cache_size:
             self._dec_cache.popitem(last=False)
