@@ -145,6 +145,16 @@ def build_id_mapping(slim, ray_mod) -> pa.Table:
             keys = keys.take(pc.sort_indices(
                 keys, sort_keys=[("repo", "ascending"),
                                  ("path", "ascending")]))
+        joined = pc.binary_join_element_wise(keys["repo"], keys["path"],
+                                             "\x00")
+        jn = joined.to_numpy(zero_copy_only=False)
+        if len(jn) > 1 and (jn[1:] == jn[:-1]).any():
+            dup = jn[1:][jn[1:] == jn[:-1]][0]
+            raise ValueError(
+                "corpus has duplicate (repo, path) keys (e.g. "
+                f"{dup.replace(chr(0), '/')}); docId assignment requires "
+                "unique keys — dedupe the corpus first "
+                "(e.g. ops.exact_dedup_keep)")
         return keys.append_column(
             "doc_id", pa.array(np.arange(1, keys.num_rows + 1,
                                          dtype=np.int64)))
