@@ -52,23 +52,26 @@ def _token_ids_flat(batch: pa.Table, text_col: str):
 
 
 def _shingle_hashes(base: np.ndarray, counts: np.ndarray, k: int = 3):
-    """k-token shingle hashes per doc (combined with distinct multipliers)."""
+    """k-token shingle hashes, flat across the whole batch.
+
+    Fully vectorized over the flat token stream: the hash at flat
+    position i combines base[i..i+k-1]; positions whose window crosses a
+    document boundary are masked out. Returns (flat shingle hashes in
+    doc order, per-doc shingle counts = max(count-k+1, 0))."""
     mults = np.array([0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
                       0x165667B19E3779F9], dtype=np.uint64)[:k]
-    out_hashes, out_counts = [], np.maximum(counts - k + 1, 0)
-    starts = np.cumsum(counts) - counts
+    out_counts = np.maximum(counts - k + 1, 0)
+    total = len(base)
+    if total < k:
+        return np.zeros(0, dtype=np.uint64), out_counts
+    m = total - k + 1
+    h = np.zeros(m, dtype=np.uint64)
     with np.errstate(over="ignore"):
-        for d in range(len(counts)):
-            n = counts[d]
-            if n < k:
-                out_hashes.append(np.zeros(0, dtype=np.uint64))
-                continue
-            seg = base[starts[d]:starts[d] + n]
-            h = np.zeros(n - k + 1, dtype=np.uint64)
-            for j in range(k):
-                h ^= seg[j:n - k + 1 + j] * mults[j]
-            out_hashes.append(h)
-    return out_hashes, out_counts
+        for j in range(k):
+            h ^= base[j:m + j] * mults[j]
+    parent = np.repeat(np.arange(len(counts)), counts)
+    valid = parent[:m] == parent[k - 1:]
+    return h[valid], out_counts
 
 
 def _perm_params(num_perm: int = _NUM_PERM, seed: int = 1):
@@ -109,17 +112,21 @@ def minhash_signatures(batch: pa.Table, text_col: str = "text",
                        shingle_k: int = 3, seed: int = 1) -> pa.Table:
     """(doc_id, sig: list<uint64>[num_perm]); empty docs get all-max sig."""
     base, counts = _token_ids_flat(batch, text_col)
-    shingles, _ = _shingle_hashes(base, counts, shingle_k)
+    sh_flat, sh_counts = _shingle_hashes(base, counts, shingle_k)
     a, b = _perm_params(num_perm, seed)
     sigs = np.full((len(counts), num_perm), np.iinfo(np.uint64).max,
                    dtype=np.uint64)
-    with np.errstate(over="ignore"):
-        for d, h in enumerate(shingles):
-            if len(h) == 0:
-                continue
-            # universal hash: ((a*x + b) mod p), vectorized (num_perm x n)
-            vals = (np.outer(a, h) + b[:, None]) % _MERSENNE
-            sigs[d] = vals.min(axis=1)
+    if len(sh_flat):
+        starts = np.cumsum(sh_counts) - sh_counts
+        nz = sh_counts > 0
+        starts_nz = starts[nz]
+        # one vector pass per permutation (loop over the 64 perms, never
+        # over docs) — a full (perms x shingles) matrix would allocate
+        # hundreds of MB per batch
+        with np.errstate(over="ignore"):
+            for p in range(num_perm):
+                vals = (a[p] * sh_flat + b[p]) % _MERSENNE
+                sigs[nz, p] = np.minimum.reduceat(vals, starts_nz)
     return pa.table({
         id_col: batch[id_col],
         "sig": pa.FixedSizeListArray.from_arrays(
@@ -152,13 +159,104 @@ def explode_bands(batch: pa.Table, id_col: str = "doc_id",
     })
 
 
-def _bucket_pairs(group: pa.Table, id_col: str, max_bucket: int = 200) -> pa.Table:
-    ids = np.sort(group[id_col].to_numpy())
-    if len(ids) < 2 or len(ids) > max_bucket:  # cap giant buckets (log if hit)
-        return pa.table({"a": pa.array([], type=pa.int64()),
-                         "b": pa.array([], type=pa.int64())})
-    ia, ib = np.triu_indices(len(ids), k=1)
-    return pa.table({"a": pa.array(ids[ia]), "b": pa.array(ids[ib])})
+_PAIR_PARTITIONS = 512  # LSH buckets hash-packed into this many groups
+
+
+def _pair_rows_in_partition(sort_keys: list[np.ndarray],
+                            max_bucket: int) -> tuple[np.ndarray, np.ndarray]:
+    """Row-index pairs within equal-key runs, fully vectorized.
+
+    ``sort_keys`` are already-sorted parallel key arrays defining the
+    runs (an LSH bucket each). Instead of one UDF call per bucket (Ray's
+    map_groups dispatch costs ~6µs x millions of tiny buckets), runs are
+    detected with one diff and pairs expanded per DISTINCT RUN SIZE —
+    a handful of vectorized triu broadcasts. Buckets larger than
+    ``max_bucket`` are skipped (degenerate hash collisions).
+    Returns (row_idx_a, row_idx_b) into the sorted table.
+    """
+    n = len(sort_keys[0])
+    if n < 2:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    change = np.zeros(n - 1, dtype=bool)
+    for k in sort_keys:
+        change |= k[1:] != k[:-1]
+    starts = np.flatnonzero(np.append(True, change))
+    lens = np.diff(np.append(starts, n))
+    out_a, out_b = [], []
+    for s in np.unique(lens):
+        if s < 2 or s > max_bucket:
+            continue
+        sel = starts[lens == s]
+        idx = sel[:, None] + np.arange(s)[None, :]   # (runs, s) row indices
+        ia, ib = np.triu_indices(int(s), k=1)
+        out_a.append(idx[:, ia].ravel())
+        out_b.append(idx[:, ib].ravel())
+    if not out_a:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    return (np.concatenate(out_a).astype(np.int64),
+            np.concatenate(out_b).astype(np.int64))
+
+
+def _add_pkey(batch: pa.Table, key_cols: list[str],
+              parts: int = _PAIR_PARTITIONS) -> pa.Table:
+    h = np.zeros(batch.num_rows, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for c in key_cols:
+            h = h * np.uint64(1099511628211) ^ \
+                batch[c].to_numpy().astype(np.uint64)
+    return batch.append_column("pkey", pa.array(
+        (h % np.uint64(parts)).astype(np.int64)))
+
+
+def _make_partition_pairs(key_cols: list[str], id_col: str,
+                          max_bucket: int, extra_col: str | None = None):
+    """map_groups fn over one pkey partition: sort by bucket keys + id,
+    emit (a, b[, extra_a, extra_b]) for every intra-bucket pair."""
+
+    def fn(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            group, sort_keys=[(c, "ascending") for c in key_cols]
+            + [(id_col, "ascending")])
+        group = group.take(order)
+        keys = [group[c].to_numpy() for c in key_cols]
+        ra, rb = _pair_rows_in_partition(keys, max_bucket)
+        ids = group[id_col].to_numpy()
+        cols = {"a": pa.array(ids[ra], type=pa.int64()),
+                "b": pa.array(ids[rb], type=pa.int64())}
+        if extra_col is not None:
+            ex = group[extra_col].to_numpy()
+            cols["extra_a"] = pa.array(ex[ra])
+            cols["extra_b"] = pa.array(ex[rb])
+        return pa.table(cols)
+    return fn
+
+
+def _distinct_pairs(pairs_ds):
+    """Global distinct on (a, b), keeping each pair's first row (all
+    columns). Packed into _PAIR_PARTITIONS hash partitions so the
+    groupby dispatches hundreds of vectorized tasks, not one Python
+    call per pair."""
+
+    def dedup(group: pa.Table) -> pa.Table:
+        arr = np.stack([group["a"].to_numpy(), group["b"].to_numpy()],
+                       axis=1)
+        _, idx = np.unique(arr, axis=0, return_index=True)
+        return group.take(pa.array(np.sort(idx))).drop_columns(["pkey"])
+
+    packed = pairs_ds.map_batches(lambda b: _add_pkey(b, ["a", "b"]),
+                                  batch_format="pyarrow")
+    return packed.groupby("pkey").map_groups(dedup, batch_format="pyarrow")
+
+
+def _bucketed_pairs(band_rows, key_cols: list[str], id_col: str,
+                    max_bucket: int = 200, extra_col: str | None = None):
+    """band/bucket rows -> candidate pair rows (one packed-partition
+    groupby instead of millions of per-bucket UDF dispatches)."""
+    packed = band_rows.map_batches(lambda b: _add_pkey(b, key_cols),
+                                   batch_format="pyarrow")
+    return packed.groupby("pkey").map_groups(
+        _make_partition_pairs(key_cols, id_col, max_bucket, extra_col),
+        batch_format="pyarrow")
 
 
 def minhash_candidate_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
@@ -172,14 +270,16 @@ def minhash_candidate_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     """
     from .. import use_push_shuffle
     use_push_shuffle(ds)
+    # materialize once: the signature stream feeds BOTH the banding
+    # pipeline and the verification broadcast (a lazy dataset would
+    # recompute the shingle/minhash work for each consumer)
     sigs = ds.map_batches(
         lambda b: minhash_signatures(b, text_col, id_col, num_perm, seed=seed),
-        batch_format="pyarrow")
-    sigs_mat = sigs  # reused below via join-free broadcast (signatures are small)
+        batch_format="pyarrow").materialize()
+    sigs_mat = sigs
     band_rows = sigs.map_batches(
         lambda b: explode_bands(b, id_col, bands), batch_format="pyarrow")
-    pairs = band_rows.groupby(["band", "band_hash"]).map_groups(
-        lambda g: _bucket_pairs(g, id_col), batch_format="pyarrow")
+    pairs = _bucketed_pairs(band_rows, ["band", "band_hash"], id_col)
     import ray
 
     sig_tbl = pa.concat_tables(ray.get(sigs_mat.to_arrow_refs()))
@@ -209,8 +309,7 @@ def minhash_candidate_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
 
     verified = pairs.map_batches(verify, batch_format="pyarrow")
     # global distinct (a pair can emerge from several bands in different blocks)
-    return verified.groupby(["a", "b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow")
+    return _distinct_pairs(verified)
 
 
 # ---------------------------------------------------------------- simhash
@@ -266,34 +365,29 @@ def near_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                          "simhash": pa.array(np.tile(
                              batch["simhash"].to_numpy(), bands))})
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        n = group.num_rows
-        if n < 2 or n > 500:
+    def verify(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
             return pa.table({"a": pa.array([], type=pa.int64()),
                              "b": pa.array([], type=pa.int64()),
                              "hamming": pa.array([], type=pa.int64())})
-        ids = group[id_col].to_numpy()
-        hs = group["simhash"].to_numpy().astype(np.uint64)
-        order = np.argsort(ids)
-        ids, hs = ids[order], hs[order]
-        ia, ib = np.triu_indices(n, k=1)
-        x = hs[ia] ^ hs[ib]
+        x = batch["extra_a"].to_numpy().astype(np.uint64) ^ \
+            batch["extra_b"].to_numpy().astype(np.uint64)
         ham = np.zeros(len(x), dtype=np.int64)
         for _ in range(64):
             ham += (x & np.uint64(1)).astype(np.int64)
             x >>= np.uint64(1)
         keep = ham <= max_hamming
-        return pa.table({"a": pa.array(ids[ia][keep]),
-                         "b": pa.array(ids[ib][keep]),
+        return pa.table({"a": batch["a"].filter(pa.array(keep)),
+                         "b": batch["b"].filter(pa.array(keep)),
                          "hamming": pa.array(ham[keep])})
 
     sig = ds.map_batches(lambda b: simhash64(b, text_col, id_col),
                          batch_format="pyarrow")
-    pairs = (sig.map_batches(explode, batch_format="pyarrow")
-             .groupby(["band", "band_key"])
-             .map_groups(bucket_pairs, batch_format="pyarrow"))
-    return pairs.groupby(["a", "b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow")
+    pairs = _bucketed_pairs(sig.map_batches(explode, batch_format="pyarrow"),
+                            ["band", "band_key"], id_col, max_bucket=500,
+                            extra_col="simhash")
+    verified = pairs.map_batches(verify, batch_format="pyarrow")
+    return _distinct_pairs(verified)
 
 
 # ----------------------------------------------------------- n-gram jaccard
@@ -303,11 +397,12 @@ def shingle_sets(batch: pa.Table, text_col: str = "text",
     """(doc_id, shingles: list<int64>) — sorted distinct k-token shingle
     hashes per doc (the exact-Jaccard ground set)."""
     base, counts = _token_ids_flat(batch, text_col)
-    hashes, _ = _shingle_hashes(base, counts, shingle_k)
+    sh_flat, sh_counts = _shingle_hashes(base, counts, shingle_k)
+    starts = np.cumsum(sh_counts) - sh_counts
     offsets = [0]
     flat = []
-    for h in hashes:
-        u = np.unique(h)
+    for d in range(len(sh_counts)):
+        u = np.unique(sh_flat[starts[d]:starts[d] + sh_counts[d]])
         flat.append(u)
         offsets.append(offsets[-1] + len(u))
     values = (np.concatenate(flat) if flat else np.zeros(0, np.uint64))
@@ -342,8 +437,7 @@ def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
         batch_format="pyarrow")
     band_rows = sig_in.map_batches(
         lambda b: explode_bands(b, id_col, bands), batch_format="pyarrow")
-    pairs = band_rows.groupby(["band", "band_hash"]).map_groups(
-        lambda g: _bucket_pairs(g, id_col), batch_format="pyarrow")
+    pairs = _bucketed_pairs(band_rows, ["band", "band_hash"], id_col)
 
     sets_ds = ds.map_batches(
         lambda b: shingle_sets(b, text_col, id_col, shingle_k),
@@ -384,5 +478,4 @@ def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                          "jaccard": pa.array(out_j, type=pa.float64())})
 
     verified = pairs.map_batches(verify, batch_format="pyarrow")
-    return verified.groupby(["a", "b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow")
+    return _distinct_pairs(verified)

@@ -189,26 +189,27 @@ def embedding_near_dup_pairs(emb_ds, threshold: float = 0.9,
     idx_of = {int(v): i for i, v in enumerate(full[id_col].to_numpy())}
     emb_ref = ray.put((idx_of, mat))
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        empty = pa.table({"a": pa.array([], type=pa.int64()),
-                          "b": pa.array([], type=pa.int64()),
-                          "cosine": pa.array([], type=pa.float64())})
-        n = group.num_rows
-        if n < 2 or n > 1000:
-            return empty
+    def verify_pairs(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"a": pa.array([], type=pa.int64()),
+                             "b": pa.array([], type=pa.int64()),
+                             "cosine": pa.array([], type=pa.float64())})
         idx_map, m = ray.get(emb_ref)
-        ids = np.sort(group[id_col].to_numpy())
-        rows = np.array([idx_map[int(x)] for x in ids])
-        sims = m[rows] @ m[rows].T
-        ia, ib = np.triu_indices(n, k=1)
-        cs = sims[ia, ib]
+        a = batch["a"].to_numpy()
+        b = batch["b"].to_numpy()
+        ra = np.fromiter((idx_map[int(x)] for x in a), dtype=np.int64,
+                         count=len(a))
+        rb = np.fromiter((idx_map[int(x)] for x in b), dtype=np.int64,
+                         count=len(b))
+        cs = np.einsum("ij,ij->i", m[ra], m[rb])
         keep = cs >= threshold
-        return pa.table({"a": pa.array(ids[ia][keep]),
-                         "b": pa.array(ids[ib][keep]),
+        return pa.table({"a": pa.array(a[keep], type=pa.int64()),
+                         "b": pa.array(b[keep], type=pa.int64()),
                          "cosine": pa.array(cs[keep], type=pa.float64())})
 
-    pairs = (emb_ds.map_batches(sketch, batch_format="pyarrow")
-             .groupby(["band", "band_key"])
-             .map_groups(bucket_pairs, batch_format="pyarrow"))
-    return pairs.groupby(["a", "b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow")
+    from .dedup import _bucketed_pairs, _distinct_pairs
+    cand = _bucketed_pairs(
+        emb_ds.map_batches(sketch, batch_format="pyarrow"),
+        ["band", "band_key"], id_col, max_bucket=1000)
+    verified = cand.map_batches(verify_pairs, batch_format="pyarrow")
+    return _distinct_pairs(verified)
