@@ -231,6 +231,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def bm25_topk(sf_dir: str):
         return _topk_run(sf_dir, "BM25")
 
+    def bm25_conjunctive(sf_dir: str):
+        # M14/J3: conjunctive AND via the faithful MaxScore loop; no SQL
+        # oracle (the reference's conjunctive semantics are not a clean
+        # AND, SURVEY.md §7.4) — exact parity is pytest-checked against
+        # the pure-Python oracle (tests/test_index_e2e.py)
+        from mircv_ray.config import QueryConfig
+        from mircv_ray.query import QueryEngine
+        idx = _basic_index(sf_dir)
+        eng = QueryEngine(idx, QueryConfig(standard="BM25", k=10,
+                                           parse=False, squeeze=False))
+        qids, dids, scores = [], [], []
+        for qid, terms in enumerate(_BM25_QUERIES):
+            for doc_id, score in eng.score_terms(list(terms),
+                                                 conjunctive=True):
+                qids.append(qid)
+                dids.append(doc_id - 1)
+                scores.append(round(score, 6))
+        return pa.table({"qid": pa.array(qids, type=pa.int64()),
+                         "doc_id": pa.array(dids, type=pa.int64()),
+                         "score": pa.array(scores, type=pa.float64())})
+
     def tfidf_topk(sf_dir: str):
         return _topk_run(sf_dir, "TFIDF")
 
@@ -348,6 +369,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms": top_terms,
         "postings": postings,
         "bm25_topk": bm25_topk,
+        "bm25_conjunctive": bm25_conjunctive,
         "tfidf_topk": tfidf_topk,
         "dedup_exact": dedup_exact,
         "token_count": token_count,

@@ -131,6 +131,31 @@ class TestSimilarity:
                 ["score", "vec_id"], ascending=[False, True])["vec_id"]
             assert list(got) == list(want)
 
+    def test_ivf_recall_with_partial_probe(self, ray_session):
+        """IVF with nprobe < nclusters is approximate: recall@10 against
+        exact brute force must still be high on clustered data."""
+        from mircv_ray.ops import cosine_topk, ivf_build_centroids, ivf_cosine_topk
+        rng = np.random.default_rng(3)
+        centers = rng.standard_normal((8, 16)) * 4
+        m = np.vstack([c + 0.3 * rng.standard_normal((40, 16))
+                       for c in centers])
+        tbl = pa.table({
+            "vec_id": pa.array(np.arange(len(m), dtype=np.int64)),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(m.reshape(-1)), 16),
+        })
+        q = m[:4]
+        ds = rd.from_arrow(tbl)
+        cents = ivf_build_centroids(ds, n_clusters=8, iters=8)
+        exact = cosine_topk(ds, q, k=10).to_pandas()
+        approx = ivf_cosine_topk(ds, q, cents, k=10, nprobe=2).to_pandas()
+        recalls = []
+        for qi in range(4):
+            want = set(exact[exact["query_id"] == qi]["vec_id"])
+            got = set(approx[approx["query_id"] == qi]["vec_id"])
+            recalls.append(len(want & got) / len(want))
+        assert sum(recalls) / len(recalls) >= 0.9
+
     def test_embedding_near_dup_pairs(self, ray_session):
         from mircv_ray.ops import embedding_near_dup_pairs
         tbl, m = self._emb_table()
