@@ -327,56 +327,99 @@ def _make_build_segments(doc_len_ref, avg_doc_len: float, cfg: IndexConfig):
     def build_segments(group: pa.Table) -> pa.Table:
         """Merge the partial posting lists of one (shard, seg) group into
         final block-encoded segments (the reference's k-way merge,
-        InvertedIndex.java:115-214, as one grouped task)."""
+        InvertedIndex.java:115-214, as one grouped task).
+
+        Vocabulary grows ~linearly with a code corpus, so per-term work
+        is the scale bottleneck: merging, docId sorting, df/max/upper-
+        bound aggregates and (for vbyte) the whole single-block encode
+        run as ONE set of NumPy passes over the value stream; the
+        per-term Python loop only slices bytes and appends, with
+        ``encode_blocks`` called solely for the rare multi-block
+        (hot/high-df) terms."""
         doc_lens = _cached_get(doc_len_ref)  # np.int64 array, index = docId-1
         order = pc.sort_indices(group["term"])
         group = group.take(order)
-        terms_col = group["term"].to_pylist()
+        terms_arr = group["term"]
+        if isinstance(terms_arr, pa.ChunkedArray):
+            terms_arr = terms_arr.combine_chunks()
         n_col = group["n"].to_numpy()
         ids_bufs = group["ids_raw"].to_pylist()
         tfs_bufs = group["tfs_raw"].to_pylist()
         shard_val = int(group["shard"][0].as_py())
         seg_val = int(group["seg"][0].as_py())
-        # term run boundaries over the sorted partial rows
-        bounds = [0]
-        for i in range(1, len(terms_col)):
-            if terms_col[i] != terms_col[i - 1]:
-                bounds.append(i)
-        bounds.append(len(terms_col))
-
-        out_term, out_df, out_max, out_b25, out_tfidf = [], [], [], [], []
+        # term run boundaries over the sorted partial rows (vectorized
+        # string compare; rows are term-sorted)
+        neq = pc.not_equal(terms_arr.slice(1), terms_arr.slice(
+            0, len(terms_arr) - 1)).to_numpy(zero_copy_only=False)
+        row_starts = np.flatnonzero(np.append(True, neq))
+        nt = len(row_starts)
+        # merged value stream, term-major, docId-ascending per term
+        ids_all = (np.concatenate([np.frombuffer(x, dtype=np.int64)
+                                   for x in ids_bufs])
+                   if ids_bufs else np.zeros(0, np.int64))
+        tfs_all = (np.concatenate([np.frombuffer(x, dtype=np.int32)
+                                   for x in tfs_bufs]).astype(np.int64)
+                   if tfs_bufs else np.zeros(0, np.int64))
+        row_codes = np.cumsum(np.append(0, neq.astype(np.int64)))
+        val_codes = np.repeat(row_codes, n_col)
+        vorder = np.lexsort((ids_all, val_codes))  # O3: explicit docId sort
+        ids_all, tfs_all = ids_all[vorder], tfs_all[vorder]
+        bounds = np.flatnonzero(np.diff(val_codes[vorder], prepend=-1))
+        ends = np.append(bounds[1:], len(ids_all))
+        df_arr = ends - bounds
+        max_arr = ids_all[ends - 1]
+        # A6/A7 cores via segment maxima over the whole stream
+        bj_all = 0.3 + b * (doc_lens[ids_all - 1] / avg_doc_len)
+        b25_vals = tfs_all / (k1 * bj_all + tfs_all)
+        b25_arr = np.maximum.reduceat(b25_vals, bounds)
+        tfidf_arr = np.maximum.reduceat(1.0 + np.log10(tfs_all), bounds)
+        out_term = terms_arr.take(pa.array(row_starts, type=pa.int64()))
+        # single-block terms (df*4 <= threshold, C6) batch-encode for
+        # vbyte/none; ef and multi-block terms use the per-term path
+        single = (df_arr * 4 <= threshold) if codec != "ef" else \
+            np.zeros(nt, dtype=bool)
+        sb_ids: list[bytes] = []
+        sb_tfs: list[bytes] = []
+        if single.any():
+            vmask = np.repeat(single, df_arr)
+            sb_bounds = np.concatenate(
+                ([0], np.cumsum(df_arr[single])))
+            if codec == "vbyte":
+                from ..codecs.blocks import encode_single_block_terms
+                sb_ids, sb_tfs = encode_single_block_terms(
+                    ids_all[vmask], tfs_all[vmask], sb_bounds)
+            else:  # "none": raw slices
+                raw_i = np.ascontiguousarray(ids_all[vmask], dtype="<i8")
+                raw_t = np.ascontiguousarray(tfs_all[vmask], dtype="<i4")
+                bi = raw_i.tobytes()
+                bt = raw_t.tobytes()
+                sb_ids = [bi[8 * s:8 * e] for s, e in
+                          zip(sb_bounds[:-1], sb_bounds[1:])]
+                sb_tfs = [bt[4 * s:4 * e] for s, e in
+                          zip(sb_bounds[:-1], sb_bounds[1:])]
         out_bytes_ids, out_bytes_tfs = [], []
         blk_max, blk_n, blk_ids, blk_tfs, blk_offsets = [], [], [], [], [0]
-        for gi in range(len(bounds) - 1):
-            s, e = bounds[gi], bounds[gi + 1]
-            if e - s == 1:
-                ids = np.frombuffer(ids_bufs[s], dtype=np.int64)
-                f = tfs_bufs[s]
+        j = 0
+        for gi in range(nt):
+            if single[gi]:
+                ib, tb = sb_ids[j], sb_tfs[j]
+                j += 1
+                out_bytes_ids.append(len(ib))
+                out_bytes_tfs.append(len(tb))
+                blk_max.append(int(max_arr[gi]))
+                blk_n.append(int(df_arr[gi]))
+                blk_ids.append(ib)
+                blk_tfs.append(tb)
             else:
-                ids = np.concatenate([np.frombuffer(x, dtype=np.int64)
-                                      for x in ids_bufs[s:e]])
-                f = b"".join(tfs_bufs[s:e])
-            f = np.frombuffer(f, dtype=np.int32).astype(np.int64)
-            if e - s > 1:
-                # partial runs from different tasks overlap in docId range
-                o = np.argsort(ids, kind="stable")
-                ids, f = ids[o], f[o]
-            # O3: explicit ascending docId order (never rely on shuffle order)
-            bj = 0.3 + b * (doc_lens[ids - 1] / avg_doc_len)
-            bm25_core = float(np.max(f / (k1 * bj + f)))
-            tfidf_core = float(np.max(1.0 + np.log10(f)))
-            enc = encode_blocks(ids, f, codec, threshold)
-            out_term.append(terms_col[s])
-            out_df.append(len(ids))
-            out_max.append(int(ids[-1]))
-            out_b25.append(bm25_core)
-            out_tfidf.append(tfidf_core)
-            out_bytes_ids.append(sum(len(x) for x in enc["ids"]))
-            out_bytes_tfs.append(sum(len(x) for x in enc["tfs"]))
-            blk_max.extend(enc["max_doc_id"])
-            blk_n.extend(enc["n"])
-            blk_ids.extend(enc["ids"])
-            blk_tfs.extend(enc["tfs"])
+                s, e = bounds[gi], ends[gi]
+                enc = encode_blocks(ids_all[s:e], tfs_all[s:e], codec,
+                                    threshold)
+                out_bytes_ids.append(sum(len(x) for x in enc["ids"]))
+                out_bytes_tfs.append(sum(len(x) for x in enc["tfs"]))
+                blk_max.extend(enc["max_doc_id"])
+                blk_n.extend(enc["n"])
+                blk_ids.extend(enc["ids"])
+                blk_tfs.extend(enc["tfs"])
             blk_offsets.append(len(blk_max))
         blocks = pa.ListArray.from_arrays(
             pa.array(blk_offsets, type=pa.int32()),
@@ -386,15 +429,14 @@ def _make_build_segments(doc_len_ref, avg_doc_len: float, cfg: IndexConfig):
                  pa.array(blk_ids, type=pa.binary()),
                  pa.array(blk_tfs, type=pa.binary())],
                 fields=list(BLOCK_STRUCT)))
-        nt = len(out_term)
         return pa.table({
-            "term": pa.array(out_term, type=pa.string()),
-            "shard": pa.array([shard_val] * nt, type=pa.int64()),
-            "seg": pa.array([seg_val] * nt, type=pa.int64()),
-            "df": pa.array(out_df, type=pa.int64()),
-            "max_doc_id": pa.array(out_max, type=pa.int64()),
-            "bm25_core": pa.array(out_b25, type=pa.float64()),
-            "tfidf_core": pa.array(out_tfidf, type=pa.float64()),
+            "term": out_term,
+            "shard": pa.array(np.full(nt, shard_val, dtype=np.int64)),
+            "seg": pa.array(np.full(nt, seg_val, dtype=np.int64)),
+            "df": pa.array(df_arr, type=pa.int64()),
+            "max_doc_id": pa.array(max_arr, type=pa.int64()),
+            "bm25_core": pa.array(b25_arr, type=pa.float64()),
+            "tfidf_core": pa.array(tfidf_arr, type=pa.float64()),
             "bytes_ids": pa.array(out_bytes_ids, type=pa.int64()),
             "bytes_tfs": pa.array(out_bytes_tfs, type=pa.int64()),
             "blocks": blocks,

@@ -106,6 +106,61 @@ def encode_blocks(doc_ids: np.ndarray, tfs: np.ndarray, codec: str,
     return out
 
 
+def encode_single_block_terms(doc_ids: np.ndarray, tfs: np.ndarray,
+                              bounds: np.ndarray
+                              ) -> tuple[list[bytes], list[bytes]]:
+    """Vectorized vbyte+unary encoding of MANY single-block posting lists.
+
+    ``doc_ids``/``tfs`` are the term-major concatenation of all lists;
+    ``bounds`` marks term boundaries (len = n_terms + 1). Byte-identical
+    to calling ``encode_blocks(ids_t, tfs_t, "vbyte")`` per term (each
+    term's first gap is its absolute first docId; unary buffers are
+    byte-padded per term), but the varint byte-length computation, the
+    gap stream, and the unary bit stream each build in ONE NumPy pass —
+    per-term Python work reduces to a bytes slice. This is the hot
+    kernel at code-corpus scale, where vocabulary (and therefore the
+    number of posting lists) grows linearly with the corpus.
+    """
+    from .vbyte import vbyte_encode, vbyte_lengths
+
+    n_terms = len(bounds) - 1
+    if n_terms == 0:
+        return [], []
+    starts = bounds[:-1]
+    ends = bounds[1:]
+    # ---- ids: global gap stream with a reset at each term start
+    gaps = doc_ids.astype(np.int64).copy()
+    gaps[1:] -= doc_ids[:-1]
+    gaps[starts] = doc_ids[starts]          # first gap = absolute id (base 0)
+    id_bytes = vbyte_encode(gaps)
+    byte_ends = np.cumsum(vbyte_lengths(gaps))
+    term_byte_ends = byte_ends[ends - 1]
+    term_byte_starts = np.concatenate(([0], term_byte_ends[:-1]))
+    ids_bufs = [id_bytes[s:e] for s, e in
+                zip(term_byte_starts, term_byte_ends)]
+    # ---- tfs: global unary bit stream with per-term byte padding
+    tf64 = tfs.astype(np.int64)
+    cum_v = np.cumsum(tf64 + 1)
+    seg_base = np.concatenate(([0], cum_v[ends - 1][:-1]))
+    used_bits = cum_v[ends - 1] - seg_base          # sum+count per term
+    tf_sizes = np.maximum((used_bits + 7) // 8, 1)  # unary_byte_size per term
+    tf_byte_ends = np.cumsum(tf_sizes)
+    tf_byte_starts = tf_byte_ends - tf_sizes
+    total_bits = int(tf_byte_ends[-1]) * 8
+    term_bit_off = np.repeat(tf_byte_starts * 8, ends - starts)
+    # zero-terminator of each value: bit_off + within-term cumulative - 1
+    zero_pos = term_bit_off + (cum_v - np.repeat(seg_base, ends - starts)) - 1
+    # used regions are all-ones, then terminators cleared
+    delta = np.zeros(total_bits + 1, dtype=np.int8)
+    np.add.at(delta, tf_byte_starts * 8, 1)
+    np.add.at(delta, tf_byte_starts * 8 + used_bits, -1)
+    bits = (np.cumsum(delta[:-1]) > 0).astype(np.uint8)
+    bits[zero_pos] = 0
+    tf_bytes = np.packbits(bits).tobytes()
+    tfs_bufs = [tf_bytes[s:e] for s, e in zip(tf_byte_starts, tf_byte_ends)]
+    return ids_bufs, tfs_bufs
+
+
 def decode_block_ids(buf: bytes, codec: str, n: int, max_doc_id: int,
                      base: int) -> np.ndarray:
     if codec == "vbyte":

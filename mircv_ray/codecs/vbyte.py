@@ -77,6 +77,15 @@ def vbyte_decode(buf: bytes, count: int | None = None) -> np.ndarray:
     return values.astype(np.int64)
 
 
+def vbyte_lengths(values: np.ndarray) -> np.ndarray:
+    """Encoded byte length per value (vectorized: 9 threshold compares)."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    lengths = np.ones(len(v), dtype=np.int64)
+    for k in range(1, _MAX_LANES):
+        lengths += (v >= (np.uint64(1) << np.uint64(7 * k))).astype(np.int64)
+    return lengths
+
+
 def vbyte_encode_gaps(doc_ids: np.ndarray, base: int = 0) -> bytes:
     """Delta-encode a strictly ascending docId array then varint it.
 

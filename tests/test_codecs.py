@@ -202,3 +202,30 @@ class TestBlocks:
             prev = mx
         assert np.array_equal(np.concatenate(out_ids), ids)
         assert np.array_equal(np.concatenate(out_tfs), tfs)
+
+
+class TestBatchSingleBlockEncode:
+    def test_byte_identical_to_per_term(self):
+        """encode_single_block_terms must produce byte-identical buffers
+        to encode_blocks called per term (vbyte single-block terms)."""
+        import numpy as np
+        from mircv_ray.codecs.blocks import encode_blocks, encode_single_block_terms
+        rng = np.random.default_rng(17)
+        ids_parts, tfs_parts, bounds = [], [], [0]
+        for _ in range(300):
+            df = int(rng.integers(1, 60))
+            ids = np.sort(rng.choice(np.arange(1, 100000), size=df,
+                                     replace=False)).astype(np.int64)
+            tfs = rng.integers(1, 30, size=df).astype(np.int64)
+            ids_parts.append(ids)
+            tfs_parts.append(tfs)
+            bounds.append(bounds[-1] + df)
+        flat_ids = np.concatenate(ids_parts)
+        flat_tfs = np.concatenate(tfs_parts)
+        got_i, got_t = encode_single_block_terms(
+            flat_ids, flat_tfs, np.array(bounds))
+        for k, (ids, tfs) in enumerate(zip(ids_parts, tfs_parts)):
+            enc = encode_blocks(ids, tfs, "vbyte")
+            assert len(enc["ids"]) == 1
+            assert got_i[k] == enc["ids"][0], f"ids mismatch term {k}"
+            assert got_t[k] == enc["tfs"][0], f"tfs mismatch term {k}"
