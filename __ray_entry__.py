@@ -352,6 +352,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
             columns=["user_id", "ts", "event_id", "value"])
         return sessionize(ev)
 
+    def props_json(sf_dir: str):
+        from mircv_ray.ops import props_extract
+        ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_id", "props"])
+        return ev.map_batches(props_extract, batch_format="pyarrow")
+
+    def top_users(sf_dir: str):
+        from mircv_ray.ops import top_users_by_type
+        ev = rd.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_type", "user_id", "value"])
+        return top_users_by_type(ev, k=5)
+
     def media_features(sf_dir: str):
         from mircv_ray.ops import DecodeImage, make_media_table
         ds = rd.from_arrow(make_media_table(120))
@@ -384,6 +397,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dups": embedding_near_dups,
         "window_agg": window_agg,
         "sessions": sessions,
+        "props_json": props_json,
+        "top_users": top_users,
         "media_features": media_features,
     }
 
@@ -457,6 +472,23 @@ FROM documents
 """,
         "ann_cosine_topk": ann_sql,
         "ann_cosine_topk_ivf": ann_sql,
+        "props_json": r"""
+SELECT event_id,
+       CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT) AS k
+FROM events
+""",
+        "top_users": """
+WITH s AS (
+  SELECT event_type, user_id,
+         CAST(round(sum(value) * 100) AS BIGINT) AS total_cents
+  FROM events GROUP BY event_type, user_id),
+r AS (
+  SELECT event_type, user_id, total_cents,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY total_cents DESC, user_id) AS rank
+  FROM s)
+SELECT event_type, user_id, rank, total_cents FROM r WHERE rank <= 5
+""",
         "window_agg": """
 SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
        event_type,

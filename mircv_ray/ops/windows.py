@@ -100,3 +100,57 @@ def sessionize(events_ds, gap_us: int = 30 * 60 * 1_000_000):
             .select_columns(["user_id", "ts", "event_id", "value"])
             .groupby("user_id")
             .map_groups(build, batch_format="pyarrow"))
+
+
+def props_extract(batch: pa.Table) -> pa.Table:
+    """Vectorized JSON field extraction from the events ``props`` column
+    (schema '{"k": <int>}'): one regex kernel pass, no per-row Python."""
+    m = pc.extract_regex(batch["props"], pattern=r'"k":\s*(?P<k>-?\d+)')
+    k = pc.struct_field(m, [0])
+    return pa.table({
+        "event_id": batch["event_id"],
+        "k": pc.cast(k, pa.int64()),
+    })
+
+
+def top_users_by_type(events_ds, k: int = 5):
+    """Per event_type: top-k users by total value (ties: user_id asc).
+
+    Map-side partial (user, type) sums inside map_batches, a small
+    groupby over the partials, then per-type top-k via map_groups — the
+    grouped-top-k pattern (only aggregates shuffle, never events).
+    """
+    from ray.data.aggregate import Sum
+
+    from .. import use_push_shuffle
+    use_push_shuffle(events_ds)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        a = batch.group_by(["event_type", "user_id"]).aggregate(
+            [("value", "sum")])
+        return pa.table({"event_type": a["event_type"],
+                         "user_id": a["user_id"],
+                         "v": a["value_sum"]})
+
+    sums = (events_ds.select_columns(["event_type", "user_id", "value"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby(["event_type", "user_id"])
+            .aggregate(Sum("v", alias_name="total")))
+
+    def topk(group: pa.Table) -> pa.Table:
+        # rank on integer cents: float totals summed in different orders
+        # can differ by 1 ulp, which would make tie order engine-dependent
+        cents = pc.round(pc.multiply(group["total"], 100.0)).cast(pa.int64())
+        group = group.append_column("total_cents", cents)
+        order = pc.sort_indices(group, sort_keys=[
+            ("total_cents", "descending"), ("user_id", "ascending")])
+        g = group.take(order.slice(0, k))
+        return pa.table({
+            "event_type": g["event_type"],
+            "user_id": g["user_id"],
+            "rank": pa.array(np.arange(1, g.num_rows + 1)),
+            "total_cents": g["total_cents"],
+        })
+
+    return sums.groupby("event_type").map_groups(topk,
+                                                 batch_format="pyarrow")
