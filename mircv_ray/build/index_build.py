@@ -444,6 +444,67 @@ def _make_build_segments(doc_len_ref, avg_doc_len: float, cfg: IndexConfig):
     return build_segments
 
 
+# ----------------------------------------------------- stage 2 MR exchange
+
+@ray.remote
+def _mr_map_split(tbl: pa.Table, num_parts: int, salt_buckets: int):
+    """Split one partial-lists block into per-(shard,seg) sub-tables.
+
+    Returns ``num_parts`` tables (many empty). This is the map side of a
+    direct object-store shuffle — used instead of ``groupby`` because
+    Ray's sort-based exchange pays a global sort the low-cardinality
+    (shard, seg) key doesn't need; the rows are already grouped the
+    moment their partition id is known."""
+    pkey = (tbl["shard"].to_numpy() * salt_buckets +
+            tbl["seg"].to_numpy()).astype(np.int64)
+    order = np.argsort(pkey, kind="stable")
+    tbl = tbl.take(pa.array(order))
+    pkey = pkey[order]
+    bounds = np.searchsorted(pkey, np.arange(num_parts + 1))
+    return tuple(tbl.slice(int(s), int(e - s))
+                 for s, e in zip(bounds[:-1], bounds[1:]))
+
+
+@ray.remote
+def _mr_reduce_build(build_fn, out_dir: str, shard: int, seg: int,
+                     *parts: pa.Table) -> dict:
+    """Reduce side: concat one partition's partials, build the final
+    block-encoded segments, write its parquet file (hive shard layout,
+    idempotent per partition — a rerun overwrites the same file)."""
+    tbls = [t for t in parts if t.num_rows]
+    if not tbls:
+        return {"rows": 0}
+    group = pa.concat_tables(tbls).combine_chunks()
+    out = build_fn(group)
+    d = Path(out_dir) / f"shard={shard}"
+    d.mkdir(parents=True, exist_ok=True)
+    pq.write_table(out.drop_columns(["shard"]),
+                   str(d / f"seg-{seg}.parquet"))
+    return {"rows": out.num_rows}
+
+
+def _mr_exchange_build(posts, build_fn, out_dir: str,
+                       cfg: IndexConfig) -> None:
+    """Direct map/reduce exchange for the postings build (see
+    _mr_map_split). Map tasks emit per-partition slices as separate
+    object-store returns; one reduce task per (shard, seg) concatenates
+    its slices, builds and writes. At multi-node scale the object store
+    moves each slice once, like any shuffle; a two-level merge tree
+    would bound reduce fan-in past ~10^3 map tasks."""
+    num_parts = cfg.num_shards * cfg.salt_buckets
+    block_refs = posts.to_arrow_refs()
+    split = _mr_map_split.options(num_returns=num_parts)
+    nested = [split.remote(ref, num_parts, cfg.salt_buckets)
+              for ref in block_refs]
+    reduce_refs = []
+    for p in range(num_parts):
+        parts = [nested[m][p] for m in range(len(nested))]
+        reduce_refs.append(_mr_reduce_build.remote(
+            build_fn, out_dir, p // cfg.salt_buckets,
+            p % cfg.salt_buckets, *parts))
+    ray.get(reduce_refs)
+
+
 # ------------------------------------------------------------------ stage 3
 
 def _lexicon_finalize(batch: pa.Table, n_docs: int) -> pa.Table:
@@ -532,10 +593,14 @@ def build_index(corpus, out_dir: str, cfg: IndexConfig | None = None,
         posts = tok_mat.select_columns(["doc_id", "tokens"]).map_batches(
             _make_explode(cfg.num_shards, cfg.salt_buckets, n_docs),
             batch_format="pyarrow", batch_size=cfg.explode_batch_size)
-        seg_ds = posts.groupby(["shard", "seg"]).map_groups(
-            _make_build_segments(doc_len_ref, avg_doc_len, cfg),
-            batch_format="pyarrow")
-        seg_ds.write_parquet(str(out / "postings"), partition_cols=["shard"])
+        build_fn = _make_build_segments(doc_len_ref, avg_doc_len, cfg)
+        if cfg.exchange == "mr":
+            _mr_exchange_build(posts, build_fn, str(out / "postings"), cfg)
+        else:
+            seg_ds = posts.groupby(["shard", "seg"]).map_groups(
+                build_fn, batch_format="pyarrow")
+            seg_ds.write_parquet(str(out / "postings"),
+                                 partition_cols=["shard"])
         write_manifest(out_dir, "postings", {
             "seconds": time.time() - t1, "codec": cfg.codec,
             "salt_buckets": cfg.salt_buckets, "num_shards": cfg.num_shards,

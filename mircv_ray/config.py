@@ -29,6 +29,14 @@ class IndexConfig:
     tokenize_batch_size: int = 1024     # docs per tokenizer batch
     explode_batch_size: int = 8192      # docs per SPIMI-partial batch (bigger
                                         # batches consolidate partial lists)
+    exchange: str = "groupby"           # postings exchange: "groupby"
+                                        # (ds.groupby.map_groups — wins on a
+                                        # single node) | "mr" (direct
+                                        # map/reduce over object-store refs;
+                                        # measured SLOWER here: 256x256 small
+                                        # objects cost more than the sort,
+                                        # kept as the explicit-exchange
+                                        # reference implementation)
     group_batch_size: int = 4096        # (term[,seg]) groups per build batch
     squeeze: bool = True            # run-of-3+ squeeze (Parser.java:63-90); the
                                     # "basic" SQL-checkable mode turns this off

@@ -166,6 +166,28 @@ class TestDeterminism:
             assert ia.tolist() == ib.tolist()
             assert ta.tolist() == tb.tolist()
 
+    def test_exchange_invariance(self, ray_session, tmp_path):
+        """The direct map/reduce exchange and the groupby exchange must
+        produce identical postings and lexicon."""
+        import pyarrow.parquet as pq
+        import ray.data as rd
+        from mircv_ray.build import build_index
+        table = generate_corpus_table(70, seed=29)
+        ds = rd.from_arrow(table.drop_columns(["sha256"]))
+        readers = {}
+        for ex in ("groupby", "mr"):
+            out = str(tmp_path / f"idx_{ex}")
+            build_index(ds, out, IndexConfig(parse=True, num_shards=4,
+                                             salt_buckets=2, exchange=ex))
+            readers[ex] = IndexReader(out)
+        a, b = readers["groupby"], readers["mr"]
+        assert a._lex == b._lex
+        for term in a._lex:
+            ia, ta = _decode_term_postings(a, term)
+            ib, tb = _decode_term_postings(b, term)
+            assert ia.tolist() == ib.tolist()
+            assert ta.tolist() == tb.tolist()
+
     @pytest.mark.parametrize("codec", ["ef", "none"])
     def test_codec_invariance(self, ray_session, tmp_path, codec):
         """Compression choice changes bytes, never postings or scores:
