@@ -279,33 +279,36 @@ def _make_explode(num_shards: int, salt_buckets: int, n_docs: int):
         if isinstance(tokens, pa.ChunkedArray):
             tokens = tokens.combine_chunks()
         flat = pc.list_flatten(tokens)
-        parents = pc.list_parent_indices(tokens)
-        doc_ids = batch["doc_id"].take(parents)
-        pairs = pa.table({"term": flat, "doc_id": doc_ids})
-        # per-doc term counting (M11) — vectorized C++ group-by
-        tf_tbl = pairs.group_by(["term", "doc_id"], use_threads=False).aggregate(
-            [([], "count_all")])
-        terms = tf_tbl["term"]
-        if isinstance(terms, pa.ChunkedArray):
-            terms = terms.combine_chunks()
-        denc = pc.dictionary_encode(terms)
+        parents = pc.list_parent_indices(tokens).to_numpy(
+            zero_copy_only=False)
+        denc = pc.dictionary_encode(flat)
         if isinstance(denc, pa.ChunkedArray):
             denc = denc.combine_chunks()
         codes = denc.indices.to_numpy().astype(np.int64)
-        did = tf_tbl["doc_id"].to_numpy().astype(np.int64)
-        tfs = tf_tbl["count_all"].to_numpy().astype(np.int32)
-        # seg is monotone in doc_id, so sorting by (code, doc_id) also
-        # sorts by (code, seg) — one lexsort yields the runs
+        did = batch["doc_id"].to_numpy()[parents]
+        # per-doc term counting (M11) as pure NumPy over dictionary
+        # codes: one lexsort + run-length count (hash-aggregating the
+        # string column was the explode hot spot)
         order = np.lexsort((did, codes))
-        codes, did, tfs = codes[order], did[order], tfs[order]
-        seg = (did - 1) * salt_buckets // max(n_docs, 1)
-        change = (np.diff(codes) != 0) | (np.diff(seg) != 0)
+        c2, d2 = codes[order], did[order]
+        tok_change = np.zeros(len(c2), dtype=bool)
+        tok_change[0] = True
+        np.logical_or(c2[1:] != c2[:-1], d2[1:] != d2[:-1],
+                      out=tok_change[1:])
+        pstarts = np.flatnonzero(tok_change)
+        tfs = np.diff(np.append(pstarts, len(c2))).astype(np.int32)
+        run_codes_all = c2[pstarts]
+        run_dids = d2[pstarts]
+        # seg is monotone in doc_id, so (code, doc_id) order is also
+        # (code, seg) order — second-level runs give the partial lists
+        seg = (run_dids - 1) * salt_buckets // max(n_docs, 1)
+        change = (np.diff(run_codes_all) != 0) | (np.diff(seg) != 0)
         starts = np.flatnonzero(np.append(True, change))
-        ends = np.append(starts[1:], len(codes))
+        ends = np.append(starts[1:], len(run_codes_all))
         vocab = denc.dictionary
-        vshards = term_shard(vocab.to_pylist(), num_shards)
-        run_codes = codes[starts]
-        ids_raw = [did[s:e].tobytes() for s, e in zip(starts, ends)]
+        vshards = _term_shards_memo(vocab, num_shards)
+        run_codes = run_codes_all[starts]
+        ids_raw = [run_dids[s:e].tobytes() for s, e in zip(starts, ends)]
         tfs_raw = [tfs[s:e].tobytes() for s, e in zip(starts, ends)]
         return pa.table({
             "term": vocab.take(pa.array(run_codes, type=pa.int64())),
@@ -316,6 +319,21 @@ def _make_explode(num_shards: int, salt_buckets: int, n_docs: int):
             "tfs_raw": pa.array(tfs_raw, type=pa.binary()),
         })
     return explode
+
+
+def _term_shards_memo(vocab: pa.Array, num_shards: int) -> np.ndarray:
+    """term -> shard for a dictionary, memoized per worker process (the
+    vocabulary repeats heavily across batches, so crc32 runs once per
+    DISTINCT term per worker, not once per batch)."""
+    memo = _worker_cache.setdefault(("term_shard", num_shards), {})
+    words = vocab.to_pylist()
+    out = np.empty(len(words), dtype=np.int64)
+    for i, w in enumerate(words):
+        s = memo.get(w)
+        if s is None:
+            s = memo[w] = zlib.crc32(w.encode()) % num_shards
+        out[i] = s
+    return out
 
 
 def _make_build_segments(doc_len_ref, avg_doc_len: float, cfg: IndexConfig):
