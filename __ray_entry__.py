@@ -137,6 +137,18 @@ def _docs_ds(sf_dir: str):
                            columns=["doc_id", "text"])
 
 
+def _sorted_table(ds, keys: list[str]) -> pa.Table:
+    """Materialize a (small, aggregate-sized) result Dataset into one Arrow
+    table deterministically sorted by ``keys`` — group/pair outputs arrive
+    in nondeterministic block order, and the driver's value hash must not
+    depend on parallelism."""
+    import ray
+    t = pa.concat_tables(ray.get(ds.to_arrow_refs()),
+                         promote_options="default").combine_chunks()
+    return t.take(pc.sort_indices(
+        t, sort_keys=[(k, "ascending") for k in keys]))
+
+
 def _non_blank(batch: pa.Table) -> pa.Table:
     t = batch["text"]
     keep = pc.and_(t.is_valid(),
@@ -258,7 +270,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def dedup_exact(sf_dir: str):
         from mircv_ray.ops import exact_dedup_keep
         ds = _docs_ds(sf_dir)
-        return exact_dedup_keep(ds).select_columns(["keep_id", "n_dups"])
+        return _sorted_table(
+            exact_dedup_keep(ds).select_columns(["keep_id", "n_dups"]),
+            ["keep_id"])
 
     def token_count(sf_dir: str):
         from mircv_ray.ops import token_count as tc
@@ -304,17 +318,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def minhash_pairs(sf_dir: str):
         from mircv_ray.ops import minhash_candidate_pairs
-        return minhash_candidate_pairs(_docs_ds(sf_dir), threshold=0.5)
+        return _sorted_table(
+            minhash_candidate_pairs(_docs_ds(sf_dir), threshold=0.5),
+            ["a", "b"])
 
     def simhash_pairs(sf_dir: str):
         from mircv_ray.ops import near_dup_pairs
-        return near_dup_pairs(_docs_ds(sf_dir), max_hamming=3)
+        return _sorted_table(near_dup_pairs(_docs_ds(sf_dir), max_hamming=3),
+                             ["a", "b"])
 
     def ngram_jaccard(sf_dir: str):
         from mircv_ray.ops import ngram_jaccard_pairs
         out = ngram_jaccard_pairs(_docs_ds(sf_dir), threshold=0.5)
-        return out.map_batches(lambda b: _round6(b, "jaccard"),
-                               batch_format="pyarrow")
+        out = out.map_batches(lambda b: _round6(b, "jaccard"),
+                              batch_format="pyarrow")
+        return _sorted_table(out, ["a", "b"])
 
     def embedding_near_dups(sf_dir: str):
         # the synthetic embeddings are iid random (max pairwise cosine
@@ -336,21 +354,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 pa.array(np.concatenate([base, planted]).reshape(-1)), dim),
         })
         out = embedding_near_dup_pairs(rd.from_arrow(aug), threshold=0.9)
-        return out.map_batches(lambda b: _round6(b, "cosine"),
-                               batch_format="pyarrow")
+        out = out.map_batches(lambda b: _round6(b, "cosine"),
+                              batch_format="pyarrow")
+        return _sorted_table(out, ["a", "b"])
 
     def window_agg(sf_dir: str):
         from mircv_ray.ops import tumbling_window_agg
         ev = rd.read_parquet(f"{sf_dir}/events.parquet",
                              columns=["ts", "event_type", "value"])
-        return tumbling_window_agg(ev)
+        return _sorted_table(tumbling_window_agg(ev),
+                             ["window_start_us", "event_type"])
 
     def sessions(sf_dir: str):
         from mircv_ray.ops import sessionize
         ev = rd.read_parquet(
             f"{sf_dir}/events.parquet",
             columns=["user_id", "ts", "event_id", "value"])
-        return sessionize(ev)
+        # deterministic row order on the full key: groupby emits groups in
+        # arbitrary block order at high parallelism
+        return _sorted_table(sessionize(ev), ["user_id", "session_id"])
 
     def props_json(sf_dir: str):
         from mircv_ray.ops import props_extract
@@ -363,7 +385,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ev = rd.read_parquet(
             f"{sf_dir}/events.parquet",
             columns=["event_type", "user_id", "value"])
-        return top_users_by_type(ev, k=5)
+        return _sorted_table(top_users_by_type(ev, k=5),
+                             ["event_type", "rank"])
 
     def media_features(sf_dir: str):
         from mircv_ray.ops import DecodeImage, make_media_table
@@ -454,6 +477,7 @@ SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY term, doc_id
         "dedup_exact": """
 SELECT min(doc_id) AS keep_id, count(*) AS n_dups
 FROM documents GROUP BY text
+ORDER BY keep_id
 """,
         "token_count": r"""
 SELECT doc_id,
@@ -488,6 +512,7 @@ r AS (
                             ORDER BY total_cents DESC, user_id) AS rank
   FROM s)
 SELECT event_type, user_id, rank, total_cents FROM r WHERE rank <= 5
+ORDER BY event_type, rank
 """,
         "window_agg": """
 SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
@@ -495,6 +520,7 @@ SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
        count(*)::BIGINT AS n_events,
        CAST(round(sum(value) * 100) AS BIGINT) AS sum_value_cents
 FROM events GROUP BY 1, 2
+ORDER BY 1, 2
 """,
         "sessions": """
 WITH o AS (
@@ -509,14 +535,16 @@ m AS (
   FROM o),
 s AS (
   SELECT user_id, value, t,
-         sum(new_sess) OVER (PARTITION BY user_id ORDER BY t, event_id
-                             ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY t, event_id
+                                  ROWS UNBOUNDED PRECEDING) - 1
+              AS BIGINT) AS session_id
   FROM m)
 SELECT user_id, session_id,
        count(*)::BIGINT AS n_events,
        min(t) AS start_us, max(t) AS end_us,
        CAST(round(sum(value) * 100) AS BIGINT) AS sum_value_cents
 FROM s GROUP BY user_id, session_id
+ORDER BY user_id, session_id
 """,
         # lang_id / fingerprint / minhash_pairs / simhash_pairs /
         # ngram_jaccard / embedding_near_dups / media_features:

@@ -33,10 +33,10 @@ Scale design:
 
 from __future__ import annotations
 
-import hashlib
 import json
 import logging
 import math
+import shutil
 import time
 import zlib
 from pathlib import Path
@@ -52,6 +52,7 @@ import ray
 from ..codecs.blocks import encode_blocks
 from ..config import IndexConfig
 from ..text.tokenizer import Tokenizer
+from ..util import sha256_hex_column
 from .manifests import read_manifest, stage_complete, write_manifest
 
 logger = logging.getLogger(__name__)
@@ -100,6 +101,17 @@ def _make_assign_ids(bases_ref):
         repo = group["repo"][0].as_py()
         order = pc.sort_indices(group, sort_keys=[("path", "ascending")])
         group = group.take(order)
+        # duplicate (repo, path) keys would silently map two docs to one
+        # docId downstream — fail loudly, same as the driver-side path
+        p = group["path"]
+        if len(p) > 1:
+            eq = pc.equal(p.slice(1), p.slice(0, len(p) - 1))
+            if pc.any(eq).as_py():
+                dup = p.slice(1).filter(eq)[0].as_py()
+                raise ValueError(
+                    f"corpus has duplicate (repo, path) keys (e.g. "
+                    f"{repo}/{dup}); docId assignment requires unique keys "
+                    "— dedupe the corpus first (e.g. ops.exact_dedup_keep)")
         base = bases[repo]
         ids = pa.array(np.arange(1, group.num_rows + 1, dtype=np.int64) + base)
         return group.append_column("doc_id", ids)
@@ -255,8 +267,7 @@ class TokenizeHash:
         if isinstance(content, pa.ChunkedArray):
             content = content.combine_chunks()
         tokens, doc_len = self.tok.tokenize_column(content)
-        sha = pa.array([hashlib.sha256(s).hexdigest()
-                        for s in content.cast(pa.binary()).to_pylist()])
+        sha = sha256_hex_column(content)  # blank filter ran: no NULLs
         out = batch.drop_columns(["content"])
         return (out.append_column("doc_len", pa.array(doc_len, type=pa.int64()))
                    .append_column("sha256", sha)
@@ -285,6 +296,17 @@ def _make_explode(num_shards: int, salt_buckets: int, n_docs: int):
         if isinstance(denc, pa.ChunkedArray):
             denc = denc.combine_chunks()
         codes = denc.indices.to_numpy().astype(np.int64)
+        if len(codes) == 0:
+            # a whole batch of docs can tokenize to zero tokens
+            # (punctuation-only / all-stopword docs pass the blank filter)
+            return pa.table({
+                "term": pa.array([], type=pa.string()),
+                "shard": pa.array([], type=pa.int64()),
+                "seg": pa.array([], type=pa.int64()),
+                "n": pa.array([], type=pa.int64()),
+                "ids_raw": pa.array([], type=pa.binary()),
+                "tfs_raw": pa.array([], type=pa.binary()),
+            })
         did = batch["doc_id"].to_numpy()[parents]
         # per-doc term counting (M11) as pure NumPy over dictionary
         # codes: one lexsort + run-length count (hash-aggregating the
@@ -541,6 +563,16 @@ def load_stats(index_dir: str) -> dict:
     return json.loads((Path(index_dir) / "stats.json").read_text())
 
 
+def _fresh_stage_dir(out: Path, stage: str) -> None:
+    """Clear a stage's output before (re)running it: a crashed run leaves
+    partial parquet behind (manifest not yet published), and write_parquet
+    adds uniquely-named files BESIDE leftovers — a rerun would silently
+    double-count rows. Manifest presence is the only completion marker."""
+    d = out / stage
+    if d.exists():
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def build_index(corpus, out_dir: str, cfg: IndexConfig | None = None,
                 lineage: dict | None = None) -> dict:
     """Build the full index from a corpus Dataset. Returns the stats dict.
@@ -563,6 +595,7 @@ def build_index(corpus, out_dir: str, cfg: IndexConfig | None = None,
     tok_mat = None
     mapping_ref = None
     if not stage_complete(out_dir, "docs"):
+        _fresh_stage_dir(out, "docs")
         # ONE content scan: blank-filter + tokenize + sha256, materialized
         # into the object store (spill-backed); this single token stream
         # feeds id assignment, the doc table AND the postings shuffle. The
@@ -596,6 +629,7 @@ def build_index(corpus, out_dir: str, cfg: IndexConfig | None = None,
     # ---------------- stage 2: postings ----------------
     t1 = time.time()
     if not stage_complete(out_dir, "postings"):
+        _fresh_stage_dir(out, "postings")
         doc_len_ref = ray.put(doc_lens)
         if tok_mat is None:
             # resume path (docs stage done in a previous run): re-derive the
@@ -619,6 +653,9 @@ def build_index(corpus, out_dir: str, cfg: IndexConfig | None = None,
                 build_fn, batch_format="pyarrow")
             seg_ds.write_parquet(str(out / "postings"),
                                  partition_cols=["shard"])
+        # a zero-postings corpus (all docs stop/stem to nothing) writes no
+        # files; later stages still expect the directory
+        (out / "postings").mkdir(exist_ok=True)
         write_manifest(out_dir, "postings", {
             "seconds": time.time() - t1, "codec": cfg.codec,
             "salt_buckets": cfg.salt_buckets, "num_shards": cfg.num_shards,
@@ -642,9 +679,22 @@ def build_index(corpus, out_dir: str, cfg: IndexConfig | None = None,
 
     t2 = time.time()
     if not stage_complete(out_dir, "lexicon"):
+        _fresh_stage_dir(out, "lexicon")
         seg_rows = pads.dataset(str(out / "postings"), format="parquet",
                                 partitioning="hive").count_rows()
-        if seg_rows <= DRIVER_LEXICON_MAX_SEGROWS:
+        if seg_rows == 0:
+            lex_tbl = _agg_to_lex(pa.table({
+                "term": pa.array([], pa.string()),
+                "df_sum": pa.array([], pa.int64()),
+                "max_doc_id_max": pa.array([], pa.int64()),
+                "bm25_core_max": pa.array([], pa.float64()),
+                "tfidf_core_max": pa.array([], pa.float64()),
+                "bytes_ids_sum": pa.array([], pa.int64()),
+                "bytes_tfs_sum": pa.array([], pa.int64()),
+            }), pa.array([], pa.int64()))
+            (out / "lexicon").mkdir(exist_ok=True)
+            pq.write_table(lex_tbl, str(out / "lexicon" / "part-0.parquet"))
+        elif seg_rows <= DRIVER_LEXICON_MAX_SEGROWS:
             # vocabulary metadata is tiny relative to the corpus (Heaps'
             # law) — a driver-side Arrow group_by beats a Ray shuffle for
             # anything that fits one heap

@@ -16,12 +16,13 @@ loops over rows; bucket groupbys move only (key, id) pairs.
 
 from __future__ import annotations
 
-import hashlib
 import zlib
 
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+
+from ..util import NULL_HASH, sha256_hex_column
 
 _MERSENNE = np.uint64((1 << 61) - 1)
 _NUM_PERM = 64
@@ -85,13 +86,11 @@ def _perm_params(num_perm: int = _NUM_PERM, seed: int = 1):
 
 def exact_hash_batch(batch: pa.Table, text_col: str = "text",
                      id_col: str = "doc_id") -> pa.Table:
-    t = batch[text_col]
-    if isinstance(t, pa.ChunkedArray):
-        t = t.combine_chunks()
-    hashes = [hashlib.sha256(v or b"").hexdigest()
-              for v in t.cast(pa.binary()).to_pylist()]
+    # NULL text hashes to a sentinel distinct from sha256('') — SQL's
+    # GROUP BY text keeps NULL and '' as separate groups, so must we
+    hashes = sha256_hex_column(batch[text_col], null_sentinel=NULL_HASH)
     return pa.table({id_col: batch[id_col],
-                     "content_hash": pa.array(hashes)})
+                     "content_hash": hashes})
 
 
 def exact_dedup_keep(ds, text_col: str = "text", id_col: str = "doc_id"):

@@ -22,6 +22,12 @@ import pyarrow.compute as pc
 US_PER_HOUR = 3_600_000_000
 
 
+def _round_half_away(x: np.ndarray) -> np.ndarray:
+    """Round half away from zero (DuckDB/SQL round()), not numpy's
+    half-to-even — pins the exact-.5-cent boundary to the oracle."""
+    return np.trunc(x + np.copysign(0.5, x)).astype(np.int64)
+
+
 def tumbling_window_agg(events_ds, width_us: int = US_PER_HOUR):
     """(window_start_us, event_type) -> n_events, sum_value.
 
@@ -56,7 +62,8 @@ def tumbling_window_agg(events_ds, width_us: int = US_PER_HOUR):
         # integral up to fp error — an int64 column compares exactly across
         # engines where a rounded float can straddle a rounding boundary
         i = b.schema.get_field_index("sum_value")
-        cents = pc.round(pc.multiply(b["sum_value"], 100.0)).cast(pa.int64())
+        cents = pc.round(pc.multiply(b["sum_value"], 100.0),
+                         round_mode="half_towards_infinity").cast(pa.int64())
         return b.remove_column(i).append_column("sum_value_cents", cents)
     return agg.map_batches(finalize, batch_format="pyarrow")
 
@@ -92,8 +99,7 @@ def sessionize(events_ds, gap_us: int = 30 * 60 * 1_000_000):
             "start_us": pa.array(ts[starts], type=pa.int64()),
             "end_us": pa.array(ts[ends - 1], type=pa.int64()),
             "sum_value_cents": pa.array(
-                np.round(np.add.reduceat(val, starts) * 100.0).astype(
-                    np.int64)),
+                _round_half_away(np.add.reduceat(val, starts) * 100.0)),
         })
 
     return (events_ds
@@ -140,7 +146,8 @@ def top_users_by_type(events_ds, k: int = 5):
     def topk(group: pa.Table) -> pa.Table:
         # rank on integer cents: float totals summed in different orders
         # can differ by 1 ulp, which would make tie order engine-dependent
-        cents = pc.round(pc.multiply(group["total"], 100.0)).cast(pa.int64())
+        cents = pc.round(pc.multiply(group["total"], 100.0),
+                         round_mode="half_towards_infinity").cast(pa.int64())
         group = group.append_column("total_cents", cents)
         order = pc.sort_indices(group, sort_keys=[
             ("total_cents", "descending"), ("user_id", "ascending")])

@@ -64,6 +64,22 @@ def documents_as_corpus(sf_dir: str, parallelism: int | None = None):
 
     def to_corpus(batch: pa.Table) -> pa.Table:
         doc_id = batch["doc_id"].to_numpy()
+        # docno == str(original doc_id) downstream RELIES on: ids in
+        # [0, 10^8) (8-digit zero-pad keeps path order == id order) and no
+        # blank/NULL text (a blank-filtered doc would shift every later
+        # docno relative to the SQL oracle). Fail loudly, never shift.
+        if len(doc_id) and (doc_id.min() < 0 or doc_id.max() >= 10 ** 8):
+            raise ValueError("documents.parquet doc_id outside [0, 1e8); "
+                             "docno derivation requires 8-digit ids")
+        t = batch["text"]
+        blank = pc.or_(t.is_null(), pc.equal(
+            pc.utf8_trim_whitespace(pc.fill_null(t, "x")), ""))
+        if pc.any(blank).as_py():
+            bad = batch["doc_id"].filter(blank)[0].as_py()
+            raise ValueError(
+                f"documents.parquet has blank/NULL text (doc_id={bad}); "
+                "blank docs never get a docId, which would silently shift "
+                "every later docno — clean the table first")
         return pa.table({
             "repo": pa.array(["corpus"] * len(batch)),
             "path": pa.array([f"doc_{d:08d}.txt" for d in doc_id]),

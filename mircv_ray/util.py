@@ -1,0 +1,49 @@
+"""Small shared helpers (no Ray imports — safe at module scope anywhere)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+# sentinel hash for NULL values: distinct from sha256(b"") so a NULL doc
+# never collides with an empty-string doc (SQL GROUP BY keeps them apart)
+NULL_HASH = "null:" + hashlib.sha256(b"\x00null\x00").hexdigest()[:59]
+
+
+def sha256_hex_column(arr: pa.Array | pa.ChunkedArray,
+                      null_sentinel: str | None = None) -> pa.Array:
+    """Per-value sha256 hexdigest of a string/binary column.
+
+    hashlib is inherently per-value, but the values are fed as zero-copy
+    memoryview slices of the Arrow data buffer — no to_pylist() round
+    trip copying every document into a Python object first.
+
+    NULL values hash to ``null_sentinel`` (required if the column can
+    contain NULLs).
+    """
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    t = arr.type
+    if t in (pa.string(), pa.binary()):
+        arr = arr.cast(pa.binary())
+        off_dtype = np.int32
+    else:
+        arr = arr.cast(pa.large_binary())
+        off_dtype = np.int64
+    n = len(arr)
+    bufs = arr.buffers()
+    offs = np.frombuffer(bufs[1], dtype=off_dtype,
+                         count=n + 1, offset=arr.offset * off_dtype().nbytes)
+    data = memoryview(bufs[2]) if bufs[2] is not None else memoryview(b"")
+    sha = hashlib.sha256
+    if arr.null_count == 0:
+        out = [sha(data[offs[i]:offs[i + 1]]).hexdigest() for i in range(n)]
+    else:
+        if null_sentinel is None:
+            raise ValueError("column contains NULLs; pass null_sentinel")
+        valid = arr.is_valid().to_numpy(zero_copy_only=False)
+        out = [sha(data[offs[i]:offs[i + 1]]).hexdigest() if valid[i]
+               else null_sentinel for i in range(n)]
+    return pa.array(out, type=pa.string())
