@@ -10,8 +10,12 @@
 - SimHash: 64-bit weighted sign fingerprint; near-dup pairs by banded
   pigeonhole bucketing + exact Hamming verification.
 
-All stages are `map_batches`/`groupby` compositions — no driver-side
-loops over rows; bucket groupbys move only (key, id) pairs.
+All stages are `map_batches`/`groupby`/`join` compositions — no
+driver-side loops over rows and no driver materialization of per-doc
+state: bucket groupbys move only (key, id) pairs, and verification
+state (signatures / shingle sets / embeddings) reaches the verify stage
+through partitioned hash joins of the distinct candidate pairs against
+the state dataset (`_join_pair_state`).
 """
 
 from __future__ import annotations
@@ -21,6 +25,8 @@ import zlib
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+
+import ray
 
 from ..util import NULL_HASH, sha256_hex_column
 
@@ -230,6 +236,89 @@ def _make_partition_pairs(key_cols: list[str], id_col: str,
     return fn
 
 
+def _pack_rows(mat: np.ndarray) -> pa.Array:
+    """(n, w) fixed-dtype matrix -> binary column (one row per value).
+
+    Arrow binary is acero-join-compatible (list types are not), so
+    per-doc state rides through partitioned joins as packed bytes."""
+    mat = np.ascontiguousarray(mat)
+    n = len(mat)
+    w = mat.dtype.itemsize * (mat.shape[1] if mat.ndim > 1 else 1)
+    offs = np.arange(n + 1, dtype=np.int32) * w
+    return pa.Array.from_buffers(
+        pa.binary(), n,
+        [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(mat.tobytes())])
+
+
+def _unpack_fixed(col, dtype, width: int) -> np.ndarray:
+    """binary column of uniform ``width``-element rows -> (n, width) array,
+    vectorized (no per-row Python)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.zeros((0, width), dtype=dtype)
+    itemsize = np.dtype(dtype).itemsize
+    offs = np.frombuffer(col.buffers()[1], dtype=np.int32,
+                         count=n + 1, offset=col.offset * 4)
+    data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+    idx = offs[:-1, None] + np.arange(width * itemsize)[None, :]
+    return data[idx].reshape(n, width * itemsize).view(dtype)
+
+
+def _unpack_varlen(col, dtype) -> tuple[np.ndarray, np.ndarray]:
+    """binary column of variable-length packed arrays -> (flat values in
+    row order, per-row element counts), vectorized."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    itemsize = np.dtype(dtype).itemsize
+    if n == 0:
+        return np.zeros(0, dtype=dtype), np.zeros(0, np.int64)
+    offs = np.frombuffer(col.buffers()[1], dtype=np.int32,
+                         count=n + 1, offset=col.offset * 4).astype(np.int64)
+    data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+    lens = (offs[1:] - offs[:-1])
+    total = int(lens.sum())
+    idx = np.repeat(offs[:-1], lens) + _ranges(lens)
+    return data[idx][:total].view(dtype), (lens // itemsize)
+
+
+def _ranges(lens: np.ndarray) -> np.ndarray:
+    """concat([arange(l) for l in lens]) without the Python loop."""
+    total = int(lens.sum())
+    if total == 0:
+        return np.zeros(0, np.int64)
+    starts = np.cumsum(lens) - lens
+    out = np.ones(total, dtype=np.int64)
+    out[0] = 0
+    nz = lens > 0
+    out[starts[nz][1:]] = 1 - lens[nz][:-1]
+    return np.cumsum(out)
+
+
+def _join_pair_state(pairs_ds, state_ds, id_col: str,
+                     state_col: str, num_partitions: int | None = None):
+    """Attach per-id state to BOTH sides of candidate pairs via two
+    partitioned hash joins — the 100-TB-safe replacement for broadcasting
+    the state table: only (a, b, state) rows move, hash-partitioned by
+    key, never the whole table to the driver.
+
+    ``num_partitions`` defaults to ~half the cluster CPUs (each join
+    spawns one aggregator actor per partition; two chained joins at a
+    fixed count can starve a small node and deadlock the pipeline — at
+    multi-node scale pass ~total cores)."""
+    if num_partitions is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        num_partitions = max(2, min(64, cpus // 2))
+    j1 = pairs_ds.join(state_ds, "inner", num_partitions,
+                       on=("a",), right_on=(id_col,))
+    j1 = j1.rename_columns({state_col: "state_a"})
+    j2 = j1.join(state_ds, "inner", num_partitions,
+                 on=("b",), right_on=(id_col,))
+    return j2.rename_columns({state_col: "state_b"})
+
+
 def _distinct_pairs(pairs_ds):
     """Global distinct on (a, b), keeping each pair's first row (all
     columns). Packed into _PAIR_PARTITIONS hash partitions so the
@@ -258,57 +347,60 @@ def _bucketed_pairs(band_rows, key_cols: list[str], id_col: str,
         batch_format="pyarrow")
 
 
+def _pack_sigs(batch: pa.Table, id_col: str, num_perm: int) -> pa.Table:
+    """(id, sig list) -> (id, sig binary) for the acero-compatible join."""
+    sig = batch["sig"]
+    if isinstance(sig, pa.ChunkedArray):
+        sig = sig.combine_chunks()
+    mat = sig.values.to_numpy(zero_copy_only=False).reshape(-1, num_perm)
+    return pa.table({id_col: batch[id_col], "sig": _pack_rows(mat)})
+
+
 def minhash_candidate_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                             num_perm: int = _NUM_PERM, bands: int = 16,
-                            threshold: float = 0.5, seed: int = 1):
+                            threshold: float = 0.5, seed: int = 1,
+                            join_partitions: int | None = None):
     """Near-dup pairs (a < b, jaccard_est >= threshold) via MinHash-LSH.
 
     Verification uses the signature estimate (matching components /
     num_perm) — the scale-appropriate check (exact shingle Jaccard would
-    re-shuffle full text).
+    re-shuffle full text). Signatures reach the verify stage through two
+    partitioned hash joins of the DISTINCT candidate pairs against the
+    signature dataset (pairs keyed by ``a`` then ``b``) — nothing is
+    materialized on the driver or broadcast, so the path holds at 10^12
+    docs where the old ray.put broadcast held the whole matrix.
     """
     from .. import use_push_shuffle
     use_push_shuffle(ds)
     # materialize once: the signature stream feeds BOTH the banding
-    # pipeline and the verification broadcast (a lazy dataset would
-    # recompute the shingle/minhash work for each consumer)
+    # pipeline and the verify joins (a lazy dataset would recompute the
+    # shingle/minhash work for each consumer); blocks stay in the
+    # (spill-backed) object store, never on the driver
     sigs = ds.map_batches(
         lambda b: minhash_signatures(b, text_col, id_col, num_perm, seed=seed),
         batch_format="pyarrow").materialize()
-    sigs_mat = sigs
     band_rows = sigs.map_batches(
         lambda b: explode_bands(b, id_col, bands), batch_format="pyarrow")
-    pairs = _bucketed_pairs(band_rows, ["band", "band_hash"], id_col)
-    import ray
-
-    sig_tbl = pa.concat_tables(ray.get(sigs_mat.to_arrow_refs()))
-    num = sig_tbl["sig"].combine_chunks().values.to_numpy(
-        zero_copy_only=False).reshape(-1, num_perm)
-    order = np.argsort(sig_tbl[id_col].to_numpy())
-    idx_of = {int(sig_tbl[id_col][int(i)].as_py()): int(i) for i in order}
-    sig_ref = ray.put((idx_of, num))
+    pairs = _distinct_pairs(
+        _bucketed_pairs(band_rows, ["band", "band_hash"], id_col))
+    sig_bin = sigs.map_batches(lambda b: _pack_sigs(b, id_col, num_perm),
+                               batch_format="pyarrow")
+    joined = _join_pair_state(pairs, sig_bin, id_col, "sig", join_partitions)
 
     def verify(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return pa.table({"a": pa.array([], type=pa.int64()),
                              "b": pa.array([], type=pa.int64()),
                              "jaccard_est": pa.array([], type=pa.float64())})
-        idx_map, mat = ray.get(sig_ref)
-        a = batch["a"].to_numpy()
-        b = batch["b"].to_numpy()
-        # dedup identical (a,b) pairs arising from multiple shared bands
-        uniq = np.unique(np.stack([a, b], axis=1), axis=0)
-        a, b = uniq[:, 0], uniq[:, 1]
-        ai = np.array([idx_map[int(x)] for x in a])
-        bi = np.array([idx_map[int(x)] for x in b])
-        est = (mat[ai] == mat[bi]).mean(axis=1)
+        sa = _unpack_fixed(batch["state_a"], np.uint64, num_perm)
+        sb = _unpack_fixed(batch["state_b"], np.uint64, num_perm)
+        est = (sa == sb).mean(axis=1)
         keep = est >= threshold
-        return pa.table({"a": pa.array(a[keep]), "b": pa.array(b[keep]),
+        return pa.table({"a": batch["a"].filter(pa.array(keep)),
+                         "b": batch["b"].filter(pa.array(keep)),
                          "jaccard_est": pa.array(est[keep])})
 
-    verified = pairs.map_batches(verify, batch_format="pyarrow")
-    # global distinct (a pair can emerge from several bands in different blocks)
-    return _distinct_pairs(verified)
+    return joined.map_batches(verify, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------- simhash
@@ -413,42 +505,81 @@ def shingle_sets(batch: pa.Table, text_col: str = "text",
     })
 
 
+def _pack_shingle_sets(batch: pa.Table, id_col: str) -> pa.Table:
+    """(id, shingles list<int64>) -> (id, shingles binary) for the join."""
+    sh = batch["shingles"]
+    if isinstance(sh, pa.ChunkedArray):
+        sh = sh.combine_chunks()
+    lens = pc.list_value_length(sh).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    flat = pc.list_flatten(sh).to_numpy(zero_copy_only=False)
+    boffs = np.zeros(len(lens) + 1, dtype=np.int32)
+    np.cumsum(lens * 8, out=boffs[1:])
+    arr = pa.Array.from_buffers(
+        pa.binary(), len(lens),
+        [None, pa.py_buffer(boffs.tobytes()),
+         pa.py_buffer(np.ascontiguousarray(flat).tobytes())])
+    return pa.table({id_col: batch[id_col], "shingles": arr})
+
+
+def _sigs_from_sets(batch: pa.Table, id_col: str, num_perm: int,
+                    seed: int) -> pa.Table:
+    """Minhash signatures FROM packed shingle sets (min over the distinct
+    set equals min over the multiset, so these are identical to
+    minhash_signatures' output) — lets one content scan feed both the
+    banding pipeline and the exact-verify join."""
+    flat, counts = _unpack_varlen(batch["shingles"], np.uint64)
+    a, b = _perm_params(num_perm, seed)
+    sigs = np.full((len(counts), num_perm), np.iinfo(np.uint64).max,
+                   dtype=np.uint64)
+    if len(flat):
+        starts = np.cumsum(counts) - counts
+        nz = counts > 0
+        starts_nz = starts[nz]
+        with np.errstate(over="ignore"):
+            for p in range(num_perm):
+                vals = (a[p] * flat + b[p]) % _MERSENNE
+                sigs[nz, p] = np.minimum.reduceat(vals, starts_nz)
+    return pa.table({
+        id_col: batch[id_col],
+        "sig": pa.FixedSizeListArray.from_arrays(
+            pa.array(sigs.reshape(-1).astype(np.int64)), num_perm),
+    })
+
+
 def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                         threshold: float = 0.5, shingle_k: int = 3,
                         num_perm: int = _NUM_PERM, bands: int = 16,
-                        seed: int = 1):
+                        seed: int = 1, join_partitions: int | None = None):
     """Near-dup pairs with EXACT n-gram (shingle-set) Jaccard >= threshold.
 
     Candidates come from the same MinHash-LSH banding as
     minhash_candidate_pairs (recall bounded by the band curve); the
-    verification intersects the true shingle sets, so no estimation error
-    on the reported pairs. Shingle sets are broadcast via ray.put at this
-    scale; at 10^12 docs verification becomes a hash-partitioned join of
-    pair ids against the shingle-set table.
+    verification intersects the true shingle sets — which reach the
+    verify stage through two partitioned hash joins of the distinct
+    candidate pairs against the (packed) shingle-set dataset, never a
+    driver broadcast. The per-batch intersection is one sort +
+    adjacent-equality count over all pairs at once (both sides are
+    distinct-element sets, so an equal adjacent duo within a pair is
+    exactly one a/b match) — no per-pair Python loop.
     """
-    import ray
-
     from .. import use_push_shuffle
     use_push_shuffle(ds)
-    sig_in = ds.map_batches(
-        lambda b: minhash_signatures(b, text_col, id_col, num_perm,
-                                     shingle_k, seed),
+    # ONE content scan: shingle sets are materialized packed; signatures
+    # derive from the sets (identical minima), so text never re-tokenizes
+    sets_bin = ds.map_batches(
+        lambda b: _pack_shingle_sets(
+            shingle_sets(b, text_col, id_col, shingle_k), id_col),
+        batch_format="pyarrow").materialize()
+    sig_in = sets_bin.map_batches(
+        lambda b: _sigs_from_sets(b, id_col, num_perm, seed),
         batch_format="pyarrow")
     band_rows = sig_in.map_batches(
         lambda b: explode_bands(b, id_col, bands), batch_format="pyarrow")
-    pairs = _bucketed_pairs(band_rows, ["band", "band_hash"], id_col)
-
-    sets_ds = ds.map_batches(
-        lambda b: shingle_sets(b, text_col, id_col, shingle_k),
-        batch_format="pyarrow")
-    sets_tbl = pa.concat_tables(
-        [t for t in ray.get(sets_ds.to_arrow_refs()) if t.num_rows])
-    sh = sets_tbl["shingles"].combine_chunks()
-    vals = sh.values.to_numpy(zero_copy_only=False)
-    offs = sh.offsets.to_numpy(zero_copy_only=False)
-    by_id = {int(d): (int(offs[i]), int(offs[i + 1]))
-             for i, d in enumerate(sets_tbl[id_col].to_numpy())}
-    sets_ref = ray.put((by_id, vals, offs))
+    pairs = _distinct_pairs(
+        _bucketed_pairs(band_rows, ["band", "band_hash"], id_col))
+    joined = _join_pair_state(pairs, sets_bin, id_col, "shingles",
+                              join_partitions)
 
     def verify(batch: pa.Table) -> pa.Table:
         empty = pa.table({"a": pa.array([], type=pa.int64()),
@@ -456,25 +587,23 @@ def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                           "jaccard": pa.array([], type=pa.float64())})
         if batch.num_rows == 0:
             return empty
-        id_rng, v, _ = ray.get(sets_ref)
-        a = batch["a"].to_numpy()
-        b = batch["b"].to_numpy()
-        uniq = np.unique(np.stack([a, b], axis=1), axis=0)
-        out_a, out_b, out_j = [], [], []
-        for x, y in uniq:
-            sx, ex = id_rng[int(x)]
-            sy, ey = id_rng[int(y)]
-            inter = np.intersect1d(v[sx:ex], v[sy:ey],
-                                   assume_unique=True).size
-            union = (ex - sx) + (ey - sy) - inter
-            j = inter / union if union else 0.0
-            if j >= threshold:
-                out_a.append(int(x))
-                out_b.append(int(y))
-                out_j.append(j)
-        return pa.table({"a": pa.array(out_a, type=pa.int64()),
-                         "b": pa.array(out_b, type=pa.int64()),
-                         "jaccard": pa.array(out_j, type=pa.float64())})
+        fa, la = _unpack_varlen(batch["state_a"], np.uint64)
+        fb, lb = _unpack_varlen(batch["state_b"], np.uint64)
+        n = batch.num_rows
+        pid = np.concatenate([np.repeat(np.arange(n), la),
+                              np.repeat(np.arange(n), lb)])
+        vals = np.concatenate([fa, fb])
+        order = np.lexsort((vals, pid))
+        v, p = vals[order], pid[order]
+        dup = np.zeros(len(v), dtype=bool)
+        if len(v) > 1:
+            dup[1:] = (v[1:] == v[:-1]) & (p[1:] == p[:-1])
+        inter = np.bincount(p[dup], minlength=n).astype(np.int64)
+        union = la + lb - inter
+        jac = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
+        keep = jac >= threshold
+        return pa.table({"a": batch["a"].filter(pa.array(keep)),
+                         "b": batch["b"].filter(pa.array(keep)),
+                         "jaccard": pa.array(jac[keep])})
 
-    verified = pairs.map_batches(verify, batch_format="pyarrow")
-    return _distinct_pairs(verified)
+    return joined.map_batches(verify, batch_format="pyarrow")

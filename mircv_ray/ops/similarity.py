@@ -146,12 +146,11 @@ def embedding_near_dup_pairs(emb_ds, threshold: float = 0.9,
     Random-hyperplane LSH: a 64-bit sign sketch per vector, banded into
     ``bands`` buckets (pairs within Hamming distance 64/bands of each
     other share a band with high probability for high-cosine pairs);
-    exact cosine verification inside each bucket. Normalized embeddings
-    are broadcast via ray.put for verification at this scale; at larger
-    scale the verify step becomes a partitioned join on vector id.
+    exact cosine verification inside each bucket. The normalized vectors
+    reach the verify stage through two partitioned hash joins of the
+    distinct candidate pairs against the (binary-packed) embedding
+    dataset — never a driver materialization or broadcast.
     """
-    import ray
-
     from .. import use_push_shuffle
     use_push_shuffle(emb_ds)
 
@@ -180,36 +179,32 @@ def embedding_near_dup_pairs(emb_ds, threshold: float = 0.9,
             "band_key": pa.array(np.concatenate(key_out)),
         })
 
-    # broadcast normalized embeddings for exact verification
-    tbls = [t for t in ray.get(
-        emb_ds.select_columns([id_col, emb_col]).to_arrow_refs())
-        if t.num_rows]
-    full = pa.concat_tables(tbls)
-    mat = _normalize(_emb_matrix(full, emb_col))
-    idx_of = {int(v): i for i, v in enumerate(full[id_col].to_numpy())}
-    emb_ref = ray.put((idx_of, mat))
+    from .dedup import (_bucketed_pairs, _distinct_pairs, _join_pair_state,
+                        _pack_rows, _unpack_varlen)
+
+    def pack_normalized(batch: pa.Table) -> pa.Table:
+        m = _normalize(_emb_matrix(batch, emb_col))
+        return pa.table({id_col: batch[id_col], "nemb": _pack_rows(m)})
 
     def verify_pairs(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return pa.table({"a": pa.array([], type=pa.int64()),
                              "b": pa.array([], type=pa.int64()),
                              "cosine": pa.array([], type=pa.float64())})
-        idx_map, m = ray.get(emb_ref)
-        a = batch["a"].to_numpy()
-        b = batch["b"].to_numpy()
-        ra = np.fromiter((idx_map[int(x)] for x in a), dtype=np.int64,
-                         count=len(a))
-        rb = np.fromiter((idx_map[int(x)] for x in b), dtype=np.int64,
-                         count=len(b))
-        cs = np.einsum("ij,ij->i", m[ra], m[rb])
+        fa, la = _unpack_varlen(batch["state_a"], np.float64)
+        fb, _ = _unpack_varlen(batch["state_b"], np.float64)
+        dim = int(la[0])
+        ma = fa.reshape(-1, dim)
+        mb = fb.reshape(-1, dim)
+        cs = np.einsum("ij,ij->i", ma, mb)
         keep = cs >= threshold
-        return pa.table({"a": pa.array(a[keep], type=pa.int64()),
-                         "b": pa.array(b[keep], type=pa.int64()),
+        return pa.table({"a": batch["a"].filter(pa.array(keep)),
+                         "b": batch["b"].filter(pa.array(keep)),
                          "cosine": pa.array(cs[keep], type=pa.float64())})
 
-    from .dedup import _bucketed_pairs, _distinct_pairs
-    cand = _bucketed_pairs(
+    cand = _distinct_pairs(_bucketed_pairs(
         emb_ds.map_batches(sketch, batch_format="pyarrow"),
-        ["band", "band_key"], id_col, max_bucket=1000)
-    verified = cand.map_batches(verify_pairs, batch_format="pyarrow")
-    return _distinct_pairs(verified)
+        ["band", "band_key"], id_col, max_bucket=1000))
+    emb_bin = emb_ds.map_batches(pack_normalized, batch_format="pyarrow")
+    joined = _join_pair_state(cand, emb_bin, id_col, "nemb")
+    return joined.map_batches(verify_pairs, batch_format="pyarrow")
