@@ -127,49 +127,45 @@ _EMPTY_MAPPING = pa.table({"repo": pa.array([], pa.string()),
                            "doc_id": pa.array([], pa.int64())})
 
 
-def build_id_mapping(slim, ray_mod) -> pa.Table:
-    """Deterministic docId mapping from a SLIM (repo, path) dataset.
+def _driver_id_mapping(slim, ray_mod) -> pa.Table:
+    """Driver-side mapping (small key sets): pull the slim keys, sort,
+    rank. docId = 1 + rank in (repo, path) order."""
+    tbls = [t for t in ray_mod.get(slim.to_arrow_refs()) if t.num_rows]
+    if not tbls:
+        return _EMPTY_MAPPING
+    keys = pa.concat_tables(tbls).combine_chunks()
+    try:
+        # polars sorts multithreaded (byte-order on strings, same as
+        # arrow); the driver sort is on the critical path
+        import polars as pl
+        keys = pl.from_arrow(keys).sort(["repo", "path"]).to_arrow()
+        keys = keys.cast(pa.schema([("repo", pa.string()),
+                                    ("path", pa.string())]))
+    except ImportError:
+        keys = keys.take(pc.sort_indices(
+            keys, sort_keys=[("repo", "ascending"),
+                             ("path", "ascending")]))
+    joined = pc.binary_join_element_wise(keys["repo"], keys["path"],
+                                         "\x00")
+    jn = joined.to_numpy(zero_copy_only=False)
+    if len(jn) > 1 and (jn[1:] == jn[:-1]).any():
+        dup = jn[1:][jn[1:] == jn[:-1]][0]
+        raise ValueError(
+            "corpus has duplicate (repo, path) keys (e.g. "
+            f"{dup.replace(chr(0), '/')}); docId assignment requires "
+            "unique keys — dedupe the corpus first "
+            "(e.g. ops.exact_dedup_keep)")
+    return keys.append_column(
+        "doc_id", pa.array(np.arange(1, keys.num_rows + 1,
+                                     dtype=np.int64)))
 
-    ``slim`` must already be blank-filtered (blank docs never consume a
-    docId, InvertedIndex.java:45-47) and projected to the two key columns
-    — pass e.g. ``tok.select_columns(["repo", "path"])`` over the
-    materialized token stream so content is scanned exactly once per
-    build. docId = 1 + rank in (repo, path) order: data-dependent only,
-    identical at any parallelism. Small key sets sort driver-side; large
-    ones shuffle only the keys (per-repo base offsets + within-repo path
-    rank). At 10^12 keys the broadcast of the result becomes a
-    hash-partitioned join of the corpus against this mapping table on
-    (repo, path); same lineage, documented here.
-    """
-    if slim.count() <= DRIVER_IDMAP_MAX_ROWS:
-        tbls = [t for t in ray_mod.get(slim.to_arrow_refs()) if t.num_rows]
-        if not tbls:
-            return _EMPTY_MAPPING
-        keys = pa.concat_tables(tbls).combine_chunks()
-        try:
-            # polars sorts multithreaded (byte-order on strings, same as
-            # arrow); the driver sort is on the critical path
-            import polars as pl
-            keys = pl.from_arrow(keys).sort(["repo", "path"]).to_arrow()
-            keys = keys.cast(pa.schema([("repo", pa.string()),
-                                        ("path", pa.string())]))
-        except ImportError:
-            keys = keys.take(pc.sort_indices(
-                keys, sort_keys=[("repo", "ascending"),
-                                 ("path", "ascending")]))
-        joined = pc.binary_join_element_wise(keys["repo"], keys["path"],
-                                             "\x00")
-        jn = joined.to_numpy(zero_copy_only=False)
-        if len(jn) > 1 and (jn[1:] == jn[:-1]).any():
-            dup = jn[1:][jn[1:] == jn[:-1]][0]
-            raise ValueError(
-                "corpus has duplicate (repo, path) keys (e.g. "
-                f"{dup.replace(chr(0), '/')}); docId assignment requires "
-                "unique keys — dedupe the corpus first "
-                "(e.g. ops.exact_dedup_keep)")
-        return keys.append_column(
-            "doc_id", pa.array(np.arange(1, keys.num_rows + 1,
-                                         dtype=np.int64)))
+
+def build_id_mapping_ds(slim, ray_mod):
+    """Distributed docId mapping as a DATASET (repo, path, doc_id) — for
+    key sets too large for one driver heap. Per-repo base offsets (repo
+    cardinality is metadata-sized) + within-repo path rank via a groupby;
+    nothing but the per-repo counts ever lands on the driver. Duplicate
+    keys raise inside the grouped task."""
     counts = slim.groupby("repo").count().take_all()
     counts.sort(key=lambda r: r["repo"])
     bases, acc = {}, 0
@@ -177,8 +173,29 @@ def build_id_mapping(slim, ray_mod) -> pa.Table:
         bases[r["repo"]] = acc
         acc += r["count()"]
     bases_ref = ray_mod.put(bases)
-    mapping_ds = slim.groupby("repo").map_groups(
+    return slim.groupby("repo").map_groups(
         _make_assign_ids(bases_ref), batch_format="pyarrow")
+
+
+def build_id_mapping(slim, ray_mod) -> pa.Table:
+    """Deterministic docId mapping TABLE from a SLIM (repo, path) dataset.
+
+    ``slim`` must already be blank-filtered (blank docs never consume a
+    docId, InvertedIndex.java:45-47) and projected to the two key columns
+    — pass e.g. ``tok.select_columns(["repo", "path"])`` over the
+    materialized token stream so content is scanned exactly once per
+    build. docId = 1 + rank in (repo, path) order: data-dependent only,
+    identical at any parallelism.
+
+    This driver-table form exists for broadcast-scale key sets; above
+    ``DRIVER_IDMAP_MAX_ROWS`` the BUILD uses ``build_id_mapping_ds`` +
+    ``attach_ids_via_join`` instead (nothing driver-side). Calling this
+    on a large set still works (distributed rank, then one pull) but is
+    not the scale path.
+    """
+    if slim.count() <= DRIVER_IDMAP_MAX_ROWS:
+        return _driver_id_mapping(slim, ray_mod)
+    mapping_ds = build_id_mapping_ds(slim, ray_mod)
     tbls = [t for t in ray_mod.get(mapping_ds.to_arrow_refs()) if t.num_rows]
     if not tbls:
         return _EMPTY_MAPPING
@@ -187,6 +204,51 @@ def build_id_mapping(slim, ray_mod) -> pa.Table:
     # order, so a cheap numeric sort restores the invariant _mapping_keys
     # relies on
     return tbl.take(pc.sort_indices(tbl["doc_id"]))
+
+
+def _pack_token_lists(batch: pa.Table) -> pa.Table:
+    """tokens list<string> -> space-joined string column (acero hash
+    joins reject list-typed payloads; tokens never contain whitespace —
+    the tokenizer splits on it — so the join/split round-trip is exact)."""
+    toks = batch["tokens"]
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    packed = pc.binary_join(toks, " ")
+    i = batch.schema.get_field_index("tokens")
+    return batch.set_column(i, "tokens", packed)
+
+
+def _unpack_token_lists(batch: pa.Table) -> pa.Table:
+    """Inverse of _pack_token_lists (empty docs round-trip to empty
+    lists; all-vectorized rebuild)."""
+    packed = batch["tokens"]
+    if isinstance(packed, pa.ChunkedArray):
+        packed = packed.combine_chunks()
+    lists = pc.split_pattern(packed, " ")
+    flat = pc.list_flatten(lists)
+    keep = pc.greater(pc.binary_length(flat), 0)
+    parent = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+    keep_np = keep.to_numpy(zero_copy_only=False)
+    counts = np.bincount(parent[keep_np], minlength=batch.num_rows)
+    offsets = np.zeros(batch.num_rows + 1, dtype=np.int32)
+    np.cumsum(counts, out=offsets[1:])
+    toks = pa.ListArray.from_arrays(pa.array(offsets), flat.filter(keep))
+    i = batch.schema.get_field_index("tokens")
+    return batch.set_column(i, "tokens", toks)
+
+
+def attach_ids_via_join(tok_ds, mapping_ds, num_partitions: int | None = None):
+    """Hash-partitioned join of the token stream against the mapping
+    dataset on (repo, path) — the 10^12-key replacement for the ray.put
+    broadcast in AttachIds: only co-partitioned rows move, the mapping
+    never lands on the driver or in any single worker's heap."""
+    from ..util import default_join_partitions
+    if num_partitions is None:
+        num_partitions = default_join_partitions()
+    packed = tok_ds.map_batches(_pack_token_lists, batch_format="pyarrow")
+    joined = packed.join(mapping_ds, "inner", num_partitions,
+                         on=("repo", "path"))
+    return joined.map_batches(_unpack_token_lists, batch_format="pyarrow")
 
 
 class AttachIds:
@@ -605,15 +667,28 @@ def build_index(corpus, out_dir: str, cfg: IndexConfig | None = None,
             TokenizeHashDropBlank(cfg), batch_format="pyarrow",
             batch_size=cfg.tokenize_batch_size).materialize()
         # docIds from the SLIM materialized keys (no second content pass)
-        mapping_tbl = build_id_mapping(
-            tok0.select_columns(["repo", "path"]), ray)
-        mapping_ref = ray.put(mapping_tbl)
-        tok_mat = tok0.map_batches(AttachIds(mapping_ref),
-                                   batch_format="pyarrow")
+        slim = tok0.select_columns(["repo", "path"])
+        n_keys = slim.count()
+        if n_keys <= DRIVER_IDMAP_MAX_ROWS:
+            # broadcast path: mapping table fits a worker heap — ray.put
+            # once, binary-search per batch
+            mapping_tbl = _driver_id_mapping(slim, ray)
+            mapping_ref = ray.put(mapping_tbl)
+            tok_mat = tok0.map_batches(AttachIds(mapping_ref),
+                                       batch_format="pyarrow")
+        else:
+            # scale path: the mapping stays a Dataset and doc ids attach
+            # via a hash-partitioned join on (repo, path) — the mapping
+            # never lands on the driver or any single heap. Materialized
+            # so the docs write AND the postings stage both read the
+            # joined stream without re-running the join.
+            mapping_ds = build_id_mapping_ds(slim, ray)
+            tok_mat = attach_ids_via_join(tok0, mapping_ds).materialize()
+            tok0 = None  # release the pre-join token blocks
         tok_mat.drop_columns(["tokens"]).write_parquet(
             str(out / "docs"), min_rows_per_file=200_000)
         write_manifest(out_dir, "docs", {
-            "lineage": lineage or {}, "n_docs": mapping_tbl.num_rows,
+            "lineage": lineage or {}, "n_docs": n_keys,
             "seconds": time.time() - t0,
         })
     docs_tbl = pq.read_table(str(out / "docs"),
@@ -635,13 +710,24 @@ def build_index(corpus, out_dir: str, cfg: IndexConfig | None = None,
             # resume path (docs stage done in a previous run): re-derive the
             # token stream — the id mapping comes from the checkpointed doc
             # table, tokenization is deterministic.
-            mapping_tbl = pq.read_table(str(out / "docs"),
-                                        columns=["repo", "path", "doc_id"])
-            mapping_tbl = mapping_tbl.take(
-                pc.sort_indices(mapping_tbl["doc_id"]))  # _mapping_keys invariant
-            tok_mat = corpus.map_batches(
-                AttachIdsTokenizeHash(cfg, ray.put(mapping_tbl)),
-                batch_format="pyarrow", batch_size=cfg.tokenize_batch_size)
+            if n_docs <= DRIVER_IDMAP_MAX_ROWS:
+                mapping_tbl = pq.read_table(str(out / "docs"),
+                                            columns=["repo", "path", "doc_id"])
+                mapping_tbl = mapping_tbl.take(
+                    pc.sort_indices(mapping_tbl["doc_id"]))  # _mapping_keys invariant
+                tok_mat = corpus.map_batches(
+                    AttachIdsTokenizeHash(cfg, ray.put(mapping_tbl)),
+                    batch_format="pyarrow", batch_size=cfg.tokenize_batch_size)
+            else:
+                # scale resume: join the re-derived token stream against
+                # the checkpointed mapping parquet (streamed, no driver)
+                import ray.data as rd
+                tok0r = corpus.map_batches(
+                    TokenizeHashDropBlank(cfg), batch_format="pyarrow",
+                    batch_size=cfg.tokenize_batch_size)
+                mapping_ds = rd.read_parquet(
+                    str(out / "docs"), columns=["repo", "path", "doc_id"])
+                tok_mat = attach_ids_via_join(tok0r, mapping_ds)
         posts = tok_mat.select_columns(["doc_id", "tokens"]).map_batches(
             _make_explode(cfg.num_shards, cfg.salt_buckets, n_docs),
             batch_format="pyarrow", batch_size=cfg.explode_batch_size)

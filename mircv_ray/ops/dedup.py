@@ -309,8 +309,8 @@ def _join_pair_state(pairs_ds, state_ds, id_col: str,
     fixed count can starve a small node and deadlock the pipeline — at
     multi-node scale pass ~total cores)."""
     if num_partitions is None:
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-        num_partitions = max(2, min(64, cpus // 2))
+        from ..util import default_join_partitions
+        num_partitions = default_join_partitions()
     j1 = pairs_ds.join(state_ds, "inner", num_partitions,
                        on=("a",), right_on=(id_col,))
     j1 = j1.rename_columns({state_col: "state_a"})

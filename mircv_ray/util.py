@@ -12,6 +12,16 @@ import pyarrow as pa
 NULL_HASH = "null:" + hashlib.sha256(b"\x00null\x00").hexdigest()[:59]
 
 
+def default_join_partitions(lo: int = 2, hi: int = 64) -> int:
+    """Hash-join partition count sized to the cluster: each Dataset.join
+    spawns one aggregator actor per partition, so a fixed large count
+    starves a small node (deadlock) while a small count under-parallelizes
+    a big cluster. ~half the CPUs leaves room for the map tasks."""
+    import ray
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    return max(lo, min(hi, cpus // 2))
+
+
 def sha256_hex_column(arr: pa.Array | pa.ChunkedArray,
                       null_sentinel: str | None = None) -> pa.Array:
     """Per-value sha256 hexdigest of a string/binary column.

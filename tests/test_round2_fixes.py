@@ -141,3 +141,57 @@ def test_sessionize_rounding_half_away(ray_session):
     out = sessionize(rd.from_arrow(t)).to_pandas()
     assert len(out) == 1
     assert int(out["sum_value_cents"][0]) == 13
+
+
+# ----------------------------------------------- id-mapping join scale path
+
+def test_idmap_join_path_matches_broadcast(ray_session, tmp_path, monkeypatch):
+    """Forcing the >DRIVER_IDMAP_MAX_ROWS branch (hash-join id attach)
+    must produce an index identical to the broadcast path — and the
+    join-based resume (docs checkpointed, postings rebuilt) must too."""
+    import ray.data as rd
+
+    from mircv_ray.build import build_index
+    from mircv_ray.build import index_build as ib
+    from mircv_ray.config import IndexConfig
+    from mircv_ray.query.dump import dump_postings
+    from mircv_ray.sources.corpus import generate_corpus_table
+
+    corpus = generate_corpus_table(120, with_sha=False)
+    cfg = IndexConfig(parse=True, num_shards=2, salt_buckets=2)
+
+    def canon_docs(d):
+        t = pq.read_table(d / "docs",
+                          columns=["repo", "path", "doc_id", "doc_len",
+                                   "sha256"])
+        import pyarrow.compute as pc
+        return t.take(pc.sort_indices(t["doc_id"]))
+
+    def canon_lex(d):
+        t = pq.read_table(d / "lexicon")
+        import pyarrow.compute as pc
+        return t.take(pc.sort_indices(t["term"]))
+
+    def canon_posts(d):
+        import pyarrow.compute as pc
+        import ray
+        ds = dump_postings(str(d))
+        t = pa.concat_tables(ray.get(ds.to_arrow_refs())).combine_chunks()
+        return t.take(pc.sort_indices(
+            t, sort_keys=[("term", "ascending"), ("doc_id", "ascending")]))
+
+    s_a = build_index(rd.from_arrow(corpus), str(tmp_path / "a"), cfg)
+    monkeypatch.setattr(ib, "DRIVER_IDMAP_MAX_ROWS", 0)
+    s_b = build_index(rd.from_arrow(corpus), str(tmp_path / "b"), cfg)
+    assert s_a["n_docs"] == s_b["n_docs"]
+    assert s_a["metrics"]["n_postings"] == s_b["metrics"]["n_postings"]
+    assert canon_docs(tmp_path / "a").equals(canon_docs(tmp_path / "b"))
+    assert canon_lex(tmp_path / "a").equals(canon_lex(tmp_path / "b"))
+    assert canon_posts(tmp_path / "a").equals(canon_posts(tmp_path / "b"))
+
+    # join-based RESUME: docs checkpoint kept, postings+lexicon rebuilt
+    for stage in ("postings", "lexicon"):
+        (tmp_path / "b" / "_manifests" / f"{stage}.json").unlink()
+    s_c = build_index(rd.from_arrow(corpus), str(tmp_path / "b"), cfg)
+    assert s_c["metrics"]["n_postings"] == s_a["metrics"]["n_postings"]
+    assert canon_posts(tmp_path / "a").equals(canon_posts(tmp_path / "b"))
