@@ -310,11 +310,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def lang_id(sf_dir: str):
         from mircv_ray.ops import lang_id as li
-        return _docs_ds(sf_dir).map_batches(li, batch_format="pyarrow")
+        return _sorted_table(
+            _docs_ds(sf_dir).map_batches(li, batch_format="pyarrow"),
+            ["doc_id"])
 
     def fingerprint(sf_dir: str):
         from mircv_ray.ops import fingerprint as fp
-        return _docs_ds(sf_dir).map_batches(fp, batch_format="pyarrow")
+        return _sorted_table(
+            _docs_ds(sf_dir).map_batches(fp, batch_format="pyarrow"),
+            ["doc_id"])
 
     def minhash_pairs(sf_dir: str):
         from mircv_ray.ops import minhash_candidate_pairs
@@ -424,6 +428,71 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_users": top_users,
         "media_features": media_features,
     }
+
+
+def _lang_id_sql() -> str:
+    """Marker-vote language id in SQL, generated from the SAME marker
+    constants as the Ray op (identical regex alternations; both engines
+    run RE2, so match semantics agree)."""
+    from mircv_ray.ops.textops import _LANGS
+    vote_cols = ",\n    ".join(
+        "len(regexp_extract_all(lower(text), '\\b("
+        + "|".join(sorted(markers)) + ")\\b'))::BIGINT AS c_" + name
+        for name, markers in _LANGS)
+    names = [name for name, _ in _LANGS]
+    m = "greatest(" + ", ".join(f"c_{n}" for n in names) + ")"
+    n_max = " + ".join(f"(c_{n} = m)::INT" for n in names)
+    first_max = " ".join(f"WHEN c_{n} = m THEN '{n}'" for n in names[:-1])
+    return f"""
+WITH v AS (
+  SELECT doc_id,
+    {vote_cols}
+  FROM documents),
+g AS (SELECT doc_id, {", ".join("c_" + n for n in names)}, {m} AS m FROM v)
+SELECT doc_id,
+       CASE WHEN m = 0 THEN 'unknown'
+            WHEN {n_max} > 1 THEN 'unknown'
+            {first_max}
+            ELSE '{names[-1]}' END AS lang_pred,
+       m AS lang_votes
+FROM g ORDER BY doc_id
+"""
+
+
+# 64-bit polynomial fingerprint in SQL. documents.text is ASCII in every
+# sf table (asserted by the ord()==byte assumption here; the Ray op
+# hashes UTF-8 bytes and is general).
+_FINGERPRINT_SQL = """
+WITH RECURSIVE pw(k, p) AS (
+  SELECT 0, CAST(1 AS HUGEINT)
+  UNION ALL
+  SELECT k + 1, (p * 1099511628211) % 18446744073709551616::HUGEINT
+  FROM pw WHERE k < (SELECT coalesce(max(length(text)), 1) FROM documents)
+),
+ch0 AS (
+  SELECT doc_id, unnest(range(1, length(text) + 1)) AS i,
+         length(text) AS n, text
+  FROM documents
+),
+ch AS (
+  SELECT doc_id, i, ord(substr(text, i::INT, 1))::HUGEINT AS b, n
+  FROM ch0
+),
+s AS (
+  SELECT ch.doc_id,
+         sum((ch.b * pw.p) % 18446744073709551616::HUGEINT)
+           % 18446744073709551616::HUGEINT AS v
+  FROM ch JOIN pw ON pw.k = ch.n - ch.i
+  GROUP BY ch.doc_id
+)
+SELECT d.doc_id,
+       CAST(CASE WHEN s.v IS NULL THEN 0
+                 WHEN s.v >= 9223372036854775808::HUGEINT
+                   THEN s.v - 18446744073709551616::HUGEINT
+                 ELSE s.v END AS BIGINT) AS fingerprint
+FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+ORDER BY d.doc_id
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -546,9 +615,11 @@ SELECT user_id, session_id,
 FROM s GROUP BY user_id, session_id
 ORDER BY user_id, session_id
 """,
-        # lang_id / fingerprint / minhash_pairs / simhash_pairs /
-        # ngram_jaccard / embedding_near_dups / media_features:
-        # intentionally no SQL oracle (heuristic, hash- or model-shaped
-        # ops) -> driver records the rows-only check; exact-value
-        # verification lives in tests/test_ops.py against brute force.
+        "lang_id": _lang_id_sql(),
+        "fingerprint": _FINGERPRINT_SQL,
+        # minhash_pairs / simhash_pairs / ngram_jaccard /
+        # embedding_near_dups / media_features: intentionally no SQL
+        # oracle (LSH/hash-banded or model-shaped ops) -> driver records
+        # the rows-only check; exact-value verification lives in
+        # tests/test_ops.py against brute force.
     }

@@ -26,8 +26,6 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-import ray
-
 from ..util import NULL_HASH, sha256_hex_column
 
 _MERSENNE = np.uint64((1 << 61) - 1)
