@@ -28,7 +28,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 _CACHE_ROOT = Path("/tmp/mircv_ray_cache")
-_CACHE_VERSION = 2  # bump when corpus mapping / index layout changes
+_CACHE_VERSION = 3  # bump when corpus mapping / index layout changes
 
 # ---------------------------------------------------------------------------
 # SQL building blocks (basic tokenizer: M2-M6 + trim; squeeze off — RE2 has

@@ -59,6 +59,7 @@ logger = logging.getLogger(__name__)
 
 BLOCK_STRUCT = pa.struct([
     ("max_doc_id", pa.int64()), ("n", pa.int64()),
+    ("b25c", pa.float64()), ("tfc", pa.float64()),
     ("ids", pa.binary()), ("tfs", pa.binary()),
 ])
 
@@ -473,8 +474,9 @@ def _make_build_segments(doc_len_ref, avg_doc_len: float, cfg: IndexConfig):
         # A6/A7 cores via segment maxima over the whole stream
         bj_all = 0.3 + b * (doc_lens[ids_all - 1] / avg_doc_len)
         b25_vals = tfs_all / (k1 * bj_all + tfs_all)
+        tf_vals = 1.0 + np.log10(tfs_all)
         b25_arr = np.maximum.reduceat(b25_vals, bounds)
-        tfidf_arr = np.maximum.reduceat(1.0 + np.log10(tfs_all), bounds)
+        tfidf_arr = np.maximum.reduceat(tf_vals, bounds)
         out_term = terms_arr.take(pa.array(row_starts, type=pa.int64()))
         # single-block terms (df*4 <= threshold, C6) batch-encode for
         # vbyte/none; ef and multi-block terms use the per-term path
@@ -501,6 +503,9 @@ def _make_build_segments(doc_len_ref, avg_doc_len: float, cfg: IndexConfig):
                           zip(sb_bounds[:-1], sb_bounds[1:])]
         out_bytes_ids, out_bytes_tfs = [], []
         blk_max, blk_n, blk_ids, blk_tfs, blk_offsets = [], [], [], [], [0]
+        # per-block score-core maxima (block-max pruning: UB = idf * core;
+        # lossless skip data for MaxScore's non-essential lists)
+        blk_b25c, blk_tfc = [], []
         j = 0
         for gi in range(nt):
             if single[gi]:
@@ -510,6 +515,8 @@ def _make_build_segments(doc_len_ref, avg_doc_len: float, cfg: IndexConfig):
                 out_bytes_tfs.append(len(tb))
                 blk_max.append(int(max_arr[gi]))
                 blk_n.append(int(df_arr[gi]))
+                blk_b25c.append(float(b25_arr[gi]))
+                blk_tfc.append(float(tfidf_arr[gi]))
                 blk_ids.append(ib)
                 blk_tfs.append(tb)
             else:
@@ -520,6 +527,10 @@ def _make_build_segments(doc_len_ref, avg_doc_len: float, cfg: IndexConfig):
                 out_bytes_tfs.append(sum(len(x) for x in enc["tfs"]))
                 blk_max.extend(enc["max_doc_id"])
                 blk_n.extend(enc["n"])
+                sizes = np.asarray(enc["n"], dtype=np.int64)
+                bstarts = np.cumsum(sizes) - sizes
+                blk_b25c.extend(np.maximum.reduceat(b25_vals[s:e], bstarts))
+                blk_tfc.extend(np.maximum.reduceat(tf_vals[s:e], bstarts))
                 blk_ids.extend(enc["ids"])
                 blk_tfs.extend(enc["tfs"])
             blk_offsets.append(len(blk_max))
@@ -528,6 +539,8 @@ def _make_build_segments(doc_len_ref, avg_doc_len: float, cfg: IndexConfig):
             pa.StructArray.from_arrays(
                 [pa.array(blk_max, type=pa.int64()),
                  pa.array(blk_n, type=pa.int64()),
+                 pa.array(blk_b25c, type=pa.float64()),
+                 pa.array(blk_tfc, type=pa.float64()),
                  pa.array(blk_ids, type=pa.binary()),
                  pa.array(blk_tfs, type=pa.binary())],
                 fields=list(BLOCK_STRUCT)))

@@ -25,12 +25,12 @@ EXHAUSTED = 2 ** 63 - 1
 class PostingCursor:
     __slots__ = ("term", "df", "idf", "term_ub", "codec",
                  "block_max", "block_n", "block_base", "ids_bufs", "tfs_bufs",
-                 "_bi", "_pos", "_ids", "_tfs", "_exhausted")
+                 "block_ubs", "_bi", "_pos", "_ids", "_tfs", "_exhausted")
 
     def __init__(self, term: str, df: int, idf: float, term_ub: float,
                  codec: str, block_max: np.ndarray, block_n: np.ndarray,
                  block_base: np.ndarray, ids_bufs: list[bytes],
-                 tfs_bufs: list[bytes]):
+                 tfs_bufs: list[bytes], block_ubs: np.ndarray | None = None):
         self.term = term
         self.df = df
         self.idf = idf
@@ -41,6 +41,7 @@ class PostingCursor:
         self.block_base = block_base    # vbyte gap base per block
         self.ids_bufs = ids_bufs
         self.tfs_bufs = tfs_bufs
+        self.block_ubs = block_ubs      # per-block score UB (block-max)
         self._bi = -1
         self._pos = -1
         self._ids = None
@@ -94,6 +95,20 @@ class PostingCursor:
                 return
             self._load_block(bi)
             self._pos = int(np.searchsorted(self._ids, target))
+
+    def ub_at(self, target: int) -> float:
+        """Block-max: upper bound of this term's score contribution for
+        docId == ``target``, WITHOUT decoding any block. If target falls
+        past the last block the list can't contain it -> 0. Falls back to
+        the term UB when the index carries no per-block cores."""
+        if self._exhausted:
+            return 0.0
+        if self.block_ubs is None:
+            return self.term_ub
+        bi = int(np.searchsorted(self.block_max, target))
+        if bi >= len(self.block_max):
+            return 0.0
+        return float(self.block_ubs[bi])
 
     def reset(self) -> None:
         self._exhausted = len(self.block_max) == 0

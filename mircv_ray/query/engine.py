@@ -88,19 +88,26 @@ class IndexReader:
     def _store(self, term: str, rows: list[list[dict]]):
         """Segment block-lists (seg-ascending) -> flat cursor arrays."""
         block_max, block_n, block_base, ids_bufs, tfs_bufs = [], [], [], [], []
+        b25c, tfc = [], []
         for seg_blocks in rows:
             prev = 0
             for blk in seg_blocks:
                 block_max.append(blk["max_doc_id"])
                 block_n.append(blk["n"])
                 block_base.append(prev)
+                # block-max score cores (absent in pre-r2 index files ->
+                # +inf: pruning falls back to the term upper bound)
+                b25c.append(blk.get("b25c", np.inf))
+                tfc.append(blk.get("tfc", np.inf))
                 ids_bufs.append(blk["ids"])
                 tfs_bufs.append(blk["tfs"])
                 prev = blk["max_doc_id"]
         entry = (np.array(block_max, dtype=np.int64),
                  np.array(block_n, dtype=np.int64),
                  np.array(block_base, dtype=np.int64),
-                 ids_bufs, tfs_bufs)
+                 ids_bufs, tfs_bufs,
+                 np.array(b25c, dtype=np.float64),
+                 np.array(tfc, dtype=np.float64))
         self._cache[term] = entry
         if len(self._cache) > self._cache_size:
             self._cache.popitem(last=False)
@@ -150,7 +157,7 @@ class IndexReader:
         lex = self._lex.get(term)
         if lex is None:
             return None
-        block_max, block_n, block_base, ids_bufs, tfs_bufs = \
+        block_max, block_n, block_base, ids_bufs, tfs_bufs, _, _ = \
             self._fetch_blocks(term, lex[4])
         total = int(block_n.sum())
         if self.codec == "vbyte" and total:
@@ -192,10 +199,15 @@ class IndexReader:
             return None  # J1 miss: silently ignored
         df, idf, bm25_ub, tfidf_ub, shard = lex
         ub = bm25_ub if standard == "BM25" else tfidf_ub
-        block_max, block_n, block_base, ids_bufs, tfs_bufs = \
+        block_max, block_n, block_base, ids_bufs, tfs_bufs, b25c, tfc = \
             self._fetch_blocks(term, shard)
+        cores = b25c if standard == "BM25" else tfc
+        # per-block score upper bounds (block-max): UB_b = idf * core_b,
+        # capped at the term UB for pre-r2 indexes lacking cores
+        block_ubs = np.minimum(idf * cores, ub)
         return PostingCursor(term, df, idf, ub, self.codec, block_max,
-                             block_n, block_base, ids_bufs, tfs_bufs)
+                             block_n, block_base, ids_bufs, tfs_bufs,
+                             block_ubs)
 
     def docno(self, doc_id: int) -> str:
         return str(doc_id - 1)  # DocumentIndex.java:82-84

@@ -86,6 +86,15 @@ def max_score(cursors: list[PostingCursor], k: int, conjunctive: bool,
             for i in range(pivot - 1, -1, -1):
                 if score + upper_bounds[i] <= theta:
                     break
+                # block-max refinement (beyond the reference): the block
+                # that could contain `current` bounds list i tighter than
+                # its term UB; with a STRICT <, a doc failing this check
+                # can only push a score strictly below theta, which the
+                # bounded heap immediately discards — so the final top-k
+                # (including tie order) is provably unchanged.
+                prefix = upper_bounds[i - 1] if i else 0.0
+                if score + prefix + cursors[i].ub_at(current) < theta:
+                    break
                 cursors[i].next_geq(current)
                 if cursors[i].doc_id() == current:
                     score += score_fn(cursors[i])

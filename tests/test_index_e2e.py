@@ -31,7 +31,7 @@ def _corpus_rows():
 def _decode_term_postings(reader, term):
     lex = reader.lexicon_entry(term)
     assert lex is not None
-    bmax, bn, bbase, ibufs, tbufs = reader._fetch_blocks(term, lex[4])
+    bmax, bn, bbase, ibufs, tbufs, _, _ = reader._fetch_blocks(term, lex[4])
     ids, tfs = [], []
     for mx, n, base, ib, tb in zip(bmax, bn, bbase, ibufs, tbufs):
         ids.append(decode_block_ids(ib, reader.codec, int(n), int(mx), int(base)))

@@ -195,3 +195,131 @@ def test_idmap_join_path_matches_broadcast(ray_session, tmp_path, monkeypatch):
     s_c = build_index(rd.from_arrow(corpus), str(tmp_path / "b"), cfg)
     assert s_c["metrics"]["n_postings"] == s_a["metrics"]["n_postings"]
     assert canon_posts(tmp_path / "a").equals(canon_posts(tmp_path / "b"))
+
+
+# ------------------------------------------------------- block-max pruning
+
+def _hot_corpus(n=900):
+    """Corpus with one mega-df term ('hot', in 2/3 of docs so idf > 0 ->
+    multi-block posting list at threshold 2048) plus scattered rare
+    terms; hot's tf varies by docId range so block cores differ."""
+    rows = []
+    for i in range(n):
+        toks = [f"rare{i % 37}"]
+        if i % 3 != 0:
+            toks.extend(["hot"] * (8 if i < 100 else 1))
+        if i % 3 == 0:
+            toks.append("warm")
+        if i % 11 == 0:
+            toks.append("tepid")
+        rows.append(" ".join(toks * 3))
+    return pa.table({
+        "repo": pa.array(["r"] * n),
+        "path": pa.array([f"f{i:05d}" for i in range(n)]),
+        "commit": pa.array(["c"] * n),
+        "lang": pa.array(["py"] * n),
+        "content": pa.array(rows),
+    })
+
+
+@pytest.fixture(scope="module")
+def hot_index(ray_session, tmp_path_factory):
+    import ray.data as rd
+
+    from mircv_ray.build import build_index
+    from mircv_ray.config import IndexConfig
+    out = str(tmp_path_factory.mktemp("hotidx"))
+    build_index(rd.from_arrow(_hot_corpus()), out,
+                IndexConfig(parse=False, squeeze=False, num_shards=2,
+                            salt_buckets=1))
+    return out
+
+
+def test_blockmax_cores_stored_and_bounded(hot_index):
+    from mircv_ray.query import IndexReader
+    r = IndexReader(hot_index)
+    bmax, bn, bbase, ibufs, tbufs, b25c, tfc = r._fetch_blocks(
+        "hot", r._lex["hot"][4])
+    assert len(bmax) > 1          # multi-block
+    assert len(b25c) == len(bmax)
+    idf = r._lex["hot"][1]
+    # every block UB <= term UB; at least one strictly smaller or equal
+    assert np.all(idf * b25c <= r._lex["hot"][2] + 1e-12)
+
+
+def test_blockmax_maxscore_rank_identity(hot_index):
+    from mircv_ray.config import QueryConfig
+    from mircv_ray.query import QueryEngine
+    for standard in ("BM25", "TFIDF"):
+        ms = QueryEngine(hot_index, QueryConfig(standard=standard, k=5,
+                                                parse=False, squeeze=False,
+                                                algo="maxscore"))
+        ta = QueryEngine(hot_index, QueryConfig(standard=standard, k=5,
+                                                parse=False, squeeze=False))
+        # NB: a bare zero-idf query (term in EVERY doc) is excluded —
+        # there the reference's own MaxScore legitimately stops after the
+        # heap fills with zero scores (pivot passes a zero upper bound),
+        # which exhaustive TAAT does not reproduce; that divergence is
+        # reference semantics, not block-max.
+        for q in ["hot rare3", "hot warm tepid", "rare5 rare7 hot",
+                  "hot rare9", "tepid warm", "hot warm"]:
+            a = ms.query(q)
+            b = ta.query(q)
+            assert a == b, (standard, q, a, b)
+
+
+def test_blockmax_skips_block_decodes(monkeypatch):
+    """Deterministic cursor-level check: with per-block UBs the
+    non-essential list's blocks are never decoded; without them (term-UB
+    fallback) they are — and the results are identical."""
+    from mircv_ray.query.cursors import PostingCursor
+    from mircv_ray.query.scorer import max_score
+
+    calls = {"n": 0}
+    orig = PostingCursor._load_block
+
+    def counting(self, bi):
+        calls["n"] += 1
+        return orig(self, bi)
+
+    monkeypatch.setattr(PostingCursor, "_load_block", counting)
+
+    def enc_ids(ids):
+        return np.asarray(ids, dtype="<i8").tobytes()
+
+    def enc_tfs(tfs):
+        return np.asarray(tfs, dtype="<i4").tobytes()
+
+    def make_cursors(with_bub):
+        # A: essential driver — doc 5 scores 6 (sets theta=6 at k=1,
+        # which passes the pivot over B: 5.5 <= 6), docs 6..14 score 1
+        a = PostingCursor(
+            "A", 10, 1.0, 10.0, "none",
+            np.array([14]), np.array([10]), np.array([0]),
+            [enc_ids(range(5, 15))], [enc_tfs([6] + [1] * 9)],
+            np.array([10.0]))
+        # B: non-essential — term UB 5.5 comes from block 2's fat doc
+        # 500; the blocks actually probed (targets 6..14) have UB 0.5
+        bub = np.array([0.5, 0.5, 5.5]) if with_bub else None
+        b = PostingCursor(
+            "B", 3, 1.0, 5.5, "none",
+            np.array([10, 300, 500]), np.array([1, 1, 1]),
+            np.array([0, 0, 0]),
+            [enc_ids([10]), enc_ids([300]), enc_ids([500])],
+            [enc_tfs([1]), enc_tfs([1]), enc_tfs([5])],
+            bub)
+        return [b, a]  # sorted by term UB ascending
+
+    def run(with_bub):
+        cursors = make_cursors(with_bub)
+        calls["n"] = 0
+        res = max_score(cursors, 1, False, lambda c: float(c.tf()))
+        return calls["n"], res
+
+    n_bm, res_bm = run(True)
+    n_fb, res_fb = run(False)
+    assert res_bm == res_fb == [(5, 6.0)]
+    # (counter resets after cursor construction) only the term-UB
+    # fallback decodes B's block 1 when next_geq(11..14) jumps past
+    # block 0 — block-max never touches any further block
+    assert n_bm == 0 and n_fb == 1, (n_bm, n_fb)
