@@ -68,15 +68,29 @@ def tumbling_window_agg(events_ds, width_us: int = US_PER_HOUR):
     return agg.map_batches(finalize, batch_format="pyarrow")
 
 
-def sessionize(events_ds, gap_us: int = 30 * 60 * 1_000_000):
+def sessionize(events_ds, gap_us: int = 30 * 60 * 1_000_000,
+               salt_width_us: int | None = None):
     """Per-user gap-based sessions: a new session starts when the time
     since the previous event (ordered by ts, event_id) exceeds ``gap_us``.
 
     Returns (user_id, session_id [0-based per user], n_events,
-    start_us, end_us, sum_value).
+    start_us, end_us, sum_value_cents).
+
+    ``salt_width_us`` bounds per-task memory for MEGA users (one key
+    exceeding a task's heap): events group by (user, ts // width) so each
+    task holds one user-time-slice; the per-user pass then merges only
+    SUB-SESSION aggregates (one row per fragment, never events) with the
+    same gap rule — fragments split inside a slice have gap > gap_us by
+    construction, so the uniform merge is exact. Results are identical to
+    the unsalted path (pytest-pinned). Pick width >> gap_us (e.g. a day
+    for a 30-min gap) so fragments stay few.
     """
     from .. import use_push_shuffle
     use_push_shuffle(events_ds)
+    if salt_width_us is not None:
+        if salt_width_us <= gap_us:
+            raise ValueError("salt_width_us must exceed gap_us")
+        return _sessionize_salted(events_ds, gap_us, salt_width_us)
 
     def build(group: pa.Table) -> pa.Table:
         order = pc.sort_indices(group, sort_keys=[("ts", "ascending"),
@@ -106,6 +120,78 @@ def sessionize(events_ds, gap_us: int = 30 * 60 * 1_000_000):
             .select_columns(["user_id", "ts", "event_id", "value"])
             .groupby("user_id")
             .map_groups(build, batch_format="pyarrow"))
+
+
+def _sessionize_salted(events_ds, gap_us: int, salt_width_us: int):
+    """Day-salted sessionize (see sessionize): phase 1 builds per-slice
+    session FRAGMENTS carrying float value sums; phase 2 merges fragment
+    rows per user and finalizes cents — events never regroup globally."""
+
+    def add_salt(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64()).to_numpy()
+        return pa.table({
+            "user_id": batch["user_id"],
+            "salt": pa.array(ts // salt_width_us, type=pa.int64()),
+            "ts": pa.array(ts, type=pa.int64()),
+            "event_id": batch["event_id"],
+            "value": batch["value"],
+        })
+
+    def fragments(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group, sort_keys=[("ts", "ascending"),
+                                                  ("event_id", "ascending")])
+        group = group.take(order)
+        ts = group["ts"].to_numpy()
+        val = group["value"].to_numpy()
+        user = int(group["user_id"][0].as_py())
+        new_f = np.empty(len(ts), dtype=np.int64)
+        new_f[0] = 0
+        if len(ts) > 1:
+            new_f[1:] = (np.diff(ts) > gap_us).astype(np.int64)
+        frag = np.cumsum(new_f)
+        starts = np.flatnonzero(np.diff(frag, prepend=-1))
+        ends = np.append(starts[1:], len(frag))
+        return pa.table({
+            "user_id": pa.array([user] * len(starts), type=pa.int64()),
+            "n_events": pa.array(ends - starts, type=pa.int64()),
+            "start_us": pa.array(ts[starts], type=pa.int64()),
+            "end_us": pa.array(ts[ends - 1], type=pa.int64()),
+            "sum_value": pa.array(np.add.reduceat(val, starts),
+                                  type=pa.float64()),
+        })
+
+    def merge(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group, sort_keys=[("start_us", "ascending")])
+        group = group.take(order)
+        user = int(group["user_id"][0].as_py())
+        s = group["start_us"].to_numpy()
+        e = group["end_us"].to_numpy()
+        n = group["n_events"].to_numpy()
+        v = group["sum_value"].to_numpy()
+        new_sess = np.empty(len(s), dtype=np.int64)
+        new_sess[0] = 0
+        if len(s) > 1:
+            new_sess[1:] = ((s[1:] - e[:-1]) > gap_us).astype(np.int64)
+        sess = np.cumsum(new_sess)
+        starts = np.flatnonzero(np.diff(sess, prepend=-1))
+        bounds = np.append(starts, len(sess))
+        ends_idx = bounds[1:] - 1
+        return pa.table({
+            "user_id": pa.array([user] * len(starts), type=pa.int64()),
+            "session_id": pa.array(sess[starts], type=pa.int64()),
+            "n_events": pa.array(np.add.reduceat(n, starts), type=pa.int64()),
+            "start_us": pa.array(s[starts], type=pa.int64()),
+            "end_us": pa.array(e[ends_idx], type=pa.int64()),
+            "sum_value_cents": pa.array(_round_half_away(
+                np.add.reduceat(v, starts) * 100.0)),
+        })
+
+    frags = (events_ds
+             .select_columns(["user_id", "ts", "event_id", "value"])
+             .map_batches(add_salt, batch_format="pyarrow")
+             .groupby(["user_id", "salt"])
+             .map_groups(fragments, batch_format="pyarrow"))
+    return frags.groupby("user_id").map_groups(merge, batch_format="pyarrow")
 
 
 def props_extract(batch: pa.Table) -> pa.Table:

@@ -323,3 +323,54 @@ def test_blockmax_skips_block_decodes(monkeypatch):
     # fallback decodes B's block 1 when next_geq(11..14) jumps past
     # block 0 — block-max never touches any further block
     assert n_bm == 0 and n_fb == 1, (n_bm, n_fb)
+
+
+# --------------------------------------------------- mega-user session salt
+
+def test_sessionize_salted_matches_unsalted(ray_session):
+    """A single mega user spanning many salt slices (and multiple event
+    batches) must sessionize identically with and without day-salting."""
+    import ray.data as rd
+
+    from mircv_ray.ops import sessionize
+
+    rng = np.random.default_rng(17)
+    day = 24 * 3600 * 1_000_000
+    # one mega user: ~6000 events over ~40 days with gaps straddling the
+    # 30-min session threshold AND day boundaries; plus two normal users
+    gaps = rng.choice([60_000_000, 1_500_000_000, 1_900_000_000,
+                       7_200_000_000], size=6000,
+                      p=[0.55, 0.2, 0.15, 0.1])
+    ts_mega = np.cumsum(gaps) + 1_000_000
+    # force events EXACTLY at day boundaries too
+    ts_mega[100] = (ts_mega[99] // day + 1) * day
+    users = np.concatenate([np.full(len(ts_mega), 1),
+                            np.full(200, 2), np.full(50, 3)])
+    ts = np.concatenate([ts_mega,
+                         np.arange(200) * 2_000_000_000 + 5,
+                         np.arange(50) * 100_000_000 + 11])
+    t = pa.table({
+        "user_id": pa.array(users, type=pa.int64()),
+        "ts": pa.array(ts.astype("datetime64[us]")),
+        "event_id": pa.array(np.arange(len(ts)), type=pa.int64()),
+        "value": pa.array(np.round(rng.uniform(0, 20, len(ts)), 2)),
+    })
+    ds = rd.from_arrow(t).repartition(8)  # mega user spans many blocks
+    plain = sessionize(ds).to_pandas().sort_values(
+        ["user_id", "session_id"]).reset_index(drop=True)
+    salted = sessionize(ds, salt_width_us=day).to_pandas().sort_values(
+        ["user_id", "session_id"]).reset_index(drop=True)
+    assert plain.equals(salted)
+    assert salted[salted.user_id == 1].shape[0] > 100  # real session count
+
+
+def test_sessionize_salt_width_must_exceed_gap(ray_session):
+    import ray.data as rd
+
+    from mircv_ray.ops import sessionize
+    t = pa.table({"user_id": pa.array([1], type=pa.int64()),
+                  "ts": pa.array([1], type=pa.timestamp("us")),
+                  "event_id": pa.array([1], type=pa.int64()),
+                  "value": pa.array([1.0])})
+    with pytest.raises(ValueError, match="salt_width_us"):
+        sessionize(rd.from_arrow(t), salt_width_us=1_000_000)
