@@ -104,3 +104,59 @@ class TestCLI:
                     start=1):
                 want.append(f"{qid} Q0 {docno} {rank} {score} BM25")
         assert lines == want
+
+
+TREC2020 = "/root/reference/evaluation/msmarco-test2020-queries.tsv"
+
+
+def test_eval_mode_on_reference_trec2020_queries(ray_session, tmp_path):
+    """S8/M12/M13/Q5 over the reference's REAL TREC-DL-2020 query file
+    (200 queries) against a synthetic index: run-file format, rank
+    contiguity and score monotonicity per query. (Rank/score identity vs
+    the reference's qres_* files needs the MS MARCO collection, which is
+    not in the sandbox.)"""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    import pytest
+    if not Path(TREC2020).exists():
+        pytest.skip("reference query file not available")
+
+    import ray.data as rd
+
+    from mircv_ray.build import build_index
+    from mircv_ray.config import IndexConfig
+    from mircv_ray.sources import documents_as_corpus
+    idx = tmp_path / "idx"
+    build_index(documents_as_corpus("/root/testdata/sf0.001"), str(idx),
+                IndexConfig(parse=True, num_shards=4, salt_buckets=2))
+    run = tmp_path / "run.txt"
+    out = subprocess.run(
+        [sys.executable, "scripts/query_processor.py", str(idx),
+         "--standard", "BM25", "--k", "20",
+         "--eval", TREC2020, "--run-out", str(run)],
+        capture_output=True, text=True, timeout=600,
+        cwd=str(Path(__file__).resolve().parent.parent))
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "200 queries" in out.stdout
+    lines = run.read_text().splitlines()
+    assert lines, "run file empty"
+    per_qid_rank = {}
+    per_qid_score = {}
+    for ln in lines:
+        qid, q0, docno, rank, score, std = ln.split()
+        assert q0 == "Q0" and std == "BM25"
+        assert docno.lstrip("-").isdigit()
+        r, s = int(rank), float(score)
+        assert r == per_qid_rank.get(qid, 0) + 1     # contiguous ranks
+        per_qid_rank[qid] = r
+        if qid in per_qid_score:
+            assert s <= per_qid_score[qid] + 1e-12   # descending scores
+        per_qid_score[qid] = s
+        assert r <= 20
+    # the synthetic corpus has a code-ish vocabulary, so most
+    # natural-language queries legitimately return nothing after
+    # stopword removal — but the full 200 were processed (stdout) and
+    # the ones that do hit produce well-formed rankings
+    assert len(per_qid_rank) >= 1
