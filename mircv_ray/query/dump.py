@@ -1,8 +1,10 @@
 """Decode the whole postings store back to (term, doc_id, tf) rows.
 
 Used by the driver correctness gate: exercises the full encode ->
-parquet -> decode round trip as a streaming Dataset (one map_batches
-over segment rows; per-block NumPy decode, no driver-side loop).
+parquet -> decode round trip as a streaming Dataset. The vbyte path
+decodes each BATCH of segment rows with one varint pass + one cumsum
+(the same whole-stream trick as IndexReader.decoded, generalized to many
+terms); ef/none fall back to per-block NumPy decode.
 """
 
 from __future__ import annotations
@@ -13,26 +15,66 @@ import pyarrow as pa
 from ..codecs.blocks import decode_block_ids, decode_block_tfs
 
 
+def _flatten_blocks(batch: pa.Table):
+    """blocks list<struct> column -> flat per-block arrays + per-row block
+    counts (vectorized; no .as_py() over rows)."""
+    blocks = batch["blocks"]
+    if isinstance(blocks, pa.ChunkedArray):
+        blocks = blocks.combine_chunks()
+    flat = blocks.flatten()  # StructArray of all blocks in row order
+    import pyarrow.compute as pc
+    row_counts = pc.list_value_length(blocks).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    bmax = flat.field("max_doc_id").to_numpy(zero_copy_only=False)
+    bn = flat.field("n").to_numpy(zero_copy_only=False)
+    ids_bufs = flat.field("ids").to_pylist()
+    tfs_bufs = flat.field("tfs").to_pylist()
+    return row_counts, bmax, bn, ids_bufs, tfs_bufs
+
+
 def _decode_batch(batch: pa.Table, codec: str, docno_offset: int) -> pa.Table:
-    terms_out, ids_out, tfs_out = [], [], []
-    blocks_col = batch["blocks"]
-    if isinstance(blocks_col, pa.ChunkedArray):
-        blocks_col = blocks_col.combine_chunks()
-    for row in range(batch.num_rows):
-        term = batch["term"][row].as_py()
+    row_counts, bmax, bn, ids_bufs, tfs_bufs = _flatten_blocks(batch)
+    total = int(bn.sum())
+    terms = batch["term"]
+    if isinstance(terms, pa.ChunkedArray):
+        terms = terms.combine_chunks()
+    # postings per ROW (sum of its blocks' n)
+    row_ends = np.cumsum(row_counts)
+    row_n = np.add.reduceat(bn, np.append(0, row_ends[:-1])) \
+        if len(bn) else np.zeros(len(batch), dtype=np.int64)
+    row_n[row_counts == 0] = 0
+    if codec == "vbyte" and total:
+        from ..codecs.unary import unary_decode_blocks
+        from ..codecs.vbyte import vbyte_decode
+        gaps = vbyte_decode(b"".join(ids_bufs), total)
+        csum = np.cumsum(gaps)
+        # each ROW is an independent gap chain (block bases chain within
+        # a row starting from 0): re-anchor at every row start
+        val_starts = np.cumsum(bn) - bn
+        row_start_vals = val_starts[np.append(0, row_ends[:-1])[
+            row_counts > 0]] if len(bn) else np.zeros(0, np.int64)
+        offs = np.where(row_start_vals > 0, csum[row_start_vals - 1], 0)
+        seg_lens = np.diff(np.append(row_start_vals, total))
+        ids_np = csum - np.repeat(offs, seg_lens)
+        tfs_np = unary_decode_blocks(tfs_bufs, bn)
+    else:
+        ids, tfs = [], []
         prev = 0
-        for blk in blocks_col[row].as_py():
-            ids = decode_block_ids(blk["ids"], codec, blk["n"],
-                                   blk["max_doc_id"], prev)
-            tfs = decode_block_tfs(blk["tfs"], codec, blk["n"])
-            prev = blk["max_doc_id"]
-            terms_out.extend([term] * len(ids))
-            ids_out.append(ids)
-            tfs_out.append(tfs)
-    ids_np = (np.concatenate(ids_out) if ids_out else np.zeros(0, np.int64))
-    tfs_np = (np.concatenate(tfs_out) if tfs_out else np.zeros(0, np.int64))
+        bi = 0
+        for r in range(len(batch)):
+            prev = 0
+            for _ in range(int(row_counts[r])):
+                ids.append(decode_block_ids(ids_bufs[bi], codec, int(bn[bi]),
+                                            int(bmax[bi]), prev))
+                tfs.append(decode_block_tfs(tfs_bufs[bi], codec,
+                                            int(bn[bi])))
+                prev = int(bmax[bi])
+                bi += 1
+        ids_np = (np.concatenate(ids) if ids else np.zeros(0, np.int64))
+        tfs_np = (np.concatenate(tfs) if tfs else np.zeros(0, np.int64))
     return pa.table({
-        "term": pa.array(terms_out, type=pa.string()),
+        "term": terms.take(pa.array(
+            np.repeat(np.arange(len(batch)), row_n), type=pa.int64())),
         "doc_id": pa.array(ids_np + docno_offset, type=pa.int64()),
         "tf": pa.array(tfs_np, type=pa.int64()),
     })

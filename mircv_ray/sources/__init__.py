@@ -2,6 +2,7 @@
 
 from .corpus import (
     CORPUS_COLUMNS,
+    collection_tsv_as_corpus,
     documents_as_corpus,
     documents_as_corpus_table,
     generate_corpus_table,
@@ -10,6 +11,7 @@ from .corpus import (
 
 __all__ = [
     "CORPUS_COLUMNS",
+    "collection_tsv_as_corpus",
     "documents_as_corpus",
     "documents_as_corpus_table",
     "generate_corpus_table",

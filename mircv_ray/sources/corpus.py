@@ -93,6 +93,66 @@ def documents_as_corpus(sf_dir: str, parallelism: int | None = None):
     return ds.map_batches(to_corpus, batch_format="pyarrow")
 
 
+def collection_tsv_as_corpus(path: str, repo: str = "collection",
+                             lang: str = "txt"):
+    """The reference's own collection format -> corpus-shaped Dataset.
+
+    Accepts MS MARCO-style ``collection.tsv`` (``pid \\t text`` lines,
+    IndexingMain.java:36-43) or a ``.tar.gz``/``.tgz`` archive containing
+    it (InvertedIndex.java:35-47 streams TarArchiveInputStream; gzip is
+    inherently sequential, so the archive is expanded once to a temp dir
+    and the extracted TSV is then read in parallel — at real scale store
+    the collection as parquet/plain files instead).
+
+    Numeric pids are zero-padded into ``path`` so the engine's
+    (repo, path) docId order equals pid order (docno == pid exactly when
+    pids are 0-based contiguous, like MS MARCO's). Non-numeric pids sort
+    lexicographically — docnos then follow that order, not arrival order.
+    Blank-text lines are dropped here (the build's blank filter would
+    drop them anyway, InvertedIndex.java:45-47).
+    """
+    import ray.data as rd
+    p = Path(path)
+    if p.name.endswith((".tar.gz", ".tgz", ".tar")):
+        import tarfile
+        import tempfile
+        tmp = Path(tempfile.mkdtemp(prefix="mircv_collection_"))
+        with tarfile.open(p) as tf:
+            members = [m for m in tf.getmembers()
+                       if m.isfile() and m.name.endswith(".tsv")]
+            if not members:
+                raise ValueError(f"no .tsv member inside {path}")
+            for m in members:
+                m.name = Path(m.name).name  # flatten, no path traversal
+                tf.extract(m, tmp)
+        paths = [str(tmp / m.name) for m in members]
+    else:
+        paths = [str(p)]
+
+    def parse(batch: pa.Table) -> pa.Table:
+        lines = batch["text"]
+        if isinstance(lines, pa.ChunkedArray):
+            lines = lines.combine_chunks()
+        lines = lines.filter(pc.match_substring(lines, "\t"))
+        parts = pc.split_pattern(lines, "\t", max_splits=1)
+        pid = pc.list_element(parts, 0)
+        txt = pc.list_element(parts, 1)
+        keep = pc.greater(pc.binary_length(pc.utf8_trim_whitespace(txt)), 0)
+        pid, txt = pid.filter(keep), txt.filter(keep)
+        numeric = pc.all(pc.match_substring_regex(pid, r"^\d+$")).as_py() \
+            if len(pid) else True
+        pid_path = pc.utf8_lpad(pid, 12, "0") if numeric else pid
+        return pa.table({
+            "repo": pa.array([repo] * len(pid)),
+            "path": pid_path,
+            "commit": pa.array([""] * len(pid)),
+            "lang": pa.array([lang] * len(pid)),
+            "content": txt,
+        })
+
+    return rd.read_text(paths).map_batches(parse, batch_format="pyarrow")
+
+
 # --------------------------------------------------------------------- F1 gen
 
 _KEYWORDS = (

@@ -374,3 +374,78 @@ def test_sessionize_salt_width_must_exceed_gap(ray_session):
                   "value": pa.array([1.0])})
     with pytest.raises(ValueError, match="salt_width_us"):
         sessionize(rd.from_arrow(t), salt_width_us=1_000_000)
+
+
+# --------------------------------------------------- dump_postings codecs
+
+def test_dump_postings_codec_equivalence(ray_session, tmp_path):
+    """The vectorized vbyte dump and the per-block ef/none fallback must
+    decode identical (term, doc_id, tf) rows."""
+    import ray
+    import ray.data as rd
+    import pyarrow.compute as pc
+
+    from mircv_ray.build import build_index
+    from mircv_ray.config import IndexConfig
+    from mircv_ray.query.dump import dump_postings
+    from mircv_ray.sources.corpus import generate_corpus_table
+
+    corpus = generate_corpus_table(60, with_sha=False)
+
+    def canon(codec):
+        out = str(tmp_path / codec)
+        build_index(rd.from_arrow(corpus), out,
+                    IndexConfig(parse=False, codec=codec, num_shards=2,
+                                salt_buckets=2))
+        t = pa.concat_tables(
+            ray.get(dump_postings(out).to_arrow_refs())).combine_chunks()
+        return t.take(pc.sort_indices(
+            t, sort_keys=[("term", "ascending"), ("doc_id", "ascending")]))
+
+    base = canon("vbyte")
+    assert base.num_rows > 0
+    for codec in ("ef", "none"):
+        assert canon(codec).equals(base), codec
+
+
+# ----------------------------------------------- reference TSV ingestion
+
+def test_collection_tsv_and_targz_ingestion(ray_session, tmp_path):
+    """The reference's collection.tsv (and .tar.gz) format builds the
+    same index as the parquet path, with docno == pid."""
+    import tarfile
+    from pathlib import Path
+
+    import ray.data as rd
+
+    from mircv_ray.build import build_index
+    from mircv_ray.config import IndexConfig, QueryConfig
+    from mircv_ray.query import QueryEngine
+    from mircv_ray.sources import collection_tsv_as_corpus
+
+    rows = [(0, "hash join table scan"), (1, "merge sort run"),
+            (2, "   "),                      # blank -> dropped
+            (3, "hash table probe build"), (4, "window stream state")]
+    tsv = tmp_path / "collection.tsv"
+    tsv.write_text("".join(f"{pid}\t{txt}\n" for pid, txt in rows))
+    tgz = tmp_path / "collection.tar.gz"
+    with tarfile.open(tgz, "w:gz") as tf:
+        tf.add(tsv, arcname="collection.tsv")
+
+    results = []
+    for src in (str(tsv), str(tgz)):
+        out = str(tmp_path / ("idx_" + Path(src).name.replace(".", "_")))
+        stats = build_index(collection_tsv_as_corpus(src), out,
+                            IndexConfig(parse=False, squeeze=False,
+                                        num_shards=2, salt_buckets=1))
+        assert stats["n_docs"] == 4          # blank line dropped
+        eng = QueryEngine(out, QueryConfig(standard="BM25", k=5,
+                                           parse=False, squeeze=False))
+        results.append(eng.query("hash table"))
+    assert results[0] == results[1]
+    # docno must be the pid rank among NON-blank docs (engine docno is
+    # 0-based rank in (repo, path) order == pid order)
+    docnos = {d for d, _ in results[0]}
+    assert docnos <= {"0", "1", "2", "3"}
+    assert len(results[0]) >= 2
+
