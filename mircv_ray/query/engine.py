@@ -31,7 +31,6 @@ from pathlib import Path
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
-import pyarrow.dataset as pads
 import pyarrow.parquet as pq
 
 from ..config import QueryConfig
@@ -67,8 +66,11 @@ class IndexReader:
                 lt["idf"].to_numpy(), lt["bm25_ub"].to_numpy(),
                 lt["tfidf_ub"].to_numpy(), lt["shard"].to_numpy())
         }
-        self._postings = pads.dataset(str(Path(index_dir) / "postings"),
-                                      format="parquet", partitioning="hive")
+        # per-shard parquet handles + row-group term ranges, built lazily
+        # on first access (metadata-only) — per-term fetches then read
+        # just the matching row group(s) instead of planning a filtered
+        # dataset scan over every fragment (which costs 40-120 ms/query)
+        self._shard_meta_cache: dict[int, list] = {}
         self._cache: OrderedDict[str, tuple] = OrderedDict()
         self._cache_size = term_cache_size
         # decoded-postings cache for the vectorized scorer: term ->
@@ -113,19 +115,75 @@ class IndexReader:
             self._cache.popitem(last=False)
         return entry
 
+    def _shard_meta(self, shard: int) -> list:
+        """[(ParquetFile, term_min per row group, term_max per row group)]
+        for one shard dir; metadata-only, built once per process."""
+        meta = self._shard_meta_cache.get(shard)
+        if meta is not None:
+            return meta
+        meta = []
+        d = Path(self.index_dir) / "postings" / f"shard={shard}"
+        for fp in sorted(d.glob("*.parquet")):
+            pf = pq.ParquetFile(str(fp))
+            md = pf.metadata
+            term_leaf = None
+            if md.num_row_groups:
+                rg0 = md.row_group(0)
+                for j in range(rg0.num_columns):
+                    if rg0.column(j).path_in_schema == "term":
+                        term_leaf = j
+                        break
+            mins, maxs = [], []
+            for i in range(md.num_row_groups):
+                st = (md.row_group(i).column(term_leaf).statistics
+                      if term_leaf is not None else None)
+                if st is not None and st.has_min_max:
+                    mins.append(st.min)
+                    maxs.append(st.max)
+                else:       # no stats: row group always matches
+                    mins.append("")
+                    maxs.append("\U0010ffff")
+            meta.append((pf, mins, maxs))
+        self._shard_meta_cache[shard] = meta
+        return meta
+
+    def _read_terms_in_shard(self, shard: int, terms: list[str]) -> pa.Table:
+        """Read the union of row groups whose [min, max] term range can
+        contain any of ``terms`` (statistics pruning instead of a
+        filtered dataset scan), then exact-filter."""
+        picks = []  # (file_idx, rg_idx)
+        meta = self._shard_meta(shard)
+        for fi, (pf, mins, maxs) in enumerate(meta):
+            for ri in range(len(mins)):
+                if any(mins[ri] <= t <= maxs[ri] for t in terms):
+                    picks.append((fi, ri))
+        if not picks:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "seg": pa.array([], pa.int64()),
+                             "blocks": pa.array([], pa.list_(pa.struct([])))})
+        tbls = []
+        by_file: dict[int, list[int]] = {}
+        for fi, ri in picks:
+            by_file.setdefault(fi, []).append(ri)
+        for fi, rgs in by_file.items():
+            tbls.append(meta[fi][0].read_row_groups(
+                rgs, columns=["term", "seg", "blocks"]))
+        tbl = pa.concat_tables(tbls)
+        return tbl.filter(pc.is_in(tbl["term"], pa.array(terms)))
+
     def prefetch(self, terms: list[str]) -> None:
-        """One parquet scan for every not-yet-cached query term (per-query
-        fixed cost instead of per-term — dataset-scan setup dominates
-        single-term reads)."""
+        """One row-group-pruned read per shard for every not-yet-cached
+        query term (per-query fixed cost instead of per-term)."""
         missing = sorted({t for t in terms
                           if t in self._lex and t not in self._cache})
         if not missing:
             return
-        shards = sorted({self._lex[t][4] for t in missing})
-        tbl = self._postings.to_table(
-            columns=["term", "seg", "blocks"],
-            filter=(pc.field("shard").isin(shards)
-                    & pc.field("term").isin(missing)))
+        by_shard: dict[int, list[str]] = {}
+        for t in missing:
+            by_shard.setdefault(self._lex[t][4], []).append(t)
+        parts = [self._read_terms_in_shard(s, ts)
+                 for s, ts in sorted(by_shard.items())]
+        tbl = pa.concat_tables(parts)
         tbl = tbl.take(pc.sort_indices(
             tbl, sort_keys=[("term", "ascending"), ("seg", "ascending")]))
         terms_col = tbl["term"].to_pylist()
@@ -142,9 +200,7 @@ class IndexReader:
         if term in self._cache:
             self._cache.move_to_end(term)
             return self._cache[term]
-        tbl = self._postings.to_table(
-            columns=["term", "seg", "blocks"],
-            filter=(pc.field("shard") == shard) & (pc.field("term") == term))
+        tbl = self._read_terms_in_shard(shard, [term])
         tbl = tbl.take(pc.sort_indices(tbl, sort_keys=[("seg", "ascending")]))
         return self._store(term, tbl["blocks"].to_pylist())
 
