@@ -114,6 +114,13 @@ def run_bench() -> dict:
                             columns=["repo", "path", "lang", "content"]),
             out, cfg)
         timings["build"] = time.time() - t0
+    # per-stage breakdown (docs = tokenize+ids+write, postings = THE
+    # shuffle + encode, lexicon = metadata agg) — shows which stages
+    # scale with the cluster
+    for st in ("docs", "postings", "lexicon"):
+        v = stats["metrics"].get(f"{st}_seconds")
+        if v is not None:
+            timings[f"stage_{st}"] = v
     n_postings = stats["metrics"]["n_postings"]
 
     # query latency (warm reader state, as the reference measures)
@@ -211,7 +218,11 @@ def _contention_factor(lo: int, hi: int) -> float:
             return sum(pool.map(_spin_tokenize, range(n))) / n
 
     run_n(2)  # warm imports
-    return run_n(hi) / run_n(lo)
+    # the factor itself is VM-noise-sensitive (measured 1.05-1.31 across
+    # invocations): interleave three samples per level, use minima
+    lo_t = min(run_n(lo) for _ in range(3))
+    hi_t = min(run_n(hi) for _ in range(3))
+    return hi_t / lo_t
 
 
 def _spin_tokenize(_i: int) -> float:

@@ -275,6 +275,7 @@ class QueryEngine:
         self.qcfg = qcfg or QueryConfig()
         self.reader = reader or IndexReader(index_dir)
         self._acc = None  # reusable dense score accumulator (TAAT path)
+        self._touched = None  # parallel touched mask (candidate set)
         r = self.reader
         if self.qcfg.standard == "BM25":
             self._score_fn = lambda c: bm25_score(
@@ -327,7 +328,9 @@ class QueryEngine:
             return []
         if self._acc is None or len(self._acc) < r.n_docs:
             self._acc = np.zeros(r.n_docs, dtype=np.float64)
+            self._touched = np.zeros(r.n_docs, dtype=bool)
         scores = self._acc
+        touched = self._touched
         for ids, tfs, idf in lists:
             idx = ids - 1
             if bm25:
@@ -335,12 +338,16 @@ class QueryEngine:
             else:
                 contrib = (1.0 + np.log10(tfs)) * idf
             scores[idx] += contrib  # ids unique per term -> fancy += is exact
-        cand = (lists[0][0] if len(lists) == 1
-                else np.unique(np.concatenate([l[0] for l in lists])))
-        sc = scores[cand - 1]
+            touched[idx] = True
+        # candidate set via the touched mask: one O(n_docs) scan instead
+        # of sorting the concatenated id lists (np.unique costs ~150 ms
+        # at mega-df query terms; flatnonzero over 1.6M docs is ~2 ms)
+        cand_idx = np.flatnonzero(touched)
+        sc = scores[cand_idx]
+        cand = cand_idx + 1
         # reusable accumulator: zero only the touched slots
-        for ids, _, _ in lists:
-            scores[ids - 1] = 0.0
+        scores[cand_idx] = 0.0
+        touched[cand_idx] = False
         k = self.qcfg.k
         if len(cand) > k:
             kth = -np.partition(-sc, k - 1)[k - 1]
