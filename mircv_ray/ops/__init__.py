@@ -1,7 +1,7 @@
 """Training-data-pipeline operators beyond the reference's scope:
 deduplication (exact, MinHash-LSH, SimHash, n-gram Jaccard), similarity
 search over embeddings, text analysis (lang-id, quality, token counts,
-fingerprints), and multimodal column plumbing (decode stubs)."""
+fingerprints), and multimodal decode (real pure-NumPy PPM/BMP/WAV/RAWV codecs; PNG/JPEG stubbed)."""
 
 from .textops import (
     basic_token_stats, token_count, quality_stats, lang_id, fingerprint,

@@ -1,0 +1,106 @@
+"""Pure-NumPy media codecs + actor-pool decode stages."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from mircv_ray.ops.multimodal import (FEATURE_DIM, MIME_BMP, MIME_PPM,
+                                      DecodeImage, SampleFrames,
+                                      audio_feature, decode_bmp, decode_ppm,
+                                      decode_rawv_frame, decode_wav_pcm16,
+                                      encode_bmp, encode_ppm, encode_rawv,
+                                      encode_wav_pcm16, image_feature,
+                                      make_media_table, rawv_info,
+                                      resize_nearest)
+
+
+def test_ppm_roundtrip():
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, size=(13, 7, 3), dtype=np.uint8)
+    assert np.array_equal(decode_ppm(encode_ppm(img)), img)
+    # comment lines in the header parse too
+    buf = encode_ppm(img)
+    commented = b"P6\n# a comment\n7 13\n255\n" + buf.split(b"255\n", 1)[1]
+    assert np.array_equal(decode_ppm(commented), img)
+
+
+def test_bmp_roundtrip_with_row_padding():
+    rng = np.random.default_rng(2)
+    # width 7 -> 21-byte rows padded to 24: exercises stride handling
+    img = rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)
+    assert np.array_equal(decode_bmp(encode_bmp(img)), img)
+
+
+def test_wav_roundtrip():
+    s = (1000 * np.sin(np.arange(500) / 7.0)).astype(np.int16)
+    out, rate = decode_wav_pcm16(encode_wav_pcm16(s, 8000))
+    assert rate == 8000
+    assert np.array_equal(out, s)
+
+
+def test_rawv_frame_seek():
+    rng = np.random.default_rng(3)
+    frames = rng.integers(0, 256, size=(6, 4, 5, 3), dtype=np.uint8)
+    buf = encode_rawv(frames, fps=10)
+    assert rawv_info(buf) == (5, 4, 6, 10)
+    for i in (0, 3, 5):
+        assert np.array_equal(decode_rawv_frame(buf, i), frames[i])
+
+
+def test_resize_nearest_identity_and_downsample():
+    img = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    assert np.array_equal(resize_nearest(img, 4, 4), img)
+    half = resize_nearest(img, 2, 2)
+    assert half.shape == (2, 2)
+    assert half[0, 0] in img[:2, :2]
+
+
+def test_features_shapes_and_determinism():
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 256, size=(20, 30, 3), dtype=np.uint8)
+    f1, f2 = image_feature(img), image_feature(img)
+    assert f1.shape == (FEATURE_DIM,)
+    assert np.array_equal(f1, f2)
+    assert abs(f1.mean()) < 1e-9      # mean-centered
+    s = (3000 * np.sin(np.arange(2000) / 5.0)).astype(np.int16)
+    af = audio_feature(s)
+    assert af.shape == (FEATURE_DIM,)
+    assert af.max() > 0
+
+
+def test_decode_stage_real_path(ray_session):
+    import ray.data as rd
+    ds = rd.from_arrow(make_media_table(30))
+    out = ds.map_batches(DecodeImage, fn_constructor_kwargs={"fake": False},
+                         batch_size=16, concurrency=2,
+                         batch_format="pyarrow", num_cpus=1).to_pandas()
+    assert len(out) == 30
+    # features vary across rows (real signal, not constant stub)
+    feats = np.stack(out["feature"].to_numpy())
+    assert feats.shape == (30, FEATURE_DIM)
+    assert np.std(feats) > 0
+
+
+def test_decode_stage_unknown_mime_strict_raises():
+    t = pa.table({"media_id": pa.array([1], pa.int64()),
+                  "kind": pa.array(["image"]),
+                  "payload": pa.array([b"\x89PNG fake"], pa.binary()),
+                  "mime": pa.array(["image/png"])})
+    with pytest.raises(NotImplementedError):
+        DecodeImage(fake=False)(t)
+    # fake path still deterministic
+    a = DecodeImage(fake=True)(t)["feature"].to_pylist()
+    b = DecodeImage(fake=True)(t)["feature"].to_pylist()
+    assert a == b
+
+
+def test_sample_frames_real_decode(ray_session):
+    import ray.data as rd
+    ds = rd.from_arrow(make_media_table(30))
+    out = ds.map_batches(SampleFrames, fn_constructor_kwargs={"n_frames": 3},
+                         batch_size=16, concurrency=2,
+                         batch_format="pyarrow", num_cpus=1).to_pandas()
+    n_videos = (30 + 0) // 3   # every third row is a video
+    assert len(out) == n_videos * 3
+    feats = np.stack(out["feature"].to_numpy())
+    assert np.std(feats) > 0   # real frame content, not zeros
