@@ -295,26 +295,106 @@ def _ranges(lens: np.ndarray) -> np.ndarray:
     return np.cumsum(out)
 
 
+def _attach_state_once(left_ds, state_ds, id_col: str, state_col: str,
+                       key_name: str, carry_bin: list[str], out_name: str,
+                       parts: int, dedup_pairs: bool = False):
+    """Reduce-side inner join of ``left_ds`` (pair rows, keyed by its
+    ``key_name`` column) against ``state_ds`` (id -> binary state): tag
+    both sides into one schema, union, hash-pack by join key into
+    ``parts`` partitions, and attach inside each grouped task with one
+    sort + searchsorted.
+
+    Hand-rolled instead of ``Dataset.join`` because Ray 2.49's join
+    aggregator builds a ZERO-COLUMN table for any partition that
+    received no rows and acero then fails to resolve the key field —
+    candidate pairs are SPARSE (often fewer pairs than partitions), so
+    empty partitions are the common case here, not an edge."""
+    schema = pa.schema(
+        [("jkey", pa.int64()), ("side", pa.int8()),
+         ("a", pa.int64()), ("b", pa.int64())]
+        + [(c, pa.binary()) for c in carry_bin]
+        + [("state", pa.binary())])
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return pa.Table.from_pylist([], schema=schema)
+        n = batch.num_rows
+        cols = {"jkey": batch[key_name],
+                "side": pa.array(np.zeros(n, dtype=np.int8)),
+                "a": batch["a"], "b": batch["b"],
+                **{c: batch[c] for c in carry_bin},
+                "state": pa.nulls(n, pa.binary())}
+        return pa.table(cols).cast(schema)
+
+    def tag_state(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols = {"jkey": batch[id_col],
+                "side": pa.array(np.ones(n, dtype=np.int8)),
+                "a": pa.nulls(n, pa.int64()), "b": pa.nulls(n, pa.int64()),
+                **{c: pa.nulls(n, pa.binary()) for c in carry_bin},
+                "state": batch[state_col]}
+        return pa.table(cols).cast(schema)
+
+    tagged = (left_ds.map_batches(tag_left, batch_format="pyarrow")
+              .union(state_ds.map_batches(tag_state,
+                                          batch_format="pyarrow"))
+              .map_batches(lambda b: _add_pkey(b, ["jkey"], parts),
+                           batch_format="pyarrow"))
+
+    def join_group(group: pa.Table) -> pa.Table:
+        side = group["side"].to_numpy(zero_copy_only=False)
+        st = group.filter(pa.array(side == 1))
+        lf = group.filter(pa.array(side == 0))
+        out_cols = ["a", "b"] + carry_bin
+        if lf.num_rows == 0 or st.num_rows == 0:
+            return pa.Table.from_pylist([], schema=pa.schema(
+                [(c, pa.int64() if c in ("a", "b") else pa.binary())
+                 for c in out_cols] + [(out_name, pa.binary())]))
+        skeys = st["jkey"].to_numpy()
+        order = np.argsort(skeys, kind="stable")
+        skeys = skeys[order]
+        svals = st["state"].combine_chunks().take(pa.array(order))
+        lkeys = lf["jkey"].to_numpy()
+        pos = np.searchsorted(skeys, lkeys)
+        pos_c = np.minimum(pos, len(skeys) - 1)
+        hit = skeys[pos_c] == lkeys      # inner-join semantics
+        lf = lf.filter(pa.array(hit))
+        attach = svals.take(pa.array(pos_c[hit]))
+        out = pa.table({
+            **{c: lf[c] for c in out_cols},
+            out_name: attach,
+        })
+        if dedup_pairs and out.num_rows:
+            # all duplicates of an (a, b) pair share this partition's
+            # join key, so a per-group dedup IS the global distinct —
+            # saves the separate distinct exchange over all candidates
+            arr = np.stack([out["a"].to_numpy(), out["b"].to_numpy()],
+                           axis=1)
+            _, idx = np.unique(arr, axis=0, return_index=True)
+            out = out.take(pa.array(np.sort(idx)))
+        return out
+
+    return tagged.groupby("pkey").map_groups(join_group,
+                                             batch_format="pyarrow")
+
+
 def _join_pair_state(pairs_ds, state_ds, id_col: str,
                      state_col: str, num_partitions: int | None = None):
     """Attach per-id state to BOTH sides of candidate pairs via two
-    partitioned hash joins — the 100-TB-safe replacement for broadcasting
-    the state table: only (a, b, state) rows move, hash-partitioned by
-    key, never the whole table to the driver.
-
-    ``num_partitions`` defaults to ~half the cluster CPUs (each join
-    spawns one aggregator actor per partition; two chained joins at a
-    fixed count can starve a small node and deadlock the pipeline — at
-    multi-node scale pass ~total cores)."""
+    partitioned reduce-side joins — the 100-TB-safe replacement for
+    broadcasting the state table: only (a, b, state) rows move,
+    hash-partitioned by join key, never the whole table to the driver."""
     if num_partitions is None:
         from ..util import default_join_partitions
         num_partitions = default_join_partitions()
-    j1 = pairs_ds.join(state_ds, "inner", num_partitions,
-                       on=("a",), right_on=(id_col,))
-    j1 = j1.rename_columns({state_col: "state_a"})
-    j2 = j1.join(state_ds, "inner", num_partitions,
-                 on=("b",), right_on=(id_col,))
-    return j2.rename_columns({state_col: "state_b"})
+    j1 = _attach_state_once(pairs_ds, state_ds, id_col, state_col,
+                            "a", [], "state_a", num_partitions)
+    # the second pass hash-partitions by b: every duplicate of a pair
+    # (same (a, b) from different LSH bands) lands in one partition, so
+    # the global pair-distinct fuses into this exchange for free
+    return _attach_state_once(j1, state_ds, id_col, state_col,
+                              "b", ["state_a"], "state_b", num_partitions,
+                              dedup_pairs=True)
 
 
 def _distinct_pairs(pairs_ds):
@@ -370,19 +450,27 @@ def minhash_candidate_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     """
     from .. import use_push_shuffle
     use_push_shuffle(ds)
-    # materialize once: the signature stream feeds BOTH the banding
-    # pipeline and the verify joins (a lazy dataset would recompute the
-    # shingle/minhash work for each consumer); blocks stay in the
-    # (spill-backed) object store, never on the driver
-    sigs = ds.map_batches(
-        lambda b: minhash_signatures(b, text_col, id_col, num_perm, seed=seed),
+    # materialize the PACKED signatures once: that single copy feeds both
+    # the banding pipeline (unpacked zero-copy per batch) and the two
+    # verify joins; blocks stay in the (spill-backed) object store, never
+    # on the driver
+    sig_bin = ds.map_batches(
+        lambda b: _pack_sigs(
+            minhash_signatures(b, text_col, id_col, num_perm, seed=seed),
+            id_col, num_perm),
         batch_format="pyarrow").materialize()
-    band_rows = sigs.map_batches(
-        lambda b: explode_bands(b, id_col, bands), batch_format="pyarrow")
-    pairs = _distinct_pairs(
-        _bucketed_pairs(band_rows, ["band", "band_hash"], id_col))
-    sig_bin = sigs.map_batches(lambda b: _pack_sigs(b, id_col, num_perm),
-                               batch_format="pyarrow")
+
+    def explode_packed(batch: pa.Table) -> pa.Table:
+        mat = _unpack_fixed(batch["sig"], np.uint64, num_perm)
+        tbl = pa.table({
+            id_col: batch[id_col],
+            "sig": pa.FixedSizeListArray.from_arrays(
+                pa.array(mat.reshape(-1).astype(np.int64)), num_perm),
+        })
+        return explode_bands(tbl, id_col, bands)
+
+    band_rows = sig_bin.map_batches(explode_packed, batch_format="pyarrow")
+    pairs = _bucketed_pairs(band_rows, ["band", "band_hash"], id_col)
     joined = _join_pair_state(pairs, sig_bin, id_col, "sig", join_partitions)
 
     def verify(batch: pa.Table) -> pa.Table:
@@ -574,8 +662,7 @@ def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
         batch_format="pyarrow")
     band_rows = sig_in.map_batches(
         lambda b: explode_bands(b, id_col, bands), batch_format="pyarrow")
-    pairs = _distinct_pairs(
-        _bucketed_pairs(band_rows, ["band", "band_hash"], id_col))
+    pairs = _bucketed_pairs(band_rows, ["band", "band_hash"], id_col)
     joined = _join_pair_state(pairs, sets_bin, id_col, "shingles",
                               join_partitions)
 

@@ -179,7 +179,7 @@ def embedding_near_dup_pairs(emb_ds, threshold: float = 0.9,
             "band_key": pa.array(np.concatenate(key_out)),
         })
 
-    from .dedup import (_bucketed_pairs, _distinct_pairs, _join_pair_state,
+    from .dedup import (_bucketed_pairs, _join_pair_state,
                         _pack_rows, _unpack_varlen)
 
     def pack_normalized(batch: pa.Table) -> pa.Table:
@@ -202,9 +202,9 @@ def embedding_near_dup_pairs(emb_ds, threshold: float = 0.9,
                          "b": batch["b"].filter(pa.array(keep)),
                          "cosine": pa.array(cs[keep], type=pa.float64())})
 
-    cand = _distinct_pairs(_bucketed_pairs(
+    cand = _bucketed_pairs(
         emb_ds.map_batches(sketch, batch_format="pyarrow"),
-        ["band", "band_key"], id_col, max_bucket=1000))
+        ["band", "band_key"], id_col, max_bucket=1000)
     emb_bin = emb_ds.map_batches(pack_normalized, batch_format="pyarrow")
     joined = _join_pair_state(cand, emb_bin, id_col, "nemb")
     return joined.map_batches(verify_pairs, batch_format="pyarrow")

@@ -449,3 +449,22 @@ def test_collection_tsv_and_targz_ingestion(ray_session, tmp_path):
     assert docnos <= {"0", "1", "2", "3"}
     assert len(results[0]) >= 2
 
+
+
+def test_pair_joins_survive_empty_sort_partitions(ray_session):
+    """Many input blocks -> empty sort partitions in the pair groupbys
+    emit zero-column blocks; the verify joins must not choke on them
+    (regression: sf0.1 bench failed with 'No match for FieldRef a')."""
+    import ray.data as rd
+
+    from mircv_ray.ops import minhash_candidate_pairs
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "keeps running through the deterministic test corpus")
+    texts = [base + (" extra" if i % 2 else "") + f" u{i // 2}"
+             for i in range(40)]
+    t = pa.table({"doc_id": pa.array(range(40), type=pa.int64()),
+                  "text": pa.array(texts)})
+    out = minhash_candidate_pairs(
+        rd.from_arrow(t).repartition(32), threshold=0.5).to_pandas()
+    # pairs (2i, 2i+1) share almost all shingles
+    assert len(out) >= 15
