@@ -378,6 +378,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # arbitrary block order at high parallelism
         return _sorted_table(sessionize(ev), ["user_id", "session_id"])
 
+    def sessions_salted(sf_dir: str):
+        # the mega-user path (day-salted fragments + per-user merge) must
+        # produce EXACTLY the sessions output — same oracle SQL
+        from mircv_ray.ops import sessionize
+        ev = rd.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["user_id", "ts", "event_id", "value"])
+        day = 24 * 3600 * 1_000_000
+        return _sorted_table(sessionize(ev, salt_width_us=day),
+                             ["user_id", "session_id"])
+
+    def bm25_topk_maxscore(sf_dir: str):
+        # the sequential MaxScore loop WITH block-max pruning, against
+        # the same DuckDB top-k oracle as the TAAT path
+        from mircv_ray.config import QueryConfig
+        from mircv_ray.query import QueryEngine
+        idx = _basic_index(sf_dir)
+        eng = QueryEngine(idx, QueryConfig(standard="BM25", k=10,
+                                           parse=False, squeeze=False,
+                                           algo="maxscore"))
+        qids, dids, scores = [], [], []
+        for qid, terms in enumerate(_BM25_QUERIES):
+            for doc_id, score in eng.score_terms(list(terms),
+                                                 conjunctive=False):
+                qids.append(qid)
+                dids.append(doc_id - 1)
+                scores.append(round(score, 6))
+        return pa.table({"qid": pa.array(qids, type=pa.int64()),
+                         "doc_id": pa.array(dids, type=pa.int64()),
+                         "score": pa.array(scores, type=pa.float64())})
+
     def props_json(sf_dir: str):
         from mircv_ray.ops import props_extract
         ev = rd.read_parquet(f"{sf_dir}/events.parquet",
@@ -426,10 +457,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dups": embedding_near_dups,
         "window_agg": window_agg,
         "sessions": sessions,
+        "sessions_salted": sessions_salted,
+        "bm25_topk_maxscore": bm25_topk_maxscore,
         "props_json": props_json,
         "top_users": top_users,
         "media_features": media_features,
     }
+
+
+_SESSIONS_SQL = """
+WITH o AS (
+  SELECT user_id, event_id, value, epoch_us(ts) AS t,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev_t
+  FROM events),
+m AS (
+  SELECT user_id, event_id, value, t,
+         CASE WHEN prev_t IS NULL OR t - prev_t > 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM o),
+s AS (
+  SELECT user_id, value, t,
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY t, event_id
+                                  ROWS UNBOUNDED PRECEDING) - 1
+              AS BIGINT) AS session_id
+  FROM m)
+SELECT user_id, session_id,
+       count(*)::BIGINT AS n_events,
+       min(t) AS start_us, max(t) AS end_us,
+       CAST(round(sum(value) * 100) AS BIGINT) AS sum_value_cents
+FROM s GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+"""
 
 
 def _lang_id_sql() -> str:
@@ -593,32 +652,11 @@ SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
 FROM events GROUP BY 1, 2
 ORDER BY 1, 2
 """,
-        "sessions": """
-WITH o AS (
-  SELECT user_id, event_id, value, epoch_us(ts) AS t,
-         lag(epoch_us(ts)) OVER (PARTITION BY user_id
-                                 ORDER BY ts, event_id) AS prev_t
-  FROM events),
-m AS (
-  SELECT user_id, event_id, value, t,
-         CASE WHEN prev_t IS NULL OR t - prev_t > 1800000000
-              THEN 1 ELSE 0 END AS new_sess
-  FROM o),
-s AS (
-  SELECT user_id, value, t,
-         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY t, event_id
-                                  ROWS UNBOUNDED PRECEDING) - 1
-              AS BIGINT) AS session_id
-  FROM m)
-SELECT user_id, session_id,
-       count(*)::BIGINT AS n_events,
-       min(t) AS start_us, max(t) AS end_us,
-       CAST(round(sum(value) * 100) AS BIGINT) AS sum_value_cents
-FROM s GROUP BY user_id, session_id
-ORDER BY user_id, session_id
-""",
+        "sessions": _SESSIONS_SQL,
+        "sessions_salted": _SESSIONS_SQL,
         "lang_id": _lang_id_sql(),
         "fingerprint": _FINGERPRINT_SQL,
+        "bm25_topk_maxscore": _topk_sql(_BM25_EXPR),
         # minhash_pairs / simhash_pairs / ngram_jaccard /
         # embedding_near_dups / media_features: intentionally no SQL
         # oracle (LSH/hash-banded or model-shaped ops) -> driver records
