@@ -181,8 +181,16 @@ class IndexReader:
         by_shard: dict[int, list[str]] = {}
         for t in missing:
             by_shard.setdefault(self._lex[t][4], []).append(t)
-        parts = [self._read_terms_in_shard(s, ts)
-                 for s, ts in sorted(by_shard.items())]
+        items = sorted(by_shard.items())
+        if len(items) > 1:
+            # parquet decompression releases the GIL: overlap the shard
+            # reads (cold multi-term queries touch 2-4 shards)
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(max_workers=min(len(items), 8)) as ex:
+                parts = list(ex.map(
+                    lambda it: self._read_terms_in_shard(*it), items))
+        else:
+            parts = [self._read_terms_in_shard(s, ts) for s, ts in items]
         tbl = pa.concat_tables(parts)
         tbl = tbl.take(pc.sort_indices(
             tbl, sort_keys=[("term", "ascending"), ("seg", "ascending")]))
