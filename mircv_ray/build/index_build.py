@@ -587,8 +587,11 @@ def _mr_map_split(tbl: pa.Table, num_parts: int, salt_buckets: int):
 def _mr_reduce_build(build_fn, out_dir: str, shard: int, seg: int,
                      *parts: pa.Table) -> dict:
     """Reduce side: concat one partition's partials, build the final
-    block-encoded segments, write its parquet file (hive shard layout,
-    idempotent per partition — a rerun overwrites the same file)."""
+    block-encoded segments, write its parquet file ATOMICALLY (tmp +
+    rename into the hive shard layout) — the file's presence is the
+    partition's completion marker, so a crashed build resumes by
+    skipping exactly the partitions that finished."""
+    import os
     tbls = [t for t in parts if t.num_rows]
     if not tbls:
         return {"rows": 0}
@@ -596,31 +599,42 @@ def _mr_reduce_build(build_fn, out_dir: str, shard: int, seg: int,
     out = build_fn(group)
     d = Path(out_dir) / f"shard={shard}"
     d.mkdir(parents=True, exist_ok=True)
-    pq.write_table(out.drop_columns(["shard"]),
-                   str(d / f"seg-{seg}.parquet"))
+    tmp = d / f".seg-{seg}.parquet.tmp"
+    pq.write_table(out.drop_columns(["shard"]), str(tmp))
+    os.replace(tmp, d / f"seg-{seg}.parquet")  # atomic publish
     return {"rows": out.num_rows}
 
 
 def _mr_exchange_build(posts, build_fn, out_dir: str,
-                       cfg: IndexConfig) -> None:
+                       cfg: IndexConfig) -> int:
     """Direct map/reduce exchange for the postings build (see
     _mr_map_split). Map tasks emit per-partition slices as separate
     object-store returns; one reduce task per (shard, seg) concatenates
-    its slices, builds and writes. At multi-node scale the object store
-    moves each slice once, like any shuffle; a two-level merge tree
-    would bound reduce fan-in past ~10^3 map tasks."""
+    its slices, builds and writes atomically. PARTITION-LEVEL RESUME: a
+    partition whose output file already exists (published atomically by
+    a previous run) is skipped — only the missing partitions re-reduce.
+    Returns the number of partitions actually (re)built. At multi-node
+    scale the object store moves each slice once, like any shuffle; a
+    two-level merge tree would bound reduce fan-in past ~10^3 map
+    tasks."""
     num_parts = cfg.num_shards * cfg.salt_buckets
+    todo = [p for p in range(num_parts)
+            if not (Path(out_dir) / f"shard={p // cfg.salt_buckets}"
+                    / f"seg-{p % cfg.salt_buckets}.parquet").exists()]
+    if not todo:
+        return 0
     block_refs = posts.to_arrow_refs()
     split = _mr_map_split.options(num_returns=num_parts)
     nested = [split.remote(ref, num_parts, cfg.salt_buckets)
               for ref in block_refs]
     reduce_refs = []
-    for p in range(num_parts):
+    for p in todo:
         parts = [nested[m][p] for m in range(len(nested))]
         reduce_refs.append(_mr_reduce_build.remote(
             build_fn, out_dir, p // cfg.salt_buckets,
             p % cfg.salt_buckets, *parts))
     ray.get(reduce_refs)
+    return len(todo)
 
 
 # ------------------------------------------------------------------ stage 3
@@ -735,7 +749,16 @@ def build_index(corpus, out_dir: str, cfg: IndexConfig | None = None,
     # ---------------- stage 2: postings ----------------
     t1 = time.time()
     if not stage_complete(out_dir, "postings"):
-        _fresh_stage_dir(out, "postings")
+        if cfg.exchange == "mr":
+            # mr publishes each partition atomically (tmp+rename): files
+            # present ARE complete — keep them and resume partition-wise;
+            # only sweep stale tmp files from the crashed run
+            for tmp in (out / "postings").glob("shard=*/.seg-*.tmp"):
+                tmp.unlink(missing_ok=True)
+        else:
+            # ray write_parquet adds uniquely-named files beside partial
+            # leftovers — a rerun must start from a clean directory
+            _fresh_stage_dir(out, "postings")
         doc_len_ref = ray.put(doc_lens)
         if tok_mat is None:
             # resume path (docs stage done in a previous run): re-derive the

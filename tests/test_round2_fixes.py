@@ -468,3 +468,45 @@ def test_pair_joins_survive_empty_sort_partitions(ray_session):
         rd.from_arrow(t).repartition(32), threshold=0.5).to_pandas()
     # pairs (2i, 2i+1) share almost all shingles
     assert len(out) >= 15
+
+
+# -------------------------------------------- partition-level mr resume
+
+def test_mr_exchange_partition_level_resume(ray_session, tmp_path):
+    """With the mr exchange, a crashed postings stage resumes by
+    rebuilding ONLY the missing partitions (atomic per-partition files),
+    and the resumed index equals the clean build."""
+    import os
+
+    import ray.data as rd
+
+    from mircv_ray.build import build_index
+    from mircv_ray.config import IndexConfig
+    from mircv_ray.sources.corpus import generate_corpus_table
+
+    corpus = generate_corpus_table(80, with_sha=False)
+    cfg = IndexConfig(parse=False, num_shards=4, salt_buckets=2,
+                      exchange="mr")
+    out = tmp_path / "idx"
+    s1 = build_index(rd.from_arrow(corpus), str(out), cfg)
+
+    # simulate a crash: postings manifest gone, ONE partition file gone,
+    # one stale tmp left behind
+    (out / "_manifests" / "postings.json").unlink()
+    (out / "_manifests" / "lexicon.json").unlink()
+    import shutil
+    shutil.rmtree(out / "lexicon")
+    victim = out / "shard=1".replace("shard=1", "postings/shard=1")
+    victim_file = victim / "seg-0.parquet"
+    victim_file.unlink()
+    (victim / ".seg-0.parquet.tmp").write_bytes(b"garbage")
+    survivor = out / "postings" / "shard=0" / "seg-0.parquet"
+    mtime_before = survivor.stat().st_mtime_ns
+
+    s2 = build_index(rd.from_arrow(corpus), str(out), cfg)
+    assert not (victim / ".seg-0.parquet.tmp").exists()
+    assert victim_file.exists()
+    # untouched partitions were NOT rewritten
+    assert survivor.stat().st_mtime_ns == mtime_before
+    assert s2["metrics"]["n_postings"] == s1["metrics"]["n_postings"]
+    assert s2["n_docs"] == s1["n_docs"]
