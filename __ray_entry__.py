@@ -378,6 +378,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # arbitrary block order at high parallelism
         return _sorted_table(sessionize(ev), ["user_id", "session_id"])
 
+    def window_hopping(sf_dir: str):
+        from mircv_ray.ops import hopping_window_agg
+        ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["ts", "event_type", "value"])
+        return _sorted_table(
+            hopping_window_agg(ev, width_us=3_600_000_000,
+                               hop_us=1_800_000_000),
+            ["window_start_us", "event_type"])
+
     def sessions_salted(sf_dir: str):
         # the mega-user path (day-salted fragments + per-user merge) must
         # produce EXACTLY the sessions output — same oracle SQL
@@ -456,6 +465,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard": ngram_jaccard,
         "embedding_near_dups": embedding_near_dups,
         "window_agg": window_agg,
+        "window_hopping": window_hopping,
         "sessions": sessions,
         "sessions_salted": sessions_salted,
         "bm25_topk_maxscore": bm25_topk_maxscore,
@@ -650,6 +660,17 @@ SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
        count(*)::BIGINT AS n_events,
        CAST(round(sum(value) * 100) AS BIGINT) AS sum_value_cents
 FROM events GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+        "window_hopping": """
+WITH e AS (SELECT epoch_us(ts) AS t, event_type, value FROM events),
+w AS (SELECT t, event_type, value, unnest(range(0, 2)) AS j FROM e),
+g AS (SELECT (t // 1800000000) * 1800000000 - j * 1800000000
+         AS window_start_us, event_type, value FROM w)
+SELECT window_start_us, event_type,
+       count(*)::BIGINT AS n_events,
+       CAST(round(sum(value) * 100) AS BIGINT) AS sum_value_cents
+FROM g GROUP BY 1, 2
 ORDER BY 1, 2
 """,
         "sessions": _SESSIONS_SQL,

@@ -9,7 +9,7 @@ from .textops import (
 from .dedup import exact_dedup_keep, minhash_signatures, minhash_candidate_pairs, simhash64, near_dup_pairs, ngram_jaccard_pairs, shingle_sets
 from .similarity import cosine_topk, ivf_build_centroids, ivf_cosine_topk, embedding_near_dup_pairs
 from .multimodal import DecodeImage, SampleFrames, make_media_table
-from .windows import props_extract, sessionize, top_users_by_type, tumbling_window_agg
+from .windows import hopping_window_agg, props_extract, sessionize, top_users_by_type, tumbling_window_agg
 
 __all__ = [
     "DecodeImage", "SampleFrames", "make_media_table",
@@ -18,5 +18,5 @@ __all__ = [
     "minhash_candidate_pairs", "simhash64", "near_dup_pairs",
     "cosine_topk", "ivf_build_centroids", "ivf_cosine_topk",
     "ngram_jaccard_pairs", "shingle_sets", "embedding_near_dup_pairs",
-    "tumbling_window_agg", "sessionize", "props_extract", "top_users_by_type",
+    "tumbling_window_agg", "hopping_window_agg", "sessionize", "props_extract", "top_users_by_type",
 ]

@@ -68,6 +68,56 @@ def tumbling_window_agg(events_ds, width_us: int = US_PER_HOUR):
     return agg.map_batches(finalize, batch_format="pyarrow")
 
 
+def hopping_window_agg(events_ds, width_us: int = US_PER_HOUR,
+                       hop_us: int = US_PER_HOUR // 2):
+    """Overlapping (hopping/sliding) windows: every window of length
+    ``width_us`` starting at multiples of ``hop_us``; an event at t
+    belongs to ceil(width/hop) consecutive windows. Map-side combine
+    replicates each batch row once PER COVERING WINDOW into (window,
+    type) partials before the tiny groupby — events never shuffle.
+    ``width_us`` must be a multiple of ``hop_us``."""
+    from ray.data.aggregate import Sum
+
+    from .. import use_push_shuffle
+    if width_us % hop_us:
+        raise ValueError("width_us must be a multiple of hop_us")
+    k = width_us // hop_us
+    use_push_shuffle(events_ds)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64()).to_numpy()
+        # last window start covering t: floor(t/hop)*hop; the k covering
+        # starts are that minus j*hop for j in [0, k)
+        base = (ts // hop_us) * hop_us
+        n = len(ts)
+        win = (np.repeat(base, k)
+               - np.tile(np.arange(k, dtype=np.int64) * hop_us, n))
+        t = pa.table({
+            "window_start_us": pa.array(win, type=pa.int64()),
+            "event_type": pa.array(
+                np.repeat(batch["event_type"].to_numpy(zero_copy_only=False),
+                          k)),
+            "value": pa.array(np.repeat(batch["value"].to_numpy(), k)),
+        })
+        a = t.group_by(["window_start_us", "event_type"]).aggregate(
+            [([], "count_all"), ("value", "sum")])
+        return pa.table({"window_start_us": a["window_start_us"],
+                         "event_type": a["event_type"],
+                         "n": a["count_all"].cast(pa.int64()),
+                         "v": a["value_sum"]})
+
+    partials = events_ds.map_batches(partial, batch_format="pyarrow")
+    agg = partials.groupby(["window_start_us", "event_type"]).aggregate(
+        Sum("n", alias_name="n_events"), Sum("v", alias_name="sum_value"))
+
+    def finalize(b: pa.Table) -> pa.Table:
+        i = b.schema.get_field_index("sum_value")
+        cents = pc.round(pc.multiply(b["sum_value"], 100.0),
+                         round_mode="half_towards_infinity").cast(pa.int64())
+        return b.remove_column(i).append_column("sum_value_cents", cents)
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
 def sessionize(events_ds, gap_us: int = 30 * 60 * 1_000_000,
                salt_width_us: int | None = None):
     """Per-user gap-based sessions: a new session starts when the time

@@ -510,3 +510,22 @@ def test_mr_exchange_partition_level_resume(ray_session, tmp_path):
     assert survivor.stat().st_mtime_ns == mtime_before
     assert s2["metrics"]["n_postings"] == s1["metrics"]["n_postings"]
     assert s2["n_docs"] == s1["n_docs"]
+
+
+def test_hopping_window_covers_each_event_k_times(ray_session):
+    import ray.data as rd
+
+    from mircv_ray.ops import hopping_window_agg
+    # two events; width 4s, hop 2s -> each event counted in 2 windows
+    t = pa.table({
+        "ts": pa.array([1_000_000, 5_000_000], type=pa.timestamp("us")),
+        "event_type": pa.array(["a", "a"]),
+        "value": pa.array([1.0, 2.0]),
+    })
+    out = hopping_window_agg(rd.from_arrow(t), width_us=4_000_000,
+                             hop_us=2_000_000).to_pandas()
+    assert out["n_events"].sum() == 4           # 2 events x 2 windows
+    assert out["sum_value_cents"].sum() == 600  # (1+2)*2 * 100
+    with pytest.raises(ValueError, match="multiple"):
+        hopping_window_agg(rd.from_arrow(t), width_us=3_000_000,
+                           hop_us=2_000_000)
