@@ -6,7 +6,8 @@ Mirrors the reference's query lifecycle
   init: load collection stats (T5), doc-length array (T4, BM25 only in
   the reference — always loaded here), lexicon (T3: the reference
   binary-searches 100-byte records on disk per term, Lexicon.java:154-195;
-  here the lexicon Parquet is loaded once per actor into a dict).
+  here the lexicon Parquet loads once per PROCESS into sorted
+  term/stat arrays shared by every reader, looked up via searchsorted).
 
   per query: tokenize (M12) -> optional alphabetical term sort (M13)
   -> fetch posting lists (J1; terms missing from the lexicon are silently
@@ -39,6 +40,139 @@ from .cursors import PostingCursor
 from .scorer import bm25_score, max_score, tfidf_score
 
 
+def _multi_arange(lens: np.ndarray) -> np.ndarray:
+    """concat([arange(l) for l in lens]) without the Python loop."""
+    total = int(lens.sum())
+    if total == 0:
+        return np.zeros(0, np.int64)
+    starts = np.cumsum(lens) - lens
+    out = np.ones(total, dtype=np.int64)
+    out[0] = 0
+    nz = lens > 0
+    out[starts[nz][1:]] = 1 - lens[nz][:-1]
+    return np.cumsum(out)
+
+
+def _terms_to_s64(arr) -> np.ndarray:
+    """Arrow string column -> fixed-width S64 byte array (terms are < 64
+    ASCII bytes by the tokenizer's M5/M6 rules). One flat scatter over
+    the value buffer — no (n, 64) index temporaries."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    a = arr.cast(pa.binary())
+    n = len(a)
+    if n == 0:
+        return np.zeros(0, dtype="S64")
+    offs = np.frombuffer(a.buffers()[1], dtype=np.int32,
+                         count=n + 1, offset=a.offset * 4).astype(np.int64)
+    data = np.frombuffer(a.buffers()[2], dtype=np.uint8) \
+        if a.buffers()[2] is not None else np.zeros(0, np.uint8)
+    lens = offs[1:] - offs[:-1]
+    # arrow value buffers are tightly packed: the bytes of all strings in
+    # row order are data[offs[0]:offs[-1]]
+    seq = data[offs[0]:offs[-1]]
+    dpos = (np.repeat(np.arange(n, dtype=np.int64) * 64, lens)
+            + _multi_arange(lens))
+    out = np.zeros(n * 64, dtype=np.uint8)
+    out[dpos] = seq
+    return out.view("S64")
+
+
+class _LexiconView:
+    """Mapping-style view over the sorted lexicon arrays: term ->
+    (df, idf, bm25_ub, tfidf_ub, shard) via searchsorted — O(log V) per
+    lookup, no per-reader Python dict (a dict over a multi-million-term
+    vocabulary costs ~45 s and ~600 MB PER ACTOR; the arrays build once
+    per process in seconds and are shared by every reader)."""
+
+    __slots__ = ("terms", "df", "idf", "b25", "tfidf", "shard")
+
+    def __init__(self, terms, df, idf, b25, tfidf, shard):
+        self.terms = terms
+        self.df = df
+        self.idf = idf
+        self.b25 = b25
+        self.tfidf = tfidf
+        self.shard = shard
+
+    def _index(self, term: str) -> int:
+        enc = term.encode()
+        if len(enc) >= 64:
+            return -1
+        key = np.bytes_(enc)
+        i = int(np.searchsorted(self.terms, key))
+        if i < len(self.terms) and self.terms[i] == key:
+            return i
+        return -1
+
+    def get(self, term: str, default=None):
+        i = self._index(term)
+        if i < 0:
+            return default
+        return (int(self.df[i]), float(self.idf[i]), float(self.b25[i]),
+                float(self.tfidf[i]), int(self.shard[i]))
+
+    def __getitem__(self, term: str):
+        v = self.get(term)
+        if v is None:
+            raise KeyError(term)
+        return v
+
+    def __contains__(self, term: str) -> bool:
+        return self._index(term) >= 0
+
+    def __iter__(self):
+        for t in self.terms:
+            yield t.decode()
+
+    def __len__(self) -> int:
+        return len(self.terms)
+
+    def items(self):
+        for i, t in enumerate(self.terms):
+            yield t.decode(), (int(self.df[i]), float(self.idf[i]),
+                               float(self.b25[i]), float(self.tfidf[i]),
+                               int(self.shard[i]))
+
+    def __eq__(self, other) -> bool:
+        if isinstance(other, _LexiconView):
+            # term-keyed content comparison, like the old dict
+            return dict(self.items()) == dict(other.items())
+        if isinstance(other, dict):
+            return dict(self.items()) == other
+        return NotImplemented
+
+
+# (index_dir, lexicon mtime) -> _LexiconView; shared per process so an
+# actor pool's readers pay the lexicon load once, not once per reader
+_lex_cache: dict = {}
+
+
+def _load_lexicon(index_dir: str) -> _LexiconView:
+    lex_dir = Path(index_dir) / "lexicon"
+    key = (str(lex_dir), max((f.stat().st_mtime_ns
+                              for f in lex_dir.glob("*.parquet")), default=0))
+    hit = _lex_cache.get(key)
+    if hit is not None:
+        return hit
+    lt = pq.read_table(str(lex_dir),
+                       columns=["term", "df", "idf", "bm25_ub",
+                                "tfidf_ub", "shard"])
+    terms = _terms_to_s64(lt["term"])
+    order = np.argsort(terms, kind="stable")
+    view = _LexiconView(
+        terms[order],
+        lt["df"].to_numpy()[order],
+        lt["idf"].to_numpy()[order],
+        lt["bm25_ub"].to_numpy()[order],
+        lt["tfidf_ub"].to_numpy()[order],
+        lt["shard"].to_numpy()[order])
+    _lex_cache[key] = view
+    while len(_lex_cache) > 4:      # bound per-process memory
+        _lex_cache.pop(next(iter(_lex_cache)))
+    return view
+
+
 class IndexReader:
     """Per-process (per-actor) read-only index state."""
 
@@ -55,17 +189,8 @@ class IndexReader:
                            columns=["doc_id", "doc_len"])
         self.doc_len = np.zeros(self.n_docs, dtype=np.int64)
         self.doc_len[dt["doc_id"].to_numpy() - 1] = dt["doc_len"].to_numpy()
-        # T3: lexicon dict term -> row
-        lt = pq.read_table(str(Path(index_dir) / "lexicon"),
-                           columns=["term", "df", "idf", "bm25_ub",
-                                    "tfidf_ub", "shard"])
-        self._lex = {
-            t: (int(df), float(idf), float(b25), float(tfidf), int(sh))
-            for t, df, idf, b25, tfidf, sh in zip(
-                lt["term"].to_pylist(), lt["df"].to_numpy(),
-                lt["idf"].to_numpy(), lt["bm25_ub"].to_numpy(),
-                lt["tfidf_ub"].to_numpy(), lt["shard"].to_numpy())
-        }
+        # T3: lexicon as sorted arrays + searchsorted (process-shared)
+        self._lex = _load_lexicon(index_dir)
         # per-shard parquet handles + row-group term ranges, built lazily
         # on first access (metadata-only) — per-term fetches then read
         # just the matching row group(s) instead of planning a filtered
