@@ -52,7 +52,7 @@ import ray
 from ..codecs.blocks import encode_blocks
 from ..config import IndexConfig
 from ..text.tokenizer import Tokenizer
-from ..util import sha256_hex_column
+from ..util import binary_column_values, sha256_hex_column
 from .manifests import read_manifest, stage_complete, write_manifest
 
 logger = logging.getLogger(__name__)
@@ -449,8 +449,6 @@ def _make_build_segments(doc_len_ref, avg_doc_len: float, cfg: IndexConfig):
         if isinstance(terms_arr, pa.ChunkedArray):
             terms_arr = terms_arr.combine_chunks()
         n_col = group["n"].to_numpy()
-        ids_bufs = group["ids_raw"].to_pylist()
-        tfs_bufs = group["tfs_raw"].to_pylist()
         shard_val = int(group["shard"][0].as_py())
         seg_val = int(group["seg"][0].as_py())
         # term run boundaries over the sorted partial rows (vectorized
@@ -459,13 +457,12 @@ def _make_build_segments(doc_len_ref, avg_doc_len: float, cfg: IndexConfig):
             0, len(terms_arr) - 1)).to_numpy(zero_copy_only=False)
         row_starts = np.flatnonzero(np.append(True, neq))
         nt = len(row_starts)
-        # merged value stream, term-major, docId-ascending per term
-        ids_all = (np.concatenate([np.frombuffer(x, dtype=np.int64)
-                                   for x in ids_bufs])
-                   if ids_bufs else np.zeros(0, np.int64))
-        tfs_all = (np.concatenate([np.frombuffer(x, dtype=np.int32)
-                                   for x in tfs_bufs]).astype(np.int64)
-                   if tfs_bufs else np.zeros(0, np.int64))
+        # merged value stream, term-major, docId-ascending per term —
+        # binary values are tightly packed, so the whole stream is ONE
+        # typed view of the column buffer (no per-row Python bytes)
+        ids_all = binary_column_values(group["ids_raw"], np.int64)
+        tfs_all = binary_column_values(group["tfs_raw"],
+                                       np.int32).astype(np.int64)
         row_codes = np.cumsum(np.append(0, neq.astype(np.int64)))
         val_codes = np.repeat(row_codes, n_col)
         vorder = np.lexsort((ids_all, val_codes))  # O3: explicit docId sort

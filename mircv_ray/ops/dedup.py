@@ -26,7 +26,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..util import NULL_HASH, sha256_hex_column
+from ..util import NULL_HASH, multi_arange, sha256_hex_column
 
 _MERSENNE = np.uint64((1 << 61) - 1)
 _NUM_PERM = 64
@@ -278,21 +278,8 @@ def _unpack_varlen(col, dtype) -> tuple[np.ndarray, np.ndarray]:
     data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
     lens = (offs[1:] - offs[:-1])
     total = int(lens.sum())
-    idx = np.repeat(offs[:-1], lens) + _ranges(lens)
+    idx = np.repeat(offs[:-1], lens) + multi_arange(lens)
     return data[idx][:total].view(dtype), (lens // itemsize)
-
-
-def _ranges(lens: np.ndarray) -> np.ndarray:
-    """concat([arange(l) for l in lens]) without the Python loop."""
-    total = int(lens.sum())
-    if total == 0:
-        return np.zeros(0, np.int64)
-    starts = np.cumsum(lens) - lens
-    out = np.ones(total, dtype=np.int64)
-    out[0] = 0
-    nz = lens > 0
-    out[starts[nz][1:]] = 1 - lens[nz][:-1]
-    return np.cumsum(out)
 
 
 def _attach_state_once(left_ds, state_ds, id_col: str, state_col: str,

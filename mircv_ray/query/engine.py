@@ -35,22 +35,10 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from ..config import QueryConfig
+from ..util import multi_arange
 from ..text import tokenize_text
 from .cursors import PostingCursor
 from .scorer import bm25_score, max_score, tfidf_score
-
-
-def _multi_arange(lens: np.ndarray) -> np.ndarray:
-    """concat([arange(l) for l in lens]) without the Python loop."""
-    total = int(lens.sum())
-    if total == 0:
-        return np.zeros(0, np.int64)
-    starts = np.cumsum(lens) - lens
-    out = np.ones(total, dtype=np.int64)
-    out[0] = 0
-    nz = lens > 0
-    out[starts[nz][1:]] = 1 - lens[nz][:-1]
-    return np.cumsum(out)
 
 
 def _terms_to_s64(arr) -> np.ndarray:
@@ -72,7 +60,7 @@ def _terms_to_s64(arr) -> np.ndarray:
     # row order are data[offs[0]:offs[-1]]
     seq = data[offs[0]:offs[-1]]
     dpos = (np.repeat(np.arange(n, dtype=np.int64) * 64, lens)
-            + _multi_arange(lens))
+            + multi_arange(lens))
     out = np.zeros(n * 64, dtype=np.uint8)
     out[dpos] = seq
     return out.view("S64")

@@ -12,6 +12,34 @@ import pyarrow as pa
 NULL_HASH = "null:" + hashlib.sha256(b"\x00null\x00").hexdigest()[:59]
 
 
+def multi_arange(lens: "np.ndarray") -> "np.ndarray":
+    """concat([arange(l) for l in lens]) without the Python loop."""
+    total = int(lens.sum())
+    if total == 0:
+        return np.zeros(0, np.int64)
+    starts = np.cumsum(lens) - lens
+    out = np.ones(total, dtype=np.int64)
+    out[0] = 0
+    nz = lens > 0
+    out[starts[nz][1:]] = 1 - lens[nz][:-1]
+    return np.cumsum(out)
+
+
+def binary_column_values(col, dtype) -> "np.ndarray":
+    """Concatenated values of a tightly-packed arrow binary column as ONE
+    typed array (row order == buffer order) — replaces per-row
+    to_pylist + frombuffer with a single aligned copy."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.zeros(0, dtype=dtype)
+    offs = np.frombuffer(col.buffers()[1], dtype=np.int32,
+                         count=n + 1, offset=col.offset * 4)
+    data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+    return data[offs[0]:offs[-1]].copy().view(dtype)
+
+
 def default_join_partitions(lo: int = 2, hi: int = 64) -> int:
     """Hash-join partition count sized to the cluster: each Dataset.join
     spawns one aggregator actor per partition, so a fixed large count
