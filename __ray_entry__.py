@@ -102,6 +102,40 @@ SELECT qid, doc_id, round(score, 6) AS score FROM (
 """
 
 
+def _topk_and_sql(score_expr: str) -> str:
+    """Clean-AND conjunctive top-k: a doc qualifies iff it matches every
+    LISTED KNOWN query term occurrence (duplicate terms still score
+    twice; unknown terms are ignored, matching the engine)."""
+    return f"""
+WITH {_TOKS_CTE},
+{_values_clause()},
+doclen AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM docs) AS n,
+                 (SELECT count(*) FROM tok)::DOUBLE
+                 / (SELECT count(*) FROM docs) AS avgdl),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+qk AS (SELECT q.qid, count(*) AS nq FROM q JOIN df ON df.term = q.term
+       GROUP BY q.qid),
+scores AS (
+  SELECT q.qid, tf.doc_id,
+         sum({score_expr}) AS score,
+         count(*) AS nmatch
+  FROM q
+  JOIN df ON df.term = q.term
+  JOIN tf ON tf.term = q.term
+  JOIN doclen dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.qid, tf.doc_id)
+SELECT qid, doc_id, round(score, 6) AS score FROM (
+  SELECT sc.qid, sc.doc_id, sc.score,
+         row_number() OVER (PARTITION BY sc.qid
+                            ORDER BY sc.score DESC, sc.doc_id) AS rn
+  FROM scores sc JOIN qk ON qk.qid = sc.qid
+  WHERE sc.nmatch = qk.nq) WHERE rn <= 10
+"""
+
+
 _BM25_EXPR = ("(tf.tf / (1.5*(0.3 + 0.7*(dl.dl / s.avgdl)) + tf.tf)) "
               "* log10(s.n / df.df)")
 _TFIDF_EXPR = "(1.0 + log10(tf.tf)) * log10(s.n / df.df)"
@@ -266,6 +300,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def tfidf_topk(sf_dir: str):
         return _topk_run(sf_dir, "TFIDF")
+
+    def bm25_conjunctive_strict(sf_dir: str):
+        # CLEAN-AND conjunctive (engine extension; SQL-expressible,
+        # unlike the reference's quirky MaxScore conjunctive which stays
+        # pytest-verified against the pure-Python oracle)
+        from mircv_ray.config import QueryConfig
+        from mircv_ray.query import QueryEngine
+        idx = _basic_index(sf_dir)
+        eng = QueryEngine(idx, QueryConfig(standard="BM25", k=10,
+                                           parse=False, squeeze=False))
+        qids, dids, scores = [], [], []
+        for qid, terms in enumerate(_BM25_QUERIES):
+            for doc_id, score in eng.score_terms_strict_and(list(terms)):
+                qids.append(qid)
+                dids.append(doc_id - 1)
+                scores.append(round(score, 6))
+        return pa.table({"qid": pa.array(qids, type=pa.int64()),
+                         "doc_id": pa.array(dids, type=pa.int64()),
+                         "score": pa.array(scores, type=pa.float64())})
 
     def dedup_exact(sf_dir: str):
         from mircv_ray.ops import exact_dedup_keep
@@ -453,6 +506,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": bm25_topk,
         "bm25_conjunctive": bm25_conjunctive,
         "tfidf_topk": tfidf_topk,
+        "bm25_conjunctive_strict": bm25_conjunctive_strict,
         "dedup_exact": dedup_exact,
         "token_count": token_count,
         "quality_stats": quality_stats,
@@ -678,6 +732,7 @@ ORDER BY 1, 2
         "lang_id": _lang_id_sql(),
         "fingerprint": _FINGERPRINT_SQL,
         "bm25_topk_maxscore": _topk_sql(_BM25_EXPR),
+        "bm25_conjunctive_strict": _topk_and_sql(_BM25_EXPR),
         # minhash_pairs / simhash_pairs / ngram_jaccard /
         # embedding_near_dups / media_features: intentionally no SQL
         # oracle (LSH/hash-banded or model-shaped ops) -> driver records

@@ -477,6 +477,52 @@ class QueryEngine:
         order = np.lexsort((cand, -sc))[:k]  # score desc, docId asc (O4 ties)
         return [(int(cand[i]), float(sc[i])) for i in order]
 
+    def score_terms_strict_and(self, terms: list[str]) -> list[tuple[int, float]]:
+        """CLEAN-AND conjunctive top-k (engine extension; SQL-expressible,
+        unlike the reference's MaxScore conjunctive quirks): a doc scores
+        iff it contains EVERY distinct known query term; duplicate query
+        terms still score twice. Vectorized: sorted-array intersection of
+        the decoded id lists, then gathered contribution sums."""
+        r = self.reader
+        bm25 = self.qcfg.standard == "BM25"
+        lists = []
+        for t in terms:
+            lex = r.lexicon_entry(t)
+            if lex is None:
+                continue  # unknown terms are ignored, as everywhere else
+            ids, tfs = r.decoded(t)
+            lists.append((ids, tfs, lex[1]))
+        if not lists:
+            return []
+        # intersection over DISTINCT term id-lists (dedupe by identity of
+        # the decoded array: duplicate terms share the cached array)
+        seen: dict[int, None] = {}
+        distinct = []
+        for ids, _, _ in lists:
+            if id(ids) not in seen:
+                seen[id(ids)] = None
+                distinct.append(ids)
+        inter = distinct[0]
+        for ids in distinct[1:]:
+            inter = np.intersect1d(inter, ids, assume_unique=True)
+            if not len(inter):
+                return []
+        score = np.zeros(len(inter), dtype=np.float64)
+        for ids, tfs, idf in lists:
+            pos = np.searchsorted(ids, inter)
+            tf = tfs[pos]
+            if bm25:
+                score += (tf / (r.k1 * r.bj[inter - 1] + tf)) * idf
+            else:
+                score += (1.0 + np.log10(tf)) * idf
+        k = self.qcfg.k
+        if len(inter) > k:
+            kth = -np.partition(-score, k - 1)[k - 1]
+            keep = score >= kth
+            score, inter = score[keep], inter[keep]
+        order = np.lexsort((inter, -score))[:k]
+        return [(int(inter[i]), float(score[i])) for i in order]
+
     def query(self, text: str, conjunctive: bool | None = None,
               sort_terms: bool = False) -> list[tuple[str, float]]:
         """Returns [(docno, score)] ranked. A leading '+' marks conjunctive

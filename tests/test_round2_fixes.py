@@ -529,3 +529,36 @@ def test_hopping_window_covers_each_event_k_times(ray_session):
     with pytest.raises(ValueError, match="multiple"):
         hopping_window_agg(rd.from_arrow(t), width_us=3_000_000,
                            hop_us=2_000_000)
+
+
+def test_strict_and_conjunctive(ray_session, tmp_path):
+    import ray.data as rd
+
+    from mircv_ray.build import build_index
+    from mircv_ray.config import IndexConfig, QueryConfig
+    from mircv_ray.query import QueryEngine
+    docs = ["alpha beta gamma", "alpha beta", "beta gamma", "alpha alpha beta gamma"]
+    t = pa.table({
+        "repo": pa.array(["r"] * 4),
+        "path": pa.array([f"f{i}" for i in range(4)]),
+        "commit": pa.array(["c"] * 4),
+        "lang": pa.array(["py"] * 4),
+        "content": pa.array(docs),
+    })
+    out = str(tmp_path / "idx")
+    build_index(rd.from_arrow(t), out,
+                IndexConfig(parse=False, squeeze=False, num_shards=2,
+                            salt_buckets=1))
+    eng = QueryEngine(out, QueryConfig(standard="BM25", k=10, parse=False,
+                                       squeeze=False))
+    res = eng.score_terms_strict_and(["alpha", "gamma"])
+    assert sorted(d for d, _ in res) == [1, 4]       # docs 0 and 3 (1-based)
+    # unknown terms ignored; all-unknown -> empty
+    assert eng.score_terms_strict_and(["nope"]) == []
+    assert [d for d, _ in eng.score_terms_strict_and(["nope", "beta"])] \
+        == [d for d, _ in eng.score_terms_strict_and(["beta"])]
+    # duplicate query terms score twice: same doc set, doubled alpha part
+    s1 = dict(eng.score_terms_strict_and(["alpha", "gamma"]))
+    s2 = dict(eng.score_terms_strict_and(["alpha", "alpha", "gamma"]))
+    assert set(s1) == set(s2)
+    assert all(s2[d] > s1[d] for d in s1)
