@@ -424,7 +424,7 @@ def _term_shards_memo(vocab: pa.Array, num_shards: int) -> np.ndarray:
     return out
 
 
-def _make_build_segments(doc_len_ref, avg_doc_len: float, cfg: IndexConfig):
+def _make_build_segments(seg_len_slices, avg_doc_len: float, cfg: IndexConfig):
     k1 = cfg.k1
     b = cfg.b
     codec = cfg.codec
@@ -442,7 +442,6 @@ def _make_build_segments(doc_len_ref, avg_doc_len: float, cfg: IndexConfig):
         per-term Python loop only slices bytes and appends, with
         ``encode_blocks`` called solely for the rare multi-block
         (hot/high-df) terms."""
-        doc_lens = _cached_get(doc_len_ref)  # np.int64 array, index = docId-1
         order = pc.sort_indices(group["term"])
         group = group.take(order)
         terms_arr = group["term"]
@@ -451,6 +450,11 @@ def _make_build_segments(doc_len_ref, avg_doc_len: float, cfg: IndexConfig):
         n_col = group["n"].to_numpy()
         shard_val = int(group["shard"][0].as_py())
         seg_val = int(group["seg"][0].as_py())
+        # J2 at scale: segments are docId-DISJOINT ranges, so each task
+        # fetches only ITS range's doc-length slice (the whole array
+        # would be terabytes at 10^12 docs); index = docId-1 - seg_lo
+        seg_lo, seg_len_ref = seg_len_slices[seg_val]
+        doc_lens = _cached_get(seg_len_ref)
         # term run boundaries over the sorted partial rows (vectorized
         # string compare; rows are term-sorted)
         neq = pc.not_equal(terms_arr.slice(1), terms_arr.slice(
@@ -472,7 +476,7 @@ def _make_build_segments(doc_len_ref, avg_doc_len: float, cfg: IndexConfig):
         df_arr = ends - bounds
         max_arr = ids_all[ends - 1]
         # A6/A7 cores via segment maxima over the whole stream
-        bj_all = 0.3 + b * (doc_lens[ids_all - 1] / avg_doc_len)
+        bj_all = 0.3 + b * (doc_lens[ids_all - 1 - seg_lo] / avg_doc_len)
         b25_vals = tfs_all / (k1 * bj_all + tfs_all)
         tf_vals = 1.0 + np.log10(tfs_all)
         b25_arr = np.maximum.reduceat(b25_vals, bounds)
@@ -746,6 +750,15 @@ def build_index(corpus, out_dir: str, cfg: IndexConfig | None = None,
     # ---------------- stage 2: postings ----------------
     t1 = time.time()
     if not stage_complete(out_dir, "postings"):
+        # per-seg doc-length slices (docId ranges match _make_explode's
+        # seg assignment: seg(id) = (id-1)*salt // n_docs)
+        salt = cfg.salt_buckets
+        seg_len_slices = []
+        for s2 in range(salt):
+            lo = -(-s2 * n_docs // salt) if n_docs else 0
+            hi = -(-(s2 + 1) * n_docs // salt) if n_docs else 0
+            seg_len_slices.append(
+                (lo, ray.put(np.ascontiguousarray(doc_lens[lo:hi]))))
         if cfg.exchange == "mr":
             # mr publishes each partition atomically (tmp+rename): files
             # present ARE complete — keep them and resume partition-wise;
@@ -756,7 +769,6 @@ def build_index(corpus, out_dir: str, cfg: IndexConfig | None = None,
             # ray write_parquet adds uniquely-named files beside partial
             # leftovers — a rerun must start from a clean directory
             _fresh_stage_dir(out, "postings")
-        doc_len_ref = ray.put(doc_lens)
         if tok_mat is None:
             # resume path (docs stage done in a previous run): re-derive the
             # token stream — the id mapping comes from the checkpointed doc
@@ -782,7 +794,7 @@ def build_index(corpus, out_dir: str, cfg: IndexConfig | None = None,
         posts = tok_mat.select_columns(["doc_id", "tokens"]).map_batches(
             _make_explode(cfg.num_shards, cfg.salt_buckets, n_docs),
             batch_format="pyarrow", batch_size=cfg.explode_batch_size)
-        build_fn = _make_build_segments(doc_len_ref, avg_doc_len, cfg)
+        build_fn = _make_build_segments(seg_len_slices, avg_doc_len, cfg)
         if cfg.exchange == "mr":
             _mr_exchange_build(posts, build_fn, str(out / "postings"), cfg)
         else:
