@@ -25,10 +25,15 @@ Scale design:
   concatenation in seg order is the sorted posting list) and the lexicon
   aggregates only per-segment metadata. Per-group memory is bounded by
   segment size, not by a mega-term's df.
-- doc lengths are broadcast once via ``ray.put`` and read inside the
-  posting-build tasks (J2 as a broadcast join, never a shuffle).
+- doc lengths are written as a seg-partitioned parquet sidecar during the
+  docs stage and loaded per segment by REMOTE tasks (J2 as a
+  per-partition lookup, never a shuffle) — the driver holds only
+  O(salt_buckets) object refs, never an O(n_docs) array.
 - output is partitioned Parquet with per-stage manifests (lineage +
-  tokens/s + postings/s + bytes) — completed stages are skipped on rerun.
+  tokens/s + postings/s + bytes + a config fingerprint) — completed
+  stages are skipped on rerun, and a stage whose manifest fingerprint
+  no longer matches the requested config/corpus is wiped and rebuilt
+  instead of silently reused.
 """
 
 from __future__ import annotations
@@ -38,7 +43,6 @@ import logging
 import math
 import shutil
 import time
-import zlib
 from pathlib import Path
 
 import numpy as np
@@ -52,7 +56,7 @@ import ray
 from ..codecs.blocks import encode_blocks
 from ..config import IndexConfig
 from ..text.tokenizer import Tokenizer
-from ..util import binary_column_values, sha256_hex_column
+from ..util import binary_column_values, crc32_column, sha256_hex_column
 from .manifests import read_manifest, stage_complete, write_manifest
 
 logger = logging.getLogger(__name__)
@@ -84,8 +88,8 @@ def _cached_get(ref):
 
 def term_shard(terms: list[str], num_shards: int) -> np.ndarray:
     """Stable term -> shard hash (crc32; Python's hash() is salted)."""
-    return np.array([zlib.crc32(t.encode()) % num_shards for t in terms],
-                    dtype=np.int64)
+    crcs = crc32_column(pa.array(terms, type=pa.string()))
+    return (crcs % np.uint32(num_shards)).astype(np.int64)
 
 
 # ------------------------------------------------------------------ stage 1
@@ -410,18 +414,10 @@ def _make_explode(num_shards: int, salt_buckets: int, n_docs: int):
 
 
 def _term_shards_memo(vocab: pa.Array, num_shards: int) -> np.ndarray:
-    """term -> shard for a dictionary, memoized per worker process (the
-    vocabulary repeats heavily across batches, so crc32 runs once per
-    DISTINCT term per worker, not once per batch)."""
-    memo = _worker_cache.setdefault(("term_shard", num_shards), {})
-    words = vocab.to_pylist()
-    out = np.empty(len(words), dtype=np.int64)
-    for i, w in enumerate(words):
-        s = memo.get(w)
-        if s is None:
-            s = memo[w] = zlib.crc32(w.encode()) % num_shards
-        out[i] = s
-    return out
+    """term -> shard for a batch's term dictionary: one vectorized crc32
+    pass over the dictionary's value buffer (byte-position loop, ≤64
+    steps for index terms) — no per-term Python in the explode hot path."""
+    return (crc32_column(vocab) % np.uint32(num_shards)).astype(np.int64)
 
 
 def _make_build_segments(seg_len_slices, avg_doc_len: float, cfg: IndexConfig):
@@ -656,6 +652,108 @@ def load_stats(index_dir: str) -> dict:
     return json.loads((Path(index_dir) / "stats.json").read_text())
 
 
+# --------------------------------------------- per-seg doc-length sidecar
+
+def _seg_bounds(seg: int, n_docs: int, salt: int) -> tuple[int, int]:
+    """0-based (docId-1) half-open range covered by a salt segment —
+    matches _make_explode's seg(id) = (id-1)*salt // n_docs."""
+    if n_docs == 0:
+        return 0, 0
+    return -(-seg * n_docs // salt), -(-(seg + 1) * n_docs // salt)
+
+
+def _write_doc_len_sidecar(out: Path, n_docs: int, salt: int) -> None:
+    """doc_lens/seg=N parquet sidecar: (doc_id, doc_len) partitioned by
+    salt segment, derived DISTRIBUTEDLY from the docs parquet (slim
+    2-column read; nothing lands on the driver). Each posting-build
+    segment later loads only its own partition."""
+    import ray.data as rd
+    d = out / "doc_lens"
+    if d.exists():
+        shutil.rmtree(d, ignore_errors=True)
+    if n_docs > 0:
+        def tag(batch: pa.Table) -> pa.Table:
+            did = batch["doc_id"].to_numpy()
+            seg = (did - 1) * salt // n_docs
+            return batch.append_column("seg", pa.array(seg, type=pa.int64()))
+        (rd.read_parquet(str(out / "docs"), columns=["doc_id", "doc_len"])
+           .map_batches(tag, batch_format="pyarrow")
+           .write_parquet(str(d), partition_cols=["seg"]))
+    d.mkdir(exist_ok=True)
+    write_manifest(str(out), "doc_lens",
+                   {"n_docs": n_docs, "salt_buckets": salt})
+
+
+def _ensure_doc_len_sidecar(out: Path, n_docs: int, salt: int) -> None:
+    m = read_manifest(str(out), "doc_lens")
+    if (m is None or m.get("n_docs") != n_docs
+            or m.get("salt_buckets") != salt):
+        _write_doc_len_sidecar(out, n_docs, salt)
+
+
+@ray.remote
+def _load_seg_lens(seg_dir: str, lo: int, hi: int) -> np.ndarray:
+    """Dense doc-length slice for one salt segment (index = docId-1-lo),
+    read from the seg's sidecar partition INSIDE a task — the driver only
+    holds the returned object ref. A missing partition dir means the
+    segment has no docs (n_docs < salt): all-zeros is correct."""
+    arr = np.zeros(hi - lo, dtype=np.int64)
+    p = Path(seg_dir)
+    if p.exists() and any(p.glob("*.parquet")):
+        tbl = pq.read_table(str(p), columns=["doc_id", "doc_len"])
+        arr[tbl["doc_id"].to_numpy() - 1 - lo] = tbl["doc_len"].to_numpy()
+    return arr
+
+
+def _docs_stats(out: Path) -> tuple[int, int]:
+    """(n_docs, total_doc_len) without pulling the doc table: both come
+    from the docs manifest; fallbacks are parquet-footer row counts
+    (metadata-only) and a distributed Ray sum over the slim doc_len
+    column (old checkpoint dirs written before the manifest carried
+    total_doc_len)."""
+    m = read_manifest(str(out), "docs") or {}
+    n = m.get("n_docs")
+    if n is None:
+        n = pads.dataset(str(out / "docs"), format="parquet").count_rows()
+    tot = m.get("total_doc_len")
+    if tot is None:
+        if n == 0:
+            tot = 0
+        else:
+            import ray.data as rd
+            tot = rd.read_parquet(str(out / "docs"),
+                                  columns=["doc_len"]).sum("doc_len") or 0
+    return int(n), int(tot)
+
+
+# ------------------------------------------- stage fingerprints (resume)
+
+def _docs_fingerprint(cfg: IndexConfig, lineage: dict | None) -> dict:
+    """Everything the docs-stage output depends on: tokenizer config +
+    declared corpus lineage. A manifest whose fingerprint differs from
+    the requested build must NOT be resumed (stale tokens/docIds)."""
+    return {"parse": cfg.parse, "squeeze": cfg.squeeze,
+            "term_dimension": cfg.term_dimension,
+            "lineage": lineage or {}}
+
+
+def _postings_fingerprint(cfg: IndexConfig, docs_stamp) -> dict:
+    """Everything a postings partition's bytes depend on: codec/layout
+    knobs, score-core constants, the exchange (file naming differs), and
+    the docs stage identity (completed_at) it was built from."""
+    return {"codec": cfg.codec, "num_shards": cfg.num_shards,
+            "salt_buckets": cfg.salt_buckets,
+            "block_threshold": cfg.block_threshold,
+            "k1": cfg.k1, "b": cfg.b, "exchange": cfg.exchange,
+            "docs_completed_at": docs_stamp}
+
+
+def _invalidate_stage(out: Path, stage: str) -> None:
+    _fresh_stage_dir(out, stage)
+    (out / "_manifests" / f"{stage}.json").unlink(missing_ok=True)
+    (out / "_manifests" / f"{stage}.start.json").unlink(missing_ok=True)
+
+
 def _partition_stats(stage_dir: Path) -> dict:
     """{shard name: {rows, bytes, files}} from parquet footers."""
     parts = {}
@@ -698,6 +796,31 @@ def build_index(corpus, out_dir: str, cfg: IndexConfig | None = None,
     out.mkdir(parents=True, exist_ok=True)
     metrics: dict = {}
 
+    # stale-checkpoint guard: a stage directory may exist from a previous
+    # run with a DIFFERENT config or corpus — resuming it would silently
+    # mix codecs or duplicate postings. Fingerprints invalidate stale
+    # stages (and everything downstream) before any resume decision.
+    docs_fp = _docs_fingerprint(cfg, lineage)
+    docs_m = read_manifest(out_dir, "docs")
+    if docs_m is not None and docs_m.get("fingerprint") != docs_fp:
+        logger.warning("docs checkpoint is from a different config/corpus "
+                       "— rebuilding the whole index")
+        for st in ("docs", "doc_lens", "postings", "lexicon"):
+            _invalidate_stage(out, st)
+    post_m = read_manifest(out_dir, "postings")
+    if post_m is not None:
+        stamp = (read_manifest(out_dir, "docs") or {}).get("completed_at")
+        if post_m.get("fingerprint") != _postings_fingerprint(cfg, stamp):
+            logger.warning("postings checkpoint is from a different "
+                           "config/corpus — rebuilding postings+lexicon")
+            _invalidate_stage(out, "postings")
+            _invalidate_stage(out, "lexicon")
+    lex_m = read_manifest(out_dir, "lexicon")
+    if lex_m is not None:
+        stamp = (read_manifest(out_dir, "postings") or {}).get("completed_at")
+        if lex_m.get("postings_completed_at") != stamp:
+            _invalidate_stage(out, "lexicon")
+
     # ---------------- stage 1: docs ----------------
     t0 = time.time()
     tok_mat = None
@@ -733,36 +856,51 @@ def build_index(corpus, out_dir: str, cfg: IndexConfig | None = None,
             tok0 = None  # release the pre-join token blocks
         tok_mat.drop_columns(["tokens"]).write_parquet(
             str(out / "docs"), min_rows_per_file=200_000)
+        # A3 collection length via a DISTRIBUTED sum over the slim column
+        # — the driver never pulls the doc table
+        total0 = 0
+        if n_keys:
+            import ray.data as rd
+            total0 = int(rd.read_parquet(
+                str(out / "docs"), columns=["doc_len"]).sum("doc_len") or 0)
+        _write_doc_len_sidecar(out, n_keys, cfg.salt_buckets)
         write_manifest(out_dir, "docs", {
             "lineage": lineage or {}, "n_docs": n_keys,
+            "total_doc_len": total0, "fingerprint": docs_fp,
             "seconds": time.time() - t0,
         })
-    docs_tbl = pq.read_table(str(out / "docs"),
-                             columns=["doc_id", "doc_len"])
-    n_docs = docs_tbl.num_rows
-    total_doc_len = int(pc.sum(docs_tbl["doc_len"]).as_py() or 0)
+    n_docs, total_doc_len = _docs_stats(out)
     avg_doc_len = total_doc_len / max(n_docs, 1)
-    doc_lens = np.zeros(n_docs, dtype=np.int64)
-    doc_lens[docs_tbl["doc_id"].to_numpy() - 1] = docs_tbl["doc_len"].to_numpy()
     metrics["docs_seconds"] = (read_manifest(out_dir, "docs") or {}).get("seconds")
     metrics["n_docs"] = n_docs
 
     # ---------------- stage 2: postings ----------------
     t1 = time.time()
     if not stage_complete(out_dir, "postings"):
+        stamp = (read_manifest(out_dir, "docs") or {}).get("completed_at")
+        post_fp = _postings_fingerprint(cfg, stamp)
         # per-seg doc-length slices (docId ranges match _make_explode's
-        # seg assignment: seg(id) = (id-1)*salt // n_docs)
+        # seg assignment), loaded from the sidecar by REMOTE tasks — the
+        # driver holds only (lo, ref) per segment, never the array
         salt = cfg.salt_buckets
+        _ensure_doc_len_sidecar(out, n_docs, salt)
         seg_len_slices = []
         for s2 in range(salt):
-            lo = -(-s2 * n_docs // salt) if n_docs else 0
-            hi = -(-(s2 + 1) * n_docs // salt) if n_docs else 0
-            seg_len_slices.append(
-                (lo, ray.put(np.ascontiguousarray(doc_lens[lo:hi]))))
+            lo, hi = _seg_bounds(s2, n_docs, salt)
+            seg_len_slices.append((lo, _load_seg_lens.remote(
+                str(out / "doc_lens" / f"seg={s2}"), lo, hi)))
         if cfg.exchange == "mr":
             # mr publishes each partition atomically (tmp+rename): files
-            # present ARE complete — keep them and resume partition-wise;
-            # only sweep stale tmp files from the crashed run
+            # present ARE complete — but only for THIS config/corpus. The
+            # stage-START sidecar records the fingerprint before any
+            # partition decision; a mismatch (changed codec/shards/salt,
+            # or docs rebuilt since) wipes the dir instead of resuming
+            start_m = read_manifest(out_dir, "postings.start")
+            if start_m is not None and start_m.get("fingerprint") != post_fp:
+                logger.warning("postings partial output is from a different "
+                               "config/corpus — wiping instead of resuming")
+                _fresh_stage_dir(out, "postings")
+            write_manifest(out_dir, "postings.start", {"fingerprint": post_fp})
             for tmp in (out / "postings").glob("shard=*/.seg-*.tmp"):
                 tmp.unlink(missing_ok=True)
         else:
@@ -808,6 +946,7 @@ def build_index(corpus, out_dir: str, cfg: IndexConfig | None = None,
         write_manifest(out_dir, "postings", {
             "seconds": time.time() - t1, "codec": cfg.codec,
             "salt_buckets": cfg.salt_buckets, "num_shards": cfg.num_shards,
+            "fingerprint": post_fp,
             # per-PARTITION lineage: (term-rows, bytes) per shard dir from
             # parquet footers — a resumed/audited run can account for each
             # partition independently (footer scan is metadata-only; at
@@ -895,7 +1034,11 @@ def build_index(corpus, out_dir: str, cfg: IndexConfig | None = None,
             })).repartition(len(shard_dirs)).map_batches(
                 shard_lexicon, batch_format="pyarrow",
                 batch_size=1).write_parquet(str(out / "lexicon"))
-        write_manifest(out_dir, "lexicon", {"seconds": time.time() - t2})
+        write_manifest(out_dir, "lexicon", {
+            "seconds": time.time() - t2,
+            "postings_completed_at":
+                (read_manifest(out_dir, "postings") or {}).get("completed_at"),
+        })
     lex_meta = pq.read_table(str(out / "lexicon"),
                              columns=["df", "bytes_ids", "bytes_tfs"])
     num_terms = lex_meta.num_rows

@@ -40,6 +40,56 @@ def binary_column_values(col, dtype) -> "np.ndarray":
     return data[offs[0]:offs[-1]].copy().view(dtype)
 
 
+_CRC32_TABLE: "np.ndarray | None" = None
+
+
+def _crc32_table() -> "np.ndarray":
+    """Standard CRC-32 (zlib/IEEE, reflected poly 0xEDB88320) byte table."""
+    global _CRC32_TABLE
+    if _CRC32_TABLE is None:
+        t = np.arange(256, dtype=np.uint32)
+        for _ in range(8):
+            t = np.where(t & 1, np.uint32(0xEDB88320) ^ (t >> 1), t >> 1)
+        _CRC32_TABLE = t
+    return _CRC32_TABLE
+
+
+def crc32_column(arr: pa.Array | pa.ChunkedArray) -> "np.ndarray":
+    """zlib.crc32 of every value of a string/binary column, vectorized.
+
+    CRC is byte-serial, so the loop runs over byte POSITIONS (bounded by
+    the longest value — 64 for index terms) with each step a numpy gather
+    over all still-alive rows, instead of a Python loop over rows.
+    Verified equal to ``zlib.crc32`` per value (tests/test_util.py).
+    """
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    if n == 0:
+        return np.zeros(0, dtype=np.uint32)
+    if arr.type == pa.string():
+        arr = arr.cast(pa.binary())
+    bufs = arr.buffers()
+    offs = np.frombuffer(bufs[1], dtype=np.int32, count=n + 1,
+                         offset=arr.offset * 4).astype(np.int64)
+    data = (np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None
+            else np.zeros(0, dtype=np.uint8))
+    lens = offs[1:] - offs[:-1]
+    starts = offs[:-1]
+    table = _crc32_table()
+    crc = np.full(n, 0xFFFFFFFF, dtype=np.uint32)
+    # iterate longest-first over positions; rows drop out as they end
+    alive = np.flatnonzero(lens > 0)
+    j = 0
+    while len(alive):
+        b = data[starts[alive] + j]
+        c = crc[alive]
+        crc[alive] = table[(c ^ b) & np.uint32(0xFF)] ^ (c >> np.uint8(8))
+        j += 1
+        alive = alive[lens[alive] > j]
+    return crc ^ np.uint32(0xFFFFFFFF)
+
+
 def default_join_partitions(lo: int = 2, hi: int = 64) -> int:
     """Hash-join partition count sized to the cluster: each Dataset.join
     spawns one aggregator actor per partition, so a fixed large count

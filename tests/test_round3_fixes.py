@@ -1,0 +1,177 @@
+"""Round-3 fixes: driver-free doc lengths, vectorized term sharding,
+fingerprinted checkpoint resume (VERDICT r2 items 1/10 + ADVICE r2)."""
+
+import zlib
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from mircv_ray.config import IndexConfig
+from mircv_ray.sources import generate_corpus_table
+
+N_DOCS = 120
+
+
+def _corpus(ray_session):
+    import ray.data as rd
+    table = generate_corpus_table(N_DOCS, seed=7)
+    return rd.from_arrow(table.drop_columns(["sha256"]))
+
+
+# ------------------------------------------------------------- crc32
+
+class TestCrc32Column:
+    def test_matches_zlib(self):
+        from mircv_ray.util import crc32_column
+        rng = np.random.default_rng(0)
+        vals = ["", "a", "def", "x" * 63, "päß", "\x00\x01", "return"]
+        vals += ["".join(chr(rng.integers(33, 127)) for _ in
+                         range(rng.integers(1, 64))) for _ in range(200)]
+        got = crc32_column(pa.array(vals, type=pa.string()))
+        want = np.array([zlib.crc32(v.encode()) for v in vals],
+                        dtype=np.uint32)
+        assert (got == want).all()
+
+    def test_sliced_and_binary(self):
+        from mircv_ray.util import crc32_column
+        arr = pa.array([b"abc", b"", b"hello world", b"\xff\x00"],
+                       type=pa.binary())
+        got = crc32_column(arr.slice(1, 3))
+        want = np.array([zlib.crc32(b""), zlib.crc32(b"hello world"),
+                         zlib.crc32(b"\xff\x00")], dtype=np.uint32)
+        assert (got == want).all()
+
+    def test_empty(self):
+        from mircv_ray.util import crc32_column
+        assert len(crc32_column(pa.array([], type=pa.string()))) == 0
+
+    def test_term_shard_unchanged(self):
+        """Shard assignment must stay crc32-stable (index layout parity)."""
+        from mircv_ray.build.index_build import term_shard
+        terms = ["def", "return", "posting", "a" * 63]
+        got = term_shard(terms, 16)
+        want = [zlib.crc32(t.encode()) % 16 for t in terms]
+        assert got.tolist() == want
+
+
+# ------------------------------------------------- doc-len sidecar (J2)
+
+class TestDocLenSidecar:
+    def test_sidecar_matches_docs(self, ray_session, tmp_path):
+        from mircv_ray.build import build_index
+        out = tmp_path / "idx"
+        cfg = IndexConfig(num_shards=4, salt_buckets=3)
+        stats = build_index(_corpus(ray_session), str(out), cfg)
+        segs = sorted((out / "doc_lens").glob("seg=*"))
+        assert len(segs) == 3
+        side = pq.read_table(str(out / "doc_lens"),
+                             columns=["doc_id", "doc_len"]).sort_by("doc_id")
+        docs = pq.read_table(str(out / "docs"),
+                             columns=["doc_id", "doc_len"]).sort_by("doc_id")
+        assert side.equals(docs)
+        assert stats["total_doc_len"] == sum(
+            docs["doc_len"].to_pylist())
+
+    def test_load_seg_lens_missing_dir(self, ray_session, tmp_path):
+        import ray
+        from mircv_ray.build.index_build import _load_seg_lens
+        arr = ray.get(_load_seg_lens.remote(str(tmp_path / "nope"), 5, 12))
+        assert arr.tolist() == [0] * 7
+
+    def test_seg_bounds_cover_all_docs(self):
+        from mircv_ray.build.index_build import _seg_bounds
+        for n, salt in [(0, 4), (3, 8), (100, 7), (1, 1)]:
+            spans = [_seg_bounds(s, n, salt) for s in range(salt)]
+            assert spans[0][0] == 0 and spans[-1][1] == n
+            for (a, b), (c, d) in zip(spans, spans[1:]):
+                assert b == c
+            # matches the explode-side assignment
+            for did in range(1, n + 1):
+                s = (did - 1) * salt // n
+                lo, hi = spans[s]
+                assert lo <= did - 1 < hi
+
+
+# ------------------------------------- fingerprinted resume (ADVICE r2)
+
+class TestFingerprintResume:
+    def test_codec_change_rebuilds_postings(self, ray_session, tmp_path):
+        from mircv_ray.build import build_index, read_manifest
+        from mircv_ray.query import IndexReader
+        out = str(tmp_path / "idx")
+        ds = _corpus(ray_session)
+        build_index(ds, out, IndexConfig(num_shards=4, codec="vbyte"))
+        stamp1 = read_manifest(out, "postings")["completed_at"]
+        # same dir, changed codec: postings+lexicon must NOT be resumed
+        stats2 = build_index(ds, out, IndexConfig(num_shards=4, codec="none"))
+        assert read_manifest(out, "postings")["completed_at"] != stamp1
+        assert read_manifest(out, "postings")["codec"] == "none"
+        reader = IndexReader(out)
+        assert reader.codec == "none"
+        assert stats2["codec"] == "none"
+
+    def test_parse_change_rebuilds_docs(self, ray_session, tmp_path):
+        from mircv_ray.build import build_index, read_manifest
+        out = str(tmp_path / "idx")
+        ds = _corpus(ray_session)
+        s1 = build_index(ds, out, IndexConfig(num_shards=4, parse=True))
+        s2 = build_index(ds, out, IndexConfig(num_shards=4, parse=False))
+        # unparsed keeps stopwords: strictly more distinct terms
+        assert s2["num_terms"] > s1["num_terms"]
+        assert read_manifest(out, "docs")["fingerprint"]["parse"] is False
+
+    def test_same_config_still_resumes(self, ray_session, tmp_path):
+        from mircv_ray.build import build_index, read_manifest
+        out = str(tmp_path / "idx")
+        ds = _corpus(ray_session)
+        cfg = IndexConfig(num_shards=4, salt_buckets=2)
+        build_index(ds, out, cfg)
+        stamps = {st: read_manifest(out, st)["completed_at"]
+                  for st in ("docs", "postings", "lexicon")}
+        build_index(ds, out, cfg)
+        for st, t in stamps.items():
+            assert read_manifest(out, st)["completed_at"] == t, st
+
+    def test_mr_partial_wiped_on_salt_change(self, ray_session, tmp_path):
+        """Crashed mr build + changed salt_buckets: stale partition files
+        must be wiped, not resumed beside new ones (ADVICE r2 medium)."""
+        from mircv_ray.build import build_index
+        from mircv_ray.oracle import OracleIndex
+        out = tmp_path / "idx"
+        ds = _corpus(ray_session)
+        build_index(ds, str(out),
+                    IndexConfig(num_shards=4, salt_buckets=2, exchange="mr"))
+        # simulate crash mid-postings: stage manifests gone, files remain
+        (out / "_manifests" / "postings.json").unlink()
+        (out / "_manifests" / "lexicon.json").unlink()
+        stats = build_index(
+            ds, str(out),
+            IndexConfig(num_shards=4, salt_buckets=3, exchange="mr"))
+        # no stale seg files: every shard dir holds segs < 3 only, and
+        # the rebuilt index matches the oracle posting count exactly
+        for d in (out / "postings").glob("shard=*"):
+            segs = sorted(int(f.stem.split("-")[1])
+                          for f in d.glob("seg-*.parquet"))
+            assert all(s < 3 for s in segs), (d, segs)
+        oracle = OracleIndex.build(
+            generate_corpus_table(N_DOCS, seed=7).to_pylist(), parse=True)
+        assert stats["metrics"]["n_postings"] == sum(
+            len(v) for v in oracle.postings.values())
+
+    def test_docs_rebuild_invalidates_downstream(self, ray_session, tmp_path):
+        """Postings built against docs run A must not survive a docs
+        rebuild (docs completed_at is part of the postings fingerprint)."""
+        from mircv_ray.build import build_index, read_manifest
+        out = str(tmp_path / "idx")
+        ds = _corpus(ray_session)
+        cfg = IndexConfig(num_shards=4)
+        build_index(ds, out, cfg)
+        # force a docs rerun only (manifest gone), keep postings manifest
+        (Path(out) / "_manifests" / "docs.json").unlink()
+        build_index(ds, out, cfg)
+        docs_stamp = read_manifest(out, "docs")["completed_at"]
+        assert read_manifest(
+            out, "postings")["fingerprint"]["docs_completed_at"] == docs_stamp
