@@ -20,13 +20,16 @@ the state dataset (`_join_pair_state`).
 
 from __future__ import annotations
 
-import zlib
+import logging
 
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..util import NULL_HASH, multi_arange, sha256_hex_column
+from ..util import (NULL_HASH, crc32_column, multi_arange,
+                    sha256_hex_column)
+
+logger = logging.getLogger(__name__)
 
 _MERSENNE = np.uint64((1 << 61) - 1)
 _NUM_PERM = 64
@@ -49,8 +52,7 @@ def _token_ids_flat(batch: pa.Table, text_col: str):
     denc = pc.dictionary_encode(flat)
     if isinstance(denc, pa.ChunkedArray):
         denc = denc.combine_chunks()
-    vocab_hash = np.array([zlib.crc32(w.encode()) for w in
-                           denc.dictionary.to_pylist()], dtype=np.uint64)
+    vocab_hash = crc32_column(denc.dictionary).astype(np.uint64)
     base = vocab_hash[denc.indices.to_numpy(zero_copy_only=False)] \
         if len(flat) else np.zeros(0, dtype=np.uint64)
     return base, counts
@@ -165,39 +167,56 @@ def explode_bands(batch: pa.Table, id_col: str = "doc_id",
 _PAIR_PARTITIONS = 512  # LSH buckets hash-packed into this many groups
 
 
-def _pair_rows_in_partition(sort_keys: list[np.ndarray],
-                            max_bucket: int) -> tuple[np.ndarray, np.ndarray]:
+def _pair_rows_in_partition(
+        sort_keys: list[np.ndarray],
+        max_bucket: int) -> tuple[np.ndarray, np.ndarray, int]:
     """Row-index pairs within equal-key runs, fully vectorized.
 
     ``sort_keys`` are already-sorted parallel key arrays defining the
     runs (an LSH bucket each). Instead of one UDF call per bucket (Ray's
     map_groups dispatch costs ~6µs x millions of tiny buckets), runs are
     detected with one diff and pairs expanded per DISTINCT RUN SIZE —
-    a handful of vectorized triu broadcasts. Buckets larger than
-    ``max_bucket`` are skipped (degenerate hash collisions).
-    Returns (row_idx_a, row_idx_b) into the sorted table.
+    a handful of vectorized triu broadcasts.
+
+    Buckets larger than ``max_bucket`` emit STAR pairs against the
+    bucket's first row (min id, since rows are id-sorted within a run)
+    instead of all O(n²) pairs: a large duplicate CLUSTER (the most
+    common real near-dup shape — hundreds of copies of one document) is
+    exactly such a bucket, and every member must stay reachable. Star
+    pairs are O(n) and preserve connected components — member k links
+    to the representative, so the component {rep, m1, .., mk} survives
+    any transitive-closure dedup. Returns (row_idx_a, row_idx_b,
+    n_capped_buckets) into the sorted table.
     """
     n = len(sort_keys[0])
     if n < 2:
-        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+        return np.zeros(0, np.int64), np.zeros(0, np.int64), 0
     change = np.zeros(n - 1, dtype=bool)
     for k in sort_keys:
         change |= k[1:] != k[:-1]
     starts = np.flatnonzero(np.append(True, change))
     lens = np.diff(np.append(starts, n))
     out_a, out_b = [], []
+    n_capped = 0
     for s in np.unique(lens):
-        if s < 2 or s > max_bucket:
+        if s < 2:
             continue
         sel = starts[lens == s]
+        if s > max_bucket:
+            # star expansion: (first row, each other row) per bucket
+            n_capped += len(sel)
+            out_a.append(np.repeat(sel, int(s) - 1))
+            out_b.append((sel[:, None]
+                          + np.arange(1, int(s))[None, :]).ravel())
+            continue
         idx = sel[:, None] + np.arange(s)[None, :]   # (runs, s) row indices
         ia, ib = np.triu_indices(int(s), k=1)
         out_a.append(idx[:, ia].ravel())
         out_b.append(idx[:, ib].ravel())
     if not out_a:
-        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+        return np.zeros(0, np.int64), np.zeros(0, np.int64), n_capped
     return (np.concatenate(out_a).astype(np.int64),
-            np.concatenate(out_b).astype(np.int64))
+            np.concatenate(out_b).astype(np.int64), n_capped)
 
 
 def _add_pkey(batch: pa.Table, key_cols: list[str],
@@ -222,7 +241,13 @@ def _make_partition_pairs(key_cols: list[str], id_col: str,
             + [(id_col, "ascending")])
         group = group.take(order)
         keys = [group[c].to_numpy() for c in key_cols]
-        ra, rb = _pair_rows_in_partition(keys, max_bucket)
+        ra, rb, n_capped = _pair_rows_in_partition(keys, max_bucket)
+        if n_capped:
+            logger.warning(
+                "%d bucket(s) over max_bucket=%d in this partition: "
+                "emitted star pairs against each bucket's min-id "
+                "representative instead of all O(n^2) pairs (connected "
+                "components preserved)", n_capped, max_bucket)
         ids = group[id_col].to_numpy()
         cols = {"a": pa.array(ids[ra], type=pa.int64()),
                 "b": pa.array(ids[rb], type=pa.int64())}
@@ -242,6 +267,12 @@ def _pack_rows(mat: np.ndarray) -> pa.Array:
     mat = np.ascontiguousarray(mat)
     n = len(mat)
     w = mat.dtype.itemsize * (mat.shape[1] if mat.ndim > 1 else 1)
+    if n * w >= 2**31:
+        # int32 binary offsets would silently wrap — this only happens
+        # when a single BATCH packs >2 GiB of state; shrink batch_size
+        raise ValueError(
+            f"packed state batch is {n * w} bytes (>= 2 GiB): arrow "
+            "binary offsets are int32 — reduce the batch size upstream")
     offs = np.arange(n + 1, dtype=np.int32) * w
     return pa.Array.from_buffers(
         pa.binary(), n,
@@ -365,12 +396,92 @@ def _attach_state_once(left_ds, state_ds, id_col: str, state_col: str,
                                              batch_format="pyarrow")
 
 
-def _join_pair_state(pairs_ds, state_ds, id_col: str,
-                     state_col: str, num_partitions: int | None = None):
-    """Attach per-id state to BOTH sides of candidate pairs via two
-    partitioned reduce-side joins — the 100-TB-safe replacement for
-    broadcasting the state table: only (a, b, state) rows move,
-    hash-partitioned by join key, never the whole table to the driver."""
+# state tables under this many bytes verify via the broadcast path (one
+# ray.put + per-batch searchsorted) instead of two partitioned joins —
+# the joins are the only path that survives 10^12 docs, but at toy scale
+# their exchange machinery costs ~3x the broadcast (BENCH r2: 12.8 s vs
+# 3.6 s for dedup_minhash at sf0.1). pytest pins both paths value-equal.
+BROADCAST_STATE_MAX_BYTES = 256 * 1024 * 1024
+
+_bcast_cache: dict = {}
+
+
+def _get_bcast(ref):
+    import ray
+    key = ref.hex() if hasattr(ref, "hex") else id(ref)
+    if key not in _bcast_cache:
+        _bcast_cache[key] = ray.get(ref)
+    return _bcast_cache[key]
+
+
+def _broadcast_pair_state(pairs_ds, state_ds, id_col: str, state_col: str):
+    """Small-state verify path: the packed state table is ray.put once
+    and read per worker; pairs get a global distinct (one slim exchange
+    over (a, b) rows) then attach both states map-side by binary search.
+    Value-identical to the partitioned-join path (pytest-pinned)."""
+    import ray
+    tbls = [t for t in ray.get(state_ds.to_arrow_refs()) if t.num_rows]
+    if tbls:
+        tbl = pa.concat_tables(tbls).combine_chunks()
+        keys = tbl[id_col].to_numpy()
+        order = np.argsort(keys, kind="stable")
+        keys = np.ascontiguousarray(keys[order])
+        vals = tbl[state_col].combine_chunks().take(pa.array(order))
+    else:
+        keys = np.zeros(0, dtype=np.int64)
+        vals = pa.array([], type=pa.binary())
+    ref = ray.put((keys, vals))
+    out_schema = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                            ("state_a", pa.binary()),
+                            ("state_b", pa.binary())])
+
+    pair_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+
+    def norm(batch: pa.Table) -> pa.Table:
+        # pair blocks from map_groups can be zero-column (empty sort
+        # partitions) — pin the schema before the distinct exchange
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return pa.Table.from_pylist([], schema=pair_schema)
+        return pa.table({"a": batch["a"],
+                         "b": batch["b"]}).cast(pair_schema)
+
+    def attach(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return pa.Table.from_pylist([], schema=out_schema)
+        keys, vals = _get_bcast(ref)
+        if len(keys) == 0:
+            return pa.Table.from_pylist([], schema=out_schema)
+        a = batch["a"].to_numpy()
+        b = batch["b"].to_numpy()
+        posa = np.minimum(np.searchsorted(keys, a), len(keys) - 1)
+        posb = np.minimum(np.searchsorted(keys, b), len(keys) - 1)
+        hit = (keys[posa] == a) & (keys[posb] == b)
+        sel = pa.array(hit)
+        return pa.table({
+            "a": batch["a"].filter(sel), "b": batch["b"].filter(sel),
+            "state_a": vals.take(pa.array(posa[hit])),
+            "state_b": vals.take(pa.array(posb[hit]))}).cast(out_schema)
+
+    return _distinct_pairs(
+        pairs_ds.map_batches(norm, batch_format="pyarrow")).map_batches(
+            attach, batch_format="pyarrow")
+
+
+def _join_pair_state(pairs_ds, state_ds, id_col: str, state_col: str,
+                     num_partitions: int | None = None,
+                     broadcast_max_bytes: int | None = None):
+    """Attach per-id state to BOTH sides of candidate pairs.
+
+    ADAPTIVE: a state table under ``broadcast_max_bytes`` (default
+    BROADCAST_STATE_MAX_BYTES) is broadcast once and attached map-side;
+    above it, two partitioned reduce-side joins move only (a, b, state)
+    rows hash-partitioned by join key — the 100-TB path where nothing
+    lands on the driver or in any single worker heap."""
+    if broadcast_max_bytes is None:
+        broadcast_max_bytes = BROADCAST_STATE_MAX_BYTES
+    size = state_ds.size_bytes()
+    if size is not None and size <= broadcast_max_bytes:
+        return _broadcast_pair_state(pairs_ds, state_ds, id_col, state_col)
     if num_partitions is None:
         from ..util import default_join_partitions
         num_partitions = default_join_partitions()
@@ -562,19 +673,23 @@ def shingle_sets(batch: pa.Table, text_col: str = "text",
     hashes per doc (the exact-Jaccard ground set)."""
     base, counts = _token_ids_flat(batch, text_col)
     sh_flat, sh_counts = _shingle_hashes(base, counts, shingle_k)
-    starts = np.cumsum(sh_counts) - sh_counts
-    offsets = [0]
-    flat = []
-    for d in range(len(sh_counts)):
-        u = np.unique(sh_flat[starts[d]:starts[d] + sh_counts[d]])
-        flat.append(u)
-        offsets.append(offsets[-1] + len(u))
-    values = (np.concatenate(flat) if flat else np.zeros(0, np.uint64))
+    # per-doc sorted distinct via ONE lexsort + adjacent-dedup over the
+    # whole batch (identical to np.unique per doc, no per-doc Python)
+    n_docs = len(sh_counts)
+    parent = np.repeat(np.arange(n_docs, dtype=np.int64), sh_counts)
+    order = np.lexsort((sh_flat, parent))
+    v, p = sh_flat[order], parent[order]
+    keep = np.ones(len(v), dtype=bool)
+    if len(v) > 1:
+        keep[1:] = (v[1:] != v[:-1]) | (p[1:] != p[:-1])
+    values = v[keep]
+    u_counts = np.bincount(p[keep], minlength=n_docs)
+    offsets = np.zeros(n_docs + 1, dtype=np.int32)
+    np.cumsum(u_counts, out=offsets[1:])
     return pa.table({
         id_col: batch[id_col],
         "shingles": pa.ListArray.from_arrays(
-            pa.array(offsets, type=pa.int32()),
-            pa.array(values.astype(np.int64))),
+            pa.array(offsets), pa.array(values.astype(np.int64))),
     })
 
 
@@ -586,6 +701,9 @@ def _pack_shingle_sets(batch: pa.Table, id_col: str) -> pa.Table:
     lens = pc.list_value_length(sh).to_numpy(zero_copy_only=False) \
         .astype(np.int64)
     flat = pc.list_flatten(sh).to_numpy(zero_copy_only=False)
+    if int(lens.sum()) * 8 >= 2**31:
+        raise ValueError("packed shingle-set batch >= 2 GiB: int32 "
+                         "binary offsets would wrap — reduce batch size")
     boffs = np.zeros(len(lens) + 1, dtype=np.int32)
     np.cumsum(lens * 8, out=boffs[1:])
     arr = pa.Array.from_buffers(

@@ -205,6 +205,9 @@ def embedding_near_dup_pairs(emb_ds, threshold: float = 0.9,
     cand = _bucketed_pairs(
         emb_ds.map_batches(sketch, batch_format="pyarrow"),
         ["band", "band_key"], id_col, max_bucket=1000)
-    emb_bin = emb_ds.map_batches(pack_normalized, batch_format="pyarrow")
+    # materialized once: feeds the size probe (adaptive broadcast vs
+    # partitioned joins) and the verify attach without a re-scan
+    emb_bin = emb_ds.map_batches(pack_normalized,
+                                 batch_format="pyarrow").materialize()
     joined = _join_pair_state(cand, emb_bin, id_col, "nemb")
     return joined.map_batches(verify_pairs, batch_format="pyarrow")

@@ -175,3 +175,128 @@ class TestFingerprintResume:
         docs_stamp = read_manifest(out, "docs")["completed_at"]
         assert read_manifest(
             out, "postings")["fingerprint"]["docs_completed_at"] == docs_stamp
+
+
+# ---------------------------------------------- LSH star pairs (r2 item 2)
+
+class TestStarPairsOverCap:
+    def test_pair_rows_star_expansion(self):
+        """A run larger than max_bucket emits star pairs against the
+        run's first row instead of nothing (the r2 silent-drop bug)."""
+        from mircv_ray.ops.dedup import _pair_rows_in_partition
+        # two runs: key 1 x5 (over cap 3), key 2 x3 (at cap)
+        keys = [np.array([1, 1, 1, 1, 1, 2, 2, 2], dtype=np.int64)]
+        ra, rb, n_capped = _pair_rows_in_partition(keys, max_bucket=3)
+        assert n_capped == 1
+        pairs = set(zip(ra.tolist(), rb.tolist()))
+        # capped run: star (0,1)(0,2)(0,3)(0,4); uncapped run: full triu
+        assert {(0, 1), (0, 2), (0, 3), (0, 4)} <= pairs
+        assert {(5, 6), (5, 7), (6, 7)} <= pairs
+        assert len(pairs) == 7
+        assert not any(a >= b for a, b in pairs)
+
+    def test_pair_rows_uncapped_unchanged(self):
+        from mircv_ray.ops.dedup import _pair_rows_in_partition
+        keys = [np.array([3, 3, 4, 4, 4], dtype=np.int64)]
+        ra, rb, n_capped = _pair_rows_in_partition(keys, max_bucket=200)
+        assert n_capped == 0
+        assert set(zip(ra.tolist(), rb.tolist())) == {
+            (0, 1), (2, 3), (2, 4), (3, 4)}
+
+    def test_300_identical_docs_all_connected(self, ray_session):
+        """VERDICT r2 item 2's done-criterion: a 300-copy duplicate
+        cluster (bucket size 300 > max_bucket 200) must keep every
+        member reachable (directly or transitively) in minhash output."""
+        import ray.data as rd
+        from mircv_ray.ops import minhash_candidate_pairs
+        n_dup, n_other = 300, 20
+        rng = np.random.default_rng(3)
+        words = ["red", "green", "blue", "cyan", "teal", "plum", "gold"]
+        texts = ["the same exact duplicated document body here"] * n_dup
+        texts += [" ".join(rng.choice(words, size=25))
+                  for _ in range(n_other)]
+        tbl = pa.table({
+            "doc_id": pa.array(np.arange(n_dup + n_other, dtype=np.int64)),
+            "text": pa.array(texts)})
+        res = minhash_candidate_pairs(rd.from_arrow(tbl), threshold=0.9) \
+            .to_pandas()
+        # union-find over reported pairs
+        parent = list(range(n_dup + n_other))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in zip(res["a"], res["b"]):
+            parent[find(int(a))] = find(int(b))
+        roots = {find(i) for i in range(n_dup)}
+        assert len(roots) == 1, "300-dup cluster split by the bucket cap"
+        assert (res["jaccard_est"] == 1.0).all() or \
+            (res[res["a"] < n_dup]["jaccard_est"] == 1.0).all()
+
+
+# ------------------------------------- adaptive broadcast verify (item 3)
+
+class TestAdaptiveBroadcastParity:
+    """The broadcast (small-state) and partitioned-join (100-TB) verify
+    paths must produce identical pairs — parameterized over the
+    threshold so BOTH paths run on the same input."""
+
+    def _pairs_df(self, ds_fn, monkeypatch, max_bytes):
+        import mircv_ray.ops.dedup as dd
+        monkeypatch.setattr(dd, "BROADCAST_STATE_MAX_BYTES", max_bytes)
+        df = ds_fn().to_pandas()
+        return df.sort_values(["a", "b"]).reset_index(drop=True)
+
+    @pytest.mark.parametrize("op", ["minhash", "ngram", "embedding"])
+    def test_paths_identical(self, ray_session, monkeypatch, op):
+        import pandas as pd
+        import ray.data as rd
+        from mircv_ray.ops import (embedding_near_dup_pairs,
+                                   minhash_candidate_pairs,
+                                   ngram_jaccard_pairs)
+        rng = np.random.default_rng(17)
+        if op == "embedding":
+            base = rng.normal(size=(40, 16))
+            base[1] = base[0] + 0.001 * rng.normal(size=16)  # near dup
+            base[7] = base[6]                                # exact dup
+            tbl = pa.table({
+                "vec_id": pa.array(np.arange(40, dtype=np.int64)),
+                "embedding": pa.array(list(base.astype(np.float64))),
+            })
+            fn = lambda: embedding_near_dup_pairs(
+                rd.from_arrow(tbl), threshold=0.9, id_col="vec_id")
+        else:
+            words = ["ash", "oak", "elm", "fir", "yew", "bay", "box"]
+            texts = [" ".join(rng.choice(words, size=30)) for _ in range(50)]
+            texts[11] = texts[10]
+            texts[21] = texts[20] + " extra"
+            tbl = pa.table({
+                "doc_id": pa.array(np.arange(50, dtype=np.int64)),
+                "text": pa.array(texts)})
+            mk = (minhash_candidate_pairs if op == "minhash"
+                  else ngram_jaccard_pairs)
+            fn = lambda: mk(rd.from_arrow(tbl), threshold=0.5)
+        via_bcast = self._pairs_df(fn, monkeypatch, 1 << 40)
+        via_join = self._pairs_df(fn, monkeypatch, 0)
+        assert len(via_bcast) > 0
+        pd.testing.assert_frame_equal(via_bcast, via_join)
+
+
+# --------------------------------------------- _pack_rows overflow guard
+
+class TestPackRowsGuard:
+    def test_over_2gib_raises(self):
+        from mircv_ray.ops.dedup import _pack_rows
+        mat = np.zeros(((1 << 31) // 8 + 1, 1), dtype=np.uint64)
+        with pytest.raises(ValueError, match="2 GiB"):
+            _pack_rows(mat)
+
+    def test_small_roundtrip(self):
+        from mircv_ray.ops.dedup import _pack_rows, _unpack_fixed
+        mat = np.arange(12, dtype=np.uint64).reshape(3, 4)
+        packed = _pack_rows(mat)
+        back = _unpack_fixed(pa.chunked_array([packed]), np.uint64, 4)
+        assert np.array_equal(back, mat)
