@@ -12,6 +12,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..text.tokenizer import Tokenizer
+from ..util import binary_column_values
 
 # BPE-ish word pattern: alpha runs, digit runs, or single non-space symbol
 TOKEN_COUNT_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
@@ -115,8 +116,9 @@ def fingerprint(batch: pa.Table, text_col: str = "text",
     bin_arr = t.cast(pa.binary())
     lens = pc.fill_null(pc.binary_length(bin_arr), 0) \
         .to_numpy(zero_copy_only=False).astype(np.int64)
-    flat = b"".join(v or b"" for v in bin_arr.to_pylist())
-    buf = np.frombuffer(flat, dtype=np.uint8).astype(np.uint64)
+    # one aligned copy of the arrow value buffer (nulls occupy 0 bytes,
+    # matching the fill_null(0) lengths) — no to_pylist over content
+    buf = binary_column_values(bin_arr, np.uint8).astype(np.uint64)
     n_docs = len(lens)
     out = np.zeros(n_docs, dtype=np.uint64)
     if len(buf):
