@@ -33,6 +33,12 @@ def main() -> None:
     ap.add_argument("--no-parse", action="store_true")
     ap.add_argument("--eval", dest="eval_tsv", default=None)
     ap.add_argument("--run-out", default="run.txt")
+    ap.add_argument("--qrels", default=None,
+                    help="TREC qrels file: print MAP@20/NDCG@20 of the "
+                         "run (requires --eval)")
+    ap.add_argument("--metric-k", type=int, default=20)
+    ap.add_argument("--map-rel-threshold", type=int, default=1,
+                    help="binarize rel >= this for MAP (TREC-DL: 2)")
     ap.add_argument("--maxscore", action="store_true",
                     help="force the sequential MaxScore loop")
     args = ap.parse_args()
@@ -65,6 +71,14 @@ def main() -> None:
         avg = sum(lat) / max(len(lat), 1)
         print(f"{len(lat)} queries, avg latency {avg * 1000:.1f} ms, "
               f"run file: {args.run_out}")
+        if args.qrels:
+            from mircv_ray.eval import evaluate_run
+            m = evaluate_run(args.run_out, args.qrels, k=args.metric_k,
+                             map_rel_threshold=args.map_rel_threshold)
+            print(f"MAP@{m['k']} = {m['map_cut']:.4f}  "
+                  f"NDCG@{m['k']} = {m['ndcg_cut']:.4f}  "
+                  f"({m['num_queries']} judged queries, "
+                  f"rel>={m['map_rel_threshold']} for MAP)")
         return
 
     # interactive loop (QueryProcessorMain.java:48-85)

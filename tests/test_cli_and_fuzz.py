@@ -132,14 +132,21 @@ def test_eval_mode_on_reference_trec2020_queries(ray_session, tmp_path):
     build_index(documents_as_corpus("/root/testdata/sf0.001"), str(idx),
                 IndexConfig(parse=True, num_shards=4, salt_buckets=2))
     run = tmp_path / "run.txt"
+    qrels = Path("/root/reference/evaluation/qrels.txt")
     out = subprocess.run(
         [sys.executable, "scripts/query_processor.py", str(idx),
          "--standard", "BM25", "--k", "20",
-         "--eval", TREC2020, "--run-out", str(run)],
+         "--eval", TREC2020, "--run-out", str(run)]
+        + (["--qrels", str(qrels), "--map-rel-threshold", "2"]
+           if qrels.exists() else []),
         capture_output=True, text=True, timeout=600,
         cwd=str(Path(__file__).resolve().parent.parent))
     assert out.returncode == 0, out.stderr[-2000:]
     assert "200 queries" in out.stdout
+    if qrels.exists():
+        # --qrels wiring: metrics print (docnos are synthetic, so the
+        # values are ~0 — parity needs the MS MARCO collection)
+        assert "MAP@20 = " in out.stdout and "NDCG@20 = " in out.stdout
     lines = run.read_text().splitlines()
     assert lines, "run file empty"
     per_qid_rank = {}
