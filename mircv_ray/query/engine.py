@@ -26,6 +26,7 @@ an LRU cache of decoded terms per actor.
 from __future__ import annotations
 
 import json
+import os
 from collections import OrderedDict
 from pathlib import Path
 
@@ -161,6 +162,36 @@ def _load_lexicon(index_dir: str) -> _LexiconView:
     return view
 
 
+# Readers of indexes beyond this many docs memory-map a dense docId-
+# ordered doc-length sidecar instead of materializing the array in every
+# actor's heap: at the 10^12-doc north star the dense array is 8 TB per
+# scorer actor, while the mmap pages in only the doc-length slots the
+# query's postings actually touch (and the OS shares the pages across
+# every actor on the node). 2^26 docs = 512 MB dense, a comfortable
+# per-actor ceiling.
+DENSE_DOCLEN_MAX_DOCS = 1 << 26
+
+
+def _doclen_sidecar(index_dir: str, n_docs: int) -> np.memmap:
+    """Dense int64 doc-length file (docId-1 -> len), built ONCE per node
+    by streaming the docs parquet one record batch at a time (peak
+    memory = one batch, independent of n_docs), then memory-mapped
+    read-only by every reader. Concurrent builders write to pid-suffixed
+    temps and converge via atomic rename."""
+    path = Path(index_dir) / "doc_len.i64"
+    if not path.exists() or path.stat().st_size != 8 * n_docs:
+        tmp = path.with_name(f"doc_len.i64.tmp{os.getpid()}")
+        mm = np.memmap(tmp, dtype=np.int64, mode="w+", shape=(n_docs,))
+        for fp in sorted((Path(index_dir) / "docs").glob("**/*.parquet")):
+            pf = pq.ParquetFile(str(fp))
+            for rb in pf.iter_batches(columns=["doc_id", "doc_len"]):
+                mm[rb.column(0).to_numpy() - 1] = rb.column(1).to_numpy()
+        mm.flush()
+        del mm
+        os.replace(tmp, path)
+    return np.memmap(path, dtype=np.int64, mode="r", shape=(n_docs,))
+
+
 class IndexReader:
     """Per-process (per-actor) read-only index state."""
 
@@ -172,11 +203,18 @@ class IndexReader:
         self.avg_doc_len = self.stats["avg_doc_len"]
         self.k1 = self.stats.get("k1", 1.5)
         self.b = self.stats.get("b", 0.7)
-        # T4: doc lengths as a dense NumPy array (docId-1 -> len)
-        dt = pq.read_table(str(Path(index_dir) / "docs"),
-                           columns=["doc_id", "doc_len"])
-        self.doc_len = np.zeros(self.n_docs, dtype=np.int64)
-        self.doc_len[dt["doc_id"].to_numpy() - 1] = dt["doc_len"].to_numpy()
+        # T4: doc lengths, docId-1 -> len. Small indexes keep the
+        # reference's dense in-heap array (fastest gathers); past
+        # DENSE_DOCLEN_MAX_DOCS the array is a node-shared read-only
+        # mmap so actor init memory is independent of n_docs.
+        if self.n_docs <= DENSE_DOCLEN_MAX_DOCS:
+            dt = pq.read_table(str(Path(index_dir) / "docs"),
+                               columns=["doc_id", "doc_len"])
+            self.doc_len = np.zeros(self.n_docs, dtype=np.int64)
+            self.doc_len[dt["doc_id"].to_numpy() - 1] = \
+                dt["doc_len"].to_numpy()
+        else:
+            self.doc_len = _doclen_sidecar(index_dir, self.n_docs)
         # T3: lexicon as sorted arrays + searchsorted (process-shared)
         self._lex = _load_lexicon(index_dir)
         # per-shard parquet handles + row-group term ranges, built lazily
@@ -189,9 +227,20 @@ class IndexReader:
         # decoded-postings cache for the vectorized scorer: term ->
         # (ids, tfs) full NumPy arrays (LRU, bounded by term count)
         self._dec_cache: OrderedDict[str, tuple] = OrderedDict()
-        # Bj = 0.3 + 0.7*docLen/avgDocLen precomputed once (Scorer.java:30);
-        # same op order as the scalar path so floats match bit-for-bit
-        self.bj = 0.3 + self.b * (self.doc_len / self.avg_doc_len)
+        # Bj = 0.3 + 0.7*docLen/avgDocLen (Scorer.java:30): precomputed
+        # once for dense doc lengths; for mmap'd ones it is gathered per
+        # access in bj_at (identical elementwise IEEE ops -> identical
+        # floats), never materialized whole
+        self._bj = (0.3 + self.b * (self.doc_len / self.avg_doc_len)
+                    if isinstance(self.doc_len, np.ndarray)
+                    and not isinstance(self.doc_len, np.memmap) else None)
+
+    def bj_at(self, idx0):
+        """Bj at docId-1 indices — dense gather or lazy mmap compute,
+        bit-identical either way (same op order as Scorer.java:30)."""
+        if self._bj is not None:
+            return self._bj[idx0]
+        return 0.3 + self.b * (self.doc_len[idx0] / self.avg_doc_len)
 
     @property
     def num_terms(self) -> int:
@@ -421,7 +470,12 @@ class QueryEngine:
         # Conjunctive queries keep the faithful MaxScore loop — its
         # non-clean-AND quirks (SURVEY.md §7.4) are sequential semantics.
         algo = getattr(self.qcfg, "algo", "auto")
-        if algo != "maxscore" and not conjunctive:
+        # TAAT needs dense O(n_docs) score/touched accumulators per
+        # engine — fine up to the dense-doclen ceiling, a non-starter
+        # beyond it (the same 8-TB-per-actor problem as the doc-len
+        # array); huge indexes take the accumulator-free MaxScore walk
+        if (algo != "maxscore" and not conjunctive
+                and self.reader.n_docs <= DENSE_DOCLEN_MAX_DOCS):
             return self._score_terms_taat(terms)
         self.reader.prefetch(terms)
         cursors = [c for c in
@@ -455,7 +509,7 @@ class QueryEngine:
         for ids, tfs, idf in lists:
             idx = ids - 1
             if bm25:
-                contrib = (tfs / (r.k1 * r.bj[idx] + tfs)) * idf
+                contrib = (tfs / (r.k1 * r.bj_at(idx) + tfs)) * idf
             else:
                 contrib = (1.0 + np.log10(tfs)) * idf
             scores[idx] += contrib  # ids unique per term -> fancy += is exact
@@ -512,7 +566,7 @@ class QueryEngine:
             pos = np.searchsorted(ids, inter)
             tf = tfs[pos]
             if bm25:
-                score += (tf / (r.k1 * r.bj[inter - 1] + tf)) * idf
+                score += (tf / (r.k1 * r.bj_at(inter - 1) + tf)) * idf
             else:
                 score += (1.0 + np.log10(tf)) * idf
         k = self.qcfg.k

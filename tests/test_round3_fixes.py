@@ -300,3 +300,81 @@ class TestPackRowsGuard:
         packed = _pack_rows(mat)
         back = _unpack_fixed(pa.chunked_array([packed]), np.uint64, 4)
         assert np.array_equal(back, mat)
+
+
+# ------------------------------- mmap doc lengths (VERDICT r2 item 7)
+
+class TestMmapDocLengths:
+    """Above DENSE_DOCLEN_MAX_DOCS the reader memory-maps a node-shared
+    doc-length sidecar instead of materializing O(n_docs) per actor;
+    scores must stay bit-identical to the dense path."""
+
+    @pytest.fixture(scope="class")
+    def index_dir(self, ray_session, tmp_path_factory):
+        from mircv_ray.build import build_index
+        out = str(tmp_path_factory.mktemp("mmapidx") / "idx")
+        build_index(_corpus(ray_session), out,
+                    IndexConfig(parse=True, num_shards=4))
+        return out
+
+    def _results(self, index_dir, algo="maxscore"):
+        from mircv_ray.config import QueryConfig
+        from mircv_ray.query import QueryEngine
+        eng = QueryEngine(index_dir,
+                          QueryConfig(standard="BM25", k=10, parse=True,
+                                      algo=algo))
+        queries = ["def return value", "import class self",
+                   "read write buffer", "hash map set"]
+        out = [eng.query(q) for q in queries]
+        out.append(eng.score_terms_strict_and(
+            eng.query_terms("def return")))
+        return eng, out
+
+    def test_mmap_path_bit_identical(self, index_dir, monkeypatch):
+        import mircv_ray.query.engine as qe
+        eng_d, dense = self._results(index_dir)
+        assert not isinstance(eng_d.reader.doc_len, np.memmap)
+        assert eng_d.reader._bj is not None
+        monkeypatch.setattr(qe, "DENSE_DOCLEN_MAX_DOCS", 0)
+        eng_m, mmapped = self._results(index_dir)
+        assert isinstance(eng_m.reader.doc_len, np.memmap)
+        assert eng_m.reader._bj is None          # never materialized
+        assert dense == mmapped                  # exact float equality
+        # bj_at parity on a vector of indices
+        idx = np.arange(eng_d.reader.n_docs, dtype=np.int64)
+        assert np.array_equal(eng_d.reader.bj_at(idx),
+                              eng_m.reader.bj_at(idx))
+
+    def test_sidecar_built_once_and_reused(self, index_dir, monkeypatch):
+        import mircv_ray.query.engine as qe
+        monkeypatch.setattr(qe, "DENSE_DOCLEN_MAX_DOCS", 0)
+        from mircv_ray.query import IndexReader
+        r1 = IndexReader(index_dir)
+        p = Path(index_dir) / "doc_len.i64"
+        assert p.exists() and p.stat().st_size == 8 * r1.n_docs
+        stamp = p.stat().st_mtime_ns
+        r2 = IndexReader(index_dir)
+        assert p.stat().st_mtime_ns == stamp     # reused, not rebuilt
+        assert np.array_equal(np.asarray(r1.doc_len),
+                              np.asarray(r2.doc_len))
+        # no stray temp files from the atomic-rename protocol
+        assert not list(Path(index_dir).glob("doc_len.i64.tmp*"))
+
+    def test_taat_guard_on_huge_index(self, index_dir, monkeypatch):
+        """auto-algo must not allocate dense accumulators when n_docs
+        exceeds the dense ceiling — the disjunctive query falls back to
+        the accumulator-free MaxScore walk, same results."""
+        import mircv_ray.query.engine as qe
+        from mircv_ray.config import QueryConfig
+        from mircv_ray.query import QueryEngine
+        eng_auto_dense = QueryEngine(index_dir, QueryConfig(
+            standard="BM25", k=10, parse=True))
+        want = eng_auto_dense.query("def return value function")
+        monkeypatch.setattr(qe, "DENSE_DOCLEN_MAX_DOCS", 0)
+        eng = QueryEngine(index_dir, QueryConfig(standard="BM25", k=10,
+                                                 parse=True))
+        got = eng.query("def return value function")
+        assert eng._acc is None                  # TAAT never ran
+        assert [d for d, _ in got] == [d for d, _ in want]
+        for (_, sa), (_, sb) in zip(got, want):
+            assert sa == pytest.approx(sb, abs=0, rel=0) or sa == sb
