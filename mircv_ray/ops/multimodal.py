@@ -4,20 +4,23 @@ Images/audio/video are opaque ``binary`` columns with typed metadata
 columns alongside; heavy per-payload work runs as actor-pool
 ``map_batches`` stages (state in ``__init__``, work in ``__call__``).
 
-REAL decode paths (pure NumPy, no external libraries):
+REAL decode paths (pure NumPy + stdlib zlib, no external libraries):
 - PPM (P6 binary RGB) and PGM (P5 gray) images
 - BMP (uncompressed 24-bit BI_RGB, bottom-up)
+- PNG (non-interlaced 8-bit gray / gray+alpha / RGB / RGBA, all five
+  scanline filters — zlib inflate + vectorized unfilter)
 - WAV (RIFF PCM16 mono) audio
 - RAWV, a trivial raw-RGB video container used by the synthetic
   generator (``b"RAWV" + <u16 w, u16 h, u16 n_frames, u16 fps> +
   n_frames * h*w*3 raw bytes``) — frame sampling seeks by offset math,
   decoding only the sampled frames.
 
-Formats that genuinely require codec libraries (PNG/JPEG/MP4/…) are
-STUBBED: ``DecodeImage(fake=False)`` raises ``NotImplementedError`` for
-them unless PIL is importable; ``fake=True`` emits a deterministic
-feature seeded from sha256(payload) so pipelines still exercise
-realistic data movement.
+Formats that genuinely require codec libraries (JPEG/MP4/…, and the
+palette/16-bit/interlaced PNG variants) are STUBBED:
+``DecodeImage(fake=False)`` raises ``NotImplementedError`` for them —
+no image library is used even if importable; ``fake=True`` emits a
+deterministic feature seeded from sha256(payload) so pipelines still
+exercise realistic data movement.
 
 Features are real signal statistics, stable across runs/parallelism:
 - images: 8x8 nearest-resized grayscale, mean-centered (64-dim — the
@@ -34,6 +37,7 @@ from __future__ import annotations
 
 import hashlib
 import struct
+import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -53,6 +57,7 @@ FEATURE_DIM = 64
 MIME_PPM = "image/x-portable-pixmap"
 MIME_PGM = "image/x-portable-graymap"
 MIME_BMP = "image/bmp"
+MIME_PNG = "image/png"
 MIME_WAV = "audio/wav"
 MIME_RAWV = "video/x-rawv"
 
@@ -123,6 +128,145 @@ def decode_bmp(buf: bytes) -> np.ndarray:
                          offset=off).reshape(h, stride)
     img = rows[:, :w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
     return img[::-1] if flip else img
+
+
+# PNG color types with 8-bit depth this codec handles (palette needs a
+# PLTE lookup; 16-bit needs byte-pair lanes — both out of scope)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data)))
+
+
+def _png_filter_row(cur: np.ndarray, prev: np.ndarray, bpp: int,
+                    ftype: int) -> np.ndarray:
+    """Apply PNG filter ``ftype`` to one unfiltered scanline (encoding
+    direction — fully vectorized: every predictor reads only ORIGINAL
+    bytes, so there is no serial dependency when filtering)."""
+    c = cur.astype(np.int64)
+    left = np.zeros_like(c)
+    left[bpp:] = c[:-bpp]
+    up = prev.astype(np.int64)
+    upleft = np.zeros_like(c)
+    upleft[bpp:] = up[:-bpp]
+    if ftype == 0:
+        return cur
+    if ftype == 1:
+        return ((c - left) % 256).astype(np.uint8)
+    if ftype == 2:
+        return ((c - up) % 256).astype(np.uint8)
+    if ftype == 3:
+        return ((c - (left + up) // 2) % 256).astype(np.uint8)
+    if ftype == 4:
+        return ((c - _paeth(left, up, upleft)) % 256).astype(np.uint8)
+    raise ValueError(f"unknown PNG filter {ftype}")
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Paeth predictor, elementwise over int64 arrays."""
+    p = a + b - c
+    pa_, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa_ <= pb) & (pa_ <= pc), a, np.where(pb <= pc, b, c))
+
+
+def encode_png(img: np.ndarray, filter_type: int = 0,
+               compress_level: int = 6) -> bytes:
+    """(h, w) gray / (h, w, 2) gray+alpha / (h, w, 3) RGB / (h, w, 4)
+    RGBA uint8 -> non-interlaced 8-bit PNG. ``filter_type`` picks the
+    per-row filter (0..4) — useful to exercise every decode branch."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        ct, ch = 0, 1
+    elif img.ndim == 3 and img.shape[2] in (2, 3, 4):
+        ch = img.shape[2]
+        ct = {2: 4, 3: 2, 4: 6}[ch]
+    else:
+        raise ValueError(f"unsupported image shape {img.shape}")
+    h, w = img.shape[:2]
+    rows = img.reshape(h, w * ch)
+    prev = np.zeros(w * ch, dtype=np.uint8)
+    parts = []
+    for y in range(h):
+        parts.append(bytes([filter_type]))
+        parts.append(_png_filter_row(rows[y], prev, ch, filter_type)
+                     .tobytes())
+        prev = rows[y]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ct, 0, 0, 0)
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(b"".join(parts),
+                                                compress_level))
+            + _png_chunk(b"IEND", b""))
+
+
+def decode_png(buf: bytes) -> np.ndarray:
+    """Non-interlaced 8-bit gray/gray+alpha/RGB/RGBA PNG -> (h, w[, ch])
+    uint8. Pure stdlib-zlib + NumPy: IDAT chunks concatenate into one
+    zlib stream of filtered scanlines; unfiltering runs row-by-row with
+    vectorized lanes — filters 0/2 are whole-row ops, filter 1 (sub) is
+    a per-pixel cumulative sum done as cumsum mod 256, filters 3/4
+    (average/paeth) walk pixels with channel-lane vector steps (their
+    predictors read DECODED left bytes, an inherently serial recurrence).
+    Palette (color type 3), 16-bit and interlaced PNGs raise."""
+    if buf[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    i = 8
+    idat = []
+    w = h = ct = depth = interlace = None
+    while i + 8 <= len(buf):
+        ln = struct.unpack_from(">I", buf, i)[0]
+        ctype = buf[i + 4:i + 8]
+        data = buf[i + 8:i + 8 + ln]
+        if ctype == b"IHDR":
+            w, h, depth, ct, _comp, _filt, interlace = \
+                struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        i += 12 + ln
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    if depth != 8 or interlace != 0 or ct not in _PNG_CHANNELS:
+        raise NotImplementedError(
+            f"only non-interlaced 8-bit gray/RGB/alpha PNGs supported "
+            f"(got depth={depth}, color type={ct}, interlace={interlace})")
+    ch = _PNG_CHANNELS[ct]
+    stride = w * ch
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline data has the wrong length")
+    raw = raw.reshape(h, stride + 1)
+    filters = raw[:, 0]
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        r = raw[y, 1:].astype(np.int64)
+        f = int(filters[y])
+        if f == 0:
+            cur = r
+        elif f == 1:     # sub: out[x] = r[x] + out[x-ch] — cumsum mod 256
+            cur = (r.reshape(w, ch).cumsum(axis=0) % 256).reshape(stride)
+        elif f == 2:     # up
+            cur = (r + prev) % 256
+        elif f in (3, 4):  # average / paeth: serial in x, vector in ch
+            cur = np.zeros(stride, dtype=np.int64)
+            left = np.zeros(ch, dtype=np.int64)
+            upleft = np.zeros(ch, dtype=np.int64)
+            for x in range(0, stride, ch):
+                up = prev[x:x + ch]
+                pred = ((left + up) // 2 if f == 3
+                        else _paeth(left, up, upleft))
+                left = (r[x:x + ch] + pred) % 256
+                upleft = up
+                cur[x:x + ch] = left
+        else:
+            raise ValueError(f"unknown PNG filter {f}")
+        out[y] = cur
+        prev = cur
+    return out.reshape(h, w) if ch == 1 else out.reshape(h, w, ch)
 
 
 def encode_wav_pcm16(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
@@ -212,8 +356,9 @@ def audio_feature(samples: np.ndarray, dim: int = FEATURE_DIM) -> np.ndarray:
 
 def make_media_table(n: int, seed: int = 42) -> pa.Table:
     """Deterministic synthetic media rows with REAL payloads: PPM / BMP
-    images, PCM16 WAV audio, RAWV video — every row decodable by the
-    pure-NumPy codecs above."""
+    / PNG images (PNG rows cycle through filter types 0-4), PCM16 WAV
+    audio, RAWV video — every row decodable by the pure-NumPy codecs
+    above."""
     rng = np.random.default_rng(seed)
     kinds = ["image", "audio", "video"]
     rows: dict[str, list] = {k.name: [] for k in MEDIA_SCHEMA}
@@ -222,10 +367,14 @@ def make_media_table(n: int, seed: int = 42) -> pa.Table:
         if kind == "image":
             h, w = int(rng.integers(8, 32)), int(rng.integers(8, 32))
             img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
-            if i % 2:
+            variant = (i // 3) % 3
+            if variant == 0:
+                payload, mime = encode_ppm(img), MIME_PPM
+            elif variant == 1:
                 payload, mime = encode_bmp(img), MIME_BMP
             else:
-                payload, mime = encode_ppm(img), MIME_PPM
+                payload, mime = encode_png(img, filter_type=(i // 9) % 5), \
+                    MIME_PNG
             dur = -1
         elif kind == "audio":
             sr = 8000
@@ -257,21 +406,17 @@ def make_media_table(n: int, seed: int = 42) -> pa.Table:
 class DecodeImage:
     """Actor-pool decode + feature-extract stage.
 
-    Per row, by mime: PPM/PGM/BMP/WAV/RAWV decode with the REAL NumPy
-    codecs (RAWV featurizes its middle frame); other formats fall back
-    to a deterministic sha256-seeded fake vector when ``fake=True``
-    (default) or raise ``NotImplementedError`` otherwise (PNG/JPEG need
-    codec libraries this container lacks; a PIL import is attempted).
+    Per row, by mime: PPM/PGM/BMP/PNG/WAV/RAWV decode with the REAL
+    NumPy/zlib codecs (RAWV featurizes its middle frame); other formats
+    fall back to a deterministic sha256-seeded fake vector when
+    ``fake=True`` (default) or raise ``NotImplementedError`` otherwise
+    (JPEG/MP4 need codec libraries this container lacks — no external
+    image library is attempted or used).
     """
 
     def __init__(self, fake: bool = True, feature_dim: int = FEATURE_DIM):
         self.fake = fake
         self.feature_dim = feature_dim
-        try:  # real decoder deps for PNG/JPEG, gated behind an import-try
-            import PIL.Image  # noqa: F401
-            self._pil = True
-        except ImportError:
-            self._pil = False
 
     def _fake_features(self, payload: bytes) -> np.ndarray:
         digest = hashlib.sha256(payload).digest()
@@ -283,6 +428,8 @@ class DecodeImage:
             return image_feature(decode_ppm(payload), self.feature_dim)
         if mime == MIME_BMP:
             return image_feature(decode_bmp(payload), self.feature_dim)
+        if mime == MIME_PNG:
+            return image_feature(decode_png(payload), self.feature_dim)
         if mime == MIME_WAV:
             return audio_feature(decode_wav_pcm16(payload)[0],
                                  self.feature_dim)
@@ -293,9 +440,9 @@ class DecodeImage:
         if self.fake:
             return self._fake_features(payload)
         raise NotImplementedError(
-            f"decoding {mime!r} requires an image library "
-            f"(PIL available: {self._pil}); pass fake=True for the "
-            "deterministic plumbing path")
+            f"decoding {mime!r} requires a codec library this container "
+            "lacks (none is used); pass fake=True for the deterministic "
+            "plumbing path")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch["payload"]

@@ -84,8 +84,8 @@ def test_decode_stage_real_path(ray_session):
 def test_decode_stage_unknown_mime_strict_raises():
     t = pa.table({"media_id": pa.array([1], pa.int64()),
                   "kind": pa.array(["image"]),
-                  "payload": pa.array([b"\x89PNG fake"], pa.binary()),
-                  "mime": pa.array(["image/png"])})
+                  "payload": pa.array([b"\xff\xd8 fake jpeg"], pa.binary()),
+                  "mime": pa.array(["image/jpeg"])})
     with pytest.raises(NotImplementedError):
         DecodeImage(fake=False)(t)
     # fake path still deterministic
@@ -104,3 +104,85 @@ def test_sample_frames_real_decode(ray_session):
     assert len(out) == n_videos * 3
     feats = np.stack(out["feature"].to_numpy())
     assert np.std(feats) > 0   # real frame content, not zeros
+
+
+# ----------------------------------------------------- PNG (r3: real decode)
+
+class TestPng:
+    @pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4])
+    @pytest.mark.parametrize("shape", [(11, 7), (9, 5, 2), (13, 6, 3),
+                                       (8, 8, 4)])
+    def test_roundtrip_all_filters_all_colortypes(self, ftype, shape):
+        from mircv_ray.ops.multimodal import decode_png, encode_png
+        rng = np.random.default_rng(ftype * 10 + len(shape))
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        out = decode_png(encode_png(img, filter_type=ftype))
+        assert out.shape == img.shape
+        assert np.array_equal(out, img)
+
+    def test_gradient_compresses_and_roundtrips(self):
+        # smooth data exercises real zlib compression (not stored blocks)
+        from mircv_ray.ops.multimodal import decode_png, encode_png
+        y, x = np.mgrid[0:64, 0:48]
+        img = np.stack([(y * 4) % 256, (x * 5) % 256, (y + x) % 256],
+                       axis=-1).astype(np.uint8)
+        buf = encode_png(img, filter_type=2)
+        assert len(buf) < img.nbytes // 2
+        assert np.array_equal(decode_png(buf), img)
+
+    def test_multiple_idat_chunks(self):
+        # IDAT may be split arbitrarily: re-chunk an encoded stream
+        import struct
+        import zlib
+        from mircv_ray.ops.multimodal import (_PNG_SIG, _png_chunk,
+                                              decode_png, encode_png)
+        rng = np.random.default_rng(9)
+        img = rng.integers(0, 256, size=(10, 10, 3), dtype=np.uint8)
+        buf = encode_png(img)
+        # extract chunks
+        i, ihdr, idat = 8, None, b""
+        while i + 8 <= len(buf):
+            ln = struct.unpack_from(">I", buf, i)[0]
+            ctype = buf[i + 4:i + 8]
+            if ctype == b"IHDR":
+                ihdr = buf[i + 8:i + 8 + ln]
+            elif ctype == b"IDAT":
+                idat += buf[i + 8:i + 8 + ln]
+            i += 12 + ln
+        split = (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+                 + b"".join(_png_chunk(b"IDAT", idat[j:j + 7])
+                            for j in range(0, len(idat), 7))
+                 + _png_chunk(b"IEND", b""))
+        assert np.array_equal(decode_png(split), img)
+
+    def test_unsupported_variants_raise(self):
+        import struct
+        import zlib
+        from mircv_ray.ops.multimodal import (_PNG_SIG, _png_chunk,
+                                              decode_png)
+        def mk(depth, ct, interlace):
+            ihdr = struct.pack(">IIBBBBB", 2, 2, depth, ct, 0, 0, interlace)
+            return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+                    + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 20))
+                    + _png_chunk(b"IEND", b""))
+        with pytest.raises(NotImplementedError):
+            decode_png(mk(16, 2, 0))        # 16-bit
+        with pytest.raises(NotImplementedError):
+            decode_png(mk(8, 3, 0))         # palette
+        with pytest.raises(NotImplementedError):
+            decode_png(mk(8, 2, 1))         # interlaced
+        with pytest.raises(ValueError):
+            decode_png(b"\x89PNG not a real signature")
+
+    def test_media_table_includes_decodable_png(self, ray_session):
+        import ray.data as rd
+        from mircv_ray.ops.multimodal import MIME_PNG
+        tbl = make_media_table(60)
+        assert MIME_PNG in set(tbl["mime"].to_pylist())
+        out = rd.from_arrow(tbl).map_batches(
+            DecodeImage, fn_constructor_kwargs={"fake": False},
+            batch_size=16, concurrency=2, batch_format="pyarrow",
+            num_cpus=1).to_pandas()
+        assert len(out) == 60
+        feats = np.stack(out["feature"].to_numpy())
+        assert np.std(feats) > 0
