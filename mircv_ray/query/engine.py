@@ -353,6 +353,13 @@ class IndexReader:
                     lambda it: self._read_terms_in_shard(*it), items))
         else:
             parts = [self._read_terms_in_shard(s, ts) for s, ts in items]
+        # a shard with no matching row group returns a stub whose empty
+        # blocks type (list<struct<>>) won't concat with real rows —
+        # and index formats differ across versions, so schema-match by
+        # dropping empty parts instead of constructing a "right" stub
+        parts = [p for p in parts if p.num_rows]
+        if not parts:
+            return
         tbl = pa.concat_tables(parts)
         tbl = tbl.take(pc.sort_indices(
             tbl, sort_keys=[("term", "ascending"), ("seg", "ascending")]))

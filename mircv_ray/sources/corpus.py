@@ -106,8 +106,13 @@ def collection_tsv_as_corpus(path: str, repo: str = "collection",
 
     Numeric pids are zero-padded into ``path`` so the engine's
     (repo, path) docId order equals pid order (docno == pid exactly when
-    pids are 0-based contiguous, like MS MARCO's). Non-numeric pids sort
-    lexicographically — docnos then follow that order, not arrival order.
+    pids are 0-based contiguous, like MS MARCO's). Padding is decided
+    PER VALUE (a pid is padded iff it itself is numeric), never per
+    batch — the pid -> path mapping is a pure function, so read_text
+    batching can't produce inconsistent paths in mixed collections.
+    Non-numeric pids sort lexicographically — docnos then follow that
+    order, not arrival order. Numeric pids wider than 12 digits would
+    escape the pad width and sort out of numeric order, so they raise.
     Blank-text lines are dropped here (the build's blank filter would
     drop them anyway, InvertedIndex.java:45-47).
     """
@@ -139,9 +144,14 @@ def collection_tsv_as_corpus(path: str, repo: str = "collection",
         txt = pc.list_element(parts, 1)
         keep = pc.greater(pc.binary_length(pc.utf8_trim_whitespace(txt)), 0)
         pid, txt = pid.filter(keep), txt.filter(keep)
-        numeric = pc.all(pc.match_substring_regex(pid, r"^\d+$")).as_py() \
-            if len(pid) else True
-        pid_path = pc.utf8_lpad(pid, 12, "0") if numeric else pid
+        is_num = pc.match_substring_regex(pid, r"^\d{1,12}$")
+        over = pc.match_substring_regex(pid, r"^\d{13,}$")
+        if len(pid) and pc.any(over).as_py():
+            bad = pid.filter(over)[0].as_py()
+            raise ValueError(
+                f"numeric pid {bad!r} exceeds the 12-digit pad width — "
+                "it would sort out of numeric order")
+        pid_path = pc.if_else(is_num, pc.utf8_lpad(pid, 12, "0"), pid)
         return pa.table({
             "repo": pa.array([repo] * len(pid)),
             "path": pid_path,

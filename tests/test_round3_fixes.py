@@ -378,3 +378,66 @@ class TestMmapDocLengths:
         assert [d for d, _ in got] == [d for d, _ in want]
         for (_, sa), (_, sb) in zip(got, want):
             assert sa == pytest.approx(sb, abs=0, rel=0) or sa == sb
+
+
+# ----------------------------------------- ADVICE r2 lows: TSV pids, prefetch
+
+class TestTsvPidPadding:
+    def _tsv_ds(self, tmp_path, lines):
+        from mircv_ray.sources.corpus import collection_tsv_as_corpus
+        p = tmp_path / "collection.tsv"
+        p.write_text("".join(f"{pid}\t{txt}\n" for pid, txt in lines))
+        return collection_tsv_as_corpus(str(p))
+
+    def test_per_value_padding_in_mixed_collection(self, ray_session,
+                                                   tmp_path):
+        """Padding is a pure function of each pid — numeric pids pad,
+        non-numeric pass through, regardless of which batch they share
+        (the r2 per-batch pc.all decision flipped whole batches)."""
+        ds = self._tsv_ds(tmp_path, [("3", "alpha beta"),
+                                     ("x9", "gamma delta"),
+                                     ("12", "epsilon zeta")])
+        paths = sorted(ds.to_pandas()["path"])
+        assert paths == ["000000000003", "000000000012", "x9"]
+
+    def test_all_numeric_keeps_pid_order_contract(self, ray_session,
+                                                  tmp_path):
+        ds = self._tsv_ds(tmp_path, [("10", "a b"), ("2", "c d"),
+                                     ("1", "e f")])
+        paths = sorted(ds.to_pandas()["path"])
+        assert paths == ["000000000001", "000000000002", "000000000010"]
+
+    def test_overwide_numeric_pid_raises(self, ray_session, tmp_path):
+        ds = self._tsv_ds(tmp_path, [("1234567890123", "too wide")])
+        with pytest.raises(Exception, match="12-digit"):
+            ds.to_pandas()
+
+
+class TestPrefetchEmptyShardStub:
+    def test_prefetch_survives_stub_shard(self, ray_session, tmp_path):
+        """A shard the lexicon routes to but whose files yield no row
+        groups must not break pa.concat_tables in prefetch (ADVICE r2:
+        empty stub's blocks type is list<struct<>>)."""
+        from mircv_ray.build import build_index
+        from mircv_ray.query import IndexReader
+        out = str(tmp_path / "idx")
+        build_index(_corpus(ray_session), out,
+                    IndexConfig(parse=True, num_shards=4))
+        r = IndexReader(out)
+        terms = [t for t in ("return", "def", "import", "value")
+                 if t in r._lex]
+        assert len(terms) >= 2
+        shards = {r._lex[t][4] for t in terms}
+        assert len(shards) >= 2, "fixture terms must span 2+ shards"
+        # one shard's metadata claims no files -> stub table path
+        starved = next(iter(shards))
+        orig = r._shard_meta
+
+        def fake_meta(shard):
+            return [] if shard == starved else orig(shard)
+
+        r._shard_meta = fake_meta
+        r.prefetch(terms)          # must not raise
+        cached = [t for t in terms if t in r._cache]
+        assert cached, "non-starved shards still cache their terms"
+        assert all(r._lex[t][4] != starved for t in cached)
