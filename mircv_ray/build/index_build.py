@@ -449,8 +449,8 @@ def _make_build_segments(seg_len_slices, avg_doc_len: float, cfg: IndexConfig):
         # J2 at scale: segments are docId-DISJOINT ranges, so each task
         # fetches only ITS range's doc-length slice (the whole array
         # would be terabytes at 10^12 docs); index = docId-1 - seg_lo
-        seg_lo, seg_len_ref = seg_len_slices[seg_val]
-        doc_lens = _cached_get(seg_len_ref)
+        seg_lo, seg_hi, seg_dir = seg_len_slices[seg_val]
+        doc_lens = _seg_lens_cached(seg_dir, seg_lo, seg_hi)
         # term run boundaries over the sorted partial rows (vectorized
         # string compare; rows are term-sorted)
         neq = pc.not_equal(terms_arr.slice(1), terms_arr.slice(
@@ -691,18 +691,27 @@ def _ensure_doc_len_sidecar(out: Path, n_docs: int, salt: int) -> None:
         _write_doc_len_sidecar(out, n_docs, salt)
 
 
-@ray.remote
 def _load_seg_lens(seg_dir: str, lo: int, hi: int) -> np.ndarray:
     """Dense doc-length slice for one salt segment (index = docId-1-lo),
-    read from the seg's sidecar partition INSIDE a task — the driver only
-    holds the returned object ref. A missing partition dir means the
-    segment has no docs (n_docs < salt): all-zeros is correct."""
+    read from the seg's sidecar partition INSIDE the posting-build task
+    that needs it (memoized per worker process — each worker reads each
+    of its segments' slim 2-column partitions at most once; the driver
+    never holds doc lengths, and no ObjectRefs ride the build closure).
+    A missing partition dir means the segment has no docs
+    (n_docs < salt): all-zeros is correct."""
     arr = np.zeros(hi - lo, dtype=np.int64)
     p = Path(seg_dir)
     if p.exists() and any(p.glob("*.parquet")):
         tbl = pq.read_table(str(p), columns=["doc_id", "doc_len"])
         arr[tbl["doc_id"].to_numpy() - 1 - lo] = tbl["doc_len"].to_numpy()
     return arr
+
+
+def _seg_lens_cached(seg_dir: str, lo: int, hi: int) -> np.ndarray:
+    key = ("seg_lens", seg_dir, lo, hi)
+    if key not in _worker_cache:
+        _worker_cache[key] = _load_seg_lens(seg_dir, lo, hi)
+    return _worker_cache[key]
 
 
 def _docs_stats(out: Path) -> tuple[int, int]:
@@ -880,15 +889,17 @@ def build_index(corpus, out_dir: str, cfg: IndexConfig | None = None,
         stamp = (read_manifest(out_dir, "docs") or {}).get("completed_at")
         post_fp = _postings_fingerprint(cfg, stamp)
         # per-seg doc-length slices (docId ranges match _make_explode's
-        # seg assignment), loaded from the sidecar by REMOTE tasks — the
-        # driver holds only (lo, ref) per segment, never the array
+        # seg assignment), read lazily from the sidecar INSIDE the
+        # posting-build tasks (memoized per worker) — the driver holds
+        # only (lo, hi, path) triples, never the array, and the build
+        # closure carries no ObjectRefs
         salt = cfg.salt_buckets
         _ensure_doc_len_sidecar(out, n_docs, salt)
         seg_len_slices = []
         for s2 in range(salt):
             lo, hi = _seg_bounds(s2, n_docs, salt)
-            seg_len_slices.append((lo, _load_seg_lens.remote(
-                str(out / "doc_lens" / f"seg={s2}"), lo, hi)))
+            seg_len_slices.append(
+                (lo, hi, str(out / "doc_lens" / f"seg={s2}")))
         if cfg.exchange == "mr":
             # mr publishes each partition atomically (tmp+rename): files
             # present ARE complete — but only for THIS config/corpus. The

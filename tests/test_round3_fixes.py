@@ -75,10 +75,9 @@ class TestDocLenSidecar:
         assert stats["total_doc_len"] == sum(
             docs["doc_len"].to_pylist())
 
-    def test_load_seg_lens_missing_dir(self, ray_session, tmp_path):
-        import ray
+    def test_load_seg_lens_missing_dir(self, tmp_path):
         from mircv_ray.build.index_build import _load_seg_lens
-        arr = ray.get(_load_seg_lens.remote(str(tmp_path / "nope"), 5, 12))
+        arr = _load_seg_lens(str(tmp_path / "nope"), 5, 12)
         assert arr.tolist() == [0] * 7
 
     def test_seg_bounds_cover_all_docs(self):
