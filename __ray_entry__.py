@@ -234,6 +234,13 @@ def entry() -> Any:
                        concurrency=2)
 
 
+# verbatim-decontamination probe suite (stands in for a benchmark test
+# set; letters/spaces only so the strings inline into the oracle SQL
+# unescaped) — the last probe never occurs, pinning the zero case
+_PROBES = ["hash scan join", "batch batch batch", "spark window",
+           "sort table scan", "quantum zebra lattice"]
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     import ray.data as rd
 
@@ -372,6 +379,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _sorted_table(
             _docs_ds(sf_dir).map_batches(fp, batch_format="pyarrow"),
             ["doc_id"])
+
+    def contamination(sf_dir: str):
+        from mircv_ray.ops import contamination_check
+        return _sorted_table(
+            contamination_check(_docs_ds(sf_dir), _PROBES), ["doc_id"])
 
     def minhash_pairs(sf_dir: str):
         from mircv_ray.ops import minhash_candidate_pairs
@@ -514,6 +526,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_cosine_topk_ivf": ann_cosine_topk_ivf,
         "lang_id": lang_id,
         "fingerprint": fingerprint,
+        "contamination": contamination,
         "minhash_pairs": minhash_pairs,
         "simhash_pairs": simhash_pairs,
         "ngram_jaccard": ngram_jaccard,
@@ -731,6 +744,12 @@ ORDER BY 1, 2
         "sessions_salted": _SESSIONS_SQL,
         "lang_id": _lang_id_sql(),
         "fingerprint": _FINGERPRINT_SQL,
+        "contamination": (
+            "SELECT doc_id,\n       ("
+            + " + ".join(f"contains(text, '{p}')::INT" for p in _PROBES)
+            + ")::BIGINT AS n_probes_hit,\n       ("
+            + " OR ".join(f"contains(text, '{p}')" for p in _PROBES)
+            + ") AS contaminated\nFROM documents\nORDER BY doc_id"),
         "bm25_topk_maxscore": _topk_sql(_BM25_EXPR),
         "bm25_conjunctive_strict": _topk_and_sql(_BM25_EXPR),
         # minhash_pairs / simhash_pairs / ngram_jaccard /

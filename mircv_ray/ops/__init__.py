@@ -1,10 +1,12 @@
 """Training-data-pipeline operators beyond the reference's scope:
 deduplication (exact, MinHash-LSH, SimHash, n-gram Jaccard), similarity
 search over embeddings, text analysis (lang-id, quality, token counts,
-fingerprints), and multimodal decode (real pure-NumPy PPM/BMP/WAV/RAWV codecs; PNG/JPEG stubbed)."""
+fingerprints, verbatim-probe decontamination), and multimodal decode
+(real pure-NumPy PPM/PGM/BMP/PNG/WAV/RAWV codecs; JPEG/MP4 stubbed)."""
 
 from .textops import (
-    basic_token_stats, token_count, quality_stats, lang_id, fingerprint,
+    ContaminationCheck, basic_token_stats, contamination_check,
+    fingerprint, lang_id, quality_stats, token_count,
 )
 from .dedup import exact_dedup_keep, minhash_signatures, minhash_candidate_pairs, simhash64, near_dup_pairs, ngram_jaccard_pairs, shingle_sets
 from .similarity import cosine_topk, ivf_build_centroids, ivf_cosine_topk, embedding_near_dup_pairs
@@ -13,6 +15,7 @@ from .windows import hopping_window_agg, props_extract, sessionize, top_users_by
 
 __all__ = [
     "DecodeImage", "SampleFrames", "make_media_table",
+    "ContaminationCheck", "contamination_check",
     "basic_token_stats", "token_count", "quality_stats", "lang_id",
     "fingerprint", "exact_dedup_keep", "minhash_signatures",
     "minhash_candidate_pairs", "simhash64", "near_dup_pairs",

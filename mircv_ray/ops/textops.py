@@ -140,3 +140,61 @@ def fingerprint(batch: pa.Table, text_col: str = "text",
         out[nz] = seg
     return pa.table({id_col: batch[id_col],
                      "fingerprint": pa.array(out.astype(np.int64))})
+
+
+class ContaminationCheck:
+    """Benchmark-decontamination scan: flag documents that contain any
+    of a set of probe strings VERBATIM (the exact-match half of the
+    standard LLM training-data decontamination recipe; the fuzzy half is
+    ``ngram_jaccard_pairs`` / ``minhash_candidate_pairs`` against the
+    probe corpus).
+
+    Scale design: the probe suite is the SMALL side (benchmark test
+    sets are ≤ MBs even for large eval suites) — it ships once in the
+    constructor (once per map_batches actor, NOT per batch) and is
+    compiled into a single re2 alternation, so the per-batch cost is ONE
+    vectorized ``match_substring_regex`` pass; the corpus streams
+    through ``map_batches`` and never shuffles.  Per-probe hit counts
+    run additional per-probe kernels only over the (typically tiny)
+    contaminated subset.  For probe suites too large for one alternation
+    (millions of strings), split probes across several
+    ``ContaminationCheck`` stages or pre-filter with a Bloom/ngram
+    bucket pass — the per-stage contract is unchanged.
+    """
+
+    def __init__(self, probes, text_col: str = "text",
+                 id_col: str = "doc_id"):
+        if not probes:
+            raise ValueError("probes must be a non-empty list of strings")
+        import re as _re
+        self.probes = [str(p) for p in probes]
+        self.pattern = "|".join(_re.escape(p) for p in self.probes)
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        t = batch[self.text_col]
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        any_hit = pc.fill_null(
+            pc.match_substring_regex(t, self.pattern), False)
+        hit_np = any_hit.to_numpy(zero_copy_only=False)
+        n_hits = np.zeros(len(t), dtype=np.int64)
+        idx = np.flatnonzero(hit_np)
+        if len(idx):
+            sub = t.take(pa.array(idx, type=pa.int64()))
+            for p in self.probes:
+                m = pc.fill_null(pc.match_substring(sub, p), False)
+                n_hits[idx] += m.to_numpy(zero_copy_only=False)
+        return pa.table({
+            self.id_col: batch[self.id_col],
+            "n_probes_hit": pa.array(n_hits, type=pa.int64()),
+            "contaminated": pa.array(hit_np, type=pa.bool_()),
+        })
+
+
+def contamination_check(ds, probes, text_col: str = "text",
+                        id_col: str = "doc_id"):
+    """(doc_id, n_probes_hit, contaminated) for every document."""
+    return ds.map_batches(ContaminationCheck(probes, text_col, id_col),
+                          batch_format="pyarrow")

@@ -194,3 +194,53 @@ class TestTextOps:
             lang_id, batch_format="pyarrow").to_pandas()
         assert set(out.columns) >= {"doc_id", "lang_pred"}
         assert len(out) == 20
+
+
+class TestContamination:
+    def test_contamination_vs_brute_force(self, ray_session):
+        from mircv_ray.ops import contamination_check
+        tbl = _docs_table(40)
+        texts = tbl["text"].to_pylist()
+        probes = ["alpha beta", "kappa", "omega", "never-present-probe",
+                  "mu mu"]
+        out = (contamination_check(rd.from_arrow(tbl), probes)
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        exp_hits = [sum(p in t for p in probes) for t in texts]
+        assert list(out["n_probes_hit"]) == exp_hits
+        assert list(out["contaminated"]) == [h > 0 for h in exp_hits]
+        # planted guarantees: near-dups append " omega" -> some hits,
+        # and the never-present probe contributes nowhere
+        assert out["contaminated"].any()
+        assert not all(out["contaminated"])
+
+    def test_contamination_regex_metachars_and_nulls(self, ray_session):
+        from mircv_ray.ops import contamination_check
+        tbl = pa.table({
+            "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+            "text": pa.array(["cost is $4.99 (sale)", None, "plain"]),
+        })
+        out = (contamination_check(rd.from_arrow(tbl), ["$4.99 (sale)"])
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        assert list(out["n_probes_hit"]) == [1, 0, 0]
+        assert list(out["contaminated"]) == [True, False, False]
+
+    def test_contamination_matches_oracle_sql(self, ray_session, tmp_path):
+        """Driver-gate dry run: Ray result == DuckDB oracle on real
+        sf0.001 documents (value-level, same column names)."""
+        import duckdb
+        import __ray_entry__ as e
+        sf = "/root/testdata/sf0.001"
+        ray_tbl = e.queries()["contamination"](sf)
+        if hasattr(ray_tbl, "to_pandas"):
+            ray_df = ray_tbl.to_pandas()
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS "
+            f"SELECT * FROM read_parquet('{sf}/documents.parquet')")
+        ora = con.execute(e.oracle_sql()["contamination"]).fetchdf()
+        assert list(ray_df.columns) == list(ora.columns)
+        assert ray_df["n_probes_hit"].astype("int64").tolist() == \
+            ora["n_probes_hit"].astype("int64").tolist()
+        assert ray_df["contaminated"].astype(bool).tolist() == \
+            ora["contaminated"].astype(bool).tolist()
+        assert ray_df["contaminated"].any()
