@@ -385,6 +385,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _sorted_table(
             contamination_check(_docs_ds(sf_dir), _PROBES), ["doc_id"])
 
+    def contamination_fuzzy(sf_dir: str):
+        # probes = three real document texts -> guaranteed jaccard-1.0
+        # hits; LSH-banded so intentionally no SQL oracle (rows check)
+        from mircv_ray.ops import contamination_fuzzy as cf
+        probe_rows = pq.read_table(f"{sf_dir}/documents.parquet",
+                                   columns=["doc_id", "text"]) \
+            .sort_by("doc_id").slice(0, 3)
+        return _sorted_table(
+            cf(_docs_ds(sf_dir), probe_rows["text"].to_pylist(),
+               threshold=0.8), ["doc_id", "probe_idx"])
+
     def minhash_pairs(sf_dir: str):
         from mircv_ray.ops import minhash_candidate_pairs
         return _sorted_table(
@@ -527,6 +538,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": lang_id,
         "fingerprint": fingerprint,
         "contamination": contamination,
+        "contamination_fuzzy": contamination_fuzzy,
         "minhash_pairs": minhash_pairs,
         "simhash_pairs": simhash_pairs,
         "ngram_jaccard": ngram_jaccard,
@@ -753,7 +765,8 @@ ORDER BY 1, 2
         "bm25_topk_maxscore": _topk_sql(_BM25_EXPR),
         "bm25_conjunctive_strict": _topk_and_sql(_BM25_EXPR),
         # minhash_pairs / simhash_pairs / ngram_jaccard /
-        # embedding_near_dups / media_features: intentionally no SQL
+        # contamination_fuzzy / embedding_near_dups / media_features:
+        # intentionally no SQL
         # oracle (LSH/hash-banded or model-shaped ops) -> driver records
         # the rows-only check; exact-value verification lives in
         # tests/test_ops.py against brute force.

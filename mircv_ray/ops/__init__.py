@@ -8,14 +8,14 @@ from .textops import (
     ContaminationCheck, basic_token_stats, contamination_check,
     fingerprint, lang_id, quality_stats, token_count,
 )
-from .dedup import exact_dedup_keep, minhash_signatures, minhash_candidate_pairs, simhash64, near_dup_pairs, ngram_jaccard_pairs, shingle_sets
+from .dedup import contamination_fuzzy, exact_dedup_keep, minhash_signatures, minhash_candidate_pairs, simhash64, near_dup_pairs, ngram_jaccard_pairs, shingle_sets
 from .similarity import cosine_topk, ivf_build_centroids, ivf_cosine_topk, embedding_near_dup_pairs
 from .multimodal import DecodeImage, SampleFrames, make_media_table
 from .windows import hopping_window_agg, props_extract, sessionize, top_users_by_type, tumbling_window_agg
 
 __all__ = [
     "DecodeImage", "SampleFrames", "make_media_table",
-    "ContaminationCheck", "contamination_check",
+    "ContaminationCheck", "contamination_check", "contamination_fuzzy",
     "basic_token_stats", "token_count", "quality_stats", "lang_id",
     "fingerprint", "exact_dedup_keep", "minhash_signatures",
     "minhash_candidate_pairs", "simhash64", "near_dup_pairs",

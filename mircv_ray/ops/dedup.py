@@ -797,3 +797,60 @@ def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                          "jaccard": pa.array(jac[keep])})
 
     return joined.map_batches(verify, batch_format="pyarrow")
+
+
+def contamination_fuzzy(ds, probe_texts, threshold: float = 0.5,
+                        shingle_k: int = 3, text_col: str = "text",
+                        id_col: str = "doc_id", num_perm: int = _NUM_PERM,
+                        bands: int = 16, seed: int = 1,
+                        join_partitions: int | None = None):
+    """Fuzzy decontamination: (doc_id, probe_idx, jaccard) for every
+    document whose EXACT shingle-set Jaccard against a benchmark probe
+    is >= threshold (the n-gram-overlap half of the standard LLM
+    training-data decontamination recipe; ``ContaminationCheck`` is the
+    verbatim half).
+
+    Composition, not new machinery: the probes enter the existing
+    MinHash-LSH banding + partitioned-join verify of
+    ``ngram_jaccard_pairs`` as extra rows in the RESERVED negative id
+    range (probe i -> -(i+1)), so candidate generation stays
+    banded/bucketed, verification stays a reduce-side join, and the doc
+    corpus is scanned once and never broadcast — the probe suite is the
+    only (tiny) extra input. Pairs with both sides in one class
+    (doc-doc, probe-probe) are filtered out of the banding output.
+    Document ids must be >= 0.
+    """
+    import ray.data as rd
+    probe_texts = [str(p) for p in probe_texts]
+    if not probe_texts:
+        raise ValueError("probe_texts must be non-empty")
+    probes_tbl = pa.table({
+        id_col: pa.array([-(i + 1) for i in range(len(probe_texts))],
+                         type=pa.int64()),
+        text_col: pa.array(probe_texts, type=pa.string()),
+    })
+    union = ds.select_columns([id_col, text_col]).union(
+        rd.from_arrow(probes_tbl))
+    pairs = ngram_jaccard_pairs(
+        union, text_col=text_col, id_col=id_col, threshold=threshold,
+        shingle_k=shingle_k, num_perm=num_perm, bands=bands, seed=seed,
+        join_partitions=join_partitions)
+
+    def cross_only(batch: pa.Table) -> pa.Table:
+        empty = pa.table({id_col: pa.array([], type=pa.int64()),
+                          "probe_idx": pa.array([], type=pa.int64()),
+                          "jaccard": pa.array([], type=pa.float64())})
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return empty
+        a = batch["a"].to_numpy(zero_copy_only=False)
+        b = batch["b"].to_numpy(zero_copy_only=False)
+        # pairs are emitted a < b, so a cross pair always has a = probe
+        # (negative) and b = doc (non-negative)
+        keep = (a < 0) & (b >= 0)
+        return pa.table({
+            id_col: pa.array(b[keep], type=pa.int64()),
+            "probe_idx": pa.array(-a[keep] - 1, type=pa.int64()),
+            "jaccard": batch["jaccard"].filter(pa.array(keep)),
+        })
+
+    return pairs.map_batches(cross_only, batch_format="pyarrow")

@@ -244,3 +244,21 @@ class TestContamination:
         assert ray_df["contaminated"].astype(bool).tolist() == \
             ora["contaminated"].astype(bool).tolist()
         assert ray_df["contaminated"].any()
+
+    def test_contamination_fuzzy_finds_planted_overlap(self, ray_session):
+        from mircv_ray.ops import contamination_fuzzy
+        tbl = _docs_table(40)
+        texts = tbl["text"].to_pylist()
+        # probe 0 == doc 5 verbatim (jaccard 1.0); probe 1 is unrelated
+        probes = [texts[5], "xyzzy plugh quux " * 10]
+        out = (contamination_fuzzy(rd.from_arrow(tbl), probes,
+                                   threshold=0.8)
+               .to_pandas().sort_values(["doc_id", "probe_idx"])
+               .reset_index(drop=True))
+        hits5 = out[(out.doc_id == 5) & (out.probe_idx == 0)]
+        assert len(hits5) == 1 and hits5.iloc[0].jaccard == 1.0
+        assert (out.probe_idx == 1).sum() == 0        # unrelated probe
+        assert (out.doc_id >= 0).all()                # never probe-probe
+        # exact-dup docs of doc 5 (if any) also match probe 0; every
+        # reported jaccard honors the threshold
+        assert (out.jaccard >= 0.8).all()
