@@ -396,6 +396,60 @@ def queries() -> dict[str, Callable[[str], Any]]:
             cf(_docs_ds(sf_dir), probe_rows["text"].to_pylist(),
                threshold=0.8), ["doc_id", "probe_idx"])
 
+    def pii_redact(sf_dir: str):
+        # the synthetic corpus has no organic PII, so each doc gets a
+        # deterministic preamble (email from `source`, IP and phone from
+        # `doc_id`) built IDENTICALLY in SQL from the same view columns —
+        # the redaction kernels then have real work on both sides
+        from mircv_ray.ops import pii_redact as pr
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text", "source"])
+
+        def synth(batch: pa.Table) -> pa.Table:
+            did = batch["doc_id"].to_numpy()
+            o1 = pc.cast(pa.array(did % 256), pa.string())
+            o2 = pc.cast(pa.array((did * 7) % 256), pa.string())
+            ph = pc.utf8_lpad(pc.cast(pa.array(did % 10000), pa.string()),
+                              4, "0")
+            t = pc.binary_join_element_wise(
+                "contact ", batch["source"], "@example.com from 10.0.",
+                o1, ".", o2, " call 555-123-", ph, " ", batch["text"], "")
+            return pa.table({"doc_id": batch["doc_id"], "text": t})
+
+        return _sorted_table(
+            ds.map_batches(synth, batch_format="pyarrow")
+              .map_batches(pr, batch_format="pyarrow"), ["doc_id"])
+
+    def repetition_stats(sf_dir: str):
+        from mircv_ray.ops import repetition_stats as rs
+        out = _docs_ds(sf_dir).map_batches(rs, batch_format="pyarrow") \
+            .map_batches(lambda b: _round6(_round6(b, "ttr"),
+                                           "top_bigram_frac"),
+                         batch_format="pyarrow")
+        return _sorted_table(out, ["doc_id"])
+
+    def ngram_jaccard_exact(sf_dir: str):
+        # prefix-filtered EXACT set-similarity join (recall 1, no LSH) —
+        # unlike minhash_pairs/ngram_jaccard this one is fully
+        # SQL-expressible, closing the near-dup axis's oracle gap
+        from mircv_ray.ops import jaccard_simjoin_exact
+        out = jaccard_simjoin_exact(_docs_ds(sf_dir), threshold=0.5)
+        out = out.map_batches(lambda b: _round6(b, "jaccard"),
+                              batch_format="pyarrow")
+        return _sorted_table(out, ["a", "b"])
+
+    def embedding_near_dups_exact(sf_dir: str):
+        # tiled brute-force cosine threshold join over the RAW embeddings
+        # view (no planting — threshold 0.3 sits in a 7e-5-wide value gap
+        # at sf0.01, far beyond float noise), exactly SQL-checkable
+        from mircv_ray.ops import cosine_all_pairs
+        ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+        out = cosine_all_pairs(ds, threshold=0.3)
+        out = out.map_batches(lambda b: _round6(b, "cosine"),
+                              batch_format="pyarrow")
+        return _sorted_table(out, ["a", "b"])
+
     def minhash_pairs(sf_dir: str):
         from mircv_ray.ops import minhash_candidate_pairs
         return _sorted_table(
@@ -537,6 +591,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_cosine_topk_ivf": ann_cosine_topk_ivf,
         "lang_id": lang_id,
         "fingerprint": fingerprint,
+        "pii_redact": pii_redact,
+        "repetition_stats": repetition_stats,
+        "ngram_jaccard_exact": ngram_jaccard_exact,
+        "embedding_near_dups_exact": embedding_near_dups_exact,
         "contamination": contamination,
         "contamination_fuzzy": contamination_fuzzy,
         "minhash_pairs": minhash_pairs,
@@ -577,6 +635,93 @@ SELECT user_id, session_id,
        CAST(round(sum(value) * 100) AS BIGINT) AS sum_value_cents
 FROM s GROUP BY user_id, session_id
 ORDER BY user_id, session_id
+"""
+
+
+# PII redaction oracle: the SAME RE2 patterns pyarrow runs (DuckDB's
+# regexp_* is RE2 too, so semantics are engine-identical); counts over
+# the pre-redaction text, replacements applied in the same order.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IP = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+_PII_PHONE = r"\b\d{3}[- ]\d{3}[- ]\d{4}\b"
+_PII_SQL = f"""
+WITH s AS (
+  SELECT doc_id,
+    'contact ' || source || '@example.com from 10.0.' ||
+    CAST(doc_id % 256 AS VARCHAR) || '.' ||
+    CAST((doc_id * 7) % 256 AS VARCHAR) ||
+    ' call 555-123-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+    ' ' || text AS t
+  FROM documents)
+SELECT doc_id,
+  len(regexp_extract_all(t, '{_PII_EMAIL}'))::BIGINT AS n_emails,
+  len(regexp_extract_all(t, '{_PII_IP}'))::BIGINT AS n_ipv4,
+  len(regexp_extract_all(t, '{_PII_PHONE}'))::BIGINT AS n_phones,
+  regexp_replace(regexp_replace(regexp_replace(t,
+      '{_PII_EMAIL}', '<EMAIL>', 'g'),
+      '{_PII_IP}', '<IP>', 'g'),
+      '{_PII_PHONE}', '<PHONE>', 'g') AS clean_text
+FROM s ORDER BY doc_id
+"""
+
+# simple alnum tokenizer shared by the repetition / exact-jaccard
+# oracles (mirrors ops.dedup._token_ids_flat: lowercase, split on
+# non-[a-z0-9], drop empties)
+_ALNUM_TOKS = ("list_filter(regexp_split_to_array(lower(coalesce(text, '')),"
+               " '[^a-z0-9]+'), x -> len(x) > 0)")
+
+_REPETITION_SQL = f"""
+WITH t AS (SELECT doc_id, {_ALNUM_TOKS} AS toks FROM documents),
+b AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+             len(list_distinct(toks))::BIGINT AS n_distinct_tokens,
+             CASE WHEN len(toks) >= 2
+                  THEN [toks[i] || ' ' || toks[i+1]
+                        FOR i IN range(1, len(toks))]
+                  ELSE [] END AS bgs
+      FROM t),
+c AS (SELECT doc_id, bg, count(*) AS c
+      FROM (SELECT doc_id, unnest(bgs) AS bg FROM b) GROUP BY doc_id, bg),
+m AS (SELECT doc_id, max(c) AS top FROM c GROUP BY doc_id)
+SELECT b.doc_id, n_tokens, n_distinct_tokens,
+  round(CASE WHEN n_tokens > 0
+             THEN CAST(n_distinct_tokens AS DOUBLE) / n_tokens
+             ELSE 0.0 END, 6) AS ttr,
+  COALESCE(m.top, 0)::BIGINT AS top_bigram_count,
+  round(CASE WHEN len(bgs) > 0
+             THEN CAST(COALESCE(m.top, 0) AS DOUBLE) / len(bgs)
+             ELSE 0.0 END, 6) AS top_bigram_frac
+FROM b LEFT JOIN m ON b.doc_id = m.doc_id ORDER BY b.doc_id
+"""
+
+# exact k=3 shingle-set Jaccard join at threshold 0.5 (the DuckDB side
+# is the plain all-pairs definition; the Ray side reaches the same rows
+# through prefix-filtered candidates + exact verification)
+_NGRAM_EXACT_SQL = f"""
+WITH t AS (SELECT doc_id, {_ALNUM_TOKS} AS toks FROM documents),
+s AS (SELECT doc_id,
+             CASE WHEN len(toks) >= 3
+                  THEN list_distinct([toks[i] || ' ' || toks[i+1] || ' '
+                                      || toks[i+2]
+                                      FOR i IN range(1, len(toks) - 1)])
+                  ELSE [] END AS sh
+      FROM t),
+p AS (SELECT a.doc_id AS a, b.doc_id AS b,
+             len(list_intersect(a.sh, b.sh)) AS inter,
+             len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS uni
+      FROM s a JOIN s b ON a.doc_id < b.doc_id
+      WHERE len(a.sh) > 0 AND len(b.sh) > 0)
+SELECT a, b, round(CAST(inter AS DOUBLE) / uni, 6) AS jaccard
+FROM p WHERE CAST(inter AS DOUBLE) / uni >= 0.5 ORDER BY a, b
+"""
+
+_EMB_EXACT_SQL = """
+WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+           FROM embeddings)
+SELECT a.vec_id AS a, b.vec_id AS b,
+       round(list_cosine_similarity(a.e, b.e), 6) AS cosine
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.e, b.e) >= 0.3
+ORDER BY a, b
 """
 
 
@@ -764,6 +909,10 @@ ORDER BY 1, 2
             + ") AS contaminated\nFROM documents\nORDER BY doc_id"),
         "bm25_topk_maxscore": _topk_sql(_BM25_EXPR),
         "bm25_conjunctive_strict": _topk_and_sql(_BM25_EXPR),
+        "pii_redact": _PII_SQL,
+        "repetition_stats": _REPETITION_SQL,
+        "ngram_jaccard_exact": _NGRAM_EXACT_SQL,
+        "embedding_near_dups_exact": _EMB_EXACT_SQL,
         # minhash_pairs / simhash_pairs / ngram_jaccard /
         # contamination_fuzzy / embedding_near_dups / media_features:
         # intentionally no SQL

@@ -6,10 +6,11 @@ fingerprints, verbatim-probe decontamination), and multimodal decode
 
 from .textops import (
     ContaminationCheck, basic_token_stats, contamination_check,
-    fingerprint, lang_id, quality_stats, token_count,
+    fingerprint, lang_id, pii_redact, quality_stats, repetition_stats,
+    token_count,
 )
-from .dedup import contamination_fuzzy, exact_dedup_keep, minhash_signatures, minhash_candidate_pairs, simhash64, near_dup_pairs, ngram_jaccard_pairs, shingle_sets
-from .similarity import cosine_topk, ivf_build_centroids, ivf_cosine_topk, embedding_near_dup_pairs
+from .dedup import contamination_fuzzy, exact_dedup_keep, jaccard_simjoin_exact, minhash_signatures, minhash_candidate_pairs, simhash64, near_dup_pairs, ngram_jaccard_pairs, shingle_sets
+from .similarity import cosine_all_pairs, cosine_topk, ivf_build_centroids, ivf_cosine_topk, embedding_near_dup_pairs
 from .multimodal import DecodeImage, SampleFrames, make_media_table
 from .windows import hopping_window_agg, props_extract, sessionize, top_users_by_type, tumbling_window_agg
 
@@ -21,5 +22,7 @@ __all__ = [
     "minhash_candidate_pairs", "simhash64", "near_dup_pairs",
     "cosine_topk", "ivf_build_centroids", "ivf_cosine_topk",
     "ngram_jaccard_pairs", "shingle_sets", "embedding_near_dup_pairs",
+    "jaccard_simjoin_exact", "cosine_all_pairs", "pii_redact",
+    "repetition_stats",
     "tumbling_window_agg", "hopping_window_agg", "sessionize", "props_extract", "top_users_by_type",
 ]

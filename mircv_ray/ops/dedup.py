@@ -35,8 +35,16 @@ _MERSENNE = np.uint64((1 << 61) - 1)
 _NUM_PERM = 64
 
 
-def _token_ids_flat(batch: pa.Table, text_col: str):
-    """Lowercased alnum tokens per doc -> (flat base hashes, doc offsets)."""
+def _token_ids_flat(batch: pa.Table, text_col: str, hash64: bool = False):
+    """Lowercased alnum tokens per doc -> (flat base hashes, doc offsets).
+
+    ``hash64=False`` keeps the historical 32-bit crc32 token hash (the
+    minhash/simhash signature tests pin its exact values). ``hash64=True``
+    widens to 64 bits — crc32(term) in the high word, crc32(reversed
+    term) in the low — for the EXACT-join operators, where a 32-bit
+    token collision would perturb a set's distinct count and break the
+    SQL-oracle equality (still two vectorized passes over the
+    dictionary's value buffer, never per-token Python)."""
     t = batch[text_col]
     if isinstance(t, pa.ChunkedArray):
         t = t.combine_chunks()
@@ -53,6 +61,10 @@ def _token_ids_flat(batch: pa.Table, text_col: str):
     if isinstance(denc, pa.ChunkedArray):
         denc = denc.combine_chunks()
     vocab_hash = crc32_column(denc.dictionary).astype(np.uint64)
+    if hash64:
+        rev = pc.utf8_reverse(denc.dictionary)
+        vocab_hash = (vocab_hash << np.uint64(32)) \
+            | crc32_column(rev).astype(np.uint64)
     base = vocab_hash[denc.indices.to_numpy(zero_copy_only=False)] \
         if len(flat) else np.zeros(0, dtype=np.uint64)
     return base, counts
@@ -668,10 +680,11 @@ def near_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
 # ----------------------------------------------------------- n-gram jaccard
 
 def shingle_sets(batch: pa.Table, text_col: str = "text",
-                 id_col: str = "doc_id", shingle_k: int = 3) -> pa.Table:
+                 id_col: str = "doc_id", shingle_k: int = 3,
+                 hash64: bool = False) -> pa.Table:
     """(doc_id, shingles: list<int64>) — sorted distinct k-token shingle
     hashes per doc (the exact-Jaccard ground set)."""
-    base, counts = _token_ids_flat(batch, text_col)
+    base, counts = _token_ids_flat(batch, text_col, hash64=hash64)
     sh_flat, sh_counts = _shingle_hashes(base, counts, shingle_k)
     # per-doc sorted distinct via ONE lexsort + adjacent-dedup over the
     # whole batch (identical to np.unique per doc, no per-doc Python)
@@ -770,6 +783,16 @@ def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     pairs = _bucketed_pairs(band_rows, ["band", "band_hash"], id_col)
     joined = _join_pair_state(pairs, sets_bin, id_col, "shingles",
                               join_partitions)
+    return joined.map_batches(_make_exact_jaccard_verify(threshold),
+                              batch_format="pyarrow")
+
+
+def _make_exact_jaccard_verify(threshold: float):
+    """Batch fn: joined pair rows with packed shingle sets on both sides
+    -> (a, b, jaccard) for pairs with EXACT set Jaccard >= threshold.
+    One sort + adjacent-equality count over all pairs at once (both
+    sides are distinct-element sets, so an equal adjacent duo within a
+    pair is exactly one a/b match) — no per-pair Python loop."""
 
     def verify(batch: pa.Table) -> pa.Table:
         empty = pa.table({"a": pa.array([], type=pa.int64()),
@@ -796,7 +819,68 @@ def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                          "b": batch["b"].filter(pa.array(keep)),
                          "jaccard": pa.array(jac[keep])})
 
-    return joined.map_batches(verify, batch_format="pyarrow")
+    return verify
+
+
+def jaccard_simjoin_exact(ds, text_col: str = "text", id_col: str = "doc_id",
+                          threshold: float = 0.5, shingle_k: int = 3,
+                          join_partitions: int | None = None):
+    """EXACT set-similarity self-join: every pair (a < b) whose k-token
+    shingle-set Jaccard is >= threshold — no LSH recall loss.
+
+    Candidate generation uses PREFIX FILTERING (Chaudhuri et al.
+    SSJoin / Bayardo et al. All-Pairs): with each doc's shingle set
+    sorted under one global total order, any pair with J >= t must share
+    an element within both docs' prefixes of length
+    ``n - ceil(t*n) + 1`` — so only prefix shingles are emitted as
+    (shingle, id) bucket rows, and bucketing those rows has RECALL 1 by
+    construction. Verification intersects the true sets, which reach the
+    verify stage through the adaptive broadcast-or-partitioned-join path
+    (`_join_pair_state`), never a driver materialization.
+
+    Token hashes are 64-bit here (``hash64=True``): a 32-bit collision
+    would change a set's distinct count and break exactness.
+
+    Scale notes: the global order is shingle-hash value — any fixed
+    order is CORRECT; production would rank by ascending global shingle
+    frequency (one extra count aggregate) to shrink hot buckets, since a
+    corpus-wide stop-shingle that lands in many prefixes makes an O(n^2)
+    bucket. Star-capping is disabled (exactness forbids dropping
+    pairs), so a low threshold over a highly self-similar corpus is
+    intrinsically quadratic — that is the operator's contract, not a
+    bug; use `ngram_jaccard_pairs` when LSH recall is acceptable.
+    """
+    from .. import use_push_shuffle
+    use_push_shuffle(ds)
+    sets_bin = ds.map_batches(
+        lambda b: _pack_shingle_sets(
+            shingle_sets(b, text_col, id_col, shingle_k, hash64=True),
+            id_col),
+        batch_format="pyarrow").materialize()
+
+    def prefix_rows(batch: pa.Table) -> pa.Table:
+        flat, lens = _unpack_varlen(batch["shingles"], np.uint64)
+        n = lens.astype(np.int64)
+        # downward-biased float ceil: overshooting ceil(t*n) at an exact
+        # integer boundary would SHORTEN the prefix and cost recall;
+        # undershooting only adds candidates
+        ceil_tn = np.ceil(threshold * n - 1e-9).astype(np.int64)
+        p = np.clip(n - ceil_tn + 1, 0, n)
+        starts = np.cumsum(n) - n
+        idx = np.repeat(starts, p) + multi_arange(p)
+        ids = np.repeat(batch[id_col].to_numpy(), p)
+        return pa.table({
+            "shingle": pa.array(flat[idx].astype(np.int64)),
+            id_col: pa.array(ids, type=pa.int64()),
+        })
+
+    prefix_ds = sets_bin.map_batches(prefix_rows, batch_format="pyarrow")
+    pairs = _bucketed_pairs(prefix_ds, ["shingle"], id_col,
+                            max_bucket=1 << 62)
+    joined = _join_pair_state(pairs, sets_bin, id_col, "shingles",
+                              join_partitions)
+    return joined.map_batches(_make_exact_jaccard_verify(threshold),
+                              batch_format="pyarrow")
 
 
 def contamination_fuzzy(ds, probe_texts, threshold: float = 0.5,

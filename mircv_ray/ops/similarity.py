@@ -137,6 +137,74 @@ def ivf_cosine_topk(emb_ds, queries: np.ndarray, centroids: np.ndarray,
                                                 batch_format="pyarrow")
 
 
+def cosine_all_pairs(emb_ds, threshold: float = 0.9,
+                     id_col: str = "vec_id", emb_col: str = "embedding",
+                     block_rows: int = 8192):
+    """EXACT all-pairs cosine similarity join: every pair (a < b) with
+    cosine >= threshold — the brute-force baseline the LSH-bucketed
+    `embedding_near_dup_pairs` is verified against.
+
+    Distributed as a tiled block-nested-loop self-join (GEMM tiling):
+    vectors are normalized and packed per block once (the blocks live in
+    the object store, only their REFS reach the driver), then one raw
+    Ray task per block pair (i <= j) computes the (rows_i x rows_j)
+    cosine tile with a single matmul and keeps only threshold-passing
+    (a, b, cosine) rows. This is one of the few operators expressed with
+    raw tasks rather than Dataset transforms: the Dataset API has no
+    self-cross-product, and a tile task reading two zero-copy object
+    refs IS the idiomatic Ray shape for it.
+
+    Scale contract: O(B^2) tasks of O(block_rows^2 * dim) work each —
+    intrinsically quadratic in the corpus, by definition of the exact
+    join. Use it as a correctness baseline or on bounded corpora; the
+    LSH path is the 10^12-row route.
+    """
+    import ray
+
+    from .dedup import _pack_rows, _unpack_varlen
+
+    def pack_normalized(batch: pa.Table) -> pa.Table:
+        m = _normalize(_emb_matrix(batch, emb_col))
+        return pa.table({id_col: batch[id_col], "nemb": _pack_rows(m)})
+
+    packed = emb_ds.map_batches(pack_normalized, batch_format="pyarrow",
+                                batch_size=block_rows).materialize()
+    refs = packed.to_arrow_refs()
+
+    @ray.remote
+    def tile(ta: pa.Table, tb: pa.Table, same: bool) -> pa.Table:
+        empty = pa.table({"a": pa.array([], type=pa.int64()),
+                          "b": pa.array([], type=pa.int64()),
+                          "cosine": pa.array([], type=pa.float64())})
+        if ta.num_rows == 0 or tb.num_rows == 0:
+            return empty
+        fa, la = _unpack_varlen(ta["nemb"].combine_chunks(), np.float64)
+        fb, _ = _unpack_varlen(tb["nemb"].combine_chunks(), np.float64)
+        dim = int(la[0])
+        ma, mb = fa.reshape(-1, dim), fb.reshape(-1, dim)
+        sims = ma @ mb.T
+        ia_all = ta[id_col].to_numpy()
+        ib_all = tb[id_col].to_numpy()
+        mask = sims >= threshold
+        if same:
+            # keep strictly-upper entries only (one bool tile, no
+            # materialized index arrays for the non-matching cells)
+            mask &= np.arange(len(mb))[None, :] > np.arange(len(ma))[:, None]
+        ri, ci = np.nonzero(mask)
+        s = sims[ri, ci]
+        ia, ib = ia_all[ri], ib_all[ci]
+        lo = np.minimum(ia, ib)
+        hi = np.maximum(ia, ib)
+        return pa.table({"a": pa.array(lo, type=pa.int64()),
+                         "b": pa.array(hi, type=pa.int64()),
+                         "cosine": pa.array(s, type=pa.float64())})
+
+    out_refs = [tile.remote(refs[i], refs[j], i == j)
+                for i in range(len(refs)) for j in range(i, len(refs))]
+    import ray.data as rd
+    return rd.from_arrow_refs(out_refs)
+
+
 def embedding_near_dup_pairs(emb_ds, threshold: float = 0.9,
                              id_col: str = "vec_id",
                              emb_col: str = "embedding",

@@ -97,6 +97,95 @@ def lang_id(batch: pa.Table, text_col: str = "text",
                      "lang_votes": pa.array(best_cnt, type=pa.int64())})
 
 
+# PII patterns (RE2 syntax — the same engine evaluates them in pyarrow
+# and in DuckDB's regexp_* functions, so redaction is exactly
+# SQL-checkable). Applied in list order; counts are over the ORIGINAL
+# text so earlier replacements never mask later counts.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("n_emails", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+     "<EMAIL>"),
+    ("n_ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("n_phones", r"\b\d{3}[- ]\d{3}[- ]\d{4}\b", "<PHONE>"),
+]
+
+
+def pii_redact(batch: pa.Table, text_col: str = "text",
+               id_col: str = "doc_id") -> pa.Table:
+    """PII redaction: mask emails / IPv4 addresses / phone numbers and
+    count each category (the standard pre-training scrub pass).
+
+    Fully vectorized: one ``count_substring_regex`` + one
+    ``replace_substring_regex`` kernel per pattern — no Python loop over
+    rows. NULL text stays NULL (counts too), matching SQL semantics.
+    """
+    t = batch[text_col]
+    if isinstance(t, pa.ChunkedArray):
+        t = t.combine_chunks()
+    cols: dict = {id_col: batch[id_col]}
+    clean = t
+    for name, pat, repl in PII_PATTERNS:
+        c = pc.count_substring_regex(t, pat)
+        c = c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+        cols[name] = c.cast(pa.int64())
+        clean = pc.replace_substring_regex(clean, pattern=pat,
+                                           replacement=repl)
+    cols["clean_text"] = (clean.combine_chunks()
+                          if isinstance(clean, pa.ChunkedArray) else clean)
+    return pa.table(cols)
+
+
+def repetition_stats(batch: pa.Table, text_col: str = "text",
+                     id_col: str = "doc_id") -> pa.Table:
+    """Gopher-style repetition quality counters per document:
+    token count, distinct-token count, type-token ratio, and the
+    most-frequent-2-gram count/fraction (high values flag boilerplate /
+    degenerate repetition; cf. Rae et al. 2021 "Scaling Language Models"
+    repetition filters).
+
+    Vectorized over the whole batch: tokens and 2-gram hashes come from
+    the flat dictionary-encoded token stream (no per-doc Python); both
+    the per-doc distinct count and the per-doc top-2-gram count are one
+    lexsort + run-length pass each.
+    """
+    from .dedup import _shingle_hashes, _token_ids_flat
+    base, counts = _token_ids_flat(batch, text_col)
+    n_docs = len(counts)
+    parent = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+    order = np.lexsort((base, parent))
+    v, p = base[order], parent[order]
+    first = np.ones(len(v), dtype=bool)
+    if len(v) > 1:
+        first[1:] = (v[1:] != v[:-1]) | (p[1:] != p[:-1])
+    n_distinct = np.bincount(p[first], minlength=n_docs).astype(np.int64)
+
+    bg, bg_counts = _shingle_hashes(base, counts, 2)
+    bparent = np.repeat(np.arange(n_docs, dtype=np.int64), bg_counts)
+    border = np.lexsort((bg, bparent))
+    bv, bp = bg[border], bparent[border]
+    newrun = np.ones(len(bv), dtype=bool)
+    if len(bv) > 1:
+        newrun[1:] = (bv[1:] != bv[:-1]) | (bp[1:] != bp[:-1])
+    run_starts = np.flatnonzero(newrun)
+    top = np.zeros(n_docs, dtype=np.int64)
+    if len(run_starts):
+        run_len = np.diff(np.append(run_starts, len(bv)))
+        run_parent = bp[run_starts]
+        pstart = np.flatnonzero(
+            np.append(True, run_parent[1:] != run_parent[:-1]))
+        top[run_parent[pstart]] = np.maximum.reduceat(run_len, pstart)
+
+    ttr = np.where(counts > 0, n_distinct / np.maximum(counts, 1), 0.0)
+    frac = np.where(bg_counts > 0, top / np.maximum(bg_counts, 1), 0.0)
+    return pa.table({
+        id_col: batch[id_col],
+        "n_tokens": pa.array(counts, type=pa.int64()),
+        "n_distinct_tokens": pa.array(n_distinct),
+        "ttr": pa.array(ttr, type=pa.float64()),
+        "top_bigram_count": pa.array(top),
+        "top_bigram_frac": pa.array(frac, type=pa.float64()),
+    })
+
+
 _FP_BASE = np.uint64(1099511628211)
 
 

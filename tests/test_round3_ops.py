@@ -1,0 +1,185 @@
+"""Round-3 operators: PII redaction, repetition quality stats, the
+prefix-filtered EXACT Jaccard similarity join, and the tiled exact
+cosine all-pairs join — each against a driver-side brute-force ground
+truth, plus driver-gate dry runs (Ray result == DuckDB oracle on the
+real sf0.001 tables, value-level)."""
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from tests.test_ops import _brute_jaccard, _docs_table
+
+
+class TestPiiRedact:
+    def test_planted_pii_vs_re(self, ray_session):
+        from mircv_ray.ops import pii_redact
+        from mircv_ray.ops.textops import PII_PATTERNS
+        texts = [
+            "mail bob.smith+x@ex-a.co and 10.0.0.1 call 555-123-4567",
+            "two mails a@b.io c_d%e@f.org one ip 192.168.255.3",
+            "digits 1234567890 no pii, 1.2.3 not an ip, 12-345-6789 no",
+            "phone with spaces 555 123 4567 and 999-888-7777",
+            "",
+            None,
+        ]
+        tbl = pa.table({"doc_id": pa.array(range(len(texts)),
+                                           type=pa.int64()),
+                        "text": pa.array(texts, type=pa.string())})
+        out = pii_redact(tbl).to_pydict()
+        for i, t in enumerate(texts):
+            if t is None:
+                assert out["clean_text"][i] is None
+                assert out["n_emails"][i] is None
+                continue
+            exp = t
+            for name, pat, repl in PII_PATTERNS:
+                assert out[name][i] == len(re.findall(pat, t)), (name, t)
+                exp = re.sub(pat, repl, exp)
+            assert out["clean_text"][i] == exp, t
+        # sanity: the planted rows actually redacted something
+        assert out["n_emails"][0] == 1 and out["n_ipv4"][0] == 1 \
+            and out["n_phones"][0] == 1
+        assert out["n_emails"][1] == 2 and out["n_phones"][3] == 2
+
+    def test_counts_on_original_text(self, ray_session):
+        # an IP adjacent to an email must count even though the email
+        # is redacted first (counts are defined over the original text)
+        from mircv_ray.ops import pii_redact
+        tbl = pa.table({"doc_id": pa.array([0], type=pa.int64()),
+                        "text": ["x@y.zw 1.2.3.4"]})
+        out = pii_redact(tbl).to_pydict()
+        assert out["n_emails"] == [1] and out["n_ipv4"] == [1]
+        assert out["clean_text"] == ["<EMAIL> <IP>"]
+
+
+class TestRepetitionStats:
+    def test_hand_computed(self, ray_session):
+        from mircv_ray.ops import repetition_stats
+        tbl = pa.table({
+            "doc_id": pa.array([0, 1, 2, 3, 4], type=pa.int64()),
+            "text": ["a b a b a",          # bigrams: ab,ba,ab,ba -> top 2/4
+                     "x x x x",            # bigrams: xx,xx,xx -> top 3/3
+                     "one two three",      # all distinct -> top 1/2
+                     "solo",               # no bigrams
+                     None],
+        })
+        out = repetition_stats(tbl).to_pydict()
+        assert out["n_tokens"] == [5, 4, 3, 1, 0]
+        assert out["n_distinct_tokens"] == [2, 1, 3, 1, 0]
+        assert out["ttr"] == [2 / 5, 1 / 4, 1.0, 1.0, 0.0]
+        assert out["top_bigram_count"] == [2, 3, 1, 0, 0]
+        assert out["top_bigram_frac"] == [0.5, 1.0, 0.5, 0.0, 0.0]
+
+    def test_vs_brute_force_random(self, ray_session):
+        from mircv_ray.ops import repetition_stats
+        tbl = _docs_table(50)
+        out = repetition_stats(tbl).to_pydict()
+        from collections import Counter
+        for i, t in enumerate(tbl["text"].to_pylist()):
+            toks = [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w]
+            bgs = list(zip(toks, toks[1:]))
+            assert out["n_tokens"][i] == len(toks)
+            assert out["n_distinct_tokens"][i] == len(set(toks))
+            top = max(Counter(bgs).values()) if bgs else 0
+            assert out["top_bigram_count"][i] == top
+
+
+class TestJaccardSimjoinExact:
+    @pytest.mark.parametrize("threshold", [0.3, 0.5, 0.8])
+    def test_recall_1_vs_brute_force(self, ray_session, threshold):
+        from mircv_ray.ops import jaccard_simjoin_exact
+        tbl = _docs_table(80)
+        texts = tbl["text"].to_pylist()
+        bf = {p: j for p, j in _brute_jaccard(texts).items()
+              if j >= threshold}
+        out = jaccard_simjoin_exact(rd.from_arrow(tbl),
+                                    threshold=threshold).to_pandas()
+        got = {(int(r.a), int(r.b)): float(r.jaccard)
+               for r in out.itertuples()}
+        assert set(got) == set(bf), threshold
+        for p in bf:
+            assert got[p] == pytest.approx(bf[p], abs=0.0), p
+
+    def test_large_identical_cluster_all_pairs(self, ray_session):
+        # exactness forbids star-capping: a 120-copy cluster must yield
+        # ALL 120*119/2 pairs at jaccard 1.0
+        from mircv_ray.ops import jaccard_simjoin_exact
+        n = 120
+        body = "alpha beta gamma delta epsilon zeta eta theta " * 4
+        tbl = pa.table({"doc_id": pa.array(range(n), type=pa.int64()),
+                        "text": [body] * n})
+        out = jaccard_simjoin_exact(rd.from_arrow(tbl),
+                                    threshold=0.9).to_pandas()
+        assert len(out) == n * (n - 1) // 2
+        assert (out["jaccard"] == 1.0).all()
+
+    def test_short_and_empty_docs(self, ray_session):
+        from mircv_ray.ops import jaccard_simjoin_exact
+        tbl = pa.table({
+            "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+            "text": ["", "one two", "alpha beta gamma alpha beta gamma",
+                     "alpha beta gamma alpha beta gamma"],
+        })
+        out = jaccard_simjoin_exact(rd.from_arrow(tbl),
+                                    threshold=0.5).to_pandas()
+        assert [(int(r.a), int(r.b), float(r.jaccard))
+                for r in out.itertuples()] == [(2, 3, 1.0)]
+
+
+class TestCosineAllPairs:
+    @pytest.mark.parametrize("block_rows", [64, 1024])
+    def test_vs_numpy_brute_force(self, ray_session, block_rows):
+        from mircv_ray.ops import cosine_all_pairs
+        rng = np.random.default_rng(3)
+        m = rng.standard_normal((257, 16))
+        m[200] = m[0] + 0.01 * rng.standard_normal(16)   # planted near-dup
+        emb = pa.table({
+            "vec_id": pa.array(range(len(m)), type=pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(m.reshape(-1)), 16),
+        })
+        out = cosine_all_pairs(rd.from_arrow(emb), threshold=0.5,
+                               block_rows=block_rows).to_pandas()
+        n = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = n @ n.T
+        iu = np.triu_indices(len(m), k=1)
+        keep = sims[iu] >= 0.5
+        bf = {(int(a), int(b)): s for a, b, s in
+              zip(iu[0][keep], iu[1][keep], sims[iu][keep])}
+        got = {(int(r.a), int(r.b)): float(r.cosine)
+               for r in out.itertuples()}
+        assert set(got) == set(bf)
+        for p in bf:
+            assert got[p] == pytest.approx(bf[p], abs=1e-12)
+        assert (0, 200) in got
+
+
+@pytest.mark.parametrize("name", ["pii_redact", "repetition_stats",
+                                  "ngram_jaccard_exact",
+                                  "embedding_near_dups_exact"])
+def test_entry_matches_oracle_sql(ray_session, name):
+    """Driver-gate dry run at sf0.001: identical column names, row
+    counts, and values (after each side's documented rounding)."""
+    import duckdb
+    import pandas as pd
+
+    import __ray_entry__ as e
+    sf = "/root/testdata/sf0.001"
+    ray_tbl = e.queries()[name](sf)
+    rdf = ray_tbl.to_pandas() if hasattr(ray_tbl, "to_pandas") else ray_tbl
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(f"CREATE VIEW {t} AS "
+                    f"SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+    ora = con.execute(e.oracle_sql()[name]).fetchdf()
+    assert sorted(rdf.columns) == sorted(ora.columns)
+    assert len(rdf) == len(ora)
+    a = rdf[sorted(rdf.columns)].reset_index(drop=True)
+    b = ora[sorted(ora.columns)].reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    assert len(rdf) > 0
