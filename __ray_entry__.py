@@ -450,6 +450,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
                               batch_format="pyarrow")
         return _sorted_table(out, ["a", "b"])
 
+    def source_quota(sf_dir: str):
+        # per-source 800-token mixture cap (each sf source holds
+        # ~1.1-1.7k tokens, so the cut lands mid-source and roughly
+        # half the docs survive — the budget is genuinely binding)
+        from mircv_ray.ops import source_quota_sample
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text", "source"])
+        return _sorted_table(source_quota_sample(ds, budget_tokens=800),
+                             ["doc_id"])
+
+    def dedup_clusters(sf_dir: str):
+        # exact near-dup pairs -> transitive closure: every doc labeled
+        # with its cluster's min doc_id (keep label == id, drop the rest)
+        from mircv_ray.ops import connected_components, jaccard_simjoin_exact
+        pairs = jaccard_simjoin_exact(_docs_ds(sf_dir), threshold=0.5)
+        labels = connected_components(pairs, _docs_ds(sf_dir))
+        out = labels.map_batches(
+            lambda b: pa.table({"doc_id": b["node"],
+                                "cluster_id": b["label"]}),
+            batch_format="pyarrow")
+        return _sorted_table(out, ["doc_id"])
+
     def minhash_pairs(sf_dir: str):
         from mircv_ray.ops import minhash_candidate_pairs
         return _sorted_table(
@@ -595,6 +617,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": repetition_stats,
         "ngram_jaccard_exact": ngram_jaccard_exact,
         "embedding_near_dups_exact": embedding_near_dups_exact,
+        "dedup_clusters": dedup_clusters,
+        "source_quota": source_quota,
         "contamination": contamination,
         "contamination_fuzzy": contamination_fuzzy,
         "minhash_pairs": minhash_pairs,
@@ -695,9 +719,10 @@ FROM b LEFT JOIN m ON b.doc_id = m.doc_id ORDER BY b.doc_id
 
 # exact k=3 shingle-set Jaccard join at threshold 0.5 (the DuckDB side
 # is the plain all-pairs definition; the Ray side reaches the same rows
-# through prefix-filtered candidates + exact verification)
-_NGRAM_EXACT_SQL = f"""
-WITH t AS (SELECT doc_id, {_ALNUM_TOKS} AS toks FROM documents),
+# through prefix-filtered candidates + exact verification). The pair
+# CTE is shared with the dedup_clusters oracle below.
+_NGRAM_PAIRS_CTE = f"""
+t AS (SELECT doc_id, {_ALNUM_TOKS} AS toks FROM documents),
 s AS (SELECT doc_id,
              CASE WHEN len(toks) >= 3
                   THEN list_distinct([toks[i] || ' ' || toks[i+1] || ' '
@@ -709,9 +734,31 @@ p AS (SELECT a.doc_id AS a, b.doc_id AS b,
              len(list_intersect(a.sh, b.sh)) AS inter,
              len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS uni
       FROM s a JOIN s b ON a.doc_id < b.doc_id
-      WHERE len(a.sh) > 0 AND len(b.sh) > 0)
-SELECT a, b, round(CAST(inter AS DOUBLE) / uni, 6) AS jaccard
-FROM p WHERE CAST(inter AS DOUBLE) / uni >= 0.5 ORDER BY a, b
+      WHERE len(a.sh) > 0 AND len(b.sh) > 0),
+dup_pairs AS (SELECT a, b, CAST(inter AS DOUBLE) / uni AS jac
+              FROM p WHERE CAST(inter AS DOUBLE) / uni >= 0.5)
+"""
+
+_NGRAM_EXACT_SQL = f"""
+WITH {_NGRAM_PAIRS_CTE}
+SELECT a, b, round(jac, 6) AS jaccard FROM dup_pairs ORDER BY a, b
+"""
+
+# transitive closure of the exact near-dup pairs: every doc labeled with
+# the minimum reachable doc_id (the Ray side converges by min-label
+# propagation; SQL states the fixpoint directly as a recursive CTE)
+_CLUSTERS_SQL = f"""
+WITH RECURSIVE {_NGRAM_PAIRS_CTE},
+edges AS (SELECT a AS x, b AS y FROM dup_pairs
+          UNION SELECT b, a FROM dup_pairs),
+reach(x, y) AS (SELECT x, y FROM edges
+                UNION
+                SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x),
+mins AS (SELECT x, min(y) AS m FROM reach GROUP BY x)
+SELECT d.doc_id,
+       least(d.doc_id, COALESCE(mins.m, d.doc_id))::BIGINT AS cluster_id
+FROM documents d LEFT JOIN mins ON mins.x = d.doc_id
+ORDER BY d.doc_id
 """
 
 _EMB_EXACT_SQL = """
@@ -913,6 +960,19 @@ ORDER BY 1, 2
         "repetition_stats": _REPETITION_SQL,
         "ngram_jaccard_exact": _NGRAM_EXACT_SQL,
         "embedding_near_dups_exact": _EMB_EXACT_SQL,
+        "dedup_clusters": _CLUSTERS_SQL,
+        "source_quota": r"""
+WITH c AS (SELECT doc_id, source,
+                  len(regexp_extract_all(text,
+                      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::BIGINT AS n_tokens
+           FROM documents),
+w AS (SELECT doc_id, source, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM c)
+SELECT doc_id, source, n_tokens, cum_tokens::BIGINT AS cum_tokens
+FROM w WHERE cum_tokens <= 800 ORDER BY doc_id
+""",
         # minhash_pairs / simhash_pairs / ngram_jaccard /
         # contamination_fuzzy / embedding_near_dups / media_features:
         # intentionally no SQL

@@ -9,9 +9,10 @@ from .textops import (
     fingerprint, lang_id, pii_redact, quality_stats, repetition_stats,
     token_count,
 )
-from .dedup import contamination_fuzzy, exact_dedup_keep, jaccard_simjoin_exact, minhash_signatures, minhash_candidate_pairs, simhash64, near_dup_pairs, ngram_jaccard_pairs, shingle_sets
+from .dedup import connected_components, contamination_fuzzy, exact_dedup_keep, jaccard_simjoin_exact, minhash_signatures, minhash_candidate_pairs, simhash64, near_dup_pairs, ngram_jaccard_pairs, shingle_sets
 from .similarity import cosine_all_pairs, cosine_topk, ivf_build_centroids, ivf_cosine_topk, embedding_near_dup_pairs
 from .multimodal import DecodeImage, SampleFrames, make_media_table
+from .sampling import source_quota_sample
 from .windows import hopping_window_agg, props_extract, sessionize, top_users_by_type, tumbling_window_agg
 
 __all__ = [
@@ -23,6 +24,6 @@ __all__ = [
     "cosine_topk", "ivf_build_centroids", "ivf_cosine_topk",
     "ngram_jaccard_pairs", "shingle_sets", "embedding_near_dup_pairs",
     "jaccard_simjoin_exact", "cosine_all_pairs", "pii_redact",
-    "repetition_stats",
+    "repetition_stats", "connected_components", "source_quota_sample",
     "tumbling_window_agg", "hopping_window_agg", "sessionize", "props_extract", "top_users_by_type",
 ]

@@ -1,0 +1,57 @@
+"""Data-mixture sampling operators for training-data pipelines."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .textops import TOKEN_COUNT_RE
+
+
+def source_quota_sample(ds, budget_tokens: int, source_col: str = "source",
+                        id_col: str = "doc_id", text_col: str = "text"):
+    """Per-source token-budget quota (the mixture-weighting primitive:
+    cap each source's contribution at ``budget_tokens``).
+
+    Documents are taken in ascending ``id_col`` order within each source
+    while the running token total (inclusive) stays <= the budget.
+    Returns (doc_id, source, n_tokens, cum_tokens) for the KEPT docs.
+
+    Shape: one vectorized counting scan (content never shuffles — only
+    slim (id, source, n_tokens) rows move), then a per-source group task
+    doing a sort + cumsum. A source whose row count dwarfs a worker
+    (the mega-source analogue of `sessionize`'s mega-user) needs the
+    salted two-phase variant — per-(source, id-range) partial sums, then
+    a tiny prefix-offset exchange — mirroring
+    `ops/windows.py::sessionize(salt_width_us=...)`; at that point the
+    quota cut lands in exactly one range and the others filter locally.
+    """
+
+    def count(batch: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(batch[text_col], TOKEN_COUNT_RE)
+        n = n.combine_chunks() if isinstance(n, pa.ChunkedArray) else n
+        return pa.table({id_col: batch[id_col],
+                         source_col: batch[source_col],
+                         "n_tokens": n.cast(pa.int64())})
+
+    def quota(group: pa.Table) -> pa.Table:
+        empty = pa.table({id_col: pa.array([], type=pa.int64()),
+                          source_col: pa.array([], type=pa.string()),
+                          "n_tokens": pa.array([], type=pa.int64()),
+                          "cum_tokens": pa.array([], type=pa.int64())})
+        if group.num_rows == 0 or group.num_columns == 0:
+            return empty
+        order = pc.sort_indices(group[id_col])
+        g = group.take(order)
+        cum = np.cumsum(g["n_tokens"].to_numpy())
+        keep = cum <= budget_tokens
+        sel = pa.array(keep)
+        return pa.table({id_col: g[id_col].filter(sel),
+                         source_col: g[source_col].filter(sel),
+                         "n_tokens": g["n_tokens"].filter(sel),
+                         "cum_tokens": pa.array(cum[keep])})
+
+    counted = ds.map_batches(count, batch_format="pyarrow")
+    return counted.groupby(source_col).map_groups(quota,
+                                                  batch_format="pyarrow")

@@ -159,9 +159,88 @@ class TestCosineAllPairs:
         assert (0, 200) in got
 
 
+class TestConnectedComponents:
+    @staticmethod
+    def _union_find(n, pairs):
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # canonical min-id label per component
+        roots = [find(i) for i in range(n)]
+        comp_min = {}
+        for i, r in enumerate(roots):
+            comp_min[r] = min(comp_min.get(r, i), i)
+        return [comp_min[r] for r in roots]
+
+    def _check(self, n, pairs):
+        from mircv_ray.ops import connected_components
+        nodes = pa.table({"doc_id": pa.array(range(n), type=pa.int64())})
+        ptbl = pa.table({
+            "a": pa.array([a for a, _ in pairs], type=pa.int64()),
+            "b": pa.array([b for _, b in pairs], type=pa.int64())})
+        out = connected_components(rd.from_arrow(ptbl),
+                                   rd.from_arrow(nodes)) \
+            .to_pandas().sort_values("node")
+        assert list(out["node"]) == list(range(n))
+        assert list(out["label"]) == self._union_find(n, pairs)
+
+    def test_random_graph_vs_union_find(self, ray_session):
+        rng = np.random.default_rng(5)
+        n = 200
+        pairs = [(int(min(a, b)), int(max(a, b)))
+                 for a, b in rng.integers(0, n, size=(60, 2)) if a != b]
+        self._check(n, pairs)
+
+    def test_long_chain_diameter(self, ray_session):
+        # a 40-hop chain needs ~20 propagation rounds — well past the
+        # star-capped diameter-2 fast path
+        n = 50
+        pairs = [(i, i + 1) for i in range(40)]
+        self._check(n, pairs)
+
+    def test_no_pairs_identity(self, ray_session):
+        self._check(10, [])
+
+
+class TestSourceQuota:
+    def test_hand_computed(self, ray_session):
+        from mircv_ray.ops import source_quota_sample
+        tbl = pa.table({
+            "doc_id": pa.array([0, 1, 2, 3, 4, 5], type=pa.int64()),
+            "source": ["s1", "s1", "s1", "s2", "s2", "s3"],
+            # token counts under the BPE-ish regex: 3, 2, 2, 5, 1, 1
+            "text": ["one two three", "four five", "six seven",
+                     "a b c d e", "x", "y"],
+        })
+        out = source_quota_sample(rd.from_arrow(tbl), budget_tokens=5) \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        # s1 keeps 0 (cum 3) and 1 (cum 5), drops 2 (cum 7);
+        # s2 keeps 3 (cum 5), drops 4 (cum 6); s3 keeps 5
+        assert list(out["doc_id"]) == [0, 1, 3, 5]
+        assert list(out["cum_tokens"]) == [3, 5, 5, 1]
+
+    def test_budget_zero_keeps_nothing(self, ray_session):
+        from mircv_ray.ops import source_quota_sample
+        tbl = pa.table({"doc_id": pa.array([0], type=pa.int64()),
+                        "source": ["s"], "text": ["hello"]})
+        out = source_quota_sample(rd.from_arrow(tbl), budget_tokens=0) \
+            .to_pandas()
+        assert len(out) == 0
+
+
 @pytest.mark.parametrize("name", ["pii_redact", "repetition_stats",
                                   "ngram_jaccard_exact",
-                                  "embedding_near_dups_exact"])
+                                  "embedding_near_dups_exact",
+                                  "dedup_clusters", "source_quota"])
 def test_entry_matches_oracle_sql(ray_session, name):
     """Driver-gate dry run at sf0.001: identical column names, row
     counts, and values (after each side's documented rounding)."""
