@@ -9,17 +9,19 @@ REAL decode paths (pure NumPy + stdlib zlib, no external libraries):
 - BMP (uncompressed 24-bit BI_RGB, bottom-up)
 - PNG (non-interlaced 8-bit gray / gray+alpha / RGB / RGBA, all five
   scanline filters — zlib inflate + vectorized unfilter)
+- JPEG (baseline sequential SOF0, 8-bit gray / YCbCr 4:4:4 — own
+  Huffman + DCT implementation in ``jpegcodec.py``, encoder included)
 - WAV (RIFF PCM16 mono) audio
 - RAWV, a trivial raw-RGB video container used by the synthetic
   generator (``b"RAWV" + <u16 w, u16 h, u16 n_frames, u16 fps> +
   n_frames * h*w*3 raw bytes``) — frame sampling seeks by offset math,
   decoding only the sampled frames.
 
-Formats that genuinely require codec libraries (JPEG/MP4/…, and the
-palette/16-bit/interlaced PNG variants) are STUBBED:
-``DecodeImage(fake=False)`` raises ``NotImplementedError`` for them —
-no image library is used even if importable; ``fake=True`` emits a
-deterministic feature seeded from sha256(payload) so pipelines still
+Formats that genuinely require codec libraries (MP4/…, progressive or
+subsampled JPEG, and the palette/16-bit/interlaced PNG variants) are
+STUBBED: ``DecodeImage(fake=False)`` raises ``NotImplementedError`` for
+them — no image library is used even if importable; ``fake=True`` emits
+a deterministic feature seeded from sha256(payload) so pipelines still
 exercise realistic data movement.
 
 Features are real signal statistics, stable across runs/parallelism:
@@ -58,8 +60,11 @@ MIME_PPM = "image/x-portable-pixmap"
 MIME_PGM = "image/x-portable-graymap"
 MIME_BMP = "image/bmp"
 MIME_PNG = "image/png"
+MIME_JPEG = "image/jpeg"
 MIME_WAV = "audio/wav"
 MIME_RAWV = "video/x-rawv"
+
+from .jpegcodec import decode_jpeg_baseline, encode_jpeg_baseline  # noqa: E402
 
 
 # --------------------------------------------------------------- codecs (real)
@@ -356,9 +361,9 @@ def audio_feature(samples: np.ndarray, dim: int = FEATURE_DIM) -> np.ndarray:
 
 def make_media_table(n: int, seed: int = 42) -> pa.Table:
     """Deterministic synthetic media rows with REAL payloads: PPM / BMP
-    / PNG images (PNG rows cycle through filter types 0-4), PCM16 WAV
-    audio, RAWV video — every row decodable by the pure-NumPy codecs
-    above."""
+    / PNG / JPEG images (PNG rows cycle through filter types 0-4, JPEG
+    through qualities 80-99), PCM16 WAV audio, RAWV video — every row
+    decodable by the pure-NumPy codecs above."""
     rng = np.random.default_rng(seed)
     kinds = ["image", "audio", "video"]
     rows: dict[str, list] = {k.name: [] for k in MEDIA_SCHEMA}
@@ -367,14 +372,17 @@ def make_media_table(n: int, seed: int = 42) -> pa.Table:
         if kind == "image":
             h, w = int(rng.integers(8, 32)), int(rng.integers(8, 32))
             img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
-            variant = (i // 3) % 3
+            variant = (i // 3) % 4
             if variant == 0:
                 payload, mime = encode_ppm(img), MIME_PPM
             elif variant == 1:
                 payload, mime = encode_bmp(img), MIME_BMP
-            else:
+            elif variant == 2:
                 payload, mime = encode_png(img, filter_type=(i // 9) % 5), \
                     MIME_PNG
+            else:
+                payload, mime = encode_jpeg_baseline(
+                    img, quality=80 + (i // 12) % 20), MIME_JPEG
             dur = -1
         elif kind == "audio":
             sr = 8000
@@ -406,11 +414,11 @@ def make_media_table(n: int, seed: int = 42) -> pa.Table:
 class DecodeImage:
     """Actor-pool decode + feature-extract stage.
 
-    Per row, by mime: PPM/PGM/BMP/PNG/WAV/RAWV decode with the REAL
-    NumPy/zlib codecs (RAWV featurizes its middle frame); other formats
-    fall back to a deterministic sha256-seeded fake vector when
+    Per row, by mime: PPM/PGM/BMP/PNG/JPEG/WAV/RAWV decode with the
+    REAL NumPy/zlib codecs (RAWV featurizes its middle frame); other
+    formats fall back to a deterministic sha256-seeded fake vector when
     ``fake=True`` (default) or raise ``NotImplementedError`` otherwise
-    (JPEG/MP4 need codec libraries this container lacks — no external
+    (MP4 etc. need codec libraries this container lacks — no external
     image library is attempted or used).
     """
 
@@ -430,6 +438,9 @@ class DecodeImage:
             return image_feature(decode_bmp(payload), self.feature_dim)
         if mime == MIME_PNG:
             return image_feature(decode_png(payload), self.feature_dim)
+        if mime == MIME_JPEG:
+            return image_feature(decode_jpeg_baseline(payload),
+                                 self.feature_dim)
         if mime == MIME_WAV:
             return audio_feature(decode_wav_pcm16(payload)[0],
                                  self.feature_dim)

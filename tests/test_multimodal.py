@@ -82,16 +82,24 @@ def test_decode_stage_real_path(ray_session):
 
 
 def test_decode_stage_unknown_mime_strict_raises():
+    # mp4 stays genuinely stubbed (jpeg became a real codec in r3)
     t = pa.table({"media_id": pa.array([1], pa.int64()),
-                  "kind": pa.array(["image"]),
-                  "payload": pa.array([b"\xff\xd8 fake jpeg"], pa.binary()),
-                  "mime": pa.array(["image/jpeg"])})
+                  "kind": pa.array(["video"]),
+                  "payload": pa.array([b"\x00\x00\x00 ftypmp42"], pa.binary()),
+                  "mime": pa.array(["video/mp4"])})
     with pytest.raises(NotImplementedError):
         DecodeImage(fake=False)(t)
     # fake path still deterministic
     a = DecodeImage(fake=True)(t)["feature"].to_pylist()
     b = DecodeImage(fake=True)(t)["feature"].to_pylist()
     assert a == b
+    # a REAL mime with a corrupt payload is a hard error even fake=True
+    bad = pa.table({"media_id": pa.array([1], pa.int64()),
+                    "kind": pa.array(["image"]),
+                    "payload": pa.array([b"\xff\xd8 fake jpeg"], pa.binary()),
+                    "mime": pa.array(["image/jpeg"])})
+    with pytest.raises(ValueError):
+        DecodeImage(fake=True)(bad)
 
 
 def test_sample_frames_real_decode(ray_session):
@@ -186,3 +194,89 @@ class TestPng:
         assert len(out) == 60
         feats = np.stack(out["feature"].to_numpy())
         assert np.std(feats) > 0
+
+
+# ---------------------------------------------------- JPEG (r3: real codec)
+
+class TestJpeg:
+    @pytest.mark.parametrize("shape", [(8, 8), (24, 33), (9, 10),
+                                       (16, 16, 3), (17, 21, 3)])
+    def test_coefficient_exact_roundtrip(self, shape):
+        # the entropy layer is LOSSLESS: decoded zigzag coefficients must
+        # equal the encoder's quantized coefficients bit for bit
+        from mircv_ray.ops.jpegcodec import (
+            _QT_CHROMA, _QT_LUMA, _quantized_coefs, _rgb_to_ycbcr,
+            _scaled_qt, decode_jpeg_coefficients, encode_jpeg_baseline)
+        rng = np.random.default_rng(sum(shape))
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        buf = encode_jpeg_baseline(img, quality=85)
+        zz, qts, h, w = decode_jpeg_coefficients(buf)
+        assert (h, w) == img.shape[:2]
+        if img.ndim == 2:
+            planes = [img.astype(np.float64)]
+            bases = [_QT_LUMA]
+        else:
+            ycc = _rgb_to_ycbcr(img)
+            planes = [ycc[..., i] for i in range(3)]
+            bases = [_QT_LUMA, _QT_CHROMA, _QT_CHROMA]
+        assert len(zz) == len(planes)
+        for got, plane, base in zip(zz, planes, bases):
+            exp = _quantized_coefs(plane, _scaled_qt(base, 85))
+            assert np.array_equal(got, exp)
+
+    def test_smooth_image_low_error(self):
+        from mircv_ray.ops.jpegcodec import (decode_jpeg_baseline,
+                                             encode_jpeg_baseline)
+        y, x = np.mgrid[0:32, 0:40]
+        rgb = np.stack([np.minimum(x * 3, 255), np.minimum(y * 4, 255),
+                        np.minimum(x + y, 255)], axis=-1).astype(np.uint8)
+        dec = decode_jpeg_baseline(encode_jpeg_baseline(rgb, quality=95))
+        assert dec.shape == rgb.shape
+        err = np.abs(dec.astype(int) - rgb.astype(int))
+        assert err.mean() < 2.0 and err.max() <= 12
+
+    def test_flat_image_exact(self):
+        from mircv_ray.ops.jpegcodec import (decode_jpeg_baseline,
+                                             encode_jpeg_baseline)
+        img = np.full((9, 10), 130, np.uint8)
+        dec = decode_jpeg_baseline(encode_jpeg_baseline(img, quality=50))
+        assert np.array_equal(dec, img)
+
+    def test_ff_stuffing_survives(self):
+        # high-frequency content at high quality emits many literal bits
+        # -> near-certain 0xFF bytes in the scan, exercising stuffing
+        from mircv_ray.ops.jpegcodec import (decode_jpeg_baseline,
+                                             encode_jpeg_baseline)
+        rng = np.random.default_rng(1)
+        img = rng.integers(0, 256, size=(40, 40), dtype=np.uint8)
+        buf = encode_jpeg_baseline(img, quality=100)
+        assert b"\xff\x00" in buf[20:]      # stuffed bytes present
+        dec = decode_jpeg_baseline(buf)
+        assert dec.shape == img.shape
+
+    def test_unsupported_modes_raise(self):
+        import struct
+        from mircv_ray.ops.jpegcodec import (decode_jpeg_baseline,
+                                             encode_jpeg_baseline)
+        img = np.zeros((8, 8), np.uint8)
+        buf = bytearray(encode_jpeg_baseline(img))
+        # flip SOF0 (0xC2 = progressive) — parser must refuse
+        i = buf.find(b"\xff\xc0")
+        prog = bytes(buf[:i]) + b"\xff\xc2" + bytes(buf[i + 2:])
+        with pytest.raises(NotImplementedError):
+            decode_jpeg_baseline(prog)
+        with pytest.raises(ValueError):
+            decode_jpeg_baseline(b"not a jpeg")
+        with pytest.raises(ValueError):
+            encode_jpeg_baseline(np.zeros((4, 4, 2), np.uint8))
+
+    def test_media_table_includes_decodable_jpeg(self, ray_session):
+        import ray.data as rd
+        from mircv_ray.ops.multimodal import MIME_JPEG
+        tbl = make_media_table(60)
+        assert MIME_JPEG in set(tbl["mime"].to_pylist())
+        out = rd.from_arrow(tbl).map_batches(
+            DecodeImage, fn_constructor_kwargs={"fake": False},
+            batch_size=16, concurrency=2, batch_format="pyarrow",
+            num_cpus=1).to_pandas()
+        assert len(out) == 60
