@@ -400,17 +400,40 @@ def _make_explode(num_shards: int, salt_buckets: int, n_docs: int):
         vocab = denc.dictionary
         vshards = _term_shards_memo(vocab, num_shards)
         run_codes = run_codes_all[starts]
-        ids_raw = [run_dids[s:e].tobytes() for s, e in zip(starts, ends)]
-        tfs_raw = [tfs[s:e].tobytes() for s, e in zip(starts, ends)]
+        # the (term, seg) runs tile run_dids/tfs contiguously, so both
+        # binary columns are just offset views over the flat arrays —
+        # built with from_buffers in one pass (the per-run tobytes()
+        # list comprehension this replaces was ~80x slower and the last
+        # Python loop in the explode hot path); byte-identical output
+        ids_raw = _packed_runs(run_dids, starts, 8)
+        tfs_raw = _packed_runs(tfs, starts, 4)
         return pa.table({
             "term": vocab.take(pa.array(run_codes, type=pa.int64())),
             "shard": pa.array(vshards[run_codes], type=pa.int64()),
             "seg": pa.array(seg[starts], type=pa.int64()),
             "n": pa.array(ends - starts, type=pa.int64()),
-            "ids_raw": pa.array(ids_raw, type=pa.binary()),
-            "tfs_raw": pa.array(tfs_raw, type=pa.binary()),
+            "ids_raw": ids_raw,
+            "tfs_raw": tfs_raw,
         })
     return explode
+
+
+def _packed_runs(flat: np.ndarray, starts: np.ndarray,
+                 itemsize: int) -> pa.Array:
+    """Consecutive runs (starts tile ``flat`` end to end) -> one binary
+    column whose i-th value is flat[starts[i]:starts[i+1]] as raw bytes,
+    with the WHOLE flat array as the single values buffer."""
+    total = len(flat) * itemsize
+    if total >= 2**31:
+        raise ValueError("packed partial-posting batch >= 2 GiB: int32 "
+                         "binary offsets would wrap — reduce batch size")
+    offs = np.empty(len(starts) + 1, dtype=np.int32)
+    np.multiply(starts, itemsize, out=offs[:-1], casting="unsafe")
+    offs[-1] = total
+    return pa.Array.from_buffers(
+        pa.binary(), len(starts),
+        [None, pa.py_buffer(offs.tobytes()),
+         pa.py_buffer(np.ascontiguousarray(flat).tobytes())])
 
 
 def _term_shards_memo(vocab: pa.Array, num_shards: int) -> np.ndarray:
