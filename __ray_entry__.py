@@ -368,6 +368,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out.map_batches(lambda b: _round6(b, "score"),
                                batch_format="pyarrow")
 
+    def ann_cosine_topk_pq(sf_dir: str):
+        # PQ ADC scan (8 bytes/vector) + exact re-rank of the
+        # oversampled candidates — approximate by construction, so
+        # rows-only at the driver; recall vs the exact scan is pinned
+        # in pytest on clustered data
+        from mircv_ray.ops import pq_cosine_topk_rerank, pq_encode, pq_train
+        emb = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+        qvecs = np.stack([np.asarray(emb["embedding"][i].as_py())
+                          for i in range(3)])
+        ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+        books = pq_train(ds, m=8, k=64, iters=5)
+        codes = pq_encode(ds, books).materialize()
+        out = pq_cosine_topk_rerank(ds, codes, books, qvecs, k=10)
+        out = out.map_batches(lambda b: _round6(b, "score"),
+                              batch_format="pyarrow")
+        return _sorted_table(out, ["query_id", "vec_id"])
+
     def lang_id(sf_dir: str):
         from mircv_ray.ops import lang_id as li
         return _sorted_table(
@@ -611,6 +630,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_stats": quality_stats,
         "ann_cosine_topk": ann_cosine_topk,
         "ann_cosine_topk_ivf": ann_cosine_topk_ivf,
+        "ann_cosine_topk_pq": ann_cosine_topk_pq,
         "lang_id": lang_id,
         "fingerprint": fingerprint,
         "pii_redact": pii_redact,
@@ -974,9 +994,12 @@ SELECT doc_id, source, n_tokens, cum_tokens::BIGINT AS cum_tokens
 FROM w WHERE cum_tokens <= 800 ORDER BY doc_id
 """,
         # minhash_pairs / simhash_pairs / ngram_jaccard /
-        # contamination_fuzzy / embedding_near_dups / media_features:
-        # intentionally no SQL
-        # oracle (LSH/hash-banded or model-shaped ops) -> driver records
-        # the rows-only check; exact-value verification lives in
-        # tests/test_ops.py against brute force.
+        # contamination_fuzzy / embedding_near_dups / media_features /
+        # ann_cosine_topk_pq: intentionally no SQL
+        # oracle (LSH/hash-banded, quantized-approximate, or
+        # model-shaped ops) -> driver records the rows-only check;
+        # exact-value verification lives in tests/ against brute force,
+        # and each LSH/approximate family has an exact oracle-gated twin
+        # (ngram_jaccard_exact, embedding_near_dups_exact,
+        # ann_cosine_topk, contamination).
     }

@@ -137,6 +137,163 @@ def ivf_cosine_topk(emb_ds, queries: np.ndarray, centroids: np.ndarray,
                                                 batch_format="pyarrow")
 
 
+def pq_train(emb_ds, m: int = 8, k: int = 256, sample_limit: int = 20000,
+             iters: int = 10, emb_col: str = "embedding",
+             seed: int = 4) -> np.ndarray:
+    """Train product-quantization codebooks on a bounded driver-side
+    sample (the broadcast small side, like `ivf_build_centroids`):
+    split the normalized space into ``m`` subspaces and run
+    deterministic mini k-means with ``k`` centroids in each. Returns
+    (m, k, dim//m) float64 codebooks."""
+    sample = emb_ds.limit(sample_limit).to_pandas()
+    x = _normalize(np.stack(sample[emb_col].to_numpy()).astype(np.float64))
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    k = min(k, len(x))
+    rng = np.random.default_rng(seed)
+    books = np.zeros((m, k, dsub))
+    for s in range(m):
+        xs = x[:, s * dsub:(s + 1) * dsub]
+        cent = xs[rng.choice(len(xs), size=k, replace=False)]
+        for _ in range(iters):
+            # nearest centroid by squared L2 (||c||^2 - 2 x.c term)
+            d2 = (cent ** 2).sum(1)[None, :] - 2.0 * (xs @ cent.T)
+            assign = d2.argmin(axis=1)
+            for c in range(k):
+                mask = assign == c
+                if mask.any():
+                    cent[c] = xs[mask].mean(axis=0)
+        books[s] = cent
+    return books
+
+
+def pq_encode(emb_ds, codebooks: np.ndarray,
+              emb_col: str = "embedding", id_col: str = "vec_id"):
+    """(vec_id, code: binary[m]) — each normalized vector quantized to
+    its nearest centroid per subspace (uint8 codes, 8 bytes/vector at
+    m=8 — a 32x compression of a 64-dim float32 embedding)."""
+    m, k, dsub = codebooks.shape
+
+    def encode(batch: pa.Table) -> pa.Table:
+        x = _normalize(_emb_matrix(batch, emb_col))
+        codes = np.zeros((len(x), m), dtype=np.uint8)
+        for s in range(m):
+            xs = x[:, s * dsub:(s + 1) * dsub]
+            cent = codebooks[s]
+            d2 = (cent ** 2).sum(1)[None, :] - 2.0 * (xs @ cent.T)
+            codes[:, s] = d2.argmin(axis=1).astype(np.uint8)
+        from .dedup import _pack_rows
+        return pa.table({id_col: batch[id_col], "code": _pack_rows(codes)})
+
+    return emb_ds.map_batches(encode, batch_format="pyarrow")
+
+
+def pq_cosine_topk(codes_ds, codebooks: np.ndarray, queries: np.ndarray,
+                   k: int = 10, id_col: str = "vec_id"):
+    """Approximate cosine top-k over PQ codes via ADC (asymmetric
+    distance computation): per query, one (m, 256) lookup table of
+    subspace dot products; per batch, scores gather-sum from the table —
+    the full vectors are never touched after encoding, so the scan reads
+    ``m`` bytes per vector instead of ``4*dim``. Candidates-only
+    shuffle + per-query merge, same shape as `cosine_topk`."""
+    from .dedup import _unpack_fixed
+    m, nk, dsub = codebooks.shape
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    # lut[q, s, c] = <q_sub, centroid_c> ; dot(q, x~) = sum_s lut[q,s,code_s]
+    lut = np.einsum("qsd,scd->qsc",
+                    qn.reshape(len(qn), m, dsub),
+                    codebooks)
+
+    def batch_candidates(batch: pa.Table) -> pa.Table:
+        codes = _unpack_fixed(batch["code"], np.uint8, m)
+        ids = batch[id_col].to_numpy()
+        if len(codes) == 0:
+            return _topk_table([], [], [])
+        q_out, v_out, s_out = [], [], []
+        kk = min(k, len(codes))
+        cols = np.arange(m)
+        for qi in range(len(qn)):
+            s = lut[qi][cols[None, :], codes].sum(axis=1)
+            part = np.argpartition(-s, kk - 1)[:kk]
+            order = part[np.lexsort((ids[part], -s[part]))]
+            q_out.append(np.full(kk, qi, dtype=np.int64))
+            v_out.append(ids[order])
+            s_out.append(s[order])
+        return _topk_table(np.concatenate(q_out), np.concatenate(v_out),
+                           np.concatenate(s_out))
+
+    def final_topk(group: pa.Table) -> pa.Table:
+        s = group["score"].to_numpy()
+        v = group["vec_id"].to_numpy()
+        order = np.lexsort((v, -s))[:k]
+        return _topk_table(group["query_id"].to_numpy()[order], v[order],
+                           s[order])
+
+    cands = codes_ds.map_batches(batch_candidates, batch_format="pyarrow")
+    return cands.groupby("query_id").map_groups(final_topk,
+                                                batch_format="pyarrow")
+
+
+def pq_cosine_topk_rerank(emb_ds, codes_ds, codebooks: np.ndarray,
+                          queries: np.ndarray, k: int = 10,
+                          factor: int = 10, emb_col: str = "embedding",
+                          id_col: str = "vec_id"):
+    """PQ scan + EXACT re-rank (the production ANN shape): the ADC scan
+    over 8-byte codes retrieves ``k * factor`` candidates per query,
+    then one filtered pass over the full vectors rescores JUST those
+    candidates exactly and keeps the top ``k``.
+
+    Within-cluster orderings sit below PQ's quantization error, so the
+    raw ADC top-k has poor rank fidelity; oversample-then-rerank
+    recovers it while still reading only ``m`` bytes per vector for the
+    bulk of the corpus. The candidate set (queries x k x factor ids) is
+    the broadcast small side; the rescore pass touches full vectors only
+    for matching rows."""
+    import ray
+
+    cand = pq_cosine_topk(codes_ds, codebooks, queries, k=k * factor,
+                          id_col=id_col).to_pandas()
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    cand_ids = np.unique(cand["vec_id"].to_numpy())
+    # (id, query) membership as a sorted id list + per-id query bitmask
+    by_id: dict[int, set] = {}
+    for qid, vid in zip(cand["query_id"], cand["vec_id"]):
+        by_id.setdefault(int(vid), set()).add(int(qid))
+    memb = np.zeros((len(cand_ids), len(qn)), dtype=bool)
+    for i, vid in enumerate(cand_ids):
+        for qid in by_id[int(vid)]:
+            memb[i, qid] = True
+    ref = ray.put((cand_ids, memb))
+
+    def rescore(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy()
+        c_ids, c_memb = ray.get(ref)
+        pos = np.searchsorted(c_ids, ids)
+        pos_c = np.minimum(pos, len(c_ids) - 1)
+        hit = c_ids[pos_c] == ids
+        if not hit.any():
+            return _topk_table([], [], [])
+        sub = _normalize(_emb_matrix(batch, emb_col))[hit]
+        sub_ids = ids[hit]
+        sub_memb = c_memb[pos_c[hit]]                 # (rows, queries)
+        sims = sub @ qn.T                             # exact cosines
+        ri, qi = np.nonzero(sub_memb)
+        return _topk_table(qi.astype(np.int64), sub_ids[ri], sims[ri, qi])
+
+    def final_topk(group: pa.Table) -> pa.Table:
+        s = group["score"].to_numpy()
+        v = group["vec_id"].to_numpy()
+        order = np.lexsort((v, -s))[:k]
+        return _topk_table(group["query_id"].to_numpy()[order], v[order],
+                           s[order])
+
+    scored = emb_ds.map_batches(rescore, batch_format="pyarrow")
+    return scored.groupby("query_id").map_groups(final_topk,
+                                                 batch_format="pyarrow")
+
+
 def cosine_all_pairs(emb_ds, threshold: float = 0.9,
                      id_col: str = "vec_id", emb_col: str = "embedding",
                      block_rows: int = 8192):

@@ -211,6 +211,66 @@ class TestConnectedComponents:
         self._check(10, [])
 
 
+class TestPqAnn:
+    def test_recall_vs_exact_on_clustered_data(self, ray_session):
+        from mircv_ray.ops import (cosine_topk, pq_cosine_topk, pq_encode,
+                                   pq_train)
+        rng = np.random.default_rng(8)
+        # clustered vectors: PQ codebooks must capture the structure
+        centers = rng.standard_normal((16, 64)) * 3
+        m = centers[rng.integers(0, 16, size=2000)] \
+            + rng.standard_normal((2000, 64))
+        emb = pa.table({
+            "vec_id": pa.array(range(len(m)), type=pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(m.reshape(-1)), 64),
+        })
+        ds = rd.from_arrow(emb)
+        queries = m[:5]
+        books = pq_train(ds, m=8, k=64, iters=8)
+        assert books.shape == (8, 64, 8)
+        codes = pq_encode(ds, books).materialize()
+        exact = cosine_topk(ds, queries, k=10).to_pandas()
+
+        # raw ADC scan: within-cluster top-10 orderings sit below the
+        # quantization error, so only require the right NEIGHBORHOOD —
+        # PQ's top-10 true cosines must be close to the true top-10's
+        approx = pq_cosine_topk(codes, books, queries, k=10).to_pandas()
+        nrm = m / np.linalg.norm(m, axis=1, keepdims=True)
+        for qi in range(len(queries)):
+            got = approx[approx.query_id == qi]["vec_id"].to_numpy()
+            q = nrm[qi]
+            got_true = np.sort(nrm[got] @ q)[::-1].sum()
+            best = exact[exact.query_id == qi]["score"].sum()
+            assert got_true >= 0.93 * best, (qi, got_true, best)
+
+        # oversample + exact re-rank (the production shape): full recall
+        from mircv_ray.ops import pq_cosine_topk_rerank
+        rr = pq_cosine_topk_rerank(ds, codes, books, queries,
+                                   k=10, factor=10).to_pandas()
+        recalls = []
+        for qi in range(len(queries)):
+            got = set(rr[rr.query_id == qi]["vec_id"])
+            want = set(exact[exact.query_id == qi]["vec_id"])
+            assert len(got) == 10 and len(want) == 10
+            recalls.append(len(got & want) / 10)
+        assert np.mean(recalls) >= 0.9, recalls
+
+    def test_codes_are_m_bytes(self, ray_session):
+        from mircv_ray.ops import pq_encode, pq_train
+        rng = np.random.default_rng(2)
+        m = rng.standard_normal((300, 32))
+        emb = pa.table({
+            "vec_id": pa.array(range(len(m)), type=pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(m.reshape(-1)), 32),
+        })
+        ds = rd.from_arrow(emb)
+        books = pq_train(ds, m=4, k=32, iters=4)
+        codes = pq_encode(ds, books).to_pandas()
+        assert all(len(c) == 4 for c in codes["code"])
+
+
 class TestSourceQuota:
     def test_hand_computed(self, ray_session):
         from mircv_ray.ops import source_quota_sample
