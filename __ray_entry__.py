@@ -160,6 +160,42 @@ def _basic_index(sf_dir: str) -> str:
     return str(out)
 
 
+def _merged_index(sf_dir: str) -> str:
+    """Incremental-index path: build a BASE index over the first half of
+    documents (by doc_id == (repo, path) order) and a DELTA index over
+    the rest, then merge_indexes them. Append-ordered split, so the
+    merged index is bit-identical to the full-corpus build — its
+    postings dump shares the full corpus's SQL oracle."""
+    import ray.data as rd
+    from mircv_ray.build import build_index, merge_indexes
+    from mircv_ray.config import IndexConfig
+    from mircv_ray.sources import documents_as_corpus
+    key = hashlib.sha1(f"{sf_dir}|merge|v{_CACHE_VERSION}"
+                       .encode()).hexdigest()[:12]
+    out = _CACHE_ROOT / f"merged_{key}"
+    if (out / "stats.json").exists():
+        return str(out)
+    ids = np.sort(pq.read_table(f"{sf_dir}/documents.parquet",
+                                columns=["doc_id"])["doc_id"].to_numpy())
+    cut = int(ids[len(ids) // 2])
+
+    def half(lo: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            did = pc.cast(pc.utf8_slice_codeunits(batch["path"], 4, 12),
+                          pa.int64())
+            keep = pc.less(did, cut) if lo else pc.greater_equal(did, cut)
+            return batch.filter(keep)
+        return documents_as_corpus(sf_dir).map_batches(
+            f, batch_format="pyarrow")
+
+    cfg = IndexConfig(parse=False, squeeze=False, codec="vbyte",
+                      num_shards=4, salt_buckets=2)
+    build_index(half(True), str(out) + ".base", cfg)
+    build_index(half(False), str(out) + ".delta", cfg)
+    merge_indexes(str(out) + ".base", str(out) + ".delta", str(out), cfg)
+    return str(out)
+
+
 def _round6(tbl: pa.Table, col: str) -> pa.Table:
     i = tbl.schema.get_field_index(col)
     return tbl.set_column(i, col, pc.round(tbl[col], ndigits=6))
@@ -279,6 +315,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def postings(sf_dir: str):
         from mircv_ray.query.dump import dump_postings
         idx = _basic_index(sf_dir)
+        return dump_postings(idx, docno_offset=-1)
+
+    def merge_postings(sf_dir: str):
+        # incremental index: base half + delta half, merged — must equal
+        # the full-corpus postings (same oracle SQL as `postings`)
+        from mircv_ray.query.dump import dump_postings
+        idx = _merged_index(sf_dir)
         return dump_postings(idx, docno_offset=-1)
 
     def bm25_topk(sf_dir: str):
@@ -621,6 +664,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lexicon": lexicon,
         "top_terms": top_terms,
         "postings": postings,
+        "merge_postings": merge_postings,
         "bm25_topk": bm25_topk,
         "bm25_conjunctive": bm25_conjunctive,
         "tfidf_topk": tfidf_topk,
@@ -900,6 +944,11 @@ df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term)
 SELECT term, df FROM df ORDER BY df DESC, term LIMIT 50
 """,
         "postings": f"""
+WITH {_TOKS_CTE}
+SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY term, doc_id
+""",
+        # incremental merge must reproduce the full-corpus postings
+        "merge_postings": f"""
 WITH {_TOKS_CTE}
 SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY term, doc_id
 """,

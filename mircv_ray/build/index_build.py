@@ -659,6 +659,153 @@ def _mr_exchange_build(posts, build_fn, out_dir: str,
 
 # ------------------------------------------------------------------ stage 3
 
+_SEG_AGG = [("df", "sum"), ("max_doc_id", "max"), ("bm25_core", "max"),
+            ("tfidf_core", "max"), ("bytes_ids", "sum"),
+            ("bytes_tfs", "sum")]
+
+
+def _agg_to_lex(a: pa.Table, shard_col, n_docs: int) -> pa.Table:
+    return _lexicon_finalize(pa.table({
+        "term": a["term"], "df": a["df_sum"],
+        "max_doc_id": a["max_doc_id_max"],
+        "bm25_core": a["bm25_core_max"],
+        "tfidf_core": a["tfidf_core_max"],
+        "bytes_ids": a["bytes_ids_sum"],
+        "bytes_tfs": a["bytes_tfs_sum"],
+        "shard": shard_col}), n_docs)
+
+
+def _build_lexicon_files(out: Path, n_docs: int) -> None:
+    """Aggregate the postings store's per-(term, seg) metadata rows into
+    the lexicon parquet (df/idf/upper bounds per term, A1/A5-A8). Three
+    paths by metadata size: empty store, driver-side Arrow group_by
+    (term-sorted single file, reference parity), or shard-local Ray
+    tasks (term->shard is functional, so aggregation never crosses
+    shards — no term-wide shuffle). Writes ``out/lexicon``; the caller
+    owns manifests."""
+    seg_rows = pads.dataset(str(out / "postings"), format="parquet",
+                            partitioning="hive").count_rows()
+    if seg_rows == 0:
+        lex_tbl = _agg_to_lex(pa.table({
+            "term": pa.array([], pa.string()),
+            "df_sum": pa.array([], pa.int64()),
+            "max_doc_id_max": pa.array([], pa.int64()),
+            "bm25_core_max": pa.array([], pa.float64()),
+            "tfidf_core_max": pa.array([], pa.float64()),
+            "bytes_ids_sum": pa.array([], pa.int64()),
+            "bytes_tfs_sum": pa.array([], pa.int64()),
+        }), pa.array([], pa.int64()), n_docs)
+        (out / "lexicon").mkdir(exist_ok=True)
+        pq.write_table(lex_tbl, str(out / "lexicon" / "part-0.parquet"))
+    elif seg_rows <= DRIVER_LEXICON_MAX_SEGROWS:
+        # vocabulary metadata is tiny relative to the corpus (Heaps'
+        # law) — a driver-side Arrow group_by beats a Ray shuffle for
+        # anything that fits one heap
+        seg_cols = pq.read_table(
+            str(out / "postings"),
+            columns=["term", "shard", "df", "max_doc_id", "bm25_core",
+                     "tfidf_core", "bytes_ids", "bytes_tfs"])
+        # hive partition column reads back dictionary-encoded
+        i = seg_cols.schema.get_field_index("shard")
+        seg_cols = seg_cols.set_column(
+            i, "shard", seg_cols["shard"].cast(pa.int64()))
+        agg = seg_cols.group_by("term").aggregate(
+            _SEG_AGG + [("shard", "max")])
+        lex_tbl = _agg_to_lex(agg, agg["shard_max"], n_docs)
+        lex_tbl = lex_tbl.take(pc.sort_indices(lex_tbl["term"]))
+        (out / "lexicon").mkdir(exist_ok=True)
+        pq.write_table(lex_tbl, str(out / "lexicon" / "part-0.parquet"))
+    else:
+        # term -> shard is functional, so lexicon aggregation never
+        # crosses shards: run the SAME arrow group_by shard-locally,
+        # one task per postings shard partition (no term-wide shuffle
+        # and no global sort — the query side loads the lexicon as a
+        # dict, where order is irrelevant; the driver path keeps the
+        # sorted output for reference parity on small builds)
+        import ray.data as rd
+        shard_dirs = sorted(
+            p for p in (out / "postings").iterdir()
+            if p.is_dir() and p.name.startswith("shard="))
+
+        def shard_lexicon(batch: pa.Table) -> pa.Table:
+            sub = []
+            for d, s in zip(batch["dir"].to_pylist(),
+                            batch["shard"].to_pylist()):
+                t = pq.read_table(d, columns=[
+                    "term", "df", "max_doc_id", "bm25_core",
+                    "tfidf_core", "bytes_ids", "bytes_tfs"])
+                a = t.group_by("term").aggregate(_SEG_AGG)
+                sub.append(_agg_to_lex(
+                    a, pa.array([s] * a.num_rows, type=pa.int64()),
+                    n_docs))
+            return pa.concat_tables(sub)
+        rd.from_arrow(pa.table({
+            "dir": pa.array([str(p) for p in shard_dirs]),
+            "shard": pa.array([int(p.name.split("=")[1])
+                               for p in shard_dirs], type=pa.int64()),
+        })).repartition(len(shard_dirs)).map_batches(
+            shard_lexicon, batch_format="pyarrow",
+            batch_size=1).write_parquet(str(out / "lexicon"))
+
+
+def _encode_partials(posts, out: Path, cfg: IndexConfig, n_docs: int,
+                     avg_doc_len: float) -> None:
+    """Exchange + encode a PARTIAL-POSTING-ROWS dataset (the explode
+    output shape: term, shard, seg, n, ids_raw, tfs_raw) into the final
+    block-encoded postings store at ``out/postings``. Requires the
+    doc-length sidecar; the caller owns manifests / resume policy."""
+    salt = cfg.salt_buckets
+    _ensure_doc_len_sidecar(out, n_docs, salt)
+    seg_len_slices = []
+    for s2 in range(salt):
+        lo, hi = _seg_bounds(s2, n_docs, salt)
+        seg_len_slices.append((lo, hi, str(out / "doc_lens" / f"seg={s2}")))
+    build_fn = _make_build_segments(seg_len_slices, avg_doc_len, cfg)
+    if cfg.exchange == "mr":
+        _mr_exchange_build(posts, build_fn, str(out / "postings"), cfg)
+    else:
+        seg_ds = posts.groupby(["shard", "seg"]).map_groups(
+            build_fn, batch_format="pyarrow")
+        seg_ds.write_parquet(str(out / "postings"),
+                             partition_cols=["shard"])
+    # a zero-postings corpus (all docs stop/stem to nothing) writes no
+    # files; later stages still expect the directory
+    (out / "postings").mkdir(exist_ok=True)
+
+
+def _write_stats(out: Path, cfg: IndexConfig, n_docs: int,
+                 total_doc_len: int, metrics: dict) -> dict:
+    """Read lexicon size metadata, assemble + write stats.json (D6)."""
+    lex_meta = pq.read_table(str(out / "lexicon"),
+                             columns=["df", "bytes_ids", "bytes_tfs"])
+    num_terms = lex_meta.num_rows
+    n_postings = int(pc.sum(lex_meta["df"]).as_py() or 0)
+    bytes_ids = int(pc.sum(lex_meta["bytes_ids"]).as_py() or 0)
+    bytes_tfs = int(pc.sum(lex_meta["bytes_tfs"]).as_py() or 0)
+    metrics["n_postings"] = n_postings
+    metrics["bytes_ids"] = bytes_ids
+    metrics["bytes_tfs"] = bytes_tfs
+    stats = {
+        "n_docs": n_docs,                  # A2 collectionSize
+        "total_doc_len": total_doc_len,    # A3 documentsLen
+        "num_terms": num_terms,            # A4 numberOfTokens
+        "avg_doc_len": total_doc_len / max(n_docs, 1),
+        "parse": cfg.parse, "squeeze": cfg.squeeze, "codec": cfg.codec,
+        "num_shards": cfg.num_shards, "salt_buckets": cfg.salt_buckets,
+        "k1": cfg.k1, "b": cfg.b,
+        "metrics": {
+            **metrics,
+            "tokens_per_s": (total_doc_len / metrics["docs_seconds"])
+                if metrics.get("docs_seconds") else None,
+            "postings_per_s": (n_postings / metrics["postings_seconds"])
+                if metrics.get("postings_seconds") else None,
+            "bytes_compressed": bytes_ids + bytes_tfs,
+        },
+    }
+    (out / "stats.json").write_text(json.dumps(stats, indent=2))
+    return stats
+
+
 def _lexicon_finalize(batch: pa.Table, n_docs: int) -> pa.Table:
     df = batch["df"].to_numpy().astype(np.float64)
     idf = np.log10(n_docs / df)   # A5 (InvertedIndex.java:166)
@@ -911,18 +1058,6 @@ def build_index(corpus, out_dir: str, cfg: IndexConfig | None = None,
     if not stage_complete(out_dir, "postings"):
         stamp = (read_manifest(out_dir, "docs") or {}).get("completed_at")
         post_fp = _postings_fingerprint(cfg, stamp)
-        # per-seg doc-length slices (docId ranges match _make_explode's
-        # seg assignment), read lazily from the sidecar INSIDE the
-        # posting-build tasks (memoized per worker) — the driver holds
-        # only (lo, hi, path) triples, never the array, and the build
-        # closure carries no ObjectRefs
-        salt = cfg.salt_buckets
-        _ensure_doc_len_sidecar(out, n_docs, salt)
-        seg_len_slices = []
-        for s2 in range(salt):
-            lo, hi = _seg_bounds(s2, n_docs, salt)
-            seg_len_slices.append(
-                (lo, hi, str(out / "doc_lens" / f"seg={s2}")))
         if cfg.exchange == "mr":
             # mr publishes each partition atomically (tmp+rename): files
             # present ARE complete — but only for THIS config/corpus. The
@@ -966,17 +1101,12 @@ def build_index(corpus, out_dir: str, cfg: IndexConfig | None = None,
         posts = tok_mat.select_columns(["doc_id", "tokens"]).map_batches(
             _make_explode(cfg.num_shards, cfg.salt_buckets, n_docs),
             batch_format="pyarrow", batch_size=cfg.explode_batch_size)
-        build_fn = _make_build_segments(seg_len_slices, avg_doc_len, cfg)
-        if cfg.exchange == "mr":
-            _mr_exchange_build(posts, build_fn, str(out / "postings"), cfg)
-        else:
-            seg_ds = posts.groupby(["shard", "seg"]).map_groups(
-                build_fn, batch_format="pyarrow")
-            seg_ds.write_parquet(str(out / "postings"),
-                                 partition_cols=["shard"])
-        # a zero-postings corpus (all docs stop/stem to nothing) writes no
-        # files; later stages still expect the directory
-        (out / "postings").mkdir(exist_ok=True)
+        # per-seg doc-length slices (docId ranges match _make_explode's
+        # seg assignment) are read lazily from the sidecar INSIDE the
+        # posting-build tasks (memoized per worker) — the driver holds
+        # only (lo, hi, path) triples, never the array, and the build
+        # closure carries no ObjectRefs
+        _encode_partials(posts, out, cfg, n_docs, avg_doc_len)
         write_manifest(out_dir, "postings", {
             "seconds": time.time() - t1, "codec": cfg.codec,
             "salt_buckets": cfg.salt_buckets, "num_shards": cfg.num_shards,
@@ -990,119 +1120,18 @@ def build_index(corpus, out_dir: str, cfg: IndexConfig | None = None,
     metrics["postings_seconds"] = (read_manifest(out_dir, "postings") or {}).get("seconds")
 
     # ---------------- stage 3: lexicon ----------------
-    _SEG_AGG = [("df", "sum"), ("max_doc_id", "max"), ("bm25_core", "max"),
-                ("tfidf_core", "max"), ("bytes_ids", "sum"),
-                ("bytes_tfs", "sum")]
-
-    def _agg_to_lex(a: pa.Table, shard_col: pa.Array) -> pa.Table:
-        return _lexicon_finalize(pa.table({
-            "term": a["term"], "df": a["df_sum"],
-            "max_doc_id": a["max_doc_id_max"],
-            "bm25_core": a["bm25_core_max"],
-            "tfidf_core": a["tfidf_core_max"],
-            "bytes_ids": a["bytes_ids_sum"],
-            "bytes_tfs": a["bytes_tfs_sum"],
-            "shard": shard_col}), n_docs)
-
     t2 = time.time()
     if not stage_complete(out_dir, "lexicon"):
         _fresh_stage_dir(out, "lexicon")
-        seg_rows = pads.dataset(str(out / "postings"), format="parquet",
-                                partitioning="hive").count_rows()
-        if seg_rows == 0:
-            lex_tbl = _agg_to_lex(pa.table({
-                "term": pa.array([], pa.string()),
-                "df_sum": pa.array([], pa.int64()),
-                "max_doc_id_max": pa.array([], pa.int64()),
-                "bm25_core_max": pa.array([], pa.float64()),
-                "tfidf_core_max": pa.array([], pa.float64()),
-                "bytes_ids_sum": pa.array([], pa.int64()),
-                "bytes_tfs_sum": pa.array([], pa.int64()),
-            }), pa.array([], pa.int64()))
-            (out / "lexicon").mkdir(exist_ok=True)
-            pq.write_table(lex_tbl, str(out / "lexicon" / "part-0.parquet"))
-        elif seg_rows <= DRIVER_LEXICON_MAX_SEGROWS:
-            # vocabulary metadata is tiny relative to the corpus (Heaps'
-            # law) — a driver-side Arrow group_by beats a Ray shuffle for
-            # anything that fits one heap
-            seg_cols = pq.read_table(
-                str(out / "postings"),
-                columns=["term", "shard", "df", "max_doc_id", "bm25_core",
-                         "tfidf_core", "bytes_ids", "bytes_tfs"])
-            # hive partition column reads back dictionary-encoded
-            i = seg_cols.schema.get_field_index("shard")
-            seg_cols = seg_cols.set_column(
-                i, "shard", seg_cols["shard"].cast(pa.int64()))
-            agg = seg_cols.group_by("term").aggregate(
-                _SEG_AGG + [("shard", "max")])
-            lex_tbl = _agg_to_lex(agg, agg["shard_max"])
-            lex_tbl = lex_tbl.take(pc.sort_indices(lex_tbl["term"]))
-            (out / "lexicon").mkdir(exist_ok=True)
-            pq.write_table(lex_tbl, str(out / "lexicon" / "part-0.parquet"))
-        else:
-            # term -> shard is functional, so lexicon aggregation never
-            # crosses shards: run the SAME arrow group_by shard-locally,
-            # one task per postings shard partition (no term-wide shuffle
-            # and no global sort — the query side loads the lexicon as a
-            # dict, where order is irrelevant; the driver path keeps the
-            # sorted output for reference parity on small builds)
-            import ray.data as rd
-            shard_dirs = sorted(
-                p for p in (out / "postings").iterdir()
-                if p.is_dir() and p.name.startswith("shard="))
-            def shard_lexicon(batch: pa.Table) -> pa.Table:
-                sub = []
-                for d, s in zip(batch["dir"].to_pylist(),
-                                batch["shard"].to_pylist()):
-                    t = pq.read_table(d, columns=[
-                        "term", "df", "max_doc_id", "bm25_core",
-                        "tfidf_core", "bytes_ids", "bytes_tfs"])
-                    a = t.group_by("term").aggregate(_SEG_AGG)
-                    sub.append(_agg_to_lex(
-                        a, pa.array([s] * a.num_rows, type=pa.int64())))
-                return pa.concat_tables(sub)
-            rd.from_arrow(pa.table({
-                "dir": pa.array([str(p) for p in shard_dirs]),
-                "shard": pa.array([int(p.name.split("=")[1])
-                                   for p in shard_dirs], type=pa.int64()),
-            })).repartition(len(shard_dirs)).map_batches(
-                shard_lexicon, batch_format="pyarrow",
-                batch_size=1).write_parquet(str(out / "lexicon"))
+        _build_lexicon_files(out, n_docs)
         write_manifest(out_dir, "lexicon", {
             "seconds": time.time() - t2,
             "postings_completed_at":
                 (read_manifest(out_dir, "postings") or {}).get("completed_at"),
         })
-    lex_meta = pq.read_table(str(out / "lexicon"),
-                             columns=["df", "bytes_ids", "bytes_tfs"])
-    num_terms = lex_meta.num_rows
-    n_postings = int(pc.sum(lex_meta["df"]).as_py() or 0)
-    bytes_ids = int(pc.sum(lex_meta["bytes_ids"]).as_py() or 0)
-    bytes_tfs = int(pc.sum(lex_meta["bytes_tfs"]).as_py() or 0)
-    metrics["n_postings"] = n_postings
-    metrics["bytes_ids"] = bytes_ids
-    metrics["bytes_tfs"] = bytes_tfs
     metrics["lexicon_seconds"] = (read_manifest(out_dir, "lexicon") or {}).get("seconds")
 
     # ---------------- stats sidecar ----------------
-    stats = {
-        "n_docs": n_docs,                  # A2 collectionSize
-        "total_doc_len": total_doc_len,    # A3 documentsLen
-        "num_terms": num_terms,            # A4 numberOfTokens
-        "avg_doc_len": avg_doc_len,
-        "parse": cfg.parse, "squeeze": cfg.squeeze, "codec": cfg.codec,
-        "num_shards": cfg.num_shards, "salt_buckets": cfg.salt_buckets,
-        "k1": cfg.k1, "b": cfg.b,
-        "metrics": {
-            **metrics,
-            "tokens_per_s": (total_doc_len / metrics["docs_seconds"])
-                if metrics.get("docs_seconds") else None,
-            "postings_per_s": (n_postings / metrics["postings_seconds"])
-                if metrics.get("postings_seconds") else None,
-            "bytes_compressed": bytes_ids + bytes_tfs,
-        },
-    }
-    (out / "stats.json").write_text(json.dumps(stats, indent=2))
-    return stats
+    return _write_stats(out, cfg, n_docs, total_doc_len, metrics)
 
 
