@@ -196,6 +196,39 @@ def _merged_index(sf_dir: str) -> str:
     return str(out)
 
 
+def _deleted_index(sf_dir: str) -> str:
+    """Copy of the basic index with every doc whose ORIGINAL doc_id is a
+    multiple of 7 tombstoned (engine docId = original + 1, so the
+    tombstone set is SQL-mirrorable as ``doc_id % 7 = 0``)."""
+    import shutil
+    from mircv_ray.build import delete_docs
+    key = hashlib.sha1(f"{sf_dir}|del|v{_CACHE_VERSION}"
+                       .encode()).hexdigest()[:12]
+    out = _CACHE_ROOT / f"deleted_{key}"
+    if not (out / "_DELETED").exists():
+        src = _basic_index(sf_dir)
+        tmp = Path(str(out) + ".tmp")
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.copytree(src, tmp)
+        orig = pq.read_table(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id"])["doc_id"].to_numpy()
+        delete_docs(str(tmp), orig[orig % 7 == 0] + 1)
+        (tmp / "_DELETED").touch()
+        tmp.rename(out)
+    return str(out)
+
+
+def _vacuumed_index(sf_dir: str) -> str:
+    from mircv_ray.build import vacuum_index
+    key = hashlib.sha1(f"{sf_dir}|vac|v{_CACHE_VERSION}"
+                       .encode()).hexdigest()[:12]
+    out = _CACHE_ROOT / f"vacuumed_{key}"
+    if not (out / "stats.json").exists():
+        vacuum_index(_deleted_index(sf_dir), str(out))
+    return str(out)
+
+
 def _round6(tbl: pa.Table, col: str) -> pa.Table:
     i = tbl.schema.get_field_index(col)
     return tbl.set_column(i, col, pc.round(tbl[col], ndigits=6))
@@ -322,6 +355,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the full-corpus postings (same oracle SQL as `postings`)
         from mircv_ray.query.dump import dump_postings
         idx = _merged_index(sf_dir)
+        return dump_postings(idx, docno_offset=-1)
+
+    def delete_postings(sf_dir: str):
+        # tombstone deletion: the filtered dump view (docs with original
+        # doc_id % 7 == 0 deleted; index bytes untouched)
+        from mircv_ray.query.dump import dump_postings
+        idx = _deleted_index(sf_dir)
+        return dump_postings(idx, docno_offset=-1, apply_tombstones=True)
+
+    def vacuum_postings(sf_dir: str):
+        # physical removal + dense renumber: docno becomes the doc's
+        # rank among the SURVIVORS (equals a fresh build over them)
+        from mircv_ray.query.dump import dump_postings
+        idx = _vacuumed_index(sf_dir)
         return dump_postings(idx, docno_offset=-1)
 
     def bm25_topk(sf_dir: str):
@@ -665,6 +712,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms": top_terms,
         "postings": postings,
         "merge_postings": merge_postings,
+        "delete_postings": delete_postings,
+        "vacuum_postings": vacuum_postings,
         "bm25_topk": bm25_topk,
         "bm25_conjunctive": bm25_conjunctive,
         "tfidf_topk": tfidf_topk,
@@ -951,6 +1000,21 @@ SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY term, doc_id
         "merge_postings": f"""
 WITH {_TOKS_CTE}
 SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY term, doc_id
+""",
+        # tombstoned docs (doc_id % 7 = 0) drop out of the dump view
+        "delete_postings": f"""
+WITH {_TOKS_CTE}
+SELECT term, doc_id, count(*) AS tf FROM tok
+WHERE doc_id % 7 <> 0 GROUP BY term, doc_id
+""",
+        # vacuum renumbers survivors densely: docno = rank among them
+        "vacuum_postings": f"""
+WITH {_TOKS_CTE},
+surv AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS new_id
+         FROM docs WHERE doc_id % 7 <> 0)
+SELECT t.term, s.new_id AS doc_id, count(*) AS tf
+FROM tok t JOIN surv s ON t.doc_id = s.doc_id
+GROUP BY t.term, s.new_id
 """,
         "bm25_topk": _topk_sql(_BM25_EXPR),
         "tfidf_topk": _topk_sql(_TFIDF_EXPR),

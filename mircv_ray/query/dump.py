@@ -80,13 +80,30 @@ def _decode_batch(batch: pa.Table, codec: str, docno_offset: int) -> pa.Table:
     })
 
 
-def dump_postings(index_dir: str, docno_offset: int = -1):
+def dump_postings(index_dir: str, docno_offset: int = -1,
+                  apply_tombstones: bool = False):
     """Dataset of (term, doc_id, tf). ``docno_offset=-1`` converts engine
-    docIds back to docnos (docno = docId - 1, DocumentIndex.java:82-84)."""
+    docIds back to docnos (docno = docId - 1, DocumentIndex.java:82-84).
+    ``apply_tombstones`` drops postings of deleted docs (the query-time
+    view of an index with a tombstone sidecar; the array rides the
+    closure — it is deletion-sized, not corpus-sized)."""
     import ray.data as rd
     from ..build.index_build import load_stats
     codec = load_stats(index_dir)["codec"]
     ds = rd.read_parquet(f"{index_dir}/postings")
-    return ds.map_batches(
+    ds = ds.map_batches(
         lambda b: _decode_batch(b, codec, docno_offset),
         batch_format="pyarrow")
+    if apply_tombstones:
+        from ..build.tombstones import load_tombstones
+        tombs = load_tombstones(index_dir)
+        if len(tombs):
+            def drop(batch: pa.Table) -> pa.Table:
+                eng = batch["doc_id"].to_numpy() - docno_offset
+                pos = np.searchsorted(tombs, eng)
+                hit = np.zeros(len(eng), dtype=bool)
+                inb = pos < len(tombs)
+                hit[inb] = tombs[pos[inb]] == eng[inb]
+                return batch.filter(pa.array(~hit))
+            ds = ds.map_batches(drop, batch_format="pyarrow")
+    return ds

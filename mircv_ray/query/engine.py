@@ -217,6 +217,11 @@ class IndexReader:
             self.doc_len = _doclen_sidecar(index_dir, self.n_docs)
         # T3: lexicon as sorted arrays + searchsorted (process-shared)
         self._lex = _load_lexicon(index_dir)
+        # deleted docs (tombstones/ sidecar, build.tombstones): sorted
+        # engine-id array; every query path drops these from RESULTS
+        # while collection stats stay pre-delete until vacuum_index
+        from ..build.tombstones import load_tombstones
+        self.tombstones = load_tombstones(index_dir)
         # per-shard parquet handles + row-group term ranges, built lazily
         # on first access (metadata-only) — per-term fetches then read
         # just the matching row group(s) instead of planning a filtered
@@ -442,6 +447,21 @@ class IndexReader:
                              block_n, block_base, ids_bufs, tfs_bufs,
                              block_ubs)
 
+    def alive_mask(self, ids: np.ndarray) -> np.ndarray:
+        """Boolean mask: True where ids are NOT tombstoned (vectorized
+        membership via searchsorted against the sorted tombstone array)."""
+        t = self.tombstones
+        pos = np.searchsorted(t, ids)
+        hit = np.zeros(len(ids), dtype=bool)
+        inb = pos < len(t)
+        hit[inb] = t[pos[inb]] == ids[inb]
+        return ~hit
+
+    def is_alive(self, doc_id: int) -> bool:
+        t = self.tombstones
+        i = int(np.searchsorted(t, doc_id))
+        return not (i < len(t) and t[i] == doc_id)
+
     def docno(self, doc_id: int) -> str:
         return str(doc_id - 1)  # DocumentIndex.java:82-84
 
@@ -491,7 +511,10 @@ class QueryEngine:
         if not cursors:
             return []
         cursors.sort(key=lambda c: c.term_ub)  # O5 (stable, like Arrays.sort)
-        return max_score(cursors, self.qcfg.k, conjunctive, self._score_fn)
+        alive = (self.reader.is_alive if len(self.reader.tombstones)
+                 else None)
+        return max_score(cursors, self.qcfg.k, conjunctive, self._score_fn,
+                         alive=alive)
 
     def _score_terms_taat(self, terms: list[str]) -> list[tuple[int, float]]:
         """Vectorized exhaustive disjunctive scoring (rank-identical to
@@ -530,6 +553,9 @@ class QueryEngine:
         # reusable accumulator: zero only the touched slots
         scores[cand_idx] = 0.0
         touched[cand_idx] = False
+        if len(r.tombstones):
+            keep_alive = r.alive_mask(cand)
+            sc, cand = sc[keep_alive], cand[keep_alive]
         k = self.qcfg.k
         if len(cand) > k:
             kth = -np.partition(-sc, k - 1)[k - 1]
@@ -566,6 +592,10 @@ class QueryEngine:
         inter = distinct[0]
         for ids in distinct[1:]:
             inter = np.intersect1d(inter, ids, assume_unique=True)
+            if not len(inter):
+                return []
+        if len(r.tombstones):
+            inter = inter[r.alive_mask(inter)]
             if not len(inter):
                 return []
         score = np.zeros(len(inter), dtype=np.float64)

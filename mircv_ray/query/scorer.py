@@ -49,10 +49,14 @@ def tfidf_score(tf: int, idf: float) -> float:
 
 
 def max_score(cursors: list[PostingCursor], k: int, conjunctive: bool,
-              score_fn) -> list[tuple[int, float]]:
+              score_fn, alive=None) -> list[tuple[int, float]]:
     """Run MaxScore over cursors (pre-sorted by term_ub ascending).
 
     ``score_fn(cursor) -> float`` scores the cursor's CURRENT posting.
+    ``alive(doc_id) -> bool`` (optional) drops tombstoned docs: a dead
+    doc skips non-essential scoring and never enters the heap, so it
+    cannot raise theta — results for surviving docs are identical to a
+    run without the dead doc's postings.
     Returns [(doc_id, score)] ranked by (score desc, doc_id asc), len <= k.
     """
     if not cursors:
@@ -81,7 +85,7 @@ def max_score(cursors: list[PostingCursor], k: int, conjunctive: bool,
                 elif cursors[i].doc_id() == id_to_skip:
                     cursors[i].next()
             nxt = min(nxt, cursors[i].doc_id())
-        if current > 0:
+        if current > 0 and (alive is None or alive(current)):
             # ---- non-essential lists (Scorer.java:128-138)
             for i in range(pivot - 1, -1, -1):
                 if score + upper_bounds[i] <= theta:

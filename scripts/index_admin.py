@@ -1,0 +1,99 @@
+"""Index lifecycle CLI: merge, delete (tombstone), vacuum, status.
+
+The reference engine has no post-build lifecycle (IndexingMain rebuilds
+from scratch); these subcommands drive the incremental machinery:
+
+    python scripts/index_admin.py merge BASE DELTA OUT [--codec ...]
+    python scripts/index_admin.py delete INDEX --ids 5,9,12
+    python scripts/index_admin.py delete INDEX --ids-file ids.txt
+    python scripts/index_admin.py vacuum INDEX OUT
+    python scripts/index_admin.py status INDEX
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--num-cpus", type=int, default=None)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    mp = sub.add_parser("merge", help="compact BASE + DELTA into OUT "
+                        "(no content scan)")
+    mp.add_argument("base")
+    mp.add_argument("delta")
+    mp.add_argument("out")
+    mp.add_argument("--codec", default=None,
+                    choices=["vbyte", "ef", "none"],
+                    help="output codec (default: the base index's)")
+
+    dp = sub.add_parser("delete", help="tombstone engine docIds")
+    dp.add_argument("index")
+    dp.add_argument("--ids", default=None,
+                    help="comma-separated engine docIds")
+    dp.add_argument("--ids-file", default=None,
+                    help="file with one engine docId per line")
+
+    vp = sub.add_parser("vacuum", help="physically remove tombstoned "
+                        "docs into OUT (fresh stats, dense ids)")
+    vp.add_argument("index")
+    vp.add_argument("out")
+
+    sp = sub.add_parser("status", help="print stats + tombstone count")
+    sp.add_argument("index")
+    args = ap.parse_args()
+
+    from mircv_ray.build import (delete_docs, load_stats, load_tombstones,
+                                 merge_indexes, vacuum_index)
+
+    if args.cmd == "delete":
+        if not args.ids and not args.ids_file:
+            ap.error("delete needs --ids or --ids-file")
+        ids: list[int] = []
+        if args.ids:
+            ids += [int(x) for x in args.ids.split(",") if x.strip()]
+        if args.ids_file:
+            ids += [int(line) for line in
+                    Path(args.ids_file).read_text().split() if line.strip()]
+        total = delete_docs(args.index, ids)
+        print(json.dumps({"tombstoned_now": len(set(ids)),
+                          "tombstoned_total": total}))
+        return
+
+    if args.cmd == "status":
+        stats = load_stats(args.index)
+        stats["n_tombstoned"] = int(len(load_tombstones(args.index)))
+        print(json.dumps(stats, indent=2, default=str))
+        return
+
+    # merge / vacuum run Ray pipelines
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=args.num_cpus,
+                 include_dashboard=False)
+    if args.cmd == "merge":
+        cfg = None
+        if args.codec:
+            from mircv_ray.config import IndexConfig
+            base = load_stats(args.base)
+            cfg = IndexConfig(parse=base["parse"], squeeze=base["squeeze"],
+                              codec=args.codec,
+                              num_shards=base["num_shards"],
+                              salt_buckets=base["salt_buckets"],
+                              k1=base["k1"], b=base["b"])
+        stats = merge_indexes(args.base, args.delta, args.out, cfg)
+    else:
+        stats = vacuum_index(args.index, args.out)
+    print(json.dumps(stats["metrics"], indent=2, default=str))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
