@@ -202,6 +202,18 @@ def run_bench() -> dict:
                 qv, k=10).count()
     timings["ann"] = time.time() - t0
 
+    # incremental maintenance: tombstone 1% of docs, physically vacuum
+    # them out (decode -> filter+renumber -> re-encode, no content scan)
+    # — compare against `build` for the rebuild-avoidance win
+    from mircv_ray.build import clear_tombstones, delete_docs, vacuum_index
+    vac_out = f"/tmp/mircv_ray_bench/vacuum_{NUM_CPUS}"
+    delete_docs(out, np.arange(1, stats["n_docs"] + 1, 100, dtype=np.int64))
+    t0 = time.time()
+    vacuum_index(out, vac_out)
+    timings["vacuum_1pct"] = time.time() - t0
+    clear_tombstones(out)
+    shutil.rmtree(vac_out, ignore_errors=True)
+
     result = {
         "metric": "index_build_seconds",
         "value": round(timings["build"], 3),

@@ -90,7 +90,10 @@ def dump_postings(index_dir: str, docno_offset: int = -1,
     import ray.data as rd
     from ..build.index_build import load_stats
     codec = load_stats(index_dir)["codec"]
-    ds = rd.read_parquet(f"{index_dir}/postings")
+    # only the decode inputs leave storage (the seg-metadata columns —
+    # df/cores/bytes — are lexicon fodder, ~30% of the file)
+    ds = rd.read_parquet(f"{index_dir}/postings",
+                         columns=["term", "blocks"])
     ds = ds.map_batches(
         lambda b: _decode_batch(b, codec, docno_offset),
         batch_format="pyarrow")
