@@ -685,6 +685,71 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              columns=["event_id", "props"])
         return ev.map_batches(props_extract, batch_format="pyarrow")
 
+    def asof_purchases(sf_dir: str):
+        # backward as-of join: every event gets its user's most recent
+        # purchase at-or-before its timestamp (tie on ts -> max event_id)
+        from mircv_ray.ops import asof_join_backward
+        ev = rd.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "user_id", "ts", "event_type", "value"])
+
+        def to_left(batch: pa.Table) -> pa.Table:
+            return pa.table({"user_id": batch["user_id"],
+                             "event_id": batch["event_id"],
+                             "t": batch["ts"].cast(pa.int64())})
+
+        def to_right(batch: pa.Table) -> pa.Table:
+            b = batch.filter(pc.equal(batch["event_type"], "purchase"))
+            cents = pc.round(pc.multiply(b["value"], 100.0),
+                             round_mode="half_towards_infinity") \
+                .cast(pa.int64())
+            return pa.table({"user_id": b["user_id"],
+                             "t": b["ts"].cast(pa.int64()),
+                             "pid": b["event_id"],
+                             "pcents": cents})
+
+        out = asof_join_backward(
+            ev.map_batches(to_left, batch_format="pyarrow"),
+            ev.map_batches(to_right, batch_format="pyarrow"),
+            by="user_id", on="t", right_order="pid",
+            attach={"pid": "last_purchase_id",
+                    "t": "last_purchase_t",
+                    "pcents": "last_purchase_cents"})
+        return _sorted_table(out, ["event_id"])
+
+    def value_quantiles(sf_dir: str):
+        # exact per-type continuous quantiles (quantile_cont semantics)
+        from mircv_ray.ops import grouped_quantiles
+        ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_type", "value"])
+        out = grouped_quantiles(ev, "event_type", "value",
+                                {"p25": 0.25, "p50": 0.5,
+                                 "p75": 0.75, "p95": 0.95})
+        t = _sorted_table(out, ["event_type"])
+        for c in ("p25", "p50", "p75", "p95"):
+            t = _round6(t, c)
+        return t
+
+    def distinct_users(sf_dir: str):
+        # exact per-type COUNT(DISTINCT user): only unique pairs shuffle
+        from mircv_ray.ops import exact_distinct_per_group
+        ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_type", "user_id"])
+        return _sorted_table(
+            exact_distinct_per_group(ev, "event_type", "user_id",
+                                     alias="n_users"), ["event_type"])
+
+    def distinct_users_hll(sf_dir: str):
+        # HyperLogLog estimate: only 4 KiB register blobs shuffle;
+        # approximate by design -> rows-only driver check, accuracy
+        # (<=5% vs exact) and partition-independence pytest-pinned
+        from mircv_ray.ops import hll_distinct_per_group
+        ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_type", "user_id"])
+        return _sorted_table(
+            hll_distinct_per_group(ev, "event_type", "user_id",
+                                   alias="n_users_hll"), ["event_type"])
+
     def top_users(sf_dir: str):
         from mircv_ray.ops import top_users_by_type
         ev = rd.read_parquet(
@@ -744,6 +809,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessions_salted": sessions_salted,
         "bm25_topk_maxscore": bm25_topk_maxscore,
         "props_json": props_json,
+        "asof_purchases": asof_purchases,
+        "value_quantiles": value_quantiles,
+        "distinct_users": distinct_users,
+        "distinct_users_hll": distinct_users_hll,
         "top_users": top_users,
         "media_features": media_features,
     }
@@ -1044,6 +1113,34 @@ FROM documents
 SELECT event_id,
        CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT) AS k
 FROM events
+""",
+        "distinct_users": """
+SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+        "value_quantiles": """
+SELECT event_type,
+       round(quantile_cont(value, 0.25), 6) AS p25,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.75), 6) AS p75,
+       round(quantile_cont(value, 0.95), 6) AS p95
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+        # backward as-of join (eligible = pt <= t; winner = max (pt, pid))
+        "asof_purchases": """
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t FROM events),
+p AS (SELECT user_id, epoch_us(ts) AS pt, event_id AS pid,
+             CAST(round(value * 100) AS BIGINT) AS pcents
+      FROM events WHERE event_type = 'purchase')
+SELECT e.user_id, e.event_id, e.t,
+       arg_max(p.pid,
+               p.pt::HUGEINT * 4294967296 + p.pid) AS last_purchase_id,
+       max(p.pt) AS last_purchase_t,
+       arg_max(p.pcents,
+               p.pt::HUGEINT * 4294967296 + p.pid) AS last_purchase_cents
+FROM e LEFT JOIN p ON p.user_id = e.user_id AND p.pt <= e.t
+GROUP BY e.user_id, e.event_id, e.t
+ORDER BY event_id
 """,
         "top_users": """
 WITH s AS (

@@ -13,6 +13,9 @@ from .dedup import connected_components, contamination_fuzzy, exact_dedup_keep, 
 from .similarity import cosine_all_pairs, cosine_topk, ivf_build_centroids, ivf_cosine_topk, embedding_near_dup_pairs, pq_cosine_topk, pq_cosine_topk_rerank, pq_encode, pq_train
 from .multimodal import DecodeImage, SampleFrames, make_media_table
 from .sampling import source_quota_sample
+from .sketches import exact_distinct_per_group, hll_distinct_per_group
+from .joins import asof_join_backward
+from .quantiles import grouped_quantiles
 from .windows import hopping_window_agg, props_extract, sessionize, top_users_by_type, tumbling_window_agg
 
 __all__ = [
@@ -25,6 +28,8 @@ __all__ = [
     "ngram_jaccard_pairs", "shingle_sets", "embedding_near_dup_pairs",
     "jaccard_simjoin_exact", "cosine_all_pairs", "pii_redact",
     "repetition_stats", "connected_components", "source_quota_sample",
+    "exact_distinct_per_group", "hll_distinct_per_group",
+    "asof_join_backward", "grouped_quantiles",
     "pq_train", "pq_encode", "pq_cosine_topk", "pq_cosine_topk_rerank",
     "tumbling_window_agg", "hopping_window_agg", "sessionize", "props_extract", "top_users_by_type",
 ]

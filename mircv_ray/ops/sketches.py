@@ -1,0 +1,161 @@
+"""Distinct-count operators: exact per-group COUNT(DISTINCT) and a
+mergeable HyperLogLog sketch.
+
+Ray Data has no count-distinct aggregate; at 100 TB the exact answer
+needs a shuffle of the DISTINCT keys, while an approximate answer can
+travel as fixed-size mergeable register blobs (one per group per batch)
+— the classic sketch trade. Both shapes here:
+
+- ``exact_distinct_per_group``: map-side pair dedupe -> one shuffle of
+  the UNIQUE (group, value) pairs -> tiny count aggregation. The shuffle
+  is bounded by the distinct-pair count, not the row count; the
+  SQL-oracle-gated path.
+- ``hll_distinct_per_group``: per-batch HyperLogLog registers per group
+  (vectorized splitmix64 + exact integer clz, uint8 register scatter),
+  merged with an elementwise max inside a single small groupby — only
+  ``m = 2**p`` bytes per (group, batch) ever move, rows never shuffle.
+  Standard bias handling: linear counting below 2.5m (64-bit hashes
+  need no large-range correction). Relative error ~ 1.04/sqrt(m)
+  (p=12 -> ~1.6%); deterministic and partitioning-independent (register
+  max is associative+commutative), pytest-pinned against exact counts.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+# ------------------------------------------------------------------ exact
+
+def exact_distinct_per_group(ds, group_col: str, value_col: str,
+                             alias: str = "n_distinct"):
+    """(group_col, n_distinct) — exact COUNT(DISTINCT value) per group."""
+    from ray.data.aggregate import Sum
+
+    from .. import use_push_shuffle
+    use_push_shuffle(ds)
+
+    def local_pairs(batch: pa.Table) -> pa.Table:
+        # per-batch dedupe so only locally-unique pairs enter the shuffle
+        return batch.select([group_col, value_col]) \
+                    .group_by([group_col, value_col]).aggregate([])
+
+    uniq = (ds.map_batches(local_pairs, batch_format="pyarrow")
+              .groupby([group_col, value_col]).count())
+
+    def local_counts(batch: pa.Table) -> pa.Table:
+        a = batch.group_by(group_col).aggregate([("count()", "count")])
+        return pa.table({group_col: a[group_col],
+                         "c": a["count()_count"].cast(pa.int64())})
+
+    agg = (uniq.map_batches(local_counts, batch_format="pyarrow")
+               .groupby(group_col).aggregate(Sum("c", alias_name=alias)))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({group_col: batch[group_col],
+                         alias: batch[alias].cast(pa.int64())})
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------------- HLL
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 over uint64 (wrapping arithmetic)."""
+    with np.errstate(over="ignore"):
+        z = (x + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+
+def _clz64(w: np.ndarray) -> np.ndarray:
+    """Exact leading-zero count of uint64 values (w == 0 -> 64): six
+    halving steps, pure integer — float log2 would misround near
+    power-of-two boundaries above 2^53."""
+    n = np.full(w.shape, 64, dtype=np.int64)
+    w = w.copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        big = w >= (np.uint64(1) << np.uint64(shift))
+        n[big] -= shift
+        w[big] >>= np.uint64(shift)
+    n[w > 0] -= 1
+    return n
+
+
+def _hash_column(col: pa.Array) -> np.ndarray:
+    """Column -> uint64 hashes. Integer columns hash their values
+    directly (splitmix64 is a bijective mixer); strings/binary hash
+    their bytes via two crc32 passes combined into 64 bits."""
+    if pa.types.is_integer(col.type):
+        return _splitmix64(col.cast(pa.int64()).to_numpy()
+                           .astype(np.uint64))
+    from ..util import crc32_column
+    c1 = crc32_column(col).astype(np.uint64)
+    # second, decorrelated pass: crc of the values with a rotated seed
+    c2 = crc32_column(col, seed=0x9E3779B9).astype(np.uint64)
+    return _splitmix64((c1 << np.uint64(32)) | c2)
+
+
+def _estimate(regs: np.ndarray) -> int:
+    """Bias-corrected HLL estimate from one uint8 register array."""
+    m = len(regs)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    e = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = int(np.count_nonzero(regs == 0))
+    if e <= 2.5 * m and zeros:
+        e = m * np.log(m / zeros)   # linear counting (small range)
+    return int(round(e))
+
+
+def hll_distinct_per_group(ds, group_col: str, value_col: str,
+                           p: int = 12, alias: str = "n_distinct_hll"):
+    """(group_col, n_distinct_hll) — HyperLogLog estimate per group.
+
+    Per batch: one register blob (2**p bytes) per group present; the
+    only shuffle moves those blobs. p=12 -> 4 KiB/blob, ~1.6% error."""
+    if not 4 <= p <= 18:
+        raise ValueError(f"p={p} outside [4, 18]")
+    m = 1 << p
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({group_col: batch[group_col],
+                             "regs": pa.array([], pa.binary())})
+        g = batch[group_col]
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        denc = pc.dictionary_encode(g)
+        if isinstance(denc, pa.ChunkedArray):
+            denc = denc.combine_chunks()
+        codes = denc.indices.to_numpy().astype(np.int64)
+        ng = len(denc.dictionary)
+        h = _hash_column(batch[value_col])
+        idx = (h >> np.uint64(64 - p)).astype(np.int64)
+        w = (h << np.uint64(p)).astype(np.uint64)
+        rho = (_clz64(w) + 1).clip(max=64 - p + 1).astype(np.uint8)
+        regs = np.zeros((ng, m), dtype=np.uint8)
+        np.maximum.at(regs, (codes, idx), rho)
+        return pa.table({
+            group_col: denc.dictionary,
+            "regs": pa.array([regs[i].tobytes() for i in range(ng)],
+                             type=pa.binary()),
+        })
+
+    def merge(group: pa.Table) -> pa.Table:
+        blobs = np.frombuffer(
+            b"".join(group["regs"].to_pylist()), dtype=np.uint8
+        ).reshape(group.num_rows, m)
+        merged = blobs.max(axis=0)
+        return pa.table({
+            group_col: group[group_col].slice(0, 1),
+            alias: pa.array([_estimate(merged)], type=pa.int64()),
+        })
+
+    from .. import use_push_shuffle
+    use_push_shuffle(ds)
+    return (ds.select_columns([group_col, value_col])
+              .map_batches(partial, batch_format="pyarrow")
+              .groupby(group_col)
+              .map_groups(merge, batch_format="pyarrow"))

@@ -54,13 +54,16 @@ def _crc32_table() -> "np.ndarray":
     return _CRC32_TABLE
 
 
-def crc32_column(arr: pa.Array | pa.ChunkedArray) -> "np.ndarray":
+def crc32_column(arr: pa.Array | pa.ChunkedArray,
+                 seed: int = 0) -> "np.ndarray":
     """zlib.crc32 of every value of a string/binary column, vectorized.
 
     CRC is byte-serial, so the loop runs over byte POSITIONS (bounded by
     the longest value — 64 for index terms) with each step a numpy gather
     over all still-alive rows, instead of a Python loop over rows.
     Verified equal to ``zlib.crc32`` per value (tests/test_util.py).
+    ``seed`` perturbs the initial register for a second decorrelated
+    pass (seed=0 is exactly zlib.crc32).
     """
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
@@ -77,7 +80,7 @@ def crc32_column(arr: pa.Array | pa.ChunkedArray) -> "np.ndarray":
     lens = offs[1:] - offs[:-1]
     starts = offs[:-1]
     table = _crc32_table()
-    crc = np.full(n, 0xFFFFFFFF, dtype=np.uint32)
+    crc = np.full(n, 0xFFFFFFFF ^ (seed & 0xFFFFFFFF), dtype=np.uint32)
     # iterate longest-first over positions; rows drop out as they end
     alive = np.flatnonzero(lens > 0)
     j = 0

@@ -1,0 +1,77 @@
+"""grouped_quantiles vs np.quantile / DuckDB quantile_cont."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from mircv_ray.ops import grouped_quantiles
+
+QS = {"p25": 0.25, "p50": 0.5, "p75": 0.75, "p95": 0.95}
+
+
+def _collect(ds, keys):
+    import ray
+    tbls = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+    t = pa.concat_tables(tbls).combine_chunks()
+    return t.take(pc.sort_indices(
+        t, sort_keys=[(k, "ascending") for k in keys]))
+
+
+def _table(seed=3, n=20_000, n_groups=5):
+    rng = np.random.default_rng(seed)
+    return pa.table({
+        "g": pa.array(rng.integers(0, n_groups, n), type=pa.int64()),
+        "v": pa.array(np.round(rng.normal(50, 20, n), 2)),
+    })
+
+
+class TestGroupedQuantiles:
+    def test_matches_numpy(self, ray_session):
+        import ray.data as rd
+        t = _table()
+        got = _collect(grouped_quantiles(
+            rd.from_arrow(t).repartition(16), "g", "v", QS), ["g"])
+        df = t.to_pandas()
+        for i, g in enumerate(got["g"].to_pylist()):
+            vals = df[df.g == g].v.to_numpy()
+            for name, q in QS.items():
+                assert got[name][i].as_py() == pytest.approx(
+                    np.quantile(vals, q, method="linear"), rel=1e-12)
+
+    def test_matches_duckdb_quantile_cont(self, ray_session):
+        import ray.data as rd
+        t = _table(seed=11)
+        got = _collect(grouped_quantiles(rd.from_arrow(t), "g", "v", QS),
+                       ["g"])
+        sel = ", ".join(f"quantile_cont(v, {q}) AS {n}"
+                        for n, q in QS.items())
+        o = duckdb.connect().execute(
+            f"SELECT g, {sel} FROM t GROUP BY g ORDER BY g").arrow()
+        for name in QS:
+            a = np.round(got[name].to_numpy(), 6)
+            b = np.round(o[name].to_numpy(), 6)
+            assert np.array_equal(a, b), name
+
+    def test_nulls_dropped(self, ray_session):
+        import ray.data as rd
+        t = pa.table({"g": pa.array([1, 1, 1, 2], pa.int64()),
+                      "v": pa.array([1.0, None, 3.0, None])})
+        got = _collect(grouped_quantiles(rd.from_arrow(t), "g", "v",
+                                         {"p50": 0.5}), ["g"])
+        assert got["p50"].to_pylist() == [2.0, None]
+
+    def test_single_value_group(self, ray_session):
+        import ray.data as rd
+        t = pa.table({"g": pa.array([7], pa.int64()),
+                      "v": pa.array([4.25])})
+        got = _collect(grouped_quantiles(rd.from_arrow(t), "g", "v", QS),
+                       ["g"])
+        assert all(got[n][0].as_py() == 4.25 for n in QS)
+
+    def test_bad_q_raises(self, ray_session):
+        import ray.data as rd
+        with pytest.raises(ValueError, match="outside"):
+            grouped_quantiles(rd.from_arrow(_table(n=10)), "g", "v",
+                              {"bad": 1.5})
