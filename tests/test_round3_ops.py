@@ -300,25 +300,36 @@ class TestSourceQuota:
 @pytest.mark.parametrize("name", ["pii_redact", "repetition_stats",
                                   "ngram_jaccard_exact",
                                   "embedding_near_dups_exact",
-                                  "dedup_clusters", "source_quota"])
+                                  "dedup_clusters", "source_quota",
+                                  "distinct_users", "asof_purchases",
+                                  "value_quantiles",
+                                  "merge_postings", "delete_postings",
+                                  "vacuum_postings"])
 def test_entry_matches_oracle_sql(ray_session, name):
     """Driver-gate dry run at sf0.001: identical column names, row
-    counts, and values (after each side's documented rounding)."""
+    counts, and values (after each side's documented rounding). Entries
+    returning a Dataset (the postings family) compare as sorted sets,
+    mirroring the driver's own sort-before-hash."""
     import duckdb
     import pandas as pd
 
     import __ray_entry__ as e
     sf = "/root/testdata/sf0.001"
-    ray_tbl = e.queries()[name](sf)
-    rdf = ray_tbl.to_pandas() if hasattr(ray_tbl, "to_pandas") else ray_tbl
+    res = e.queries()[name](sf)
+    if hasattr(res, "to_arrow_refs"):   # Dataset -> table
+        import ray
+        tbls = [t for t in ray.get(res.to_arrow_refs()) if t.num_rows]
+        res = pa.concat_tables(tbls).combine_chunks()
+    rdf = res.to_pandas() if hasattr(res, "to_pandas") else res
     con = duckdb.connect()
-    for t in ("documents", "embeddings"):
+    for t in ("documents", "embeddings", "events"):
         con.execute(f"CREATE VIEW {t} AS "
                     f"SELECT * FROM read_parquet('{sf}/{t}.parquet')")
     ora = con.execute(e.oracle_sql()[name]).fetchdf()
     assert sorted(rdf.columns) == sorted(ora.columns)
     assert len(rdf) == len(ora)
-    a = rdf[sorted(rdf.columns)].reset_index(drop=True)
-    b = ora[sorted(ora.columns)].reset_index(drop=True)
+    cols = sorted(rdf.columns)
+    a = rdf[cols].sort_values(cols).reset_index(drop=True)
+    b = ora[cols].sort_values(cols).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
     assert len(rdf) > 0
