@@ -761,7 +761,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def media_features(sf_dir: str):
         from mircv_ray.ops import DecodeImage, make_media_table
         ds = rd.from_arrow(make_media_table(120))
-        # fake=False: every synthetic payload (PPM/BMP/PNG/WAV/RAWV)
+        # fake=False: every synthetic payload (PPM/BMP/PNG/JPEG/WAV/
+        # RAWV/MP4-raw)
         # decodes through the REAL pure-NumPy/zlib codecs
         out = ds.map_batches(DecodeImage, fn_constructor_kwargs={"fake": False},
                              batch_size=32, concurrency=2,

@@ -16,13 +16,18 @@ REAL decode paths (pure NumPy + stdlib zlib, no external libraries):
   generator (``b"RAWV" + <u16 w, u16 h, u16 n_frames, u16 fps> +
   n_frames * h*w*3 raw bytes``) — frame sampling seeks by offset math,
   decoding only the sampled frames.
+- MP4 (ISO-BMFF, ``mp4box.py``): the box tree and full sample table
+  (stsd/stts/stsc/stsz/stco) parse structurally for ANY codec — frame
+  timing and exact per-sample byte ranges are always real — and
+  'raw ' RGB24 samples decode to pixels; compressed codecs (avc1, …)
+  are the pixel-decode stub.
 
-Formats that genuinely require codec libraries (MP4/…, progressive or
-subsampled JPEG, and the palette/16-bit/interlaced PNG variants) are
-STUBBED: ``DecodeImage(fake=False)`` raises ``NotImplementedError`` for
-them — no image library is used even if importable; ``fake=True`` emits
-a deterministic feature seeded from sha256(payload) so pipelines still
-exercise realistic data movement.
+Formats that genuinely require codec libraries (compressed MP4 codecs,
+progressive or subsampled JPEG, and the palette/16-bit/interlaced PNG
+variants) are STUBBED: ``DecodeImage(fake=False)`` raises
+``NotImplementedError`` for them — no image library is used even if
+importable; ``fake=True`` emits a deterministic feature seeded from
+sha256(payload) so pipelines still exercise realistic data movement.
 
 Features are real signal statistics, stable across runs/parallelism:
 - images: 8x8 nearest-resized grayscale, mean-centered (64-dim — the
@@ -63,8 +68,11 @@ MIME_PNG = "image/png"
 MIME_JPEG = "image/jpeg"
 MIME_WAV = "audio/wav"
 MIME_RAWV = "video/x-rawv"
+MIME_MP4 = "video/mp4"
 
 from .jpegcodec import decode_jpeg_baseline, encode_jpeg_baseline  # noqa: E402
+from .mp4box import (decode_mp4_raw_frame, encode_mp4_raw,  # noqa: E402
+                     mp4_info)
 
 
 # --------------------------------------------------------------- codecs (real)
@@ -397,7 +405,12 @@ def make_media_table(n: int, seed: int = 42) -> pa.Table:
             h, w = 16, 16
             nf = int(rng.integers(3, 9))
             frames = rng.integers(0, 256, size=(nf, h, w, 3), dtype=np.uint8)
-            payload, mime = encode_rawv(frames, fps=10), MIME_RAWV
+            if (i // 3) % 2:    # alternate containers: RAWV / real MP4
+                payload, mime = encode_mp4_raw(
+                    frames, fps=10,
+                    samples_per_chunk=2 + (i // 6) % 3), MIME_MP4
+            else:
+                payload, mime = encode_rawv(frames, fps=10), MIME_RAWV
             dur = nf * 100
         rows["media_id"].append(i)
         rows["kind"].append(kind)
@@ -448,6 +461,20 @@ class DecodeImage:
             _w, _h, n, _ = rawv_info(payload)
             return image_feature(decode_rawv_frame(payload, n // 2),
                                  self.feature_dim)
+        if mime == MIME_MP4:
+            # structural parse is always real (mp4box); pixel decode is
+            # real for 'raw ' RGB24 samples, codec-stubbed otherwise
+            try:
+                info = mp4_info(payload)
+                return image_feature(
+                    decode_mp4_raw_frame(payload, info["n_samples"] // 2),
+                    self.feature_dim)
+            except (NotImplementedError, ValueError):
+                # compressed codec or malformed container: plumbing mode
+                # degrades to the deterministic fake, strict mode raises
+                if self.fake:
+                    return self._fake_features(payload)
+                raise
         if self.fake:
             return self._fake_features(payload)
         raise NotImplementedError(
@@ -473,10 +500,12 @@ class DecodeImage:
 
 
 class SampleFrames:
-    """Video frame-sampling stage: for RAWV payloads, REALLY decodes the
-    ``n_frames`` evenly-spaced frames (offset-seek, no full decode) and
-    emits one row per frame with its aHash feature; for other containers
-    emits the offsets only (decode stubbed)."""
+    """Video frame-sampling stage: for RAWV and MP4('raw ') payloads,
+    REALLY decodes the ``n_frames`` evenly-spaced frames (offset-seek /
+    sample-table byte ranges, no full decode) and emits one row per
+    frame with its aHash feature; compressed-codec MP4s still get REAL
+    sample-table timing with zeroed features; unknown containers emit
+    uniform offsets only."""
 
     def __init__(self, n_frames: int = 4, feature_dim: int = FEATURE_DIM):
         self.n = n_frames
@@ -501,6 +530,20 @@ class SampleFrames:
                     offs.append(int(fi * 1000 / max(fps, 1)))
                     feats.append(image_feature(
                         decode_rawv_frame(payload, fi), self.dim))
+            elif mime == MIME_MP4:
+                # REAL sample-table timing for any codec; pixel decode
+                # for 'raw ' samples, zeros for codec-stubbed ones
+                info = mp4_info(payload)
+                nf = info["n_samples"]
+                for j in range(self.n):
+                    fi = min(int(nf * (j + 0.5) / self.n), nf - 1)
+                    ids.append(mid)
+                    offs.append(int(info["sample_ms"][fi]))
+                    try:
+                        feats.append(image_feature(
+                            decode_mp4_raw_frame(payload, fi), self.dim))
+                    except NotImplementedError:
+                        feats.append(np.zeros(self.dim))
             else:
                 for j in range(self.n):
                     ids.append(mid)

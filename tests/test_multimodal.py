@@ -82,11 +82,13 @@ def test_decode_stage_real_path(ray_session):
 
 
 def test_decode_stage_unknown_mime_strict_raises():
-    # mp4 stays genuinely stubbed (jpeg became a real codec in r3)
+    # a container with no structural parser stays genuinely stubbed
+    # (jpeg became a real codec in r3, MP4 box parsing in r3 too — a
+    # malformed MP4 is now a parse error, covered in test_mp4.py)
     t = pa.table({"media_id": pa.array([1], pa.int64()),
                   "kind": pa.array(["video"]),
-                  "payload": pa.array([b"\x00\x00\x00 ftypmp42"], pa.binary()),
-                  "mime": pa.array(["video/mp4"])})
+                  "payload": pa.array([b"\x1aE\xdf\xa3 webm-ish"], pa.binary()),
+                  "mime": pa.array(["video/webm"])})
     with pytest.raises(NotImplementedError):
         DecodeImage(fake=False)(t)
     # fake path still deterministic
