@@ -14,7 +14,7 @@ from .similarity import cosine_all_pairs, cosine_topk, ivf_build_centroids, ivf_
 from .multimodal import DecodeImage, SampleFrames, make_media_table
 from .sampling import source_quota_sample
 from .sketches import exact_distinct_per_group, hll_distinct_per_group
-from .joins import asof_join_backward
+from .joins import asof_join_backward, asof_join_backward_salted
 from .quantiles import grouped_quantiles
 from .windows import hopping_window_agg, props_extract, sessionize, top_users_by_type, tumbling_window_agg
 
@@ -29,7 +29,8 @@ __all__ = [
     "jaccard_simjoin_exact", "cosine_all_pairs", "pii_redact",
     "repetition_stats", "connected_components", "source_quota_sample",
     "exact_distinct_per_group", "hll_distinct_per_group",
-    "asof_join_backward", "grouped_quantiles",
+    "asof_join_backward", "asof_join_backward_salted",
+    "grouped_quantiles",
     "pq_train", "pq_encode", "pq_cosine_topk", "pq_cosine_topk_rerank",
     "tumbling_window_agg", "hopping_window_agg", "sessionize", "props_extract", "top_users_by_type",
 ]

@@ -11,10 +11,20 @@ hash-partition shuffle co-locates each key's rows; inside each grouped
 task the right side is sorted once and every left row resolves with a
 single vectorized ``searchsorted`` (no per-row Python). The partitioning
 assumption — one ``by`` key's rows fit a worker task — is the same as
-unsalted sessionization (ops/windows.py); for mega-keys the same
-day-salting treatment applies, with the last right row before each salt
-boundary carried as fragment state (not implemented until a workload
-needs it; documented here so the assumption is explicit).
+unsalted sessionization (ops/windows.py).
+
+``asof_join_backward_salted`` removes that assumption for mega-keys by
+also partitioning on a time bucket (``on // salt_width``): round 1
+resolves each (key, bucket) fragment against its own bucket's rights —
+an in-bucket match is always final, because any earlier-bucket right
+has a strictly smaller ``on``. The still-unmatched lefts need exactly
+one piece of cross-fragment state: the per-key RUNNING BEST right as of
+each bucket boundary, which is metadata-sized (one row per (key,
+active bucket)). That carry table resolves against the DISTINCT (key,
+bucket) pairs of the unmatched lefts (also metadata-sized) and
+hash-joins back 1:1 — no task ever holds more than one (key, bucket)
+fragment, one key's bucket list, or the distinct-pair table partition.
+pytest pins salted ≡ unsalted on random data.
 """
 
 from __future__ import annotations
@@ -24,15 +34,13 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
-def asof_join_backward(left_ds, right_ds, by: str, on: str,
-                       right_order: str, attach: dict[str, str],
-                       tolerance: int | None = None):
-    """For each left row, attach ``attach`` ({right col -> output col})
-    from the last right row with same ``by`` and right.on <= left.on
-    (and left.on - right.on <= tolerance, if given). Unmatched left rows
-    get nulls. ``on`` / ``right_order`` must be integer-like (epoch
-    micros, ids); output keeps every left column plus the attached ones.
-    """
+def _asof_core(left_ds, right_ds, by_cols: list[str], on: str,
+               right_order: str, attach: dict[str, str],
+               tolerance: int | None, matched_col: str | None = None):
+    """Shared tagged-union + grouped-searchsorted resolve (see module
+    docstring). ``by_cols`` may include a derived bucket column (salted
+    path). When ``matched_col`` is given, a boolean column marks rows
+    that found an in-group match (the salted path splits on it)."""
     out_cols = list(attach.values())
     if len(set(out_cols)) != len(out_cols):
         raise ValueError("attach output names collide")
@@ -65,14 +73,15 @@ def asof_join_backward(left_ds, right_ds, by: str, on: str,
     def tag_right(batch: pa.Table) -> pa.Table:
         cols = {n: pa.nulls(batch.num_rows, left_types[n])
                 for n in left_names}
-        cols[by] = batch[by].cast(left_types[by])   # the grouping key
+        for k in by_cols:               # the grouping key(s)
+            cols[k] = batch[k].cast(left_types[k])
         for c in right_keep:
             cols[f"__r_{c}"] = batch[c]
         cols["__side"] = pa.array(np.ones(batch.num_rows, np.int8))
         return pa.table(cols, schema=union_schema)
 
     tagged = left_ds.map_batches(tag_left, batch_format="pyarrow").union(
-        right_ds.select_columns(sorted(set([by] + right_keep)))
+        right_ds.select_columns(sorted(set(by_cols + right_keep)))
                 .map_batches(tag_right, batch_format="pyarrow"))
 
     def resolve(group: pa.Table) -> pa.Table:
@@ -82,14 +91,11 @@ def asof_join_backward(left_ds, right_ds, by: str, on: str,
         right = group.filter(pa.array(~lmask))
         out = {n: left[n] for n in left_names}
         nl = left.num_rows
-        if nl == 0:
-            return pa.table(
-                {**{n: left[n] for n in left_names},
-                 **{attach[c]: pa.nulls(0, right_types[c])
-                    for c in attach}})
-        if right.num_rows == 0:
+        if nl == 0 or right.num_rows == 0:
             for c, name in attach.items():
                 out[name] = pa.nulls(nl, right_types[c])
+            if matched_col is not None:
+                out[matched_col] = pa.array(np.zeros(nl, dtype=bool))
             return pa.table(out)
         r_on = right[f"__r_{on}"].to_numpy(zero_copy_only=False)
         r_ord = right[f"__r_{right_order}"].to_numpy(zero_copy_only=False)
@@ -106,8 +112,192 @@ def asof_join_backward(left_ds, right_ds, by: str, on: str,
         for c, name in attach.items():
             vals = right[f"__r_{c}"].combine_chunks().take(take)
             out[name] = pc.if_else(valid, vals, pa.nulls(nl, right_types[c]))
+        if matched_col is not None:
+            out[matched_col] = valid
         return pa.table(out)
 
     from .. import use_push_shuffle
     use_push_shuffle(tagged)
-    return tagged.groupby(by).map_groups(resolve, batch_format="pyarrow")
+    key = by_cols[0] if len(by_cols) == 1 else by_cols
+    return tagged.groupby(key).map_groups(resolve, batch_format="pyarrow")
+
+
+def asof_join_backward(left_ds, right_ds, by: str, on: str,
+                       right_order: str, attach: dict[str, str],
+                       tolerance: int | None = None):
+    """For each left row, attach ``attach`` ({right col -> output col})
+    from the last right row with same ``by`` and right.on <= left.on
+    (and left.on - right.on <= tolerance, if given). Unmatched left rows
+    get nulls. ``on`` / ``right_order`` must be integer-like (epoch
+    micros, ids); output keeps every left column plus the attached ones.
+    """
+    return _asof_core(left_ds, right_ds, [by], on, right_order, attach,
+                      tolerance)
+
+
+def _bucket_col(on: str, salt_width: int):
+    def f(batch: pa.Table) -> pa.Table:
+        b = batch[on].to_numpy(zero_copy_only=False) // salt_width
+        return batch.append_column("__bucket",
+                                   pa.array(b, type=pa.int64()))
+    return f
+
+
+def asof_join_backward_salted(left_ds, right_ds, by: str, on: str,
+                              right_order: str, attach: dict[str, str],
+                              salt_width: int,
+                              tolerance: int | None = None):
+    """Mega-key as-of join: identical results to ``asof_join_backward``
+    (pytest-pinned), but no task ever holds more than one (key,
+    salt_width-bucket) fragment. See module docstring for the two-round
+    shape. Left columns must be hash-joinable (no list types)."""
+    if salt_width <= 0:
+        raise ValueError("salt_width must be positive")
+    left_names = list(left_ds.schema().names)
+    right_types = dict(zip(right_ds.schema().names, right_ds.schema().types))
+
+    lb = left_ds.map_batches(_bucket_col(on, salt_width),
+                             batch_format="pyarrow")
+    rb = right_ds.map_batches(_bucket_col(on, salt_width),
+                              batch_format="pyarrow")
+
+    # ---- round 1: resolve within each (key, bucket) fragment ----
+    # tolerance applies here too: a within-tolerance in-bucket match is
+    # final; a tolerance-violating one correctly falls through to the
+    # carry path, whose even-farther candidate the final filter nulls
+    round1 = _asof_core(lb, rb, [by, "__bucket"], on, right_order, attach,
+                        tolerance=tolerance, matched_col="__matched")
+
+    def split_matched(want: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            keep = batch["__matched"] if want else \
+                pc.invert(batch["__matched"])
+            return batch.filter(keep).drop_columns(["__matched"])
+        return f
+
+    resolved = round1.map_batches(split_matched(True),
+                                  batch_format="pyarrow")
+    unresolved = round1.map_batches(split_matched(False),
+                                    batch_format="pyarrow") \
+        .drop_columns(list(attach.values()))
+
+    # ---- carry table: per-key RUNNING best right as of each bucket ----
+    right_keep = [on, right_order] + [c for c in attach
+                                      if c not in (on, right_order)]
+
+    def batch_bests(batch: pa.Table) -> pa.Table:
+        # per-batch best right per (key, bucket): sort + last-of-run
+        if batch.num_rows == 0:
+            return batch.select([by, "__bucket"] + right_keep)
+        order = pc.sort_indices(batch, sort_keys=[
+            (by, "ascending"), ("__bucket", "ascending"),
+            (on, "ascending"), (right_order, "ascending")])
+        t = batch.take(order)
+        kb = pc.binary_join_element_wise(
+            pc.cast(t[by], pa.string()),
+            pc.cast(t["__bucket"], pa.string()), "\x00")
+        kn = kb.to_numpy(zero_copy_only=False)
+        last = np.append(kn[1:] != kn[:-1], True)
+        return t.filter(pa.array(last)).select(
+            [by, "__bucket"] + right_keep)
+
+    def running_bests(group: pa.Table) -> pa.Table:
+        # one key's per-(batch, bucket) bests -> per-bucket running best
+        order = pc.sort_indices(group, sort_keys=[
+            (on, "ascending"), (right_order, "ascending")])
+        t = group.take(order)       # (on, ord) ascending => bucket asc
+        bkt = t["__bucket"].to_numpy(zero_copy_only=False)
+        db = np.unique(bkt)
+        last_idx = np.searchsorted(bkt, db, side="right") - 1
+        return t.take(pa.array(last_idx, type=pa.int64()))
+
+    carries = (rb.map_batches(batch_bests, batch_format="pyarrow")
+                 .groupby(by).map_groups(running_bests,
+                                         batch_format="pyarrow"))
+
+    # ---- round 2: only the DISTINCT (key, bucket) pairs of the
+    # unresolved lefts consult the carry table (both metadata-sized) ----
+    pairs = unresolved.groupby([by, "__bucket"]).count() \
+        .map_batches(lambda b: b.select([by, "__bucket"]).append_column(
+            "__prev", pc.add(b["__bucket"], -1).cast(pa.int64())),
+            batch_format="pyarrow")
+    carry_hits = _asof_core(
+        pairs, carries.map_batches(
+            lambda b: b.rename_columns(
+                [{"__bucket": "__prev"}.get(n, n)
+                 for n in b.schema.names]), batch_format="pyarrow"),
+        [by], "__prev", right_order,
+        attach, tolerance=None).drop_columns(["__prev"])
+    # equijoin back to the unresolved lefts via the same tagged-union
+    # groupby pattern (exactly one carry row per (key, bucket) group;
+    # Dataset.join is avoided — the sort exchange upstream can emit
+    # zero-column empty blocks acero's hash join rejects)
+    un_schema = unresolved.schema()
+    un_types = dict(zip(un_schema.names, un_schema.types))
+    jfields = [(n, un_types[n]) for n in un_schema.names]
+    jfields += [(attach[c], right_types[c]) for c in attach]
+    jfields += [("__side", pa.int8())]
+    jschema = pa.schema(jfields)
+
+    def tag_unresolved(batch: pa.Table) -> pa.Table:
+        cols = {n: batch[n] for n in un_schema.names}
+        for c in attach:
+            cols[attach[c]] = pa.nulls(batch.num_rows, right_types[c])
+        cols["__side"] = pa.array(np.zeros(batch.num_rows, np.int8))
+        return pa.table(cols, schema=jschema)
+
+    def tag_carry(batch: pa.Table) -> pa.Table:
+        cols = {n: pa.nulls(batch.num_rows, un_types[n])
+                for n in un_schema.names}
+        cols[by] = batch[by].cast(un_types[by])
+        cols["__bucket"] = batch["__bucket"].cast(pa.int64())
+        for c in attach:
+            cols[attach[c]] = batch[attach[c]]
+        cols["__side"] = pa.array(np.ones(batch.num_rows, np.int8))
+        return pa.table(cols, schema=jschema)
+
+    def attach_carry(group: pa.Table) -> pa.Table:
+        side = group["__side"].to_numpy(zero_copy_only=False)
+        lefts = group.filter(pa.array(side == 0))
+        carry = group.filter(pa.array(side == 1))
+        nl = lefts.num_rows
+        out = {n: lefts[n] for n in un_schema.names}
+        zero = pa.array(np.zeros(nl, dtype=np.int64))
+        for c in attach:
+            if carry.num_rows:
+                out[attach[c]] = carry[attach[c]].combine_chunks() \
+                    .take(zero)
+            else:
+                out[attach[c]] = pa.nulls(nl, right_types[c])
+        return pa.table(out)
+
+    joined = unresolved.map_batches(
+        tag_unresolved, batch_format="pyarrow").union(
+        carry_hits.map_batches(tag_carry, batch_format="pyarrow")) \
+        .groupby([by, "__bucket"]) \
+        .map_groups(attach_carry, batch_format="pyarrow")
+    if tolerance is not None:
+        on_out = attach.get(on)
+        if on_out is None:
+            raise ValueError("tolerance with salting requires attaching "
+                             f"the {on!r} column (needed to re-check the "
+                             "carry distance)")
+
+        def tol_filter(batch: pa.Table) -> pa.Table:
+            dist = pc.subtract(batch[on], batch[on_out])
+            ok = pc.or_kleene(pc.less_equal(dist, tolerance),
+                              pc.is_null(batch[on_out]))
+            out = {c: batch[c] for c in batch.schema.names}
+            for c, name in attach.items():
+                out[name] = pc.if_else(ok, batch[name],
+                                       pa.nulls(batch.num_rows,
+                                                right_types[c]))
+            return pa.table(out)
+        joined = joined.map_batches(tol_filter, batch_format="pyarrow")
+
+    out_names = left_names + list(attach.values())
+
+    def project(batch: pa.Table) -> pa.Table:
+        return batch.select(out_names)
+    return resolved.map_batches(project, batch_format="pyarrow").union(
+        joined.map_batches(project, batch_format="pyarrow"))

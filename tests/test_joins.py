@@ -114,6 +114,58 @@ class TestAsofJoin:
             by="k", on="t", right_order="rid", attach=ATTACH), ["lid"])
         assert a.equals(b)
 
+    @pytest.mark.parametrize("salt_width", [100, 1000, 5000, 20_000])
+    def test_salted_equals_unsalted(self, ray_session, salt_width):
+        import ray.data as rd
+        left, right = _rand_tables(seed=31, n_left=2000, n_right=500)
+        from mircv_ray.ops import asof_join_backward_salted
+        a = _collect(asof_join_backward(
+            rd.from_arrow(left), rd.from_arrow(right),
+            by="k", on="t", right_order="rid", attach=ATTACH), ["lid"])
+        b = _collect(asof_join_backward_salted(
+            rd.from_arrow(left).repartition(8),
+            rd.from_arrow(right).repartition(8),
+            by="k", on="t", right_order="rid", attach=ATTACH,
+            salt_width=salt_width), ["lid"])
+        assert a.equals(b), salt_width
+
+    def test_salted_with_tolerance(self, ray_session):
+        import ray.data as rd
+        from mircv_ray.ops import asof_join_backward_salted
+        left, right = _rand_tables(seed=37, n_left=800, n_right=200)
+        got = _collect(asof_join_backward_salted(
+            rd.from_arrow(left), rd.from_arrow(right),
+            by="k", on="t", right_order="rid", attach=ATTACH,
+            salt_width=150, tolerance=400), ["lid"])
+        assert got.to_pylist() == _brute(left, right, tolerance=400)
+
+    def test_salted_key_without_rights(self, ray_session):
+        import ray.data as rd
+        from mircv_ray.ops import asof_join_backward_salted
+        left = pa.table({"k": pa.array([1, 2], pa.int64()),
+                         "t": pa.array([500, 500], pa.int64()),
+                         "lid": pa.array([0, 1], pa.int64())})
+        right = pa.table({"k": pa.array([1], pa.int64()),
+                          "t": pa.array([3], pa.int64()),
+                          "rid": pa.array([0], pa.int64()),
+                          "val": pa.array([42], pa.int64())})
+        got = _collect(asof_join_backward_salted(
+            rd.from_arrow(left), rd.from_arrow(right),
+            by="k", on="t", right_order="rid", attach=ATTACH,
+            salt_width=100), ["lid"])
+        assert got["r_val"].to_pylist() == [42, None]
+
+    def test_salted_tolerance_requires_on_attached(self, ray_session):
+        import ray.data as rd
+        from mircv_ray.ops import asof_join_backward_salted
+        left, right = _rand_tables(n_left=10, n_right=10)
+        with pytest.raises(ValueError, match="requires attaching"):
+            asof_join_backward_salted(
+                rd.from_arrow(left), rd.from_arrow(right),
+                by="k", on="t", right_order="rid",
+                attach={"val": "r_val"}, salt_width=100,
+                tolerance=10).materialize()
+
     def test_name_collision_raises(self, ray_session):
         import ray.data as rd
         left, right = _rand_tables(n_left=10, n_right=10)
