@@ -730,6 +730,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             t = _round6(t, c)
         return t
 
+    def value_quantiles_tdigest(sf_dir: str):
+        # mergeable t-digest sketch: approximate by design -> rows-only
+        # driver check; rank-error bound pytest-pinned vs exact
+        from mircv_ray.ops import grouped_quantiles_tdigest
+        ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_type", "value"])
+        out = grouped_quantiles_tdigest(
+            ev, "event_type", "value",
+            {"p25": 0.25, "p50": 0.5, "p75": 0.75, "p95": 0.95})
+        return _sorted_table(out, ["event_type"])
+
     def distinct_users(sf_dir: str):
         # exact per-type COUNT(DISTINCT user): only unique pairs shuffle
         from mircv_ray.ops import exact_distinct_per_group
@@ -812,6 +823,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "props_json": props_json,
         "asof_purchases": asof_purchases,
         "value_quantiles": value_quantiles,
+        "value_quantiles_tdigest": value_quantiles_tdigest,
         "distinct_users": distinct_users,
         "distinct_users_hll": distinct_users_hll,
         "top_users": top_users,

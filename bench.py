@@ -343,10 +343,14 @@ def _update_baseline_md(res: dict) -> None:
 
     lo, hi = res["cpus"]
     rows = []
+    notes = []
     for i, r in enumerate(hist):
         s = r.get("build_sec_samples", {})
+        flag = " †" if r.get("note") else ""
+        if r.get("note"):
+            notes.append(f"- † run {i + 1}: {r['note']}")
         rows.append(
-            f"| {i + 1} ({r.get('when', '?')}) "
+            f"| {i + 1} ({r.get('when', '?')}){flag} "
             f"| {', '.join(f'{v:.0f}' for v in s.get(str(lo), []))} "
             f"| {', '.join(f'{v:.0f}' for v in s.get(str(hi), []))} "
             f"| {r['build_sec'][0]:.1f} / {r['build_sec'][1]:.1f} "
@@ -354,7 +358,11 @@ def _update_baseline_md(res: dict) -> None:
             f"| {r.get('postings_stage_efficiency', '—')} "
             f"| {r.get('contention_factor', '—')} "
             f"| {r.get('node_normalized_efficiency', '—')} |")
-    best = max(hist, key=lambda r: r["value"])
+    if notes:
+        rows.append("")
+        rows.extend(notes)
+    best = max((r for r in hist if not r.get("note")),
+               key=lambda r: r["value"])
     marker = "<!-- scaling-runs -->"
     section = f"""{marker}
 ## Scaling runs (this repo, `bench.py --scaling`, full history)

@@ -1,14 +1,20 @@
-"""Per-group quantiles.
+"""Per-group quantiles: exact, and a mergeable t-digest sketch.
 
 ``grouped_quantiles``: exact per-group continuous quantiles (the SQL
 ``quantile_cont`` / NumPy ``linear`` definition: rank h = (n-1)q,
 interpolate the two adjacent order statistics). One hash-partition
 shuffle co-locates each group; the per-task sort is the whole cost.
 Partitioning assumption: one group's values fit a worker task — the
-same contract as unsalted sessionize / as-of join. For groups beyond
-that, the sketch path is ``grouped_quantiles_tdigest`` -like mergeable
-summaries; not implemented until a workload needs it (this corpus's
-groups are low-cardinality event types).
+same contract as unsalted sessionize / as-of join.
+
+``grouped_quantiles_tdigest``: the scale path for groups beyond one
+task. Each batch compresses its per-group values into <= delta weighted
+centroids (Dunning's merging t-digest with the uniform k0 scale, which
+bounds every quantile's RANK error by total_weight / delta); only those
+fixed-size centroid rows shuffle, and one small per-group merge
+re-compresses and interpolates. Deterministic given the same input
+partitioning; accuracy (rank error <= 2/delta of the population, the
+merge doubles the bound) is pytest-pinned against exact quantiles.
 """
 
 from __future__ import annotations
@@ -50,3 +56,107 @@ def grouped_quantiles(ds, group_col: str, value_col: str,
     return (ds.select_columns([group_col, value_col])
               .groupby(group_col)
               .map_groups(per_group, batch_format="pyarrow"))
+
+
+# ------------------------------------------------------------- t-digest
+
+def _compress(means: np.ndarray, weights: np.ndarray,
+              delta: int) -> tuple[np.ndarray, np.ndarray]:
+    """Merge (mean, weight) centroids, sorted by mean, into <= delta
+    clusters of bounded weight (k0 / uniform scale: each cluster holds
+    at most ceil(total/delta) weight). Vectorized: the bound assigns
+    each input centroid a cluster id from its cumulative weight; merged
+    means are weight-averaged within clusters."""
+    order = np.argsort(means, kind="stable")
+    means, weights = means[order], weights[order]
+    total = weights.sum()
+    cap = max(total / delta, 1e-12)
+    # cluster id by cumulative weight BEFORE each centroid: a centroid
+    # starts a new cluster when its span would cross a cap boundary
+    cum_before = np.cumsum(weights) - weights
+    cid = np.floor(cum_before / cap).astype(np.int64)
+    # ragged mean: sum(w*m)/sum(w) per cid
+    n_cl = int(cid[-1]) + 1 if len(cid) else 0
+    wsum = np.bincount(cid, weights=weights, minlength=n_cl)
+    msum = np.bincount(cid, weights=weights * means, minlength=n_cl)
+    keep = wsum > 0
+    return msum[keep] / wsum[keep], wsum[keep]
+
+
+def _tdigest_quantile(means: np.ndarray, weights: np.ndarray,
+                      q: float) -> float:
+    """Standard t-digest interpolation: centroids contribute their
+    weight around their mean; query by cumulative-weight midpoints."""
+    total = weights.sum()
+    if len(means) == 1:
+        return float(means[0])
+    target = q * total
+    cum = np.cumsum(weights)
+    mids = cum - weights / 2.0
+    if target <= mids[0]:
+        return float(means[0])
+    if target >= mids[-1]:
+        return float(means[-1])
+    i = int(np.searchsorted(mids, target, side="right")) - 1
+    frac = (target - mids[i]) / max(mids[i + 1] - mids[i], 1e-300)
+    return float(means[i] + frac * (means[i + 1] - means[i]))
+
+
+def grouped_quantiles_tdigest(ds, group_col: str, value_col: str,
+                              qs: dict[str, float], delta: int = 200):
+    """(group_col, <name per qs entry>) — t-digest approximate
+    quantiles per group; only <= delta centroid rows per (group, batch)
+    ever shuffle. Rank error <= ~2 * total/delta per group."""
+    for name, q in qs.items():
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"quantile {name}={q} outside [0, 1]")
+    if delta < 8:
+        raise ValueError("delta must be >= 8")
+    items = list(qs.items())
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({group_col: batch[group_col],
+                      "v": batch[value_col]}).drop_null()
+        if t.num_rows == 0:
+            return pa.table({group_col: t[group_col],
+                             "mean": pa.array([], pa.float64()),
+                             "weight": pa.array([], pa.float64())})
+        import pyarrow.compute as pc
+        g = t[group_col]
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        denc = pc.dictionary_encode(g)
+        if isinstance(denc, pa.ChunkedArray):
+            denc = denc.combine_chunks()
+        codes = denc.indices.to_numpy().astype(np.int64)
+        vals = t["v"].to_numpy(zero_copy_only=False).astype(np.float64)
+        out_g, out_m, out_w = [], [], []
+        for code in np.unique(codes):
+            m = vals[codes == code]
+            cm, cw = _compress(m, np.ones(len(m)), delta)
+            out_g.append(np.full(len(cm), code))
+            out_m.append(cm)
+            out_w.append(cw)
+        gi = pa.array(np.concatenate(out_g), type=pa.int64())
+        return pa.table({
+            group_col: denc.dictionary.take(gi),
+            "mean": pa.array(np.concatenate(out_m), type=pa.float64()),
+            "weight": pa.array(np.concatenate(out_w), type=pa.float64()),
+        })
+
+    def merge(group: pa.Table) -> pa.Table:
+        means = group["mean"].to_numpy(zero_copy_only=False)
+        weights = group["weight"].to_numpy(zero_copy_only=False)
+        cm, cw = _compress(means, weights, delta)
+        out: dict = {group_col: group[group_col].slice(0, 1)}
+        for name, q in items:
+            out[name] = pa.array([_tdigest_quantile(cm, cw, q)],
+                                 type=pa.float64())
+        return pa.table(out)
+
+    from .. import use_push_shuffle
+    use_push_shuffle(ds)
+    return (ds.select_columns([group_col, value_col])
+              .map_batches(partial, batch_format="pyarrow")
+              .groupby(group_col)
+              .map_groups(merge, batch_format="pyarrow"))

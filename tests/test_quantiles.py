@@ -75,3 +75,51 @@ class TestGroupedQuantiles:
         with pytest.raises(ValueError, match="outside"):
             grouped_quantiles(rd.from_arrow(_table(n=10)), "g", "v",
                               {"bad": 1.5})
+
+
+class TestTDigest:
+    def test_rank_error_bounded(self, ray_session):
+        """t-digest estimate's RANK (not value) error stays within the
+        documented ~2/delta bound per group."""
+        import ray.data as rd
+        from mircv_ray.ops import grouped_quantiles_tdigest
+        delta = 200
+        t = _table(seed=17, n=60_000, n_groups=3)
+        got = _collect(grouped_quantiles_tdigest(
+            rd.from_arrow(t).repartition(16), "g", "v", QS, delta=delta),
+            ["g"])
+        df = t.to_pandas()
+        for i, g in enumerate(got["g"].to_pylist()):
+            vals = np.sort(df[df.g == g].v.to_numpy())
+            n = len(vals)
+            for name, q in QS.items():
+                est = got[name][i].as_py()
+                # rank of the estimate within the sorted values
+                rank = np.searchsorted(vals, est) / n
+                assert abs(rank - q) <= 2.5 / delta * 2 + 0.01, (name, g)
+
+    def test_centroid_compress_bounds(self):
+        from mircv_ray.ops.quantiles import _compress
+        rng = np.random.default_rng(3)
+        m, w = _compress(rng.normal(size=10_000), np.ones(10_000), 100)
+        assert len(m) <= 101
+        assert w.sum() == 10_000
+        assert np.all(np.diff(m) >= 0)        # means stay sorted
+
+    def test_exact_for_tiny_groups(self, ray_session):
+        """Groups smaller than delta compress losslessly -> exact
+        median of distinct values."""
+        import ray.data as rd
+        from mircv_ray.ops import grouped_quantiles_tdigest
+        t = pa.table({"g": pa.array([1] * 5, pa.int64()),
+                      "v": pa.array([1.0, 2.0, 3.0, 4.0, 5.0])})
+        got = _collect(grouped_quantiles_tdigest(
+            rd.from_arrow(t), "g", "v", {"p50": 0.5}, delta=64), ["g"])
+        assert got["p50"][0].as_py() == 3.0
+
+    def test_delta_validation(self, ray_session):
+        import ray.data as rd
+        from mircv_ray.ops import grouped_quantiles_tdigest
+        with pytest.raises(ValueError, match="delta"):
+            grouped_quantiles_tdigest(rd.from_arrow(_table(n=10)),
+                                      "g", "v", {"p50": 0.5}, delta=2)
