@@ -569,6 +569,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _sorted_table(source_quota_sample(ds, budget_tokens=800),
                              ["doc_id"])
 
+    def dataset_split(sf_dir: str):
+        # deterministic map-only train/val/test split (knuth32 mode is
+        # exactly SQL-mirrorable; crc32 mode is the general-id default)
+        from mircv_ray.ops import hash_split
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id"])
+        out = hash_split(ds, "doc_id",
+                         {"train": 0.8, "val": 0.1, "test": 0.1},
+                         hash_mode="knuth32")
+        return _sorted_table(out, ["doc_id"])
+
     def dedup_clusters(sf_dir: str):
         # exact near-dup pairs -> transitive closure: every doc labeled
         # with its cluster's min doc_id (keep label == id, drop the rest)
@@ -807,6 +818,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": repetition_stats,
         "ngram_jaccard_exact": ngram_jaccard_exact,
         "embedding_near_dups_exact": embedding_near_dups_exact,
+        "dataset_split": dataset_split,
         "dedup_clusters": dedup_clusters,
         "source_quota": source_quota,
         "contamination": contamination,
@@ -1204,6 +1216,17 @@ ORDER BY 1, 2
         "ngram_jaccard_exact": _NGRAM_EXACT_SQL,
         "embedding_near_dups_exact": _EMB_EXACT_SQL,
         "dedup_clusters": _CLUSTERS_SQL,
+        # knuth multiplicative hash: exact BIGINT arithmetic both sides
+        "dataset_split": """
+WITH b AS (SELECT doc_id,
+                  (doc_id * 2654435761) % 4294967296 % 1000000 AS bkt
+           FROM documents)
+SELECT doc_id,
+       CASE WHEN bkt < 800000 THEN 'train'
+            WHEN bkt < 900000 THEN 'val'
+            ELSE 'test' END AS split
+FROM b ORDER BY doc_id
+""",
         "source_quota": r"""
 WITH c AS (SELECT doc_id, source,
                   len(regexp_extract_all(text,

@@ -12,7 +12,7 @@ from .textops import (
 from .dedup import connected_components, contamination_fuzzy, exact_dedup_keep, jaccard_simjoin_exact, minhash_signatures, minhash_candidate_pairs, simhash64, near_dup_pairs, ngram_jaccard_pairs, shingle_sets
 from .similarity import cosine_all_pairs, cosine_topk, ivf_build_centroids, ivf_cosine_topk, embedding_near_dup_pairs, pq_cosine_topk, pq_cosine_topk_rerank, pq_encode, pq_train
 from .multimodal import DecodeImage, SampleFrames, make_media_table
-from .sampling import source_quota_sample
+from .sampling import hash_split, source_quota_sample
 from .sketches import exact_distinct_per_group, hll_distinct_per_group
 from .joins import asof_join_backward, asof_join_backward_salted
 from .quantiles import grouped_quantiles, grouped_quantiles_tdigest
@@ -28,6 +28,7 @@ __all__ = [
     "ngram_jaccard_pairs", "shingle_sets", "embedding_near_dup_pairs",
     "jaccard_simjoin_exact", "cosine_all_pairs", "pii_redact",
     "repetition_stats", "connected_components", "source_quota_sample",
+    "hash_split",
     "exact_distinct_per_group", "hll_distinct_per_group",
     "asof_join_backward", "asof_join_backward_salted",
     "grouped_quantiles", "grouped_quantiles_tdigest",

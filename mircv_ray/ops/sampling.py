@@ -55,3 +55,47 @@ def source_quota_sample(ds, budget_tokens: int, source_col: str = "source",
     counted = ds.map_batches(count, batch_format="pyarrow")
     return counted.groupby(source_col).map_groups(quota,
                                                   batch_format="pyarrow")
+
+
+def hash_split(ds, id_col: str, fractions: dict[str, float],
+               hash_mode: str = "crc32", salt: int = 0):
+    """Deterministic train/val/test splitting: adds a ``split`` column
+    that is a pure function of each row's id — map-only, no shuffle, no
+    RNG state, identical at any partitioning or cluster size (the
+    property a 100-TB split needs: resume and backfill re-derive every
+    assignment bit-identically).
+
+    bucket = hash(id, salt) % 1_000_000; splits own consecutive bucket
+    ranges in ``fractions`` insertion order (values must sum to 1).
+    ``hash_mode``: "crc32" hashes the id's string form (any type);
+    "knuth32" is the Knuth multiplicative hash on integer ids —
+    weaker mixing, but exactly expressible in ANSI SQL, so oracle-
+    checkable end to end.
+    """
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions sum to {total}, expected 1.0")
+    if hash_mode not in ("crc32", "knuth32"):
+        raise ValueError(f"unknown hash_mode {hash_mode!r}")
+    names = list(fractions)
+    bounds = np.cumsum([fractions[n] for n in names]) * 1_000_000
+    bounds[-1] = 1_000_000  # float-roundoff guard: last split owns the tail
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col]
+        if hash_mode == "knuth32":
+            v = ids.to_numpy(zero_copy_only=False).astype(np.uint64)
+            h = ((v + np.uint64(salt)) * np.uint64(2654435761)) \
+                % np.uint64(2**32)
+        else:
+            from ..util import crc32_column
+            s = pc.cast(ids, pa.string())
+            h = crc32_column(s, seed=salt).astype(np.uint64)
+        bucket = (h % np.uint64(1_000_000)).astype(np.int64)
+        idx = np.searchsorted(bounds, bucket, side="right")
+        split = pa.DictionaryArray.from_arrays(
+            pa.array(idx, type=pa.int32()), pa.array(names)) \
+            .cast(pa.string())
+        return batch.append_column("split", split)
+
+    return ds.map_batches(assign, batch_format="pyarrow")

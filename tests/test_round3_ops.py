@@ -302,7 +302,7 @@ class TestSourceQuota:
                                   "embedding_near_dups_exact",
                                   "dedup_clusters", "source_quota",
                                   "distinct_users", "asof_purchases",
-                                  "value_quantiles",
+                                  "value_quantiles", "dataset_split",
                                   "merge_postings", "delete_postings",
                                   "vacuum_postings"])
 def test_entry_matches_oracle_sql(ray_session, name):
