@@ -580,6 +580,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
                          hash_mode="knuth32")
         return _sorted_table(out, ["doc_id"])
 
+    def source_quota_salted(sf_dir: str):
+        # the mega-source two-phase path must produce EXACTLY the
+        # source_quota output — same oracle SQL
+        from mircv_ray.ops import source_quota_sample
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text", "source"])
+        return _sorted_table(
+            source_quota_sample(ds, budget_tokens=800, salt_ids=50),
+            ["doc_id"])
+
     def dedup_clusters(sf_dir: str):
         # exact near-dup pairs -> transitive closure: every doc labeled
         # with its cluster's min doc_id (keep label == id, drop the rest)
@@ -819,6 +829,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_exact": ngram_jaccard_exact,
         "embedding_near_dups_exact": embedding_near_dups_exact,
         "dataset_split": dataset_split,
+        "source_quota_salted": source_quota_salted,
         "dedup_clusters": dedup_clusters,
         "source_quota": source_quota,
         "contamination": contamination,
@@ -1044,6 +1055,20 @@ ORDER BY d.doc_id
 """
 
 
+_SOURCE_QUOTA_SQL = r"""
+WITH c AS (SELECT doc_id, source,
+                  len(regexp_extract_all(text,
+                      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::BIGINT AS n_tokens
+           FROM documents),
+w AS (SELECT doc_id, source, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM c)
+SELECT doc_id, source, n_tokens, cum_tokens::BIGINT AS cum_tokens
+FROM w WHERE cum_tokens <= 800 ORDER BY doc_id
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     ann_sql = """
 WITH q AS (SELECT vec_id AS qv, embedding AS qe FROM embeddings
@@ -1227,18 +1252,9 @@ SELECT doc_id,
             ELSE 'test' END AS split
 FROM b ORDER BY doc_id
 """,
-        "source_quota": r"""
-WITH c AS (SELECT doc_id, source,
-                  len(regexp_extract_all(text,
-                      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::BIGINT AS n_tokens
-           FROM documents),
-w AS (SELECT doc_id, source, n_tokens,
-             sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
-      FROM c)
-SELECT doc_id, source, n_tokens, cum_tokens::BIGINT AS cum_tokens
-FROM w WHERE cum_tokens <= 800 ORDER BY doc_id
-""",
+        "source_quota": _SOURCE_QUOTA_SQL,
+        # the mega-source salted path must reproduce it exactly
+        "source_quota_salted": _SOURCE_QUOTA_SQL,
         # minhash_pairs / simhash_pairs / ngram_jaccard /
         # contamination_fuzzy / embedding_near_dups / media_features /
         # ann_cosine_topk_pq: intentionally no SQL

@@ -296,6 +296,39 @@ class TestSourceQuota:
             .to_pandas()
         assert len(out) == 0
 
+    @pytest.mark.parametrize("salt_ids", [1, 2, 7, 100, 10_000])
+    def test_salted_equals_unsalted(self, ray_session, salt_ids):
+        """Mega-source path (per-id-range fragments + prefix-offset
+        exchange) is exactly the unsalted output, even when the quota
+        cut lands mid-fragment or before a fragment starts."""
+        from mircv_ray.ops import source_quota_sample
+        import numpy as np
+        rng = np.random.default_rng(5)
+        n = 400
+        tbl = pa.table({
+            "doc_id": pa.array(np.arange(n), type=pa.int64()),
+            "source": pa.array([f"s{int(i)}" for i in
+                                rng.integers(0, 3, n)]),
+            "text": pa.array([" ".join(["tok"] * int(k)) for k in
+                              rng.integers(1, 9, n)]),
+        })
+        kw = dict(budget_tokens=300)
+        a = source_quota_sample(rd.from_arrow(tbl), **kw) \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        b = source_quota_sample(rd.from_arrow(tbl).repartition(16),
+                                salt_ids=salt_ids, **kw) \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        import pandas as pd
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_salted_validation(self, ray_session):
+        from mircv_ray.ops import source_quota_sample
+        tbl = pa.table({"doc_id": pa.array([0], type=pa.int64()),
+                        "source": ["s"], "text": ["hello"]})
+        with pytest.raises(ValueError, match="salt_ids"):
+            source_quota_sample(rd.from_arrow(tbl), budget_tokens=5,
+                                salt_ids=0)
+
 
 @pytest.mark.parametrize("name", ["pii_redact", "repetition_stats",
                                   "ngram_jaccard_exact",
@@ -303,6 +336,7 @@ class TestSourceQuota:
                                   "dedup_clusters", "source_quota",
                                   "distinct_users", "asof_purchases",
                                   "value_quantiles", "dataset_split",
+                                  "source_quota_salted",
                                   "merge_postings", "delete_postings",
                                   "vacuum_postings"])
 def test_entry_matches_oracle_sql(ray_session, name):
