@@ -259,9 +259,14 @@ def top_users_by_type(events_ds, k: int = 5):
     """Per event_type: top-k users by total value (ties: user_id asc).
 
     Map-side partial (user, type) sums inside map_batches, a small
-    groupby over the partials, then per-type top-k via map_groups — the
-    grouped-top-k pattern (only aggregates shuffle, never events).
-    """
+    groupby over the partials, then per-type top-k — the grouped-top-k
+    pattern (only aggregates shuffle, never events). Between the global
+    sum and the final per-type merge, a map-side PRE-top-k cuts each
+    block to k rows per type, so the last exchange moves O(k x types x
+    blocks) rows even when one type has billions of users (the
+    pre-cut is lossless: a row dropped at a block's (total desc,
+    user asc) boundary is preceded by >= k rows of that type globally,
+    so it can never enter the global top-k)."""
     from ray.data.aggregate import Sum
 
     from .. import use_push_shuffle
@@ -279,12 +284,33 @@ def top_users_by_type(events_ds, k: int = 5):
             .groupby(["event_type", "user_id"])
             .aggregate(Sum("v", alias_name="total")))
 
-    def topk(group: pa.Table) -> pa.Table:
+    def pre_topk(batch: pa.Table) -> pa.Table:
+        # per-block, per-type cut to k rows (lossless, see docstring);
         # rank on integer cents: float totals summed in different orders
         # can differ by 1 ulp, which would make tie order engine-dependent
-        cents = pc.round(pc.multiply(group["total"], 100.0),
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "user_id": pa.array([], pa.int64()),
+                             "total_cents": pa.array([], pa.int64())})
+        cents = pc.round(pc.multiply(batch["total"], 100.0),
                          round_mode="half_towards_infinity").cast(pa.int64())
-        group = group.append_column("total_cents", cents)
+        t = pa.table({"event_type": batch["event_type"],
+                      "user_id": batch["user_id"],
+                      "total_cents": cents})
+        order = pc.sort_indices(t, sort_keys=[
+            ("event_type", "ascending"), ("total_cents", "descending"),
+            ("user_id", "ascending")])
+        t = t.take(order)
+        et = t["event_type"].combine_chunks()
+        neq = pc.not_equal(et.slice(1), et.slice(0, len(et) - 1)) \
+            .to_numpy(zero_copy_only=False) if len(et) > 1 else \
+            np.zeros(0, dtype=bool)
+        run_id = np.cumsum(np.append(0, neq.astype(np.int64)))
+        starts = np.flatnonzero(np.append(True, neq))
+        within = np.arange(len(et)) - starts[run_id]
+        return t.filter(pa.array(within < k))
+
+    def topk(group: pa.Table) -> pa.Table:
         order = pc.sort_indices(group, sort_keys=[
             ("total_cents", "descending"), ("user_id", "ascending")])
         g = group.take(order.slice(0, k))
@@ -295,5 +321,6 @@ def top_users_by_type(events_ds, k: int = 5):
             "total_cents": g["total_cents"],
         })
 
-    return sums.groupby("event_type").map_groups(topk,
-                                                 batch_format="pyarrow")
+    return (sums.map_batches(pre_topk, batch_format="pyarrow")
+                .groupby("event_type")
+                .map_groups(topk, batch_format="pyarrow"))

@@ -262,3 +262,46 @@ class TestContamination:
         # exact-dup docs of doc 5 (if any) also match probe 0; every
         # reported jaccard honors the threshold
         assert (out.jaccard >= 0.8).all()
+
+
+class TestTopUsersPreTopK:
+    """The map-side pre-top-k cut before the final per-type merge is
+    lossless, including at tied-total block boundaries."""
+
+    def _events(self):
+        import pyarrow as pa
+        # 3 types x 60 users; many tied totals (value = user % 7)
+        rows = {"event_type": [], "user_id": [], "value": []}
+        for t in ("a", "b", "c"):
+            for u in range(60):
+                rows["event_type"].append(t)
+                rows["user_id"].append(u)
+                rows["value"].append(float(u % 7))
+        return pa.table({
+            "event_type": pa.array(rows["event_type"]),
+            "user_id": pa.array(rows["user_id"], type=pa.int64()),
+            "value": pa.array(rows["value"]),
+        })
+
+    def _expected(self, tbl, k=5):
+        df = tbl.to_pandas()
+        df["total_cents"] = (df.value * 100).round().astype("int64")
+        out = []
+        for t, g in df.groupby("event_type"):
+            g = g.sort_values(["total_cents", "user_id"],
+                              ascending=[False, True]).head(k)
+            for r, (_, row) in enumerate(g.iterrows(), start=1):
+                out.append((t, int(row.user_id), r,
+                            int(row.total_cents)))
+        return out
+
+    @pytest.mark.parametrize("parts", [1, 16])
+    def test_ties_and_partitions(self, ray_session, parts):
+        from mircv_ray.ops import top_users_by_type
+        tbl = self._events()
+        got = (top_users_by_type(rd.from_arrow(tbl).repartition(parts),
+                                 k=5)
+               .to_pandas().sort_values(["event_type", "rank"])
+               .reset_index(drop=True))
+        assert [tuple(r) for r in got.itertuples(index=False)] == \
+            self._expected(tbl)
