@@ -143,19 +143,42 @@ def hll_distinct_per_group(ds, group_col: str, value_col: str,
                              type=pa.binary()),
         })
 
-    def merge(group: pa.Table) -> pa.Table:
+    def _max_blobs(group: pa.Table) -> np.ndarray:
         blobs = np.frombuffer(
             b"".join(group["regs"].to_pylist()), dtype=np.uint8
         ).reshape(group.num_rows, m)
-        merged = blobs.max(axis=0)
+        return blobs.max(axis=0)
+
+    def pre_merge(group: pa.Table) -> pa.Table:
         return pa.table({
             group_col: group[group_col].slice(0, 1),
-            alias: pa.array([_estimate(merged)], type=pa.int64()),
+            "regs": pa.array([_max_blobs(group).tobytes()],
+                             type=pa.binary()),
         })
+
+    def merge(group: pa.Table) -> pa.Table:
+        return pa.table({
+            group_col: group[group_col].slice(0, 1),
+            alias: pa.array([_estimate(_max_blobs(group))],
+                            type=pa.int64()),
+        })
+
+    def add_sub(batch: pa.Table) -> pa.Table:
+        # deterministic fan-in key from the blob bytes: the two-level
+        # merge bounds any single task to ~n_batches/64 blobs per group
+        # (register max is associative + commutative, so the tree shape
+        # cannot change the result)
+        from ..util import crc32_column
+        sub = crc32_column(batch["regs"]) % np.uint32(64)
+        return batch.append_column(
+            "__sub", pa.array(sub.astype(np.int64)))
 
     from .. import use_push_shuffle
     use_push_shuffle(ds)
     return (ds.select_columns([group_col, value_col])
               .map_batches(partial, batch_format="pyarrow")
+              .map_batches(add_sub, batch_format="pyarrow")
+              .groupby([group_col, "__sub"])
+              .map_groups(pre_merge, batch_format="pyarrow")
               .groupby(group_col)
               .map_groups(merge, batch_format="pyarrow"))
