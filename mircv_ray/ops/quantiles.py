@@ -144,6 +144,28 @@ def grouped_quantiles_tdigest(ds, group_col: str, value_col: str,
             "weight": pa.array(np.concatenate(out_w), type=pa.float64()),
         })
 
+    def pre_merge(group: pa.Table) -> pa.Table:
+        # 64-way fan-in: bounds the final per-group task to ~delta*64
+        # centroids no matter how many batches fed the group (t-digest
+        # merging is re-compression, the same operation either way)
+        means = group["mean"].to_numpy(zero_copy_only=False)
+        weights = group["weight"].to_numpy(zero_copy_only=False)
+        cm, cw = _compress(means, weights, delta)
+        n = len(cm)
+        return pa.table({
+            group_col: group[group_col].take(
+                pa.array(np.zeros(n, dtype=np.int64))),
+            "mean": pa.array(cm, type=pa.float64()),
+            "weight": pa.array(cw, type=pa.float64()),
+        })
+
+    def add_sub(batch: pa.Table) -> pa.Table:
+        # deterministic value-derived fan-in key (bit pattern of mean)
+        bits = batch["mean"].to_numpy(zero_copy_only=False) \
+            .view(np.uint64)
+        return batch.append_column(
+            "__sub", pa.array((bits % np.uint64(64)).astype(np.int64)))
+
     def merge(group: pa.Table) -> pa.Table:
         means = group["mean"].to_numpy(zero_copy_only=False)
         weights = group["weight"].to_numpy(zero_copy_only=False)
@@ -158,5 +180,8 @@ def grouped_quantiles_tdigest(ds, group_col: str, value_col: str,
     use_push_shuffle(ds)
     return (ds.select_columns([group_col, value_col])
               .map_batches(partial, batch_format="pyarrow")
+              .map_batches(add_sub, batch_format="pyarrow")
+              .groupby([group_col, "__sub"])
+              .map_groups(pre_merge, batch_format="pyarrow")
               .groupby(group_col)
               .map_groups(merge, batch_format="pyarrow"))
