@@ -569,6 +569,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _sorted_table(source_quota_sample(ds, budget_tokens=800),
                              ["doc_id"])
 
+    def lm_logprob(sf_dir: str):
+        # unigram-LM perplexity-style scoring, LM trained on the corpus
+        # itself — both passes exactly SQL-mirrorable
+        from mircv_ray.ops import unigram_logprob
+        return _sorted_table(unigram_logprob(_docs_ds(sf_dir)),
+                             ["doc_id"])
+
     def dataset_split(sf_dir: str):
         # deterministic map-only train/val/test split (knuth32 mode is
         # exactly SQL-mirrorable; crc32 mode is the general-id default)
@@ -829,6 +836,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_exact": ngram_jaccard_exact,
         "embedding_near_dups_exact": embedding_near_dups_exact,
         "dataset_split": dataset_split,
+        "lm_logprob": lm_logprob,
         "source_quota_salted": source_quota_salted,
         "dedup_clusters": dedup_clusters,
         "source_quota": source_quota,
@@ -1251,6 +1259,27 @@ SELECT doc_id,
             WHEN bkt < 900000 THEN 'val'
             ELSE 'test' END AS split
 FROM b ORDER BY doc_id
+""",
+        # unigram LM over the corpus's own alnum tokens; per-doc float
+        # sums round to 4 decimals on BOTH sides (engines associate
+        # differently; 1e-10 abs error vs a 1e-4 grid is hash-stable)
+        "lm_logprob": f"""
+WITH tk AS (
+  SELECT d.doc_id, t.term FROM (
+    SELECT doc_id, {_ALNUM_TOKS} AS toks FROM documents) d,
+  UNNEST(d.toks) AS t(term)),
+f AS (SELECT term, count(*)::BIGINT AS c FROM tk GROUP BY term),
+tot AS (SELECT sum(c)::DOUBLE AS n FROM f),
+s AS (SELECT tk.doc_id, count(*)::BIGINT AS n_tokens,
+             sum(log10(f.c)) AS slc
+      FROM tk JOIN f USING (term) GROUP BY tk.doc_id)
+SELECT d.doc_id,
+       coalesce(s.n_tokens, 0) AS n_tokens,
+       round(coalesce(s.slc, 0), 4) AS sum_log10_count,
+       round(CASE WHEN s.n_tokens > 0
+                  THEN log10((SELECT n FROM tot)) - s.slc / s.n_tokens
+                  ELSE 0 END, 4) AS avg_neg_logprob
+FROM documents d LEFT JOIN s USING (doc_id) ORDER BY d.doc_id
 """,
         "source_quota": _SOURCE_QUOTA_SQL,
         # the mega-source salted path must reproduce it exactly

@@ -7,7 +7,7 @@ fingerprints, verbatim-probe decontamination), and multimodal decode
 from .textops import (
     ContaminationCheck, basic_token_stats, contamination_check,
     fingerprint, lang_id, pii_redact, quality_stats, repetition_stats,
-    token_count,
+    token_count, unigram_logprob,
 )
 from .dedup import connected_components, contamination_fuzzy, exact_dedup_keep, jaccard_simjoin_exact, minhash_signatures, minhash_candidate_pairs, simhash64, near_dup_pairs, ngram_jaccard_pairs, shingle_sets
 from .similarity import cosine_all_pairs, cosine_topk, ivf_build_centroids, ivf_cosine_topk, embedding_near_dup_pairs, pq_cosine_topk, pq_cosine_topk_rerank, pq_encode, pq_train
@@ -28,7 +28,7 @@ __all__ = [
     "ngram_jaccard_pairs", "shingle_sets", "embedding_near_dup_pairs",
     "jaccard_simjoin_exact", "cosine_all_pairs", "pii_redact",
     "repetition_stats", "connected_components", "source_quota_sample",
-    "hash_split",
+    "hash_split", "unigram_logprob",
     "exact_distinct_per_group", "hll_distinct_per_group",
     "asof_join_backward", "asof_join_backward_salted",
     "grouped_quantiles", "grouped_quantiles_tdigest",

@@ -287,3 +287,109 @@ def contamination_check(ds, probes, text_col: str = "text",
     """(doc_id, n_probes_hit, contaminated) for every document."""
     return ds.map_batches(ContaminationCheck(probes, text_col, id_col),
                           batch_format="pyarrow")
+
+
+# --------------------------------------------------- unigram LM scoring
+
+_lm_cache: dict = {}
+
+
+def _alnum_flat_terms(batch: pa.Table, text_col: str):
+    """Lowercased alnum token STRINGS per doc -> (flat StringArray,
+    parent doc indices, per-doc counts). The same token definition as
+    ops.dedup._token_ids_flat / the _ALNUM_TOKS SQL twin, kept as
+    strings here because the LM's counts must be SQL-joinable."""
+    t = batch[text_col]
+    if isinstance(t, pa.ChunkedArray):
+        t = t.combine_chunks()
+    lists = pc.split_pattern_regex(pc.utf8_lower(pc.fill_null(t, "")),
+                                   pattern=r"[^a-z0-9]+")
+    flat = pc.list_flatten(lists)
+    keep = pc.greater(pc.binary_length(flat), 0)
+    parent = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+    parent = parent[keep.to_numpy(zero_copy_only=False)]
+    flat = flat.filter(keep)
+    counts = np.bincount(parent, minlength=len(t)).astype(np.int64)
+    return flat, parent, counts
+
+
+def unigram_logprob(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Perplexity-style quality scoring under a unigram LM trained on
+    the corpus itself (the shape of CCNet / Gopher perplexity filters,
+    with the n=1 model exactly SQL-mirrorable). Two passes:
+
+    1. global term counts — per-batch map-side combine, one vocab-sized
+       groupby, then broadcast as sorted arrays (``ray.put`` once, read
+       once per worker; at a 10^12-doc vocab this becomes the same
+       partitioned join the id mapping uses).
+    2. map-only scoring — every batch's token stream resolves counts by
+       one ``searchsorted`` against the broadcast vocab (every token is
+       in it: the LM was trained on this corpus), then per-doc sums via
+       one weighted bincount.
+
+    Returns (doc_id, n_tokens, sum_log10_count, avg_neg_logprob) where
+    avg_neg_logprob = log10(total_tokens) - sum_log10_count/n_tokens,
+    i.e. the mean token surprisal in decibans (HIGH = rare vocabulary,
+    LOW = boilerplate). Floats round to 4 decimals: the per-doc float
+    sums associate differently across engines, and 1e-10 absolute error
+    against a 1e-4 grid keeps the SQL oracle hash-stable.
+    """
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def term_counts(batch: pa.Table) -> pa.Table:
+        flat, _, _ = _alnum_flat_terms(batch, text_col)
+        a = pa.table({"term": flat}).group_by("term").aggregate(
+            [([], "count_all")])
+        return pa.table({"term": a["term"],
+                         "c": a["count_all"].cast(pa.int64())})
+
+    counts_ds = (ds.map_batches(term_counts, batch_format="pyarrow")
+                   .groupby("term").aggregate(Sum("c", alias_name="c")))
+    tbls = [t for t in ray.get(counts_ds.to_arrow_refs()) if t.num_rows]
+    if tbls:
+        vocab_tbl = pa.concat_tables(tbls).combine_chunks()
+        terms = np.asarray(vocab_tbl["term"].to_pylist(), dtype="S")
+        order = np.argsort(terms, kind="stable")
+        terms = terms[order]
+        counts = vocab_tbl["c"].to_numpy()[order].astype(np.float64)
+    else:
+        terms = np.zeros(0, dtype="S1")
+        counts = np.zeros(0, dtype=np.float64)
+    total = float(counts.sum())
+    lm_ref = ray.put((terms, np.log10(np.maximum(counts, 1.0)),
+                      np.log10(max(total, 1.0))))
+
+    def score(batch: pa.Table) -> pa.Table:
+        key = lm_ref.hex() if hasattr(lm_ref, "hex") else id(lm_ref)
+        if key not in _lm_cache:
+            _lm_cache[key] = ray.get(lm_ref)
+            while len(_lm_cache) > 4:
+                _lm_cache.pop(next(iter(_lm_cache)))
+        vocab, logc, log_total = _lm_cache[key]
+        flat, parent, n_tok = _alnum_flat_terms(batch, text_col)
+        n_docs = batch.num_rows
+        denc = pc.dictionary_encode(flat)
+        if isinstance(denc, pa.ChunkedArray):
+            denc = denc.combine_chunks()
+        if len(denc):
+            dterms = np.asarray(denc.dictionary.to_pylist(), dtype="S")
+            width = max(int(vocab.dtype.itemsize),
+                        int(dterms.dtype.itemsize))
+            pos = np.searchsorted(vocab.astype(f"S{width}"),
+                                  dterms.astype(f"S{width}"))
+            vals = logc[pos][denc.indices.to_numpy(zero_copy_only=False)]
+            sums = np.bincount(parent, weights=vals, minlength=n_docs)
+        else:
+            sums = np.zeros(n_docs)
+        avg = np.where(n_tok > 0, log_total - sums / np.maximum(n_tok, 1),
+                       0.0)
+        return pa.table({
+            id_col: batch[id_col],
+            "n_tokens": pa.array(n_tok, type=pa.int64()),
+            "sum_log10_count": pa.array(np.round(sums, 4)),
+            "avg_neg_logprob": pa.array(np.round(avg, 4)),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -305,3 +305,40 @@ class TestTopUsersPreTopK:
                .reset_index(drop=True))
         assert [tuple(r) for r in got.itertuples(index=False)] == \
             self._expected(tbl)
+
+
+class TestUnigramLogprob:
+    def test_matches_brute_force(self, ray_session):
+        import math
+        import re
+        from collections import Counter
+        from mircv_ray.ops import unigram_logprob
+        tbl = _docs_table(60)
+        got = (unigram_logprob(rd.from_arrow(tbl).repartition(8))
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        toks = {r["doc_id"]:
+                [t for t in re.split(r"[^a-z0-9]+", r["text"].lower())
+                 if t] for r in tbl.to_pylist()}
+        freq = Counter(t for ts in toks.values() for t in ts)
+        total = sum(freq.values())
+        for _, row in got.iterrows():
+            ts = toks[row.doc_id]
+            assert row.n_tokens == len(ts)
+            slc = sum(math.log10(freq[t]) for t in ts)
+            assert abs(row.sum_log10_count - round(slc, 4)) <= 1e-9
+            if ts:
+                exp = math.log10(total) - slc / len(ts)
+                assert abs(row.avg_neg_logprob - round(exp, 4)) <= 1e-9
+            else:
+                assert row.avg_neg_logprob == 0.0
+
+    def test_rare_tokens_score_higher(self, ray_session):
+        from mircv_ray.ops import unigram_logprob
+        tbl = pa.table({
+            "doc_id": pa.array([0, 1], type=pa.int64()),
+            "text": ["common common common common",
+                     "common zyxwvu"],   # one hapax
+        })
+        out = (unigram_logprob(rd.from_arrow(tbl))
+               .to_pandas().sort_values("doc_id"))
+        assert out.iloc[1].avg_neg_logprob > out.iloc[0].avg_neg_logprob

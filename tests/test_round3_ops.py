@@ -336,7 +336,7 @@ class TestSourceQuota:
                                   "dedup_clusters", "source_quota",
                                   "distinct_users", "asof_purchases",
                                   "value_quantiles", "dataset_split",
-                                  "source_quota_salted",
+                                  "source_quota_salted", "lm_logprob",
                                   "merge_postings", "delete_postings",
                                   "vacuum_postings"])
 def test_entry_matches_oracle_sql(ray_session, name):
