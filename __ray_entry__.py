@@ -713,6 +713,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              columns=["event_id", "props"])
         return ev.map_batches(props_extract, batch_format="pyarrow")
 
+    def event_sessions(sf_dir: str):
+        # range-containment join: every event labeled with the session
+        # that contains it (sessionize output = disjoint intervals)
+        from mircv_ray.ops import interval_join, sessionize
+        ev = rd.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["user_id", "ts", "event_id", "value"])
+        sess = sessionize(ev).select_columns(
+            ["user_id", "session_id", "start_us", "end_us"])
+
+        def to_left(batch: pa.Table) -> pa.Table:
+            return pa.table({"user_id": batch["user_id"],
+                             "event_id": batch["event_id"],
+                             "t": batch["ts"].cast(pa.int64())})
+
+        out = interval_join(
+            ev.map_batches(to_left, batch_format="pyarrow"), sess,
+            by="user_id", on="t", start_col="start_us", end_col="end_us",
+            attach={"session_id": "session_id"})
+        return _sorted_table(out, ["user_id", "event_id"])
+
     def asof_purchases(sf_dir: str):
         # backward as-of join: every event gets its user's most recent
         # purchase at-or-before its timestamp (tie on ts -> max event_id)
@@ -853,6 +874,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_maxscore": bm25_topk_maxscore,
         "props_json": props_json,
         "asof_purchases": asof_purchases,
+        "event_sessions": event_sessions,
         "value_quantiles": value_quantiles,
         "value_quantiles_tdigest": value_quantiles_tdigest,
         "distinct_users": distinct_users,
@@ -1183,6 +1205,24 @@ SELECT event_type,
        round(quantile_cont(value, 0.75), 6) AS p75,
        round(quantile_cont(value, 0.95), 6) AS p95
 FROM events GROUP BY event_type ORDER BY event_type
+""",
+        # per-event session assignment (the interval-join twin of the
+        # sessions aggregate; same gap/window logic, event granularity)
+        "event_sessions": """
+WITH o AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev_t
+  FROM events),
+m AS (SELECT user_id, event_id, t,
+             CASE WHEN prev_t IS NULL OR t - prev_t > 1800000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM o)
+SELECT user_id, event_id, t,
+       CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY t, event_id
+                                ROWS UNBOUNDED PRECEDING) - 1
+            AS BIGINT) AS session_id
+FROM m ORDER BY user_id, event_id
 """,
         # backward as-of join (eligible = pt <= t; winner = max (pt, pid))
         "asof_purchases": """

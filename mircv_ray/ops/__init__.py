@@ -14,7 +14,8 @@ from .similarity import cosine_all_pairs, cosine_topk, ivf_build_centroids, ivf_
 from .multimodal import DecodeImage, SampleFrames, make_media_table
 from .sampling import hash_split, source_quota_sample
 from .sketches import exact_distinct_per_group, hll_distinct_per_group
-from .joins import asof_join_backward, asof_join_backward_salted
+from .joins import (asof_join_backward, asof_join_backward_salted,
+                    interval_join)
 from .quantiles import grouped_quantiles, grouped_quantiles_tdigest
 from .windows import hopping_window_agg, props_extract, sessionize, top_users_by_type, tumbling_window_agg
 
@@ -30,7 +31,7 @@ __all__ = [
     "repetition_stats", "connected_components", "source_quota_sample",
     "hash_split", "unigram_logprob",
     "exact_distinct_per_group", "hll_distinct_per_group",
-    "asof_join_backward", "asof_join_backward_salted",
+    "asof_join_backward", "asof_join_backward_salted", "interval_join",
     "grouped_quantiles", "grouped_quantiles_tdigest",
     "pq_train", "pq_encode", "pq_cosine_topk", "pq_cosine_topk_rerank",
     "tumbling_window_agg", "hopping_window_agg", "sessionize", "props_extract", "top_users_by_type",

@@ -36,11 +36,15 @@ import pyarrow.compute as pc
 
 def _asof_core(left_ds, right_ds, by_cols: list[str], on: str,
                right_order: str, attach: dict[str, str],
-               tolerance: int | None, matched_col: str | None = None):
+               tolerance: int | None, matched_col: str | None = None,
+               right_end: str | None = None):
     """Shared tagged-union + grouped-searchsorted resolve (see module
     docstring). ``by_cols`` may include a derived bucket column (salted
     path). When ``matched_col`` is given, a boolean column marks rows
-    that found an in-group match (the salted path splits on it)."""
+    that found an in-group match (the salted path splits on it). With
+    ``right_end``, a candidate only matches while left.on <= its end —
+    the INTERVAL-containment join (right rows are [on, right_end]
+    ranges)."""
     out_cols = list(attach.values())
     if len(set(out_cols)) != len(out_cols):
         raise ValueError("attach output names collide")
@@ -55,6 +59,8 @@ def _asof_core(left_ds, right_ds, by_cols: list[str], on: str,
     right_types = dict(zip(right_schema.names, right_schema.types))
     right_keep = [on, right_order] + [c for c in attach
                                       if c not in (on, right_order)]
+    if right_end is not None and right_end not in right_keep:
+        right_keep.append(right_end)
 
     # one union schema both sides cast to: left payload + right payload
     # + side tag (rows carry nulls for the other side's columns)
@@ -106,6 +112,10 @@ def _asof_core(left_ds, right_ds, by_cols: list[str], on: str,
         matched = idx >= 0
         if tolerance is not None:
             matched &= (l_on - r_on[np.clip(idx, 0, None)]) <= tolerance
+        if right_end is not None:
+            ends = right[f"__r_{right_end}"].to_numpy(
+                zero_copy_only=False)[order]
+            matched &= l_on <= ends[np.clip(idx, 0, None)]
         safe = np.where(matched, idx, 0)
         take = pa.array(order[safe], type=pa.int64())
         valid = pa.array(matched)
@@ -301,3 +311,42 @@ def asof_join_backward_salted(left_ds, right_ds, by: str, on: str,
         return batch.select(out_names)
     return resolved.map_batches(project, batch_format="pyarrow").union(
         joined.map_batches(project, batch_format="pyarrow"))
+
+
+def interval_join(left_ds, intervals_ds, by: str, on: str,
+                  start_col: str, end_col: str, attach: dict[str, str],
+                  interval_order: str | None = None):
+    """Range-containment join: attach, to every left row, the columns of
+    the interval [start_col, end_col] (inclusive both ends) of the same
+    ``by`` key that CONTAINS its ``on`` value. Unmatched rows get nulls.
+
+    Exact for DISJOINT interval tables (sessions, tumbling windows) —
+    the common case this targets. When intervals of a key overlap, only
+    the latest-starting interval with start <= on is tested (ties by
+    ``interval_order`` ascending, last wins); an earlier interval that
+    also contains ``on`` is not considered. Same distribution shape as
+    the as-of join: one tagged-union shuffle, per-key vectorized
+    searchsorted + end check.
+    """
+    names = list(intervals_ds.schema().names)
+    if interval_order is None:
+        interval_order = end_col
+
+    def rename(batch: pa.Table) -> pa.Table:
+        # the core resolves left.on against the RIGHT column of the same
+        # name: present the interval start under the left's `on` name
+        return batch.rename_columns(
+            [{start_col: on}.get(n, n) for n in batch.schema.names])
+
+    if start_col != on:
+        if on in names:
+            raise ValueError(
+                f"intervals already have a column named {on!r}; rename "
+                "one side to disambiguate the join key")
+        intervals_ds = intervals_ds.map_batches(rename,
+                                                batch_format="pyarrow")
+    attach = {({start_col: on}.get(c, c)): out for c, out in attach.items()}
+    interval_order = {start_col: on}.get(interval_order, interval_order)
+    return _asof_core(left_ds, intervals_ds, [by], on, interval_order,
+                      attach, tolerance=None,
+                      right_end={start_col: on}.get(end_col, end_col))

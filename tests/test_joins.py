@@ -173,3 +173,79 @@ class TestAsofJoin:
             asof_join_backward(rd.from_arrow(left), rd.from_arrow(right),
                                by="k", on="t", right_order="rid",
                                attach={"val": "lid"})
+
+
+class TestIntervalJoin:
+    def _brute_interval(self, left, ivals):
+        out = []
+        for lr in left.to_pylist():
+            cands = [r for r in ivals.to_pylist()
+                     if r["k"] == lr["k"] and r["start"] <= lr["t"]]
+            best = max(cands, key=lambda r: (r["start"], r["end"]),
+                       default=None)
+            hit = best if best and lr["t"] <= best["end"] else None
+            out.append({**lr,
+                        "iv_id": hit["iv_id"] if hit else None,
+                        "iv_end": hit["end"] if hit else None})
+        out.sort(key=lambda r: r["lid"])
+        return out
+
+    def test_disjoint_intervals_exact(self, ray_session):
+        import ray.data as rd
+        from mircv_ray.ops import interval_join
+        rng = np.random.default_rng(3)
+        # disjoint intervals per key: sorted cut points
+        rows = {"k": [], "start": [], "end": [], "iv_id": []}
+        iv = 0
+        for k in range(5):
+            cuts = np.sort(rng.choice(10_000, size=12, replace=False))
+            for s, e in zip(cuts[::2], cuts[1::2]):
+                rows["k"].append(k)
+                rows["start"].append(int(s))
+                rows["end"].append(int(e))
+                rows["iv_id"].append(iv)
+                iv += 1
+        ivals = pa.table({c: pa.array(v, type=pa.int64())
+                          for c, v in rows.items()})
+        left = pa.table({
+            "k": pa.array(rng.integers(0, 5, 3000), type=pa.int64()),
+            "t": pa.array(rng.integers(0, 10_000, 3000), type=pa.int64()),
+            "lid": pa.array(np.arange(3000), type=pa.int64()),
+        })
+        got = _collect(interval_join(
+            rd.from_arrow(left).repartition(8),
+            rd.from_arrow(ivals).repartition(4),
+            by="k", on="t", start_col="start", end_col="end",
+            attach={"iv_id": "iv_id", "end": "iv_end"}), ["lid"])
+        assert got.to_pylist() == self._brute_interval(left, ivals)
+
+    def test_sessions_containment(self, ray_session):
+        """Events interval-joined onto their OWN sessionize output must
+        land in exactly the session that produced them."""
+        import ray.data as rd
+        from mircv_ray.ops import interval_join, sessionize
+        rng = np.random.default_rng(11)
+        n = 4000
+        ts = np.sort(rng.integers(0, 10**10, n))
+        ev = pa.table({
+            "user_id": pa.array(rng.integers(0, 20, n), type=pa.int64()),
+            "ts": pa.array(ts, type=pa.timestamp("us")),
+            "event_id": pa.array(np.arange(n), type=pa.int64()),
+            "value": pa.array(rng.uniform(0, 10, n)),
+        })
+        sess = sessionize(rd.from_arrow(ev))
+        joined = _collect(interval_join(
+            rd.from_arrow(pa.table({
+                "user_id": ev["user_id"],
+                "t": ev["ts"].cast(pa.int64()),
+                "event_id": ev["event_id"]})),
+            sess, by="user_id", on="t",
+            start_col="start_us", end_col="end_us",
+            attach={"session_id": "session_id"}), ["event_id"])
+        # every event matches some session, and session ids per user are
+        # non-decreasing in time (gap sessions are time-ordered)
+        assert joined["session_id"].null_count == 0
+        df = joined.to_pandas().sort_values(["user_id", "t"])
+        for _, g in df.groupby("user_id"):
+            sid = g.session_id.to_numpy()
+            assert (np.diff(sid) >= 0).all()

@@ -337,6 +337,7 @@ class TestSourceQuota:
                                   "distinct_users", "asof_purchases",
                                   "value_quantiles", "dataset_split",
                                   "source_quota_salted", "lm_logprob",
+                                  "event_sessions",
                                   "merge_postings", "delete_postings",
                                   "vacuum_postings"])
 def test_entry_matches_oracle_sql(ray_session, name):
