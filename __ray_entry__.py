@@ -658,6 +658,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _sorted_table(tumbling_window_agg(ev),
                              ["window_start_us", "event_type"])
 
+    def window_agg_streaming(sf_dir: str):
+        # the STREAMING stateful operator (event-time watermarks) over a
+        # time-ordered feed must reproduce the batch tumbling aggregate
+        # — same oracle SQL as window_agg
+        from mircv_ray.ops import stream_tumbling_window_agg
+        ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["ts", "event_type", "value"])
+        t = stream_tumbling_window_agg(ev)
+        return t.take(pc.sort_indices(t, sort_keys=[
+            ("window_start_us", "ascending"),
+            ("event_type", "ascending")]))
+
     def sessions(sf_dir: str):
         from mircv_ray.ops import sessionize
         ev = rd.read_parquet(
@@ -868,6 +880,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard": ngram_jaccard,
         "embedding_near_dups": embedding_near_dups,
         "window_agg": window_agg,
+        "window_agg_streaming": window_agg_streaming,
         "window_hopping": window_hopping,
         "sessions": sessions,
         "sessions_salted": sessions_salted,
@@ -1254,6 +1267,16 @@ SELECT event_type, user_id, rank, total_cents FROM r WHERE rank <= 5
 ORDER BY event_type, rank
 """,
         "window_agg": """
+SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
+       event_type,
+       count(*)::BIGINT AS n_events,
+       CAST(round(sum(value) * 100) AS BIGINT) AS sum_value_cents
+FROM events GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+        # the streaming watermark operator must reproduce the batch
+        # tumbling aggregate over a time-ordered feed — same SQL
+        "window_agg_streaming": """
 SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
        event_type,
        count(*)::BIGINT AS n_events,

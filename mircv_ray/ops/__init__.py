@@ -17,6 +17,7 @@ from .sketches import exact_distinct_per_group, hll_distinct_per_group
 from .joins import (asof_join_backward, asof_join_backward_salted,
                     interval_join)
 from .quantiles import grouped_quantiles, grouped_quantiles_tdigest
+from .streaming import StreamingTumblingWindow, stream_tumbling_window_agg
 from .windows import hopping_window_agg, props_extract, sessionize, top_users_by_type, tumbling_window_agg
 
 __all__ = [
@@ -35,4 +36,5 @@ __all__ = [
     "grouped_quantiles", "grouped_quantiles_tdigest",
     "pq_train", "pq_encode", "pq_cosine_topk", "pq_cosine_topk_rerank",
     "tumbling_window_agg", "hopping_window_agg", "sessionize", "props_extract", "top_users_by_type",
+    "StreamingTumblingWindow", "stream_tumbling_window_agg",
 ]

@@ -338,6 +338,7 @@ class TestSourceQuota:
                                   "value_quantiles", "dataset_split",
                                   "source_quota_salted", "lm_logprob",
                                   "event_sessions",
+                                  "window_agg_streaming",
                                   "merge_postings", "delete_postings",
                                   "vacuum_postings"])
 def test_entry_matches_oracle_sql(ray_session, name):

@@ -1,0 +1,95 @@
+"""StreamingTumblingWindow: event-time watermarks vs the batch answer."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from mircv_ray.ops import StreamingTumblingWindow
+
+WIDTH = 1000
+
+
+def _events(n=5000, seed=3, n_types=3, horizon=50_000):
+    rng = np.random.default_rng(seed)
+    ts = np.sort(rng.integers(0, horizon, n))
+    return pa.table({
+        "ts": pa.array(ts, type=pa.int64()),
+        "event_type": pa.array([f"t{int(i)}" for i in
+                                rng.integers(0, n_types, n)]),
+        "value": pa.array(np.round(rng.uniform(0, 10, n), 2)),
+    })
+
+
+def _batch_answer(tbl: pa.Table) -> dict:
+    df = tbl.to_pandas()
+    df["w"] = (df.ts // WIDTH) * WIDTH
+    g = df.groupby(["w", "event_type"]).agg(
+        n=("value", "size"), s=("value", "sum")).reset_index()
+    return {(int(r.w), r.event_type):
+            (int(r.n), int(np.trunc(r.s * 100 + np.copysign(0.5, r.s))))
+            for r in g.itertuples()}
+
+
+def _drive(tbl: pa.Table, lateness: int, batch_size: int = 257) -> tuple:
+    agg = StreamingTumblingWindow(WIDTH, allowed_lateness_us=lateness)
+    parts = []
+    for i in range(0, tbl.num_rows, batch_size):
+        parts.append(agg.ingest(tbl.slice(i, batch_size)))
+    parts.append(agg.flush())
+    out = pa.concat_tables([p for p in parts if p.num_rows])
+    got = {(r["window_start_us"], r["event_type"]):
+           (r["n_events"], r["sum_value_cents"])
+           for r in out.to_pylist()}
+    assert len(got) == sum(p.num_rows for p in parts)   # emitted ONCE
+    return got, agg
+
+
+class TestStreamingWindow:
+    def test_ordered_stream_equals_batch(self, ray_session):
+        tbl = _events()
+        got, agg = _drive(tbl, lateness=0)
+        assert got == _batch_answer(tbl)
+        assert agg.late_rows == 0
+
+    def test_disordered_within_lateness_equals_batch(self, ray_session):
+        """Shuffle each 2000-us region locally (disorder < lateness):
+        the watermark holds windows open long enough for every row."""
+        tbl = _events(seed=9)
+        ts = tbl["ts"].to_numpy()
+        rng = np.random.default_rng(1)
+        jitter = np.argsort(ts + rng.integers(0, 2000, len(ts)))
+        shuffled = tbl.take(pa.array(jitter))
+        got, agg = _drive(shuffled, lateness=2000)
+        assert got == _batch_answer(tbl)
+        assert agg.late_rows == 0
+
+    def test_late_rows_dropped_and_counted(self, ray_session):
+        agg = StreamingTumblingWindow(WIDTH, allowed_lateness_us=0)
+        t1 = pa.table({"ts": pa.array([100, 5000], pa.int64()),
+                       "event_type": ["a", "a"],
+                       "value": [1.0, 1.0]})
+        closed = agg.ingest(t1)     # watermark 5000 closes window 0
+        assert closed.num_rows == 1
+        stale = pa.table({"ts": pa.array([150], pa.int64()),
+                          "event_type": ["a"], "value": [9.0]})
+        assert agg.ingest(stale).num_rows == 0
+        assert agg.late_rows == 1
+        tail = agg.flush()          # window 5000 only; stale row gone
+        assert tail["sum_value_cents"].to_pylist() == [100]
+
+    def test_state_stays_bounded(self, ray_session):
+        """Open-window count is O(lateness/width), not stream length."""
+        agg = StreamingTumblingWindow(WIDTH, allowed_lateness_us=3000)
+        peak = 0
+        for start in range(0, 200_000, 500):
+            b = pa.table({"ts": pa.array([start], pa.int64()),
+                          "event_type": ["x"], "value": [1.0]})
+            agg.ingest(b)
+            peak = max(peak, agg.n_open_windows)
+        assert peak <= 3000 // WIDTH + 2
+
+    def test_validation(self, ray_session):
+        with pytest.raises(ValueError, match="width"):
+            StreamingTumblingWindow(0)
+        with pytest.raises(ValueError, match="lateness"):
+            StreamingTumblingWindow(10, allowed_lateness_us=-1)
