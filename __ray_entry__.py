@@ -610,10 +610,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _sorted_table(out, ["doc_id"])
 
     def minhash_pairs(sf_dir: str):
-        from mircv_ray.ops import minhash_candidate_pairs
-        return _sorted_table(
+        # LSH candidates are probabilistic -> rows-only driver check,
+        # but SELF-VALIDATING in-entry: candidate recall vs the exact
+        # prefix-filtered sim-join twin must be >= 0.9 (the pytest
+        # bound); a miss raises and fails the entry
+        from mircv_ray.ops import (jaccard_simjoin_exact,
+                                   minhash_candidate_pairs)
+        cands = _sorted_table(
             minhash_candidate_pairs(_docs_ds(sf_dir), threshold=0.5),
             ["a", "b"])
+        exact = _sorted_table(
+            jaccard_simjoin_exact(_docs_ds(sf_dir), threshold=0.5),
+            ["a", "b"])
+        want = set(zip(exact["a"].to_pylist(), exact["b"].to_pylist()))
+        got = set(zip(cands["a"].to_pylist(), cands["b"].to_pylist()))
+        recall = len(want & got) / len(want) if want else 1.0
+        if recall < 0.9:
+            raise AssertionError(
+                f"minhash candidate recall {recall:.3f} < 0.9 vs exact "
+                f"({len(want)} true pairs, {len(want & got)} found)")
+        return cands
 
     def simhash_pairs(sf_dir: str):
         from mircv_ray.ops import near_dup_pairs
@@ -621,11 +637,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              ["a", "b"])
 
     def ngram_jaccard(sf_dir: str):
-        from mircv_ray.ops import ngram_jaccard_pairs
+        # LSH-bucketed candidates with exact jaccard verify -> rows-only
+        # driver check, but SELF-VALIDATING in-entry: recall vs the
+        # exact sim-join twin >= 0.9, and every reported jaccard value
+        # must EQUAL the exact twin's for the same pair
+        from mircv_ray.ops import jaccard_simjoin_exact, ngram_jaccard_pairs
         out = ngram_jaccard_pairs(_docs_ds(sf_dir), threshold=0.5)
         out = out.map_batches(lambda b: _round6(b, "jaccard"),
                               batch_format="pyarrow")
-        return _sorted_table(out, ["a", "b"])
+        got_t = _sorted_table(out, ["a", "b"])
+        exact = jaccard_simjoin_exact(_docs_ds(sf_dir), threshold=0.5)
+        exact = exact.map_batches(lambda b: _round6(b, "jaccard"),
+                                  batch_format="pyarrow")
+        exact_t = _sorted_table(exact, ["a", "b"])
+        want = {(a, b): j for a, b, j in zip(
+            exact_t["a"].to_pylist(), exact_t["b"].to_pylist(),
+            exact_t["jaccard"].to_pylist())}
+        got = {(a, b): j for a, b, j in zip(
+            got_t["a"].to_pylist(), got_t["b"].to_pylist(),
+            got_t["jaccard"].to_pylist())}
+        hit = set(want) & set(got)
+        recall = len(hit) / len(want) if want else 1.0
+        if recall < 0.9:
+            raise AssertionError(
+                f"ngram-LSH candidate recall {recall:.3f} < 0.9 vs exact")
+        bad = [p for p in hit if want[p] != got[p]]
+        if bad:
+            raise AssertionError(
+                f"jaccard values disagree with exact twin for {bad[:5]}")
+        return got_t
 
     def embedding_near_dups(sf_dir: str):
         # the synthetic embeddings are iid random (max pairwise cosine
@@ -793,14 +833,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def value_quantiles_tdigest(sf_dir: str):
         # mergeable t-digest sketch: approximate by design -> rows-only
-        # driver check; rank-error bound pytest-pinned vs exact
-        from mircv_ray.ops import grouped_quantiles_tdigest
+        # driver check, but SELF-VALIDATING in-entry: every estimate
+        # must land inside the exact distribution's ±0.06 RANK band
+        # (the delta=100 bound tests/test_quantiles.py pins), checked
+        # against grouped_quantiles at the shifted ranks — a violation
+        # raises, which the driver records as the entry failing
+        from mircv_ray.ops import (grouped_quantiles,
+                                   grouped_quantiles_tdigest)
+        qs = {"p25": 0.25, "p50": 0.5, "p75": 0.75, "p95": 0.95}
         ev = rd.read_parquet(f"{sf_dir}/events.parquet",
                              columns=["event_type", "value"])
-        out = grouped_quantiles_tdigest(
-            ev, "event_type", "value",
-            {"p25": 0.25, "p50": 0.5, "p75": 0.75, "p95": 0.95})
-        return _sorted_table(out, ["event_type"])
+        got = _sorted_table(
+            grouped_quantiles_tdigest(ev, "event_type", "value", qs),
+            ["event_type"])
+        rank_err = 0.06
+        spec = {}
+        for name, q in qs.items():
+            spec[f"{name}_lo"] = max(q - rank_err, 0.0)
+            spec[f"{name}_hi"] = min(q + rank_err, 1.0)
+        bounds = _sorted_table(grouped_quantiles(
+            rd.read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "value"]),
+            "event_type", "value", spec), ["event_type"])
+        assert bounds["event_type"].to_pylist() == \
+            got["event_type"].to_pylist()
+        for name in qs:
+            est = got[name].to_numpy()
+            lo = bounds[f"{name}_lo"].to_numpy()
+            hi = bounds[f"{name}_hi"].to_numpy()
+            bad = ~((est >= lo - 1e-9) & (est <= hi + 1e-9))
+            if bad.any():
+                raise AssertionError(
+                    f"t-digest {name} outside ±{rank_err} rank band for "
+                    f"groups {np.flatnonzero(bad).tolist()}")
+        return got
 
     def distinct_users(sf_dir: str):
         # exact per-type COUNT(DISTINCT user): only unique pairs shuffle
@@ -813,14 +879,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def distinct_users_hll(sf_dir: str):
         # HyperLogLog estimate: only 4 KiB register blobs shuffle;
-        # approximate by design -> rows-only driver check, accuracy
-        # (<=5% vs exact) and partition-independence pytest-pinned
-        from mircv_ray.ops import hll_distinct_per_group
+        # approximate by design -> rows-only driver check, but SELF-
+        # VALIDATING in-entry: the estimate must sit within 5% of the
+        # exact per-group distinct count (the tests/test_sketches.py
+        # bound) — a violation raises and fails the entry
+        from mircv_ray.ops import (exact_distinct_per_group,
+                                   hll_distinct_per_group)
         ev = rd.read_parquet(f"{sf_dir}/events.parquet",
                              columns=["event_type", "user_id"])
-        return _sorted_table(
+        est = _sorted_table(
             hll_distinct_per_group(ev, "event_type", "user_id",
                                    alias="n_users_hll"), ["event_type"])
+        exact = _sorted_table(exact_distinct_per_group(
+            rd.read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "user_id"]),
+            "event_type", "user_id", alias="n_users"), ["event_type"])
+        assert exact["event_type"].to_pylist() == \
+            est["event_type"].to_pylist()
+        e = est["n_users_hll"].to_numpy().astype(np.float64)
+        t = exact["n_users"].to_numpy().astype(np.float64)
+        bad = np.abs(e - t) > 0.05 * np.maximum(t, 1.0)
+        if bad.any():
+            raise AssertionError(
+                f"HLL estimate >5% off exact for groups "
+                f"{np.flatnonzero(bad).tolist()}: est={e[bad]}, "
+                f"exact={t[bad]}")
+        return est
 
     def top_users(sf_dir: str):
         from mircv_ray.ops import top_users_by_type

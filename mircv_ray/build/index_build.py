@@ -56,7 +56,8 @@ import ray
 from ..codecs.blocks import encode_blocks
 from ..config import IndexConfig
 from ..text.tokenizer import Tokenizer
-from ..util import binary_column_values, crc32_column, sha256_hex_column
+from ..util import (binary_column_values, crc32_column, sha256_hex_column,
+                    sort_pairs)
 from .manifests import read_manifest, stage_complete, write_manifest
 
 logger = logging.getLogger(__name__)
@@ -379,9 +380,10 @@ def _make_explode(num_shards: int, salt_buckets: int, n_docs: int):
             })
         did = batch["doc_id"].to_numpy()[parents]
         # per-doc term counting (M11) as pure NumPy over dictionary
-        # codes: one lexsort + run-length count (hash-aggregating the
-        # string column was the explode hot spot)
-        order = np.lexsort((did, codes))
+        # codes: one composite-key sort + run-length count (hash-
+        # aggregating the string column was the explode hot spot;
+        # the single-key argsort halves the sort's memory traffic)
+        order = sort_pairs(codes, did)
         c2, d2 = codes[order], did[order]
         tok_change = np.zeros(len(c2), dtype=bool)
         tok_change[0] = True
@@ -449,6 +451,23 @@ def _make_build_segments(seg_len_slices, avg_doc_len: float, cfg: IndexConfig):
     codec = cfg.codec
     threshold = cfg.block_threshold
 
+    empty_out = pa.table({
+        "term": pa.array([], type=pa.string()),
+        "shard": pa.array([], type=pa.int64()),
+        "seg": pa.array([], type=pa.int64()),
+        "df": pa.array([], type=pa.int64()),
+        "max_doc_id": pa.array([], type=pa.int64()),
+        "bm25_core": pa.array([], type=pa.float64()),
+        "tfidf_core": pa.array([], type=pa.float64()),
+        "bytes_ids": pa.array([], type=pa.int64()),
+        "bytes_tfs": pa.array([], type=pa.int64()),
+        "blocks": pa.ListArray.from_arrays(
+            pa.array([0], type=pa.int32()),
+            pa.StructArray.from_arrays(
+                [pa.array([], type=f.type) for f in BLOCK_STRUCT],
+                fields=list(BLOCK_STRUCT))).slice(0, 0),
+    })
+
     def build_segments(group: pa.Table) -> pa.Table:
         """Merge the partial posting lists of one (shard, seg) group into
         final block-encoded segments (the reference's k-way merge,
@@ -461,11 +480,35 @@ def _make_build_segments(seg_len_slices, avg_doc_len: float, cfg: IndexConfig):
         per-term Python loop only slices bytes and appends, with
         ``encode_blocks`` called solely for the rare multi-block
         (hot/high-df) terms."""
-        order = pc.sort_indices(group["term"])
-        group = group.take(order)
+        if group.num_rows == 0 or group.num_columns == 0:
+            # over-partitioned sorts (partitions > distinct keys) emit
+            # empty/zero-column partition blocks — schema-pinned no-op
+            return empty_out
+        # term-sort via DICTIONARY codes: a hot group (mega-df terms
+        # hash-clustered into one shard) holds ~100x more partial rows
+        # than vocabulary, and the row-level STRING sort was the
+        # stage-straggler hot spot (one task 9.4 s vs 1.9 s mean at
+        # 32 cpus). Sorting the ~nt-sized dictionary and arg-sorting the
+        # int rank codes is output-identical: within-term row order is
+        # immaterial (the per-term value stream re-sorts by docId below).
+        terms_in = group["term"]
+        if isinstance(terms_in, pa.ChunkedArray):
+            terms_in = terms_in.combine_chunks()
+        denc = pc.dictionary_encode(terms_in)
+        if isinstance(denc, pa.ChunkedArray):
+            denc = denc.combine_chunks()
+        codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        dorder = pc.sort_indices(denc.dictionary).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        drank = np.empty(len(dorder), dtype=np.int64)
+        drank[dorder] = np.arange(len(dorder), dtype=np.int64)
+        rcodes_all = drank[codes]
+        order = np.argsort(rcodes_all, kind="stable")
+        group = group.take(pa.array(order))
         terms_arr = group["term"]
         if isinstance(terms_arr, pa.ChunkedArray):
             terms_arr = terms_arr.combine_chunks()
+        rcodes = rcodes_all[order]
         n_col = group["n"].to_numpy()
         shard_val = int(group["shard"][0].as_py())
         seg_val = int(group["seg"][0].as_py())
@@ -474,10 +517,9 @@ def _make_build_segments(seg_len_slices, avg_doc_len: float, cfg: IndexConfig):
         # would be terabytes at 10^12 docs); index = docId-1 - seg_lo
         seg_lo, seg_hi, seg_dir = seg_len_slices[seg_val]
         doc_lens = _seg_lens_cached(seg_dir, seg_lo, seg_hi)
-        # term run boundaries over the sorted partial rows (vectorized
-        # string compare; rows are term-sorted)
-        neq = pc.not_equal(terms_arr.slice(1), terms_arr.slice(
-            0, len(terms_arr) - 1)).to_numpy(zero_copy_only=False)
+        # term run boundaries over the sorted partial rows (int rank
+        # compare; rows are term-sorted)
+        neq = rcodes[1:] != rcodes[:-1]
         row_starts = np.flatnonzero(np.append(True, neq))
         nt = len(row_starts)
         # merged value stream, term-major, docId-ascending per term —
@@ -488,7 +530,7 @@ def _make_build_segments(seg_len_slices, avg_doc_len: float, cfg: IndexConfig):
                                        np.int32).astype(np.int64)
         row_codes = np.cumsum(np.append(0, neq.astype(np.int64)))
         val_codes = np.repeat(row_codes, n_col)
-        vorder = np.lexsort((ids_all, val_codes))  # O3: explicit docId sort
+        vorder = sort_pairs(val_codes, ids_all)  # O3: explicit docId sort
         ids_all, tfs_all = ids_all[vorder], tfs_all[vorder]
         bounds = np.flatnonzero(np.diff(val_codes[vorder], prepend=-1))
         ends = np.append(bounds[1:], len(ids_all))
@@ -612,9 +654,10 @@ def _mr_reduce_build(build_fn, out_dir: str, shard: int, seg: int,
     partition's completion marker, so a crashed build resumes by
     skipping exactly the partitions that finished."""
     import os
+    t0 = time.time()
     tbls = [t for t in parts if t.num_rows]
     if not tbls:
-        return {"rows": 0}
+        return {"rows": 0, "sec": 0.0}
     group = pa.concat_tables(tbls).combine_chunks()
     out = build_fn(group)
     d = Path(out_dir) / f"shard={shard}"
@@ -622,11 +665,11 @@ def _mr_reduce_build(build_fn, out_dir: str, shard: int, seg: int,
     tmp = d / f".seg-{seg}.parquet.tmp"
     pq.write_table(out.drop_columns(["shard"]), str(tmp))
     os.replace(tmp, d / f"seg-{seg}.parquet")  # atomic publish
-    return {"rows": out.num_rows}
+    return {"rows": out.num_rows, "sec": time.time() - t0}
 
 
 def _mr_exchange_build(posts, build_fn, out_dir: str,
-                       cfg: IndexConfig) -> int:
+                       cfg: IndexConfig) -> dict:
     """Direct map/reduce exchange for the postings build (see
     _mr_map_split). Map tasks emit per-partition slices as separate
     object-store returns; one reduce task per (shard, seg) concatenates
@@ -636,14 +679,17 @@ def _mr_exchange_build(posts, build_fn, out_dir: str,
     Returns the number of partitions actually (re)built. At multi-node
     scale the object store moves each slice once, like any shuffle; a
     two-level merge tree would bound reduce fan-in past ~10^3 map
-    tasks."""
+    tasks. Returns per-phase wall / task-skew stats (the scaling
+    evidence the efficiency audit reads)."""
     num_parts = cfg.num_shards * cfg.salt_buckets
     todo = [p for p in range(num_parts)
             if not (Path(out_dir) / f"shard={p // cfg.salt_buckets}"
                     / f"seg-{p % cfg.salt_buckets}.parquet").exists()]
     if not todo:
-        return 0
+        return {"n_reduces": 0}
+    t0 = time.time()
     block_refs = posts.to_arrow_refs()
+    t_refs = time.time()
     split = _mr_map_split.options(num_returns=num_parts)
     nested = [split.remote(ref, num_parts, cfg.salt_buckets)
               for ref in block_refs]
@@ -653,8 +699,23 @@ def _mr_exchange_build(posts, build_fn, out_dir: str,
         reduce_refs.append(_mr_reduce_build.remote(
             build_fn, out_dir, p // cfg.salt_buckets,
             p % cfg.salt_buckets, *parts))
-    ray.get(reduce_refs)
-    return len(todo)
+    t_submit = time.time()
+    res = ray.get(reduce_refs)
+    t_done = time.time()
+    secs = sorted(r["sec"] for r in res)
+    return {
+        "n_reduces": len(todo), "n_map_blocks": len(block_refs),
+        # explode + upstream execution (to_arrow_refs blocks on the plan)
+        "explode_wall_s": round(t_refs - t0, 3),
+        # driver-side task submission (serial fixed cost)
+        "submit_s": round(t_submit - t_refs, 3),
+        # split+reduce wall vs the reduce tasks' summed busy time: the
+        # gap is scheduling + wave-quantization + skew tail
+        "reduce_wall_s": round(t_done - t_submit, 3),
+        "reduce_busy_s": round(sum(secs), 3),
+        "reduce_max_s": round(secs[-1], 3),
+        "reduce_p50_s": round(secs[len(secs) // 2], 3),
+    }
 
 
 # ------------------------------------------------------------------ stage 3
@@ -749,11 +810,12 @@ def _build_lexicon_files(out: Path, n_docs: int) -> None:
 
 
 def _encode_partials(posts, out: Path, cfg: IndexConfig, n_docs: int,
-                     avg_doc_len: float) -> None:
+                     avg_doc_len: float) -> dict:
     """Exchange + encode a PARTIAL-POSTING-ROWS dataset (the explode
     output shape: term, shard, seg, n, ids_raw, tfs_raw) into the final
     block-encoded postings store at ``out/postings``. Requires the
-    doc-length sidecar; the caller owns manifests / resume policy."""
+    doc-length sidecar; the caller owns manifests / resume policy.
+    Returns the exchange's per-phase wall stats (mr path)."""
     salt = cfg.salt_buckets
     _ensure_doc_len_sidecar(out, n_docs, salt)
     seg_len_slices = []
@@ -761,16 +823,36 @@ def _encode_partials(posts, out: Path, cfg: IndexConfig, n_docs: int,
         lo, hi = _seg_bounds(s2, n_docs, salt)
         seg_len_slices.append((lo, hi, str(out / "doc_lens" / f"seg={s2}")))
     build_fn = _make_build_segments(seg_len_slices, avg_doc_len, cfg)
+    xstats: dict = {}
     if cfg.exchange == "mr":
-        _mr_exchange_build(posts, build_fn, str(out / "postings"), cfg)
+        xstats = _mr_exchange_build(posts, build_fn,
+                                    str(out / "postings"), cfg)
     else:
-        seg_ds = posts.groupby(["shard", "seg"]).map_groups(
+        # SEG-major grouping: mega-df terms hash-cluster into a few hot
+        # shards, and with shard-major key order one sort partition
+        # received ALL salt segments of a hot shard (a 9.4 s straggler
+        # vs a 1.9 s mean task at 32 cpus). Seg-major order puts a hot
+        # shard's segments ~num_shards keys apart, so they land in
+        # different partitions. (A repartition to >= the key count was
+        # MEASURED SLOWER — SortMerge busy 16.5 -> 43.8 s at 32 cpus —
+        # and is reverted; see BASELINE.md.)
+        seg_ds = posts.groupby(["seg", "shard"]).map_groups(
             build_fn, batch_format="pyarrow")
         seg_ds.write_parquet(str(out / "postings"),
                              partition_cols=["shard"])
+        try:
+            # operator-level execution breakdown (explode wall, sort
+            # shuffle, encode+write) for the scaling-efficiency audit —
+            # text sidecar, never parsed by the engine
+            (out / "_manifests").mkdir(exist_ok=True)
+            (out / "_manifests" / "postings_raystats.txt").write_text(
+                seg_ds.stats())
+        except Exception:  # noqa: BLE001 — diagnostics only
+            pass
     # a zero-postings corpus (all docs stop/stem to nothing) writes no
     # files; later stages still expect the directory
     (out / "postings").mkdir(exist_ok=True)
+    return xstats
 
 
 def _write_stats(out: Path, cfg: IndexConfig, n_docs: int,
@@ -832,26 +914,54 @@ def _seg_bounds(seg: int, n_docs: int, salt: int) -> tuple[int, int]:
     return -(-seg * n_docs // salt), -(-(seg + 1) * n_docs // salt)
 
 
-def _write_doc_len_sidecar(out: Path, n_docs: int, salt: int) -> None:
+def _write_doc_len_sidecar(out: Path, n_docs: int, salt: int,
+                           src=None) -> int:
     """doc_lens/seg=N parquet sidecar: (doc_id, doc_len) partitioned by
-    salt segment, derived DISTRIBUTEDLY from the docs parquet (slim
-    2-column read; nothing lands on the driver). Each posting-build
-    segment later loads only its own partition."""
+    salt segment, derived DISTRIBUTEDLY (nothing lands on the driver)
+    from ``src`` (the build's already-materialized token stream — an
+    object-store read, no disk re-scan) or, on the resume path, from the
+    docs parquet. The same pass computes and returns the A3 collection
+    length (per-batch partial sums -> one tiny aggregate) so the docs
+    stage needs no separate sum job. Each posting-build segment later
+    loads only its own sidecar partition."""
+    import uuid
     import ray.data as rd
     d = out / "doc_lens"
     if d.exists():
         shutil.rmtree(d, ignore_errors=True)
+    for s in range(salt):
+        (d / f"seg={s}").mkdir(parents=True, exist_ok=True)
+    total = 0
     if n_docs > 0:
-        def tag(batch: pa.Table) -> pa.Table:
+        ds = (src.select_columns(["doc_id", "doc_len"]) if src is not None
+              else rd.read_parquet(str(out / "docs"),
+                                   columns=["doc_id", "doc_len"]))
+
+        def write_segs(batch: pa.Table) -> pa.Table:
+            part = int(pc.sum(batch["doc_len"]).as_py() or 0)
             did = batch["doc_id"].to_numpy()
             seg = (did - 1) * salt // n_docs
-            return batch.append_column("seg", pa.array(seg, type=pa.int64()))
-        (rd.read_parquet(str(out / "docs"), columns=["doc_id", "doc_len"])
-           .map_batches(tag, batch_format="pyarrow")
-           .write_parquet(str(d), partition_cols=["seg"]))
-    d.mkdir(exist_ok=True)
+            order = np.argsort(seg, kind="stable")
+            b = batch.take(pa.array(order))
+            segs = seg[order]
+            bounds = np.searchsorted(segs, np.arange(salt + 1))
+            name = uuid.uuid4().hex
+            for s in range(salt):
+                lo, hi = int(bounds[s]), int(bounds[s + 1])
+                if hi > lo:
+                    pq.write_table(b.slice(lo, hi - lo),
+                                   str(d / f"seg={s}" / f"{name}.parquet"))
+            return pa.table({"part": pa.array([part], type=pa.int64())})
+        # batch_size=None: one batch per block — one sidecar file per
+        # (block, seg), NOT per default-sized micro-batch (a per-batch
+        # write at batch_size 1024 produced ~6000 tiny files per 1.5M
+        # docs and poisoned every downstream _load_seg_lens read)
+        total = int(ds.map_batches(
+            write_segs, batch_format="pyarrow",
+            batch_size=None).sum("part") or 0)
     write_manifest(str(out), "doc_lens",
                    {"n_docs": n_docs, "salt_buckets": salt})
+    return total
 
 
 def _ensure_doc_len_sidecar(out: Path, n_docs: int, salt: int) -> None:
@@ -1006,6 +1116,7 @@ def build_index(corpus, out_dir: str, cfg: IndexConfig | None = None,
     mapping_ref = None
     if not stage_complete(out_dir, "docs"):
         _fresh_stage_dir(out, "docs")
+        sub: dict[str, float] = {}
         # ONE content scan: blank-filter + tokenize + sha256, materialized
         # into the object store (spill-backed); this single token stream
         # feeds id assignment, the doc table AND the postings shuffle. The
@@ -1014,9 +1125,11 @@ def build_index(corpus, out_dir: str, cfg: IndexConfig | None = None,
         tok0 = corpus.map_batches(
             TokenizeHashDropBlank(cfg), batch_format="pyarrow",
             batch_size=cfg.tokenize_batch_size).materialize()
+        sub["tokenize_s"] = round(time.time() - t0, 3)
         # docIds from the SLIM materialized keys (no second content pass)
         slim = tok0.select_columns(["repo", "path"])
         n_keys = slim.count()
+        tm = time.time()
         if n_keys <= DRIVER_IDMAP_MAX_ROWS:
             # broadcast path: mapping table fits a worker heap — ray.put
             # once, binary-search per batch
@@ -1033,24 +1146,29 @@ def build_index(corpus, out_dir: str, cfg: IndexConfig | None = None,
             mapping_ds = build_id_mapping_ds(slim, ray)
             tok_mat = attach_ids_via_join(tok0, mapping_ds).materialize()
             tok0 = None  # release the pre-join token blocks
+        sub["idmap_s"] = round(time.time() - tm, 3)
+        tm = time.time()
         tok_mat.drop_columns(["tokens"]).write_parquet(
             str(out / "docs"), min_rows_per_file=200_000)
-        # A3 collection length via a DISTRIBUTED sum over the slim column
-        # — the driver never pulls the doc table
-        total0 = 0
-        if n_keys:
-            import ray.data as rd
-            total0 = int(rd.read_parquet(
-                str(out / "docs"), columns=["doc_len"]).sum("doc_len") or 0)
-        _write_doc_len_sidecar(out, n_keys, cfg.salt_buckets)
+        sub["docs_write_s"] = round(time.time() - tm, 3)
+        tm = time.time()
+        # A3 collection length + the per-seg doc-length sidecar in ONE
+        # job over the just-written docs parquet (slim 2-column pruned
+        # read — measured cheaper than re-routing the token-bearing
+        # blocks through AttachIds again); the driver sees only
+        # per-batch partial sums
+        total0 = _write_doc_len_sidecar(out, n_keys, cfg.salt_buckets)
+        sub["sidecar_s"] = round(time.time() - tm, 3)
         write_manifest(out_dir, "docs", {
             "lineage": lineage or {}, "n_docs": n_keys,
             "total_doc_len": total0, "fingerprint": docs_fp,
-            "seconds": time.time() - t0,
+            "seconds": time.time() - t0, "sub": sub,
         })
     n_docs, total_doc_len = _docs_stats(out)
     avg_doc_len = total_doc_len / max(n_docs, 1)
-    metrics["docs_seconds"] = (read_manifest(out_dir, "docs") or {}).get("seconds")
+    docs_m2 = read_manifest(out_dir, "docs") or {}
+    metrics["docs_seconds"] = docs_m2.get("seconds")
+    metrics["docs_sub"] = docs_m2.get("sub")
     metrics["n_docs"] = n_docs
 
     # ---------------- stage 2: postings ----------------
@@ -1106,18 +1224,23 @@ def build_index(corpus, out_dir: str, cfg: IndexConfig | None = None,
         # posting-build tasks (memoized per worker) — the driver holds
         # only (lo, hi, path) triples, never the array, and the build
         # closure carries no ObjectRefs
-        _encode_partials(posts, out, cfg, n_docs, avg_doc_len)
+        xstats = _encode_partials(posts, out, cfg, n_docs, avg_doc_len)
+        tp = time.time()
+        pstats = _partition_stats(out / "postings")
+        xstats["partition_stats_s"] = round(time.time() - tp, 3)
         write_manifest(out_dir, "postings", {
             "seconds": time.time() - t1, "codec": cfg.codec,
             "salt_buckets": cfg.salt_buckets, "num_shards": cfg.num_shards,
-            "fingerprint": post_fp,
+            "fingerprint": post_fp, "sub": xstats,
             # per-PARTITION lineage: (term-rows, bytes) per shard dir from
             # parquet footers — a resumed/audited run can account for each
             # partition independently (footer scan is metadata-only; at
             # real scale run it as a task per shard)
-            "partitions": _partition_stats(out / "postings"),
+            "partitions": pstats,
         })
-    metrics["postings_seconds"] = (read_manifest(out_dir, "postings") or {}).get("seconds")
+    post_m2 = read_manifest(out_dir, "postings") or {}
+    metrics["postings_seconds"] = post_m2.get("seconds")
+    metrics["postings_sub"] = post_m2.get("sub")
 
     # ---------------- stage 3: lexicon ----------------
     t2 = time.time()

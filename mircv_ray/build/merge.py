@@ -19,6 +19,10 @@ Semantics / preconditions:
   pin. Interleaved keys still produce a CORRECT index (unique docIds,
   right postings per document); only the docno<->docId mapping differs
   from a from-scratch build.
+- pending tombstones on either input CARRY THROUGH: the merged index's
+  tombstone sidecar is the union of both sides' (delta ids offset by
+  n_base), so logically-deleted documents stay deleted. Vacuum the
+  merged index to make the removals physical.
 - base and delta must be tokenizer-compatible (same parse / squeeze /
   term_dimension knobs): postings are merged as (term, docId, tf) facts,
   so mixed tokenizers would mean mixed vocabularies. Validated.
@@ -48,6 +52,7 @@ from pathlib import Path
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+import pyarrow.parquet as pq
 
 from ..config import IndexConfig
 from .index_build import (
@@ -92,7 +97,8 @@ def _rows_to_partials(num_shards: int, salt_buckets: int, n_docs: int):
         codes = denc.indices.to_numpy().astype(np.int64)
         did = batch["doc_id"].to_numpy()
         tf = batch["tf"].to_numpy().astype(np.int32)
-        order = np.lexsort((did, codes))
+        from ..util import sort_pairs
+        order = sort_pairs(codes, did)
         codes, did, tf = codes[order], did[order], tf[order]
         seg = (did - 1) * salt_buckets // max(n_docs, 1)
         change = np.empty(len(codes), dtype=bool)
@@ -185,6 +191,24 @@ def merge_indexes(base_dir: str, delta_dir: str, out_dir: str,
             _offset_doc_ids(n_base), batch_format="pyarrow"))
     docs.write_parquet(str(out / "docs"), min_rows_per_file=200_000)
     _write_doc_len_sidecar(out, n_docs, cfg.salt_buckets)
+
+    # pending deletions survive the merge: the merged store carries the
+    # union of both sides' tombstone sidecars (delta ids shifted by
+    # n_base), so a deleted document stays invisible to every query path
+    # until a vacuum makes the removal physical. Without this, merging
+    # an index with pending DMCA/PII takedowns would silently resurrect
+    # the deleted documents (postings and docs merge UNFILTERED — the
+    # tombstone filter stays logical, exactly as on the inputs).
+    from .tombstones import load_tombstones
+    carried = np.concatenate([load_tombstones(base_dir),
+                              load_tombstones(delta_dir) + n_base])
+    if len(carried):
+        d = out / "tombstones"
+        d.mkdir(exist_ok=True)
+        pq.write_table(
+            pa.table({"doc_id": pa.array(np.unique(carried), pa.int64())}),
+            str(d / "del-carried.parquet"))
+        metrics["carried_tombstones"] = int(len(carried))
     write_manifest(out_dir, "docs", {
         "lineage": {"merged_from": [str(base_dir), str(delta_dir)]},
         "n_docs": n_docs, "total_doc_len": total_doc_len,

@@ -158,13 +158,10 @@ def vacuum_index(index_dir: str, out_dir: str,
                      batch_format="pyarrow") \
         .write_parquet(str(out / "docs"), min_rows_per_file=200_000)
     (out / "docs").mkdir(exist_ok=True)  # all-deleted: empty but present
-    # surviving collection length: distributed sum over the slim column
-    total_new = 0
-    if n_new:
-        total_new = int(rd.read_parquet(
-            str(out / "docs"), columns=["doc_len"]).sum("doc_len") or 0)
+    # surviving collection length comes out of the sidecar pass itself
+    # (per-batch partial sums; nothing corpus-sized on the driver)
+    total_new = _write_doc_len_sidecar(out, n_new, cfg.salt_buckets)
     avg_new = total_new / max(n_new, 1)
-    _write_doc_len_sidecar(out, n_new, cfg.salt_buckets)
     write_manifest(out_dir=str(out), stage="docs", payload={
         "lineage": {"vacuumed_from": str(index_dir),
                     "n_deleted": int(len(tombs))},

@@ -58,14 +58,23 @@ def unary_decode_blocks(bufs: list[bytes], counts) -> np.ndarray:
     the bit expansion and zero-scan run once over the concatenation —
     per-block cost drops to a searchsorted + diff (hot for cold-term
     decodes of long posting lists, where √df blocks are small)."""
+    lens = np.array([len(b) for b in bufs], dtype=np.int64)
+    data = (np.frombuffer(b"".join(bufs), dtype=np.uint8) if bufs
+            else np.zeros(0, dtype=np.uint8))
+    return unary_decode_packed(data, lens, counts)
+
+
+def unary_decode_packed(data: np.ndarray, lens, counts) -> np.ndarray:
+    """``unary_decode_blocks`` over an ALREADY-concatenated uint8 buffer
+    (e.g. one zero-copy view of an Arrow binary column's values) plus
+    per-block byte lengths — no per-block Python bytes objects."""
     counts = np.asarray(counts, dtype=np.int64)
     total = int(counts.sum())
     if total == 0:
         return np.zeros(0, dtype=np.int64)
-    concat = b"".join(bufs)
-    bits = np.unpackbits(np.frombuffer(concat, dtype=np.uint8))
+    bits = np.unpackbits(np.ascontiguousarray(data))
     zeros = np.flatnonzero(bits == 0)
-    lens = np.array([len(b) for b in bufs], dtype=np.int64)
+    lens = np.asarray(lens, dtype=np.int64)
     bit_offs = (np.cumsum(lens) - lens) * 8
     out = np.empty(total, dtype=np.int64)
     pos = 0

@@ -63,6 +63,50 @@ def load_run(path: str | Path) -> dict[str, list[str]]:
             for qid, lst in rows.items()}
 
 
+def compare_runs(run_path: str | Path, golden_path: str | Path,
+                 k: int = 20, score_rtol: float = 1e-6) -> dict:
+    """Rank + score identity of a TREC run against a GOLDEN run (the
+    reference's qres_* files): per shared qid, the top-k docno sequences
+    (by the files' own rank column) must match exactly and the paired
+    scores must agree within ``score_rtol`` relative error. Returns a
+    report dict; ``ok`` is the gate the parity pytest asserts."""
+    def load(p):
+        d: dict[str, list] = defaultdict(list)
+        with open(p) as f:
+            for line in f:
+                parts = line.split()
+                if len(parts) < 6:
+                    continue
+                d[parts[0]].append((int(parts[3]), parts[2],
+                                    float(parts[4])))
+        return {q: sorted(v)[:k] for q, v in d.items()}
+
+    a, b = load(run_path), load(golden_path)
+    shared = sorted(set(a) & set(b))
+    rank_mismatch, score_mismatch = [], []
+    max_rel = 0.0
+    for q in shared:
+        if [x[1] for x in a[q]] != [x[1] for x in b[q]]:
+            rank_mismatch.append(q)
+            continue
+        for (_, _, sa), (_, _, sb) in zip(a[q], b[q]):
+            rel = abs(sa - sb) / max(abs(sb), 1e-12)
+            max_rel = max(max_rel, rel)
+            if rel > score_rtol and q not in score_mismatch:
+                score_mismatch.append(q)
+    return {
+        "num_shared_queries": len(shared),
+        "only_in_run": sorted(set(a) - set(b)),
+        "only_in_golden": sorted(set(b) - set(a)),
+        "rank_mismatch_qids": rank_mismatch,
+        "score_mismatch_qids": score_mismatch,
+        "max_score_rel_diff": max_rel,
+        "k": k, "score_rtol": score_rtol,
+        "ok": (len(shared) > 0 and not rank_mismatch
+               and not score_mismatch),
+    }
+
+
 def average_precision_at_k(ranked: list[str], rels: dict[str, int],
                            k: int = 20, rel_threshold: int = 1) -> float:
     """AP@k with trec_eval ``map_cut_k`` semantics: binarized relevance,

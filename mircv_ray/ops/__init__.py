@@ -15,7 +15,7 @@ from .multimodal import DecodeImage, SampleFrames, make_media_table
 from .sampling import hash_split, source_quota_sample
 from .sketches import exact_distinct_per_group, hll_distinct_per_group
 from .joins import (asof_join_backward, asof_join_backward_salted,
-                    interval_join)
+                    interval_join, interval_join_salted)
 from .quantiles import grouped_quantiles, grouped_quantiles_tdigest
 from .streaming import StreamingTumblingWindow, stream_tumbling_window_agg
 from .windows import hopping_window_agg, props_extract, sessionize, top_users_by_type, tumbling_window_agg

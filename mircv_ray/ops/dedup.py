@@ -423,6 +423,12 @@ def _get_bcast(ref):
     key = ref.hex() if hasattr(ref, "hex") else id(ref)
     if key not in _bcast_cache:
         _bcast_cache[key] = ray.get(ref)
+        # each entry can pin up to BROADCAST_STATE_MAX_BYTES in the
+        # worker heap — evict oldest so repeated dedup/verify runs in
+        # one long-lived process don't accumulate (same policy as
+        # textops._lm_cache)
+        while len(_bcast_cache) > 2:
+            _bcast_cache.pop(next(iter(_bcast_cache)))
     return _bcast_cache[key]
 
 

@@ -37,25 +37,34 @@ import pyarrow.compute as pc
 def _asof_core(left_ds, right_ds, by_cols: list[str], on: str,
                right_order: str, attach: dict[str, str],
                tolerance: int | None, matched_col: str | None = None,
-               right_end: str | None = None):
+               right_end: str | None = None,
+               candidate_col: str | None = None,
+               left_schema_override=None, right_schema_override=None):
     """Shared tagged-union + grouped-searchsorted resolve (see module
     docstring). ``by_cols`` may include a derived bucket column (salted
     path). When ``matched_col`` is given, a boolean column marks rows
     that found an in-group match (the salted path splits on it). With
     ``right_end``, a candidate only matches while left.on <= its end —
     the INTERVAL-containment join (right rows are [on, right_end]
-    ranges)."""
+    ranges). ``candidate_col`` (salted interval path) marks rows whose
+    group HAD a start-wise candidate at all: an end-check failure on the
+    latest-starting candidate is a FINAL null under interval semantics,
+    so only candidate-less rows may consult the cross-bucket carry."""
     out_cols = list(attach.values())
     if len(set(out_cols)) != len(out_cols):
         raise ValueError("attach output names collide")
 
-    left_schema = left_ds.schema()
+    # overrides: a derived input (e.g. the salted path's distinct-pair
+    # table, an aggregate over possibly-zero rows) can have NO blocks,
+    # making Dataset.schema() return None — the caller then supplies
+    # the structurally-known schema instead
+    left_schema = left_schema_override or left_ds.schema()
     left_names = list(left_schema.names)
     left_types = dict(zip(left_schema.names, left_schema.types))
     for c in out_cols:
         if c in left_names:
             raise ValueError(f"attach output {c!r} already a left column")
-    right_schema = right_ds.schema()
+    right_schema = right_schema_override or right_ds.schema()
     right_types = dict(zip(right_schema.names, right_schema.types))
     right_keep = [on, right_order] + [c for c in attach
                                       if c not in (on, right_order)]
@@ -102,6 +111,8 @@ def _asof_core(left_ds, right_ds, by_cols: list[str], on: str,
                 out[name] = pa.nulls(nl, right_types[c])
             if matched_col is not None:
                 out[matched_col] = pa.array(np.zeros(nl, dtype=bool))
+            if candidate_col is not None:
+                out[candidate_col] = pa.array(np.zeros(nl, dtype=bool))
             return pa.table(out)
         r_on = right[f"__r_{on}"].to_numpy(zero_copy_only=False)
         r_ord = right[f"__r_{right_order}"].to_numpy(zero_copy_only=False)
@@ -124,6 +135,8 @@ def _asof_core(left_ds, right_ds, by_cols: list[str], on: str,
             out[name] = pc.if_else(valid, vals, pa.nulls(nl, right_types[c]))
         if matched_col is not None:
             out[matched_col] = valid
+        if candidate_col is not None:
+            out[candidate_col] = pa.array(idx >= 0)
         return pa.table(out)
 
     from .. import use_push_shuffle
@@ -161,10 +174,29 @@ def asof_join_backward_salted(left_ds, right_ds, by: str, on: str,
     (pytest-pinned), but no task ever holds more than one (key,
     salt_width-bucket) fragment. See module docstring for the two-round
     shape. Left columns must be hash-joinable (no list types)."""
+    return _salted_core(left_ds, right_ds, by, on, right_order, attach,
+                        salt_width, tolerance=tolerance, right_end=None)
+
+
+def _salted_core(left_ds, right_ds, by: str, on: str,
+                 right_order: str, attach: dict[str, str],
+                 salt_width: int, tolerance: int | None,
+                 right_end: str | None):
+    """Two-round salted resolve shared by the mega-key as-of and
+    interval joins. With ``right_end`` (interval semantics), round 1
+    splits on candidate-EXISTENCE rather than match: the latest-starting
+    in-bucket candidate failing its end check is a final null (unsalted
+    ``interval_join`` tests only the latest-starting interval), and the
+    carry path re-applies the end check after the cross-bucket attach."""
     if salt_width <= 0:
         raise ValueError("salt_width must be positive")
     left_names = list(left_ds.schema().names)
     right_types = dict(zip(right_ds.schema().names, right_ds.schema().types))
+    out_values = list(attach.values())          # the caller's outputs
+    if right_end is not None and right_end not in attach:
+        # the end value must survive to the carry re-check; internal
+        # output column, dropped at the final projection
+        attach = {**attach, right_end: "__endv"}
 
     lb = left_ds.map_batches(_bucket_col(on, salt_width),
                              batch_format="pyarrow")
@@ -175,14 +207,20 @@ def asof_join_backward_salted(left_ds, right_ds, by: str, on: str,
     # tolerance applies here too: a within-tolerance in-bucket match is
     # final; a tolerance-violating one correctly falls through to the
     # carry path, whose even-farther candidate the final filter nulls
-    round1 = _asof_core(lb, rb, [by, "__bucket"], on, right_order, attach,
-                        tolerance=tolerance, matched_col="__matched")
+    round1 = _asof_core(
+        lb, rb, [by, "__bucket"], on, right_order, attach,
+        tolerance=tolerance, matched_col="__matched",
+        right_end=right_end,
+        candidate_col="__cand" if right_end is not None else None)
+    split_col = "__cand" if right_end is not None else "__matched"
+    drop_cols = (["__matched", "__cand"] if right_end is not None
+                 else ["__matched"])
 
     def split_matched(want: bool):
         def f(batch: pa.Table) -> pa.Table:
-            keep = batch["__matched"] if want else \
-                pc.invert(batch["__matched"])
-            return batch.filter(keep).drop_columns(["__matched"])
+            keep = batch[split_col] if want else \
+                pc.invert(batch[split_col])
+            return batch.filter(keep).drop_columns(drop_cols)
         return f
 
     resolved = round1.map_batches(split_matched(True),
@@ -225,25 +263,48 @@ def asof_join_backward_salted(left_ds, right_ds, by: str, on: str,
                  .groupby(by).map_groups(running_bests,
                                          batch_format="pyarrow"))
 
+    # unresolved's schema is KNOWN structurally (left columns +
+    # __bucket) — never ask the dataset: when round 1 resolves every
+    # left, the empty groupby-count path yields zero-column blocks and
+    # Dataset.schema() returns None
+    left_schema0 = left_ds.schema()
+    un_types = dict(zip(left_schema0.names, left_schema0.types))
+    un_types["__bucket"] = pa.int64()
+    un_names = left_names + ["__bucket"]
+    un_schema = pa.schema([(n, un_types[n]) for n in un_names])
+
     # ---- round 2: only the DISTINCT (key, bucket) pairs of the
     # unresolved lefts consult the carry table (both metadata-sized) ----
+    pair_schema = pa.schema([(by, un_types[by]),
+                             ("__bucket", pa.int64()),
+                             ("__prev", pa.int64())])
+
+    def to_pairs(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or b.num_columns == 0:
+            return pair_schema.empty_table()
+        bkt = b["__bucket"].cast(pa.int64())
+        return pa.table({by: b[by].cast(un_types[by]), "__bucket": bkt,
+                         "__prev": pc.add(bkt, -1).cast(pa.int64())},
+                        schema=pair_schema)
+
     pairs = unresolved.groupby([by, "__bucket"]).count() \
-        .map_batches(lambda b: b.select([by, "__bucket"]).append_column(
-            "__prev", pc.add(b["__bucket"], -1).cast(pa.int64())),
-            batch_format="pyarrow")
+        .map_batches(to_pairs, batch_format="pyarrow")
+    carry_schema = pa.schema(
+        [(by, right_types.get(by, un_types[by])), ("__prev", pa.int64())]
+        + [(c, right_types[c]) for c in right_keep])
     carry_hits = _asof_core(
         pairs, carries.map_batches(
             lambda b: b.rename_columns(
                 [{"__bucket": "__prev"}.get(n, n)
                  for n in b.schema.names]), batch_format="pyarrow"),
         [by], "__prev", right_order,
-        attach, tolerance=None).drop_columns(["__prev"])
+        attach, tolerance=None,
+        left_schema_override=pair_schema,
+        right_schema_override=carry_schema).drop_columns(["__prev"])
     # equijoin back to the unresolved lefts via the same tagged-union
     # groupby pattern (exactly one carry row per (key, bucket) group;
     # Dataset.join is avoided — the sort exchange upstream can emit
     # zero-column empty blocks acero's hash join rejects)
-    un_schema = unresolved.schema()
-    un_types = dict(zip(un_schema.names, un_schema.types))
     jfields = [(n, un_types[n]) for n in un_schema.names]
     jfields += [(attach[c], right_types[c]) for c in attach]
     jfields += [("__side", pa.int8())]
@@ -286,6 +347,22 @@ def asof_join_backward_salted(left_ds, right_ds, by: str, on: str,
         carry_hits.map_batches(tag_carry, batch_format="pyarrow")) \
         .groupby([by, "__bucket"]) \
         .map_groups(attach_carry, batch_format="pyarrow")
+    if right_end is not None:
+        end_out = attach[right_end]
+
+        def end_filter(batch: pa.Table) -> pa.Table:
+            # the carry row is the latest-starting interval from an
+            # earlier bucket; containment still requires on <= its end.
+            # A null end (no carry hit) keeps the already-null attaches.
+            ok = pc.or_kleene(pc.less_equal(batch[on], batch[end_out]),
+                              pc.is_null(batch[end_out]))
+            out = {c: batch[c] for c in batch.schema.names}
+            for c, name in attach.items():
+                out[name] = pc.if_else(ok, batch[name],
+                                       pa.nulls(batch.num_rows,
+                                                right_types[c]))
+            return pa.table(out)
+        joined = joined.map_batches(end_filter, batch_format="pyarrow")
     if tolerance is not None:
         on_out = attach.get(on)
         if on_out is None:
@@ -305,7 +382,7 @@ def asof_join_backward_salted(left_ds, right_ds, by: str, on: str,
             return pa.table(out)
         joined = joined.map_batches(tol_filter, batch_format="pyarrow")
 
-    out_names = left_names + list(attach.values())
+    out_names = left_names + out_values    # internal __endv never escapes
 
     def project(batch: pa.Table) -> pa.Table:
         return batch.select(out_names)
@@ -350,3 +427,38 @@ def interval_join(left_ds, intervals_ds, by: str, on: str,
     return _asof_core(left_ds, intervals_ds, [by], on, interval_order,
                       attach, tolerance=None,
                       right_end={start_col: on}.get(end_col, end_col))
+
+
+def interval_join_salted(left_ds, intervals_ds, by: str, on: str,
+                         start_col: str, end_col: str,
+                         attach: dict[str, str], salt_width: int,
+                         interval_order: str | None = None):
+    """Mega-key interval join: identical results to ``interval_join``
+    (pytest-pinned) but no task ever holds more than one (key,
+    salt_width-bucket) fragment of events or intervals — the as-of
+    join's bucket + carry machinery with intervals as right rows
+    carrying their ends. Round 1 resolves each left against intervals
+    STARTING in its own bucket; only lefts whose bucket has no
+    start-wise candidate consult the per-key running-interval carry
+    (an in-bucket candidate failing its end check is a final null,
+    matching the unsalted latest-starting-only semantics)."""
+    names = list(intervals_ds.schema().names)
+    if interval_order is None:
+        interval_order = end_col
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(
+            [{start_col: on}.get(n, n) for n in batch.schema.names])
+
+    if start_col != on:
+        if on in names:
+            raise ValueError(
+                f"intervals already have a column named {on!r}; rename "
+                "one side to disambiguate the join key")
+        intervals_ds = intervals_ds.map_batches(rename,
+                                                batch_format="pyarrow")
+    attach = {({start_col: on}.get(c, c)): out for c, out in attach.items()}
+    interval_order = {start_col: on}.get(interval_order, interval_order)
+    return _salted_core(left_ds, intervals_ds, by, on, interval_order,
+                        attach, salt_width, tolerance=None,
+                        right_end={start_col: on}.get(end_col, end_col))

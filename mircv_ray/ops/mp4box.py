@@ -46,11 +46,37 @@ def encode_mp4_raw(frames: np.ndarray, fps: int = 10,
     Layout: ftyp, mdat (all samples, chunked), moov. stco offsets point
     into mdat, so the file is self-contained and seekable."""
     n, h, w = frames.shape[:3]
+    sample = np.ascontiguousarray(frames, dtype=np.uint8)
+    samples = [sample[i].tobytes() for i in range(n)]
+    return _mux_mp4(samples, w, h, fps, samples_per_chunk, b"raw ",
+                    b"raw video\x00")
+
+
+def encode_mp4_mjpeg(frames: np.ndarray, fps: int = 10,
+                     samples_per_chunk: int = 3,
+                     quality: int = 90) -> bytes:
+    """(n, h, w, 3) uint8 -> single-track MJPEG-in-MP4: each sample is
+    one baseline JPEG (the classic 'jpeg' visual sample entry), muxed
+    with the same ISO-BMFF table layout as the raw path. Fully
+    round-trippable here: ``decode_mp4_frame`` routes 'jpeg' samples
+    through the pure-NumPy baseline JPEG decoder."""
+    from .jpegcodec import encode_jpeg_baseline
+    n, h, w = frames.shape[:3]
+    samples = [encode_jpeg_baseline(
+        np.ascontiguousarray(frames[i], dtype=np.uint8), quality=quality)
+        for i in range(n)]
+    return _mux_mp4(samples, w, h, fps, samples_per_chunk, b"jpeg",
+                    b"mjpeg video\x00")
+
+
+def _mux_mp4(samples: list, w: int, h: int, fps: int,
+             samples_per_chunk: int, codec4cc: bytes,
+             compressor: bytes) -> bytes:
+    n = len(samples)
     if not 1 <= samples_per_chunk:
         raise ValueError("samples_per_chunk must be >= 1")
-    sample = np.ascontiguousarray(frames, dtype=np.uint8)
-    sizes = [h * w * 3] * n
-    data = sample.tobytes()
+    sizes = [len(s) for s in samples]
+    data = b"".join(samples)
 
     ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200)
                 + b"isom" + b"iso2" + b"mp41")
@@ -79,7 +105,7 @@ def encode_mp4_raw(frames: np.ndarray, fps: int = 10,
                   + b"\x00" * 32                             # compressorname
                   + struct.pack(">Hh", 24, -1))              # depth
     stsd = _full(b"stsd", 0, 0, struct.pack(">I", 1)
-                 + _box(b"raw ", stsd_entry))
+                 + _box(codec4cc, stsd_entry))
     stts = _full(b"stts", 0, 0, struct.pack(">III", 1, n, delta))
     # one stsc run; a short final chunk needs no extra entry (the spec's
     # run semantics only bound FULL chunks; demuxers clamp by stsz/stco)
@@ -96,7 +122,7 @@ def encode_mp4_raw(frames: np.ndarray, fps: int = 10,
     vmhd = _full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
     minf = _box(b"minf", vmhd + dinf + stbl)
     hdlr = _full(b"hdlr", 0, 0, struct.pack(">I", 0) + b"vide"
-                 + b"\x00" * 12 + b"raw video\x00")
+                 + b"\x00" * 12 + compressor)
     mdhd = _full(b"mdhd", 0, 0, struct.pack(">IIIIHH", 0, 0, timescale,
                                             duration, 0x55C4, 0))
     mdia = _box(b"mdia", mdhd + hdlr + minf)
@@ -233,18 +259,32 @@ def mp4_sample_ranges(buf: bytes) -> tuple[np.ndarray, np.ndarray]:
     return offsets, sizes
 
 
-def decode_mp4_raw_frame(buf: bytes, idx: int) -> np.ndarray:
-    """Decode ONE 'raw ' RGB24 sample by byte-range seek (no other
-    sample is touched). Compressed codecs raise NotImplementedError."""
+def decode_mp4_frame(buf: bytes, idx: int) -> np.ndarray:
+    """Decode ONE video sample to (h, w, 3) uint8 by byte-range seek
+    (no other sample is touched). Real pixel paths: 'raw ' RGB24 and
+    'jpeg'/'mjpa' (MJPEG — each sample is a baseline JPEG, decoded by
+    the pure-NumPy ``jpegcodec``). Other compressed codecs raise
+    NotImplementedError: the sample TABLE still parses — only pixel
+    decode needs a library this container lacks."""
     info = mp4_info(buf)
-    if info["codec"] != "raw ":
+    codec = info["codec"]
+    if codec not in ("raw ", "jpeg", "mjpa"):
         raise NotImplementedError(
-            f"MP4 codec {info['codec']!r} needs a decoder library this "
+            f"MP4 codec {codec!r} needs a decoder library this "
             "container lacks; the sample TABLE still parses — only pixel "
             "decode is unavailable")
     if not 0 <= idx < info["n_samples"]:
         raise IndexError(idx)
     offsets, sizes = mp4_sample_ranges(buf)
-    h, w = info["height"], info["width"]
-    return np.frombuffer(buf, dtype=np.uint8, count=int(sizes[idx]),
-                         offset=int(offsets[idx])).reshape(h, w, 3)
+    if codec == "raw ":
+        h, w = info["height"], info["width"]
+        return np.frombuffer(buf, dtype=np.uint8, count=int(sizes[idx]),
+                             offset=int(offsets[idx])).reshape(h, w, 3)
+    from .jpegcodec import decode_jpeg_baseline
+    off, sz = int(offsets[idx]), int(sizes[idx])
+    return decode_jpeg_baseline(buf[off:off + sz])
+
+
+def decode_mp4_raw_frame(buf: bytes, idx: int) -> np.ndarray:
+    """Back-compat alias of ``decode_mp4_frame`` (originally raw-only)."""
+    return decode_mp4_frame(buf, idx)

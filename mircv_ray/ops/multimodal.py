@@ -71,8 +71,8 @@ MIME_RAWV = "video/x-rawv"
 MIME_MP4 = "video/mp4"
 
 from .jpegcodec import decode_jpeg_baseline, encode_jpeg_baseline  # noqa: E402
-from .mp4box import (decode_mp4_raw_frame, encode_mp4_raw,  # noqa: E402
-                     mp4_info)
+from .mp4box import (decode_mp4_frame, encode_mp4_mjpeg,  # noqa: E402
+                     encode_mp4_raw, mp4_info)
 
 
 # --------------------------------------------------------------- codecs (real)
@@ -405,10 +405,15 @@ def make_media_table(n: int, seed: int = 42) -> pa.Table:
             h, w = 16, 16
             nf = int(rng.integers(3, 9))
             frames = rng.integers(0, 256, size=(nf, h, w, 3), dtype=np.uint8)
-            if (i // 3) % 2:    # alternate containers: RAWV / real MP4
+            variant = (i // 3) % 3  # rotate: RAWV / raw MP4 / MJPEG MP4
+            if variant == 1:
                 payload, mime = encode_mp4_raw(
                     frames, fps=10,
                     samples_per_chunk=2 + (i // 6) % 3), MIME_MP4
+            elif variant == 2:
+                payload, mime = encode_mp4_mjpeg(
+                    frames, fps=10, samples_per_chunk=2 + (i // 6) % 3,
+                    quality=85 + (i // 9) % 11), MIME_MP4
             else:
                 payload, mime = encode_rawv(frames, fps=10), MIME_RAWV
             dur = nf * 100
@@ -463,11 +468,12 @@ class DecodeImage:
                                  self.feature_dim)
         if mime == MIME_MP4:
             # structural parse is always real (mp4box); pixel decode is
-            # real for 'raw ' RGB24 samples, codec-stubbed otherwise
+            # real for 'raw ' RGB24 and MJPEG ('jpeg'/'mjpa') samples,
+            # codec-stubbed otherwise
             try:
                 info = mp4_info(payload)
                 return image_feature(
-                    decode_mp4_raw_frame(payload, info["n_samples"] // 2),
+                    decode_mp4_frame(payload, info["n_samples"] // 2),
                     self.feature_dim)
             except (NotImplementedError, ValueError):
                 # compressed codec or malformed container: plumbing mode
@@ -532,7 +538,7 @@ class SampleFrames:
                         decode_rawv_frame(payload, fi), self.dim))
             elif mime == MIME_MP4:
                 # REAL sample-table timing for any codec; pixel decode
-                # for 'raw ' samples, zeros for codec-stubbed ones
+                # for 'raw ' and MJPEG samples, zeros for codec-stubbed
                 info = mp4_info(payload)
                 nf = info["n_samples"]
                 for j in range(self.n):
@@ -541,7 +547,7 @@ class SampleFrames:
                     offs.append(int(info["sample_ms"][fi]))
                     try:
                         feats.append(image_feature(
-                            decode_mp4_raw_frame(payload, fi), self.dim))
+                            decode_mp4_frame(payload, fi), self.dim))
                     except NotImplementedError:
                         feats.append(np.zeros(self.dim))
             else:

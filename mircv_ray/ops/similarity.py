@@ -255,6 +255,11 @@ def pq_cosine_topk_rerank(emb_ds, codes_ds, codebooks: np.ndarray,
 
     cand = pq_cosine_topk(codes_ds, codebooks, queries, k=k * factor,
                           id_col=id_col).to_pandas()
+    if len(cand) == 0 or "vec_id" not in cand.columns:
+        # empty ADC scan (e.g. empty codes_ds): nothing to rescore —
+        # an empty result, not a crash inside the rescore tasks
+        import ray.data as rd
+        return rd.from_arrow(_topk_table([], [], []))
     qn = _normalize(np.asarray(queries, dtype=np.float64))
     cand_ids = np.unique(cand["vec_id"].to_numpy())
     # (id, query) membership as a sorted id list + per-id query bitmask
@@ -270,6 +275,10 @@ def pq_cosine_topk_rerank(emb_ds, codes_ds, codebooks: np.ndarray,
     def rescore(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy()
         c_ids, c_memb = ray.get(ref)
+        if len(c_ids) == 0:
+            # empty ADC scan (e.g. empty codes_ds): len(c_ids)-1 below
+            # would index an empty array — there is nothing to rescore
+            return _topk_table([], [], [])
         pos = np.searchsorted(c_ids, ids)
         pos_c = np.minimum(pos, len(c_ids) - 1)
         hit = c_ids[pos_c] == ids

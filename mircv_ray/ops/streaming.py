@@ -61,7 +61,7 @@ class StreamingTumblingWindow:
         self.width = width_us
         self.lateness = allowed_lateness_us
         self.watermark = None           # max_ts - lateness, None = no data
-        self._open: dict[tuple[int, str], list] = {}  # (win, type) -> [n, sum]
+        self._open: dict[tuple[int, bytes], list] = {}  # (win, type) -> [n, sum]
         self.late_rows = 0
         self._finalized_until = None    # windows with start < this are closed
 
@@ -80,7 +80,10 @@ class StreamingTumblingWindow:
             ws = a["w"].to_numpy()
             ns = a["count_all"].to_numpy()
             vs = a["value_sum"].to_numpy()
-            types = a["event_type"].to_pylist()
+            # grouped (window, type) keys — bytes via one values-buffer
+            # view; state keys stay bytes until emit
+            from ..util import binary_values_list
+            types = binary_values_list(a["event_type"])
             for w, et, n, v in zip(ws, types, ns, vs):
                 if (self._finalized_until is not None
                         and w < self._finalized_until):
@@ -121,7 +124,8 @@ class StreamingTumblingWindow:
         sums = np.array([r[3] for r in rows])
         return pa.table({
             "window_start_us": pa.array([r[0] for r in rows], pa.int64()),
-            "event_type": pa.array([r[1] for r in rows], pa.string()),
+            "event_type": pa.array([r[1].decode() for r in rows],
+                                   pa.string()),
             "n_events": pa.array([r[2] for r in rows], pa.int64()),
             "sum_value_cents": pa.array(
                 _round_half_away(sums * 100.0), pa.int64()),

@@ -17,7 +17,10 @@ from ..codecs.blocks import decode_block_ids, decode_block_tfs
 
 def _flatten_blocks(batch: pa.Table):
     """blocks list<struct> column -> flat per-block arrays + per-row block
-    counts (vectorized; no .as_py() over rows)."""
+    counts (vectorized; no .as_py() over rows). The binary fields stay an
+    Arrow StructArray — each decode path views their values buffers
+    directly (vbyte/unary: one packed pass; ef/none: memoryview slices),
+    never a per-block to_pylist."""
     blocks = batch["blocks"]
     if isinstance(blocks, pa.ChunkedArray):
         blocks = blocks.combine_chunks()
@@ -27,13 +30,12 @@ def _flatten_blocks(batch: pa.Table):
         zero_copy_only=False).astype(np.int64)
     bmax = flat.field("max_doc_id").to_numpy(zero_copy_only=False)
     bn = flat.field("n").to_numpy(zero_copy_only=False)
-    ids_bufs = flat.field("ids").to_pylist()
-    tfs_bufs = flat.field("tfs").to_pylist()
-    return row_counts, bmax, bn, ids_bufs, tfs_bufs
+    return row_counts, bmax, bn, flat
 
 
 def _decode_batch(batch: pa.Table, codec: str, docno_offset: int) -> pa.Table:
-    row_counts, bmax, bn, ids_bufs, tfs_bufs = _flatten_blocks(batch)
+    from ..util import binary_values_list, binary_values_parts
+    row_counts, bmax, bn, flat = _flatten_blocks(batch)
     total = int(bn.sum())
     terms = batch["term"]
     if isinstance(terms, pa.ChunkedArray):
@@ -44,9 +46,10 @@ def _decode_batch(batch: pa.Table, codec: str, docno_offset: int) -> pa.Table:
         if len(bn) else np.zeros(len(batch), dtype=np.int64)
     row_n[row_counts == 0] = 0
     if codec == "vbyte" and total:
-        from ..codecs.unary import unary_decode_blocks
+        from ..codecs.unary import unary_decode_packed
         from ..codecs.vbyte import vbyte_decode
-        gaps = vbyte_decode(b"".join(ids_bufs), total)
+        ids_data, _ = binary_values_parts(flat.field("ids"))
+        gaps = vbyte_decode(ids_data.tobytes(), total)
         csum = np.cumsum(gaps)
         # each ROW is an independent gap chain (block bases chain within
         # a row starting from 0): re-anchor at every row start
@@ -56,8 +59,11 @@ def _decode_batch(batch: pa.Table, codec: str, docno_offset: int) -> pa.Table:
         offs = np.where(row_start_vals > 0, csum[row_start_vals - 1], 0)
         seg_lens = np.diff(np.append(row_start_vals, total))
         ids_np = csum - np.repeat(offs, seg_lens)
-        tfs_np = unary_decode_blocks(tfs_bufs, bn)
+        tfs_data, tfs_lens = binary_values_parts(flat.field("tfs"))
+        tfs_np = unary_decode_packed(tfs_data, tfs_lens, bn)
     else:
+        ids_bufs = binary_values_list(flat.field("ids"))
+        tfs_bufs = binary_values_list(flat.field("tfs"))
         ids, tfs = [], []
         prev = 0
         bi = 0

@@ -178,8 +178,17 @@ def _doclen_sidecar(index_dir: str, n_docs: int) -> np.memmap:
     memory = one batch, independent of n_docs), then memory-mapped
     read-only by every reader. Concurrent builders write to pid-suffixed
     temps and converge via atomic rename."""
+    from ..build.manifests import read_manifest
+    # the sidecar is READER-created, so an in-place index rebuild wipes
+    # stage dirs but not this file — size alone cannot catch a rebuild
+    # with the same n_docs. The docs manifest's completed_at stamp
+    # identifies the docs-stage output; a stamp mismatch regenerates.
+    stamp = str((read_manifest(index_dir, "docs") or {}).get("completed_at"))
     path = Path(index_dir) / "doc_len.i64"
-    if not path.exists() or path.stat().st_size != 8 * n_docs:
+    stamp_p = Path(index_dir) / "doc_len.i64.stamp"
+    fresh = (path.exists() and path.stat().st_size == 8 * n_docs
+             and stamp_p.exists() and stamp_p.read_text() == stamp)
+    if not fresh:
         tmp = path.with_name(f"doc_len.i64.tmp{os.getpid()}")
         mm = np.memmap(tmp, dtype=np.int64, mode="w+", shape=(n_docs,))
         for fp in sorted((Path(index_dir) / "docs").glob("**/*.parquet")):
@@ -189,6 +198,11 @@ def _doclen_sidecar(index_dir: str, n_docs: int) -> np.memmap:
         mm.flush()
         del mm
         os.replace(tmp, path)
+        # stamp published AFTER the data (a crash in between just
+        # triggers one redundant rebuild on the next reader)
+        tmp_s = stamp_p.with_name(f"{stamp_p.name}.tmp{os.getpid()}")
+        tmp_s.write_text(stamp)
+        os.replace(tmp_s, stamp_p)
     return np.memmap(path, dtype=np.int64, mode="r", shape=(n_docs,))
 
 

@@ -40,6 +40,59 @@ def binary_column_values(col, dtype) -> "np.ndarray":
     return data[offs[0]:offs[-1]].copy().view(dtype)
 
 
+def sort_pairs(major: "np.ndarray", minor: "np.ndarray") -> "np.ndarray":
+    """argsort of (major, minor) pairs of NON-NEGATIVE int64s.
+
+    When the ranges pack into 63 bits (major < 2^23, minor < 2^40 — an
+    in-batch dictionary code paired with a docId), ONE composite-key
+    argsort replaces np.lexsort's two stable passes: the sort is the
+    bandwidth hot spot of the explode/encode kernels, and the composite
+    pass moves half the bytes. Falls back to lexsort outside the packed
+    range. Equal pairs are returned in unspecified order — every caller
+    sorts pairs that are unique or interchangeable."""
+    n = len(major)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    if int(major.max()) < (1 << 23) and int(minor.max()) < (1 << 40):
+        return np.argsort(major * np.int64(1 << 40) + minor)
+    return np.lexsort((minor, major))
+
+
+def binary_values_parts(col) -> tuple["np.ndarray", "np.ndarray"]:
+    """(concatenated values as one uint8 array, per-value byte lengths)
+    of a tightly-packed string/binary column — one zero-copy buffer view,
+    no per-value Python objects. Offsets are monotone, so the slice
+    data[offs[0]:offs[-1]] IS the values' concatenation even for sliced
+    arrays."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.zeros(0, dtype=np.uint8), np.zeros(0, dtype=np.int64)
+    if col.type == pa.string():
+        col = col.cast(pa.binary())
+    bufs = col.buffers()
+    offs = np.frombuffer(bufs[1], dtype=np.int32, count=n + 1,
+                         offset=col.offset * 4).astype(np.int64)
+    data = (np.frombuffer(bufs[2], dtype=np.uint8)
+            if bufs[2] is not None else np.zeros(0, dtype=np.uint8))
+    return data[offs[0]:offs[-1]], offs[1:] - offs[:-1]
+
+
+def binary_values_list(col) -> list:
+    """Per-value ``bytes`` of a string/binary column via ONE memoryview
+    over the values buffer, sliced per value — replaces element-wise
+    ``to_pylist`` boxing where per-value Python bytes are genuinely
+    needed (per-block codec calls, small grouped keys)."""
+    data, lens = binary_values_parts(col)
+    if len(lens) == 0:
+        return []
+    mv = memoryview(np.ascontiguousarray(data))
+    ends = np.cumsum(lens)
+    starts = ends - lens
+    return [bytes(mv[s:e]) for s, e in zip(starts, ends)]
+
+
 _CRC32_TABLE: "np.ndarray | None" = None
 
 
@@ -72,9 +125,19 @@ def crc32_column(arr: pa.Array | pa.ChunkedArray,
         return np.zeros(0, dtype=np.uint32)
     if arr.type == pa.string():
         arr = arr.cast(pa.binary())
+    # large_string/large_binary carry 64-bit offsets — reading them as
+    # int32 would silently misparse starts/lengths into garbage hashes
+    if arr.type == pa.binary():
+        off_dtype, off_w = np.int32, 4
+    elif arr.type in (pa.large_string(), pa.large_binary()):
+        if arr.type == pa.large_string():
+            arr = arr.cast(pa.large_binary())
+        off_dtype, off_w = np.int64, 8
+    else:
+        raise TypeError(f"crc32_column: unsupported column type {arr.type}")
     bufs = arr.buffers()
-    offs = np.frombuffer(bufs[1], dtype=np.int32, count=n + 1,
-                         offset=arr.offset * 4).astype(np.int64)
+    offs = np.frombuffer(bufs[1], dtype=off_dtype, count=n + 1,
+                         offset=arr.offset * off_w).astype(np.int64)
     data = (np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None
             else np.zeros(0, dtype=np.uint8))
     lens = offs[1:] - offs[:-1]

@@ -41,6 +41,12 @@ def main() -> None:
                     help="binarize rel >= this for MAP (TREC-DL: 2)")
     ap.add_argument("--maxscore", action="store_true",
                     help="force the sequential MaxScore loop")
+    ap.add_argument("--golden", default=None,
+                    help="golden TREC run (e.g. the reference's "
+                         "qres_BM25_not_parsed.txt): after --eval, "
+                         "check rank identity + score closeness of "
+                         "the produced run against it")
+    ap.add_argument("--score-rtol", type=float, default=1e-6)
     args = ap.parse_args()
 
     from mircv_ray.config import QueryConfig
@@ -79,6 +85,17 @@ def main() -> None:
                   f"NDCG@{m['k']} = {m['ndcg_cut']:.4f}  "
                   f"({m['num_queries']} judged queries, "
                   f"rel>={m['map_rel_threshold']} for MAP)")
+        if args.golden:
+            from mircv_ray.eval import compare_runs
+            rep = compare_runs(args.run_out, args.golden,
+                               k=args.k, score_rtol=args.score_rtol)
+            print(f"golden parity vs {args.golden}: "
+                  f"{'OK' if rep['ok'] else 'MISMATCH'} "
+                  f"({rep['num_shared_queries']} shared queries, "
+                  f"rank mismatches {len(rep['rank_mismatch_qids'])}, "
+                  f"max score rel diff {rep['max_score_rel_diff']:.2e})")
+            if not rep["ok"]:
+                sys.exit(2)
         return
 
     # interactive loop (QueryProcessorMain.java:48-85)

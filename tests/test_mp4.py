@@ -126,3 +126,59 @@ class TestMultimodalIntegration:
         assert DecodeImage(fake=True)(t).num_rows == 1
         with pytest.raises(NotImplementedError):
             DecodeImage(fake=False)(t)
+
+
+class TestMjpegMp4:
+    """MJPEG-in-MP4: 'jpeg' sample entries round-trip through the real
+    pure-NumPy baseline JPEG codec (VERDICT r3 item 6 — the last
+    multimodal pixel path that was codec-stubbed)."""
+
+    def _smooth_frames(self, n=5, h=24, w=16):
+        yy, xx = np.mgrid[0:h, 0:w]
+        return np.stack([
+            np.clip(yy * 3 + xx * 2 + i * 11, 0, 255)[..., None]
+            .repeat(3, axis=2).astype(np.uint8) for i in range(n)])
+
+    def test_mux_demux_decode_roundtrip(self):
+        from mircv_ray.ops.mp4box import decode_mp4_frame, encode_mp4_mjpeg
+        frames = self._smooth_frames()
+        buf = encode_mp4_mjpeg(frames, fps=10, samples_per_chunk=2,
+                               quality=95)
+        info = mp4_info(buf)
+        assert info["codec"] == "jpeg"
+        assert info["n_samples"] == len(frames)
+        assert (info["width"], info["height"]) == (16, 24)
+        for i in range(len(frames)):
+            dec = decode_mp4_frame(buf, i)
+            assert dec.shape == frames[i].shape
+            err = np.abs(dec.astype(int) - frames[i].astype(int))
+            assert err.mean() < 3.0 and err.max() <= 25, i
+
+    def test_samples_are_wellformed_jpegs(self):
+        from mircv_ray.ops.mp4box import encode_mp4_mjpeg
+        buf = encode_mp4_mjpeg(self._smooth_frames(n=4), fps=5)
+        offsets, sizes = mp4_sample_ranges(buf)
+        assert len(offsets) == 4
+        for o, s in zip(offsets, sizes):
+            sample = buf[int(o):int(o) + int(s)]
+            assert sample[:2] == b"\xff\xd8" and sample[-2:] == b"\xff\xd9"
+
+    def test_decode_image_real_path_fake_false(self):
+        from mircv_ray.ops import DecodeImage
+        from mircv_ray.ops.mp4box import encode_mp4_mjpeg
+        from mircv_ray.ops.multimodal import MEDIA_SCHEMA, MIME_MP4
+        payload = encode_mp4_mjpeg(self._smooth_frames(), fps=10)
+        t = pa.table({"media_id": [0], "kind": ["video"],
+                      "payload": [payload], "mime": [MIME_MP4],
+                      "width": [16], "height": [24],
+                      "duration_ms": [500]}, schema=MEDIA_SCHEMA)
+        out = DecodeImage(fake=False)(t)   # real pixels, no fallback
+        assert out.num_rows == 1
+
+    def test_media_table_contains_mjpeg(self):
+        from mircv_ray.ops import DecodeImage
+        from mircv_ray.ops.multimodal import make_media_table
+        tbl = make_media_table(60)
+        # the video rotation now includes MJPEG MP4s; all decode real
+        out = DecodeImage(fake=False)(tbl)
+        assert out.num_rows == tbl.num_rows

@@ -1,0 +1,374 @@
+"""Round-4 fixes (ADVICE r3 + VERDICT r3 items 2/3/7):
+
+- merge_indexes carries pending tombstones (deleted docs stay deleted);
+- the reader's doc_len.i64 sidecar invalidates on docs-stage rebuild
+  (same n_docs, different corpus) via the manifest stamp;
+- crc32_column handles 64-bit-offset (large_string/large_binary)
+  columns and rejects non-binary types;
+- pq_cosine_topk_rerank survives an empty ADC candidate set;
+- the broadcast-state worker cache is bounded;
+- unigram_logprob's partitioned-join vocab path is value-identical to
+  the broadcast path;
+- interval_join_salted == interval_join (incl. a mega-key and the
+  end-check-failure final-null semantics).
+"""
+
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+
+from mircv_ray.config import IndexConfig
+from mircv_ray.sources import generate_corpus_table
+
+CFG = IndexConfig(parse=True, codec="vbyte", num_shards=4, salt_buckets=2)
+
+
+def _sorted_corpus(n=120, seed=11):
+    t = generate_corpus_table(n, seed=seed).drop_columns(["sha256"])
+    return t.take(pc.sort_indices(
+        t, sort_keys=[("repo", "ascending"), ("path", "ascending")]))
+
+
+def _build(tbl: pa.Table, out: str, cfg: IndexConfig = CFG):
+    import ray.data as rd
+
+    from mircv_ray.build import build_index
+    return build_index(rd.from_arrow(tbl), out, cfg)
+
+
+def _collect(ds, keys):
+    import ray
+    tbls = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+    if not tbls:
+        return None
+    t = pa.concat_tables(tbls).combine_chunks()
+    return t.take(pc.sort_indices(
+        t, sort_keys=[(k, "ascending") for k in keys]))
+
+
+# ---------------------------------------------- merge carries tombstones
+
+class TestMergeCarriesTombstones:
+    def test_carry_union_with_offset(self, ray_session, tmp_path):
+        from mircv_ray.build import (delete_docs, load_tombstones,
+                                     merge_indexes)
+        corpus = _sorted_corpus()
+        base_t, delta_t = corpus.slice(0, 80), corpus.slice(80)
+        base, delta = str(tmp_path / "base"), str(tmp_path / "delta")
+        s_base = _build(base_t, base)
+        _build(delta_t, delta)
+        n_base = s_base["n_docs"]
+        delete_docs(base, [3, 17, 40])
+        delete_docs(delta, [2, 9])
+        merge_indexes(base, delta, str(tmp_path / "merged"))
+        got = load_tombstones(str(tmp_path / "merged"))
+        want = np.unique(np.array([3, 17, 40, n_base + 2, n_base + 9]))
+        np.testing.assert_array_equal(got, want)
+
+    def test_deleted_docs_stay_invisible(self, ray_session, tmp_path):
+        """Query results from the merged index never contain a doc
+        tombstoned on an input — the r3 behavior silently resurrected
+        them."""
+        from mircv_ray.build import delete_docs, merge_indexes
+        from mircv_ray.config import QueryConfig
+        from mircv_ray.query import QueryEngine
+        corpus = _sorted_corpus()
+        base_t, delta_t = corpus.slice(0, 80), corpus.slice(80)
+        base, delta = str(tmp_path / "base"), str(tmp_path / "delta")
+        _build(base_t, base)
+        _build(delta_t, delta)
+        merged_clean = str(tmp_path / "m0")
+        merge_indexes(base, delta, merged_clean)
+        eng = QueryEngine(merged_clean, QueryConfig(k=50))
+        probe = "def return value function class import"
+        before = [d for d, _ in eng.query(probe)]
+        assert before, "probe query must hit something"
+        # docno = str(docId - 1) (DocumentIndex.java:82-84)
+        vid = int(before[0]) + 1
+        if vid <= 80:
+            delete_docs(base, [vid])
+        else:
+            delete_docs(delta, [vid - 80])
+        merged = str(tmp_path / "m1")
+        merge_indexes(base, delta, merged)
+        eng2 = QueryEngine(merged, QueryConfig(k=50))
+        after = {d for d, _ in eng2.query(probe)}
+        assert before[0] not in after
+
+    def test_no_tombstones_no_sidecar(self, ray_session, tmp_path):
+        from mircv_ray.build import load_tombstones, merge_indexes
+        corpus = _sorted_corpus()
+        base, delta = str(tmp_path / "base"), str(tmp_path / "delta")
+        _build(corpus.slice(0, 80), base)
+        _build(corpus.slice(80), delta)
+        merged = str(tmp_path / "merged")
+        merge_indexes(base, delta, merged)
+        assert len(load_tombstones(merged)) == 0
+
+
+# ---------------------------------------------- doc_len.i64 staleness
+
+class TestDoclenSidecarStamp:
+    def test_rebuild_same_ndocs_invalidates(self, ray_session, tmp_path):
+        from mircv_ray.build.manifests import write_manifest
+        from mircv_ray.query.engine import _doclen_sidecar
+        out = str(tmp_path / "idx")
+        stats = _build(_sorted_corpus(60, seed=5), out)
+        n = stats["n_docs"]
+        arr1 = np.array(_doclen_sidecar(out, n))
+        # simulate an in-place rebuild with the same n_docs but changed
+        # doc lengths: rewrite the docs parquet + a fresh docs manifest
+        docs = pq.read_table(f"{out}/docs")
+        i = docs.schema.get_field_index("doc_len")
+        docs = docs.set_column(i, "doc_len",
+                               pc.add(docs["doc_len"], 7).cast(pa.int64()))
+        for f in (tmp_path / "idx" / "docs").glob("*.parquet"):
+            f.unlink()
+        pq.write_table(docs, str(tmp_path / "idx" / "docs" / "p0.parquet"))
+        write_manifest(out, "docs", {"n_docs": n})
+        arr2 = np.array(_doclen_sidecar(out, n))
+        np.testing.assert_array_equal(arr2, arr1 + 7)
+
+    def test_unchanged_stamp_reuses_file(self, ray_session, tmp_path):
+        from pathlib import Path
+
+        from mircv_ray.query.engine import _doclen_sidecar
+        out = str(tmp_path / "idx")
+        stats = _build(_sorted_corpus(60, seed=6), out)
+        n = stats["n_docs"]
+        _doclen_sidecar(out, n)
+        mtime = Path(out, "doc_len.i64").stat().st_mtime_ns
+        _doclen_sidecar(out, n)
+        assert Path(out, "doc_len.i64").stat().st_mtime_ns == mtime
+
+
+# ---------------------------------------------- crc32 offset widths
+
+class TestCrc32LargeTypes:
+    def test_large_string_matches_zlib(self):
+        from mircv_ray.util import crc32_column
+        vals = ["", "a", "def foo():", "x" * 100, "päß"]
+        for typ in (pa.large_string(), pa.large_binary()):
+            arr = pa.array([v.encode() if typ == pa.large_binary() else v
+                            for v in vals], type=typ)
+            got = crc32_column(arr)
+            want = np.array([zlib.crc32(v.encode()) for v in vals],
+                            dtype=np.uint32)
+            np.testing.assert_array_equal(got, want)
+
+    def test_large_equals_narrow(self):
+        from mircv_ray.util import crc32_column
+        vals = pa.array(["term", "shard", "posting", ""] * 7)
+        np.testing.assert_array_equal(
+            crc32_column(vals), crc32_column(vals.cast(pa.large_string())))
+
+    def test_sliced_large(self):
+        from mircv_ray.util import crc32_column
+        arr = pa.array(["aa", "bb", "cc", "dd"], type=pa.large_string())
+        got = crc32_column(arr.slice(1, 2))
+        want = np.array([zlib.crc32(b"bb"), zlib.crc32(b"cc")],
+                        dtype=np.uint32)
+        np.testing.assert_array_equal(got, want)
+
+    def test_unsupported_type_raises(self):
+        from mircv_ray.util import crc32_column
+        with pytest.raises(TypeError, match="unsupported"):
+            crc32_column(pa.array([1, 2, 3]))
+
+
+# ---------------------------------------------- pq rerank empty cands
+
+class TestPqRerankEmptyCandidates:
+    def test_empty_codes_ds_returns_empty(self, ray_session):
+        import ray.data as rd
+
+        from mircv_ray.ops.similarity import (pq_cosine_topk_rerank,
+                                              pq_train)
+        rng = np.random.default_rng(2)
+        emb = pa.table({
+            "vec_id": pa.array(np.arange(64), type=pa.int64()),
+            "embedding": pa.array(list(rng.normal(size=(64, 16)))),
+        })
+        emb_ds = rd.from_arrow(emb)
+        books = pq_train(emb_ds, m=4, k=8)
+        empty_codes = rd.from_arrow(pa.table({
+            "vec_id": pa.array([], type=pa.int64()),
+            "code": pa.array([], type=pa.binary()),
+        }))
+        out = pq_cosine_topk_rerank(emb_ds, empty_codes, books,
+                                    rng.normal(size=(2, 16)), k=3)
+        assert out.count() == 0   # no crash, empty result
+
+
+# ---------------------------------------------- bounded bcast cache
+
+class TestBcastCacheBound:
+    def test_eviction(self, ray_session):
+        import ray
+
+        from mircv_ray.ops import dedup
+        dedup._bcast_cache.clear()
+        refs = [ray.put(i) for i in range(5)]
+        for r in refs:
+            assert dedup._get_bcast(r) is not None
+        assert len(dedup._bcast_cache) <= 2
+        # most recent entry still cached and correct
+        assert dedup._get_bcast(refs[-1]) == 4
+
+
+# ---------------------------------------------- LM join-path parity
+
+class TestLmJoinPathParity:
+    def _docs(self):
+        rng = np.random.default_rng(9)
+        words = ["alpha", "beta", "gamma", "delta", "foo", "bar", "baz",
+                 "return", "def", "x1", "y2"]
+        texts = [" ".join(rng.choice(words,
+                                     size=rng.integers(1, 30)))
+                 for _ in range(300)]
+        texts += ["", "!!! ???", "   "]          # zero-token docs
+        return pa.table({
+            "doc_id": pa.array(np.arange(len(texts)), type=pa.int64()),
+            "text": pa.array(texts, type=pa.string()),
+        })
+
+    def test_join_equals_broadcast(self, ray_session):
+        import ray.data as rd
+
+        from mircv_ray.ops.textops import unigram_logprob
+        tbl = self._docs()
+        a = _collect(unigram_logprob(
+            rd.from_arrow(tbl).repartition(6)), ["doc_id"])
+        b = _collect(unigram_logprob(
+            rd.from_arrow(tbl).repartition(6), broadcast_max_vocab=0),
+            ["doc_id"])
+        assert a.num_rows == tbl.num_rows        # zero-token docs survive
+        assert a.equals(b)
+
+    def test_empty_corpus(self, ray_session):
+        import ray.data as rd
+
+        from mircv_ray.ops.textops import unigram_logprob
+        empty = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                          "text": pa.array([], type=pa.string())})
+        out = unigram_logprob(rd.from_arrow(empty), broadcast_max_vocab=0)
+        assert out.count() == 0
+
+
+# ---------------------------------------------- salted interval join
+
+ATTACH_IV = {"iv_id": "iv_id", "end": "iv_end"}
+
+
+class TestSaltedIntervalJoin:
+    def _brute(self, left, ivals):
+        out = []
+        for lr in left.to_pylist():
+            cands = [r for r in ivals.to_pylist()
+                     if r["k"] == lr["k"] and r["start"] <= lr["t"]]
+            best = max(cands, key=lambda r: (r["start"], r["end"]),
+                       default=None)
+            hit = best if best and lr["t"] <= best["end"] else None
+            out.append({**lr,
+                        "iv_id": hit["iv_id"] if hit else None,
+                        "iv_end": hit["end"] if hit else None})
+        out.sort(key=lambda r: r["lid"])
+        return out
+
+    def _tables(self, seed=17, n_left=2500, n_keys=8):
+        rng = np.random.default_rng(seed)
+        rows = {"k": [], "start": [], "end": [], "iv_id": []}
+        iv = 0
+        for k in range(n_keys):
+            m = 60 if k == 0 else 12      # k=0 is the mega-key
+            starts = np.sort(rng.choice(10_000, size=m, replace=False))
+            for s in starts:              # overlapping intervals allowed
+                rows["k"].append(k)
+                rows["start"].append(int(s))
+                rows["end"].append(int(s + rng.integers(0, 900)))
+                rows["iv_id"].append(iv)
+                iv += 1
+        ivals = pa.table({c: pa.array(v, type=pa.int64())
+                          for c, v in rows.items()})
+        k_l = np.where(rng.random(n_left) < 0.5, 0,
+                       rng.integers(0, n_keys, n_left))
+        left = pa.table({
+            "k": pa.array(k_l, type=pa.int64()),
+            "t": pa.array(rng.integers(0, 11_000, n_left), type=pa.int64()),
+            "lid": pa.array(np.arange(n_left), type=pa.int64()),
+        })
+        return left, ivals
+
+    @pytest.mark.parametrize("salt_width", [150, 1000, 20_000])
+    def test_salted_equals_unsalted(self, ray_session, salt_width):
+        import ray.data as rd
+
+        from mircv_ray.ops import interval_join, interval_join_salted
+        left, ivals = self._tables()
+        a = _collect(interval_join(
+            rd.from_arrow(left).repartition(8),
+            rd.from_arrow(ivals).repartition(4),
+            by="k", on="t", start_col="start", end_col="end",
+            attach=ATTACH_IV), ["lid"])
+        b = _collect(interval_join_salted(
+            rd.from_arrow(left).repartition(8),
+            rd.from_arrow(ivals).repartition(4),
+            by="k", on="t", start_col="start", end_col="end",
+            attach=ATTACH_IV, salt_width=salt_width), ["lid"])
+        assert a.equals(b), salt_width
+        if salt_width == 150:
+            assert a.to_pylist() == self._brute(left, ivals)
+
+    def test_end_fail_is_final_null(self, ray_session):
+        """A left whose own-bucket latest-starting interval fails the end
+        check must NOT fall through to an earlier interval (unsalted
+        tests only the latest-starting candidate)."""
+        import ray.data as rd
+
+        from mircv_ray.ops import interval_join, interval_join_salted
+        ivals = pa.table({
+            "k": pa.array([1, 1], type=pa.int64()),
+            "start": pa.array([0, 540], type=pa.int64()),
+            "end": pa.array([1000, 545], type=pa.int64()),
+            "iv_id": pa.array([0, 1], type=pa.int64()),
+        })
+        # t=550: in-bucket candidate (start 540) fails end check -> null
+        # t=700: no in-bucket start; carry hit (start 540) fails -> null
+        # t=400: carry hit is iv 0 (start 0), 400 <= 1000 -> match
+        left = pa.table({
+            "k": pa.array([1, 1, 1], type=pa.int64()),
+            "t": pa.array([550, 700, 400], type=pa.int64()),
+            "lid": pa.array([0, 1, 2], type=pa.int64()),
+        })
+        for sw in (300, 10_000):
+            got = _collect(interval_join_salted(
+                rd.from_arrow(left), rd.from_arrow(ivals),
+                by="k", on="t", start_col="start", end_col="end",
+                attach=ATTACH_IV, salt_width=sw), ["lid"])
+            assert got["iv_id"].to_pylist() == [None, None, 0], sw
+        un = _collect(interval_join(
+            rd.from_arrow(left), rd.from_arrow(ivals),
+            by="k", on="t", start_col="start", end_col="end",
+            attach=ATTACH_IV), ["lid"])
+        assert un["iv_id"].to_pylist() == [None, None, 0]
+
+    def test_key_without_intervals(self, ray_session):
+        import ray.data as rd
+
+        from mircv_ray.ops import interval_join_salted
+        left = pa.table({"k": pa.array([5], type=pa.int64()),
+                         "t": pa.array([100], type=pa.int64()),
+                         "lid": pa.array([0], type=pa.int64())})
+        ivals = pa.table({"k": pa.array([1], type=pa.int64()),
+                          "start": pa.array([0], type=pa.int64()),
+                          "end": pa.array([10], type=pa.int64()),
+                          "iv_id": pa.array([0], type=pa.int64())})
+        got = _collect(interval_join_salted(
+            rd.from_arrow(left), rd.from_arrow(ivals),
+            by="k", on="t", start_col="start", end_col="end",
+            attach=ATTACH_IV, salt_width=50), ["lid"])
+        assert got["iv_id"].to_pylist() == [None]
