@@ -547,6 +547,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
                               batch_format="pyarrow")
         return _sorted_table(out, ["a", "b"])
 
+    def substring_dup_exact(sf_dir: str):
+        # document pairs sharing any 30-char window — substring-level
+        # dedup (Lee et al., ACL 2022) on the all-windows exact path:
+        # windows pair by BYTES, so the result is SQL-mirrorable
+        # gram-for-gram (substr + generate_series on the oracle side)
+        from mircv_ray.ops import shared_ngram_pairs
+        return _sorted_table(shared_ngram_pairs(_docs_ds(sf_dir), n=30),
+                             ["a", "b"])
+
+    def substring_dup_winnow(sf_dir: str):
+        # winnowing fingerprints (Schleimer et al. SIGMOD'03; n=21,
+        # w=10): ~5x fewer rows shuffle, with a HARD guarantee — any
+        # shared substring of length >= n+w-1 = 30 selects the same
+        # window in both docs. Pairs depend on which windows winnowing
+        # samples (not SQL-expressible), so the entry is rows-only to
+        # the driver but SELF-VALIDATING in-entry: the guarantee is
+        # recall 1 vs the exact 30-gram twin, asserted here.
+        from mircv_ray.ops import shared_ngram_pairs
+        win = _sorted_table(
+            shared_ngram_pairs(_docs_ds(sf_dir), n=21, winnow_w=10),
+            ["a", "b"])
+        exact = _sorted_table(shared_ngram_pairs(_docs_ds(sf_dir), n=30),
+                              ["a", "b"])
+        want = set(zip(exact["a"].to_pylist(), exact["b"].to_pylist()))
+        got = set(zip(win["a"].to_pylist(), win["b"].to_pylist()))
+        if want - got:
+            raise AssertionError(
+                f"winnowing missed {len(want - got)} exact-30-gram "
+                "pair(s) — violates the n+w-1 recall guarantee")
+        return win
+
     def embedding_near_dups_exact(sf_dir: str):
         # tiled brute-force cosine threshold join over the RAW embeddings
         # view (no planting — threshold 0.3 sits in a 7e-5-wide value gap
@@ -951,6 +982,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redact": pii_redact,
         "repetition_stats": repetition_stats,
         "ngram_jaccard_exact": ngram_jaccard_exact,
+        "substring_dup_exact": substring_dup_exact,
+        "substring_dup_winnow": substring_dup_winnow,
         "embedding_near_dups_exact": embedding_near_dups_exact,
         "dataset_split": dataset_split,
         "lm_logprob": lm_logprob,
@@ -1104,6 +1137,21 @@ SELECT d.doc_id,
        least(d.doc_id, COALESCE(mins.m, d.doc_id))::BIGINT AS cluster_id
 FROM documents d LEFT JOIN mins ON mins.x = d.doc_id
 ORDER BY d.doc_id
+"""
+
+# every length-30 char window as a gram; pairs = docs sharing any gram
+# (documents are ASCII in this corpus, so char windows == byte windows)
+_SUBSTRING_EXACT_SQL = """
+WITH grams AS (
+  SELECT doc_id, substr(text, CAST(i AS INT), 30) AS g
+  FROM documents,
+       LATERAL (SELECT unnest(generate_series(
+                    1, greatest(length(text) - 29, 0))) AS i) t
+)
+SELECT g1.doc_id AS a, g2.doc_id AS b
+FROM grams g1 JOIN grams g2 ON g1.g = g2.g AND g1.doc_id < g2.doc_id
+GROUP BY 1, 2
+ORDER BY 1, 2
 """
 
 _EMB_EXACT_SQL = """
@@ -1394,6 +1442,7 @@ ORDER BY 1, 2
         "pii_redact": _PII_SQL,
         "repetition_stats": _REPETITION_SQL,
         "ngram_jaccard_exact": _NGRAM_EXACT_SQL,
+        "substring_dup_exact": _SUBSTRING_EXACT_SQL,
         "embedding_near_dups_exact": _EMB_EXACT_SQL,
         "dedup_clusters": _CLUSTERS_SQL,
         # knuth multiplicative hash: exact BIGINT arithmetic both sides

@@ -378,12 +378,33 @@ def _make_explode(num_shards: int, salt_buckets: int, n_docs: int):
                 "ids_raw": pa.array([], type=pa.binary()),
                 "tfs_raw": pa.array([], type=pa.binary()),
             })
-        did = batch["doc_id"].to_numpy()[parents]
+        did_rows = batch["doc_id"].to_numpy()
+        did = did_rows[parents]
         # per-doc term counting (M11) as pure NumPy over dictionary
-        # codes: one composite-key sort + run-length count (hash-
-        # aggregating the string column was the explode hot spot;
-        # the single-key argsort halves the sort's memory traffic)
-        order = sort_pairs(codes, did)
+        # codes. The (code, docId) sort is the build's hottest kernel
+        # and pure DRAM bandwidth — the 32-way ceiling on one box — so
+        # when the batch vocabulary and doc count both fit 16 bits
+        # (typical: ~30k terms, ~12k docs per batch) the composite-key
+        # quicksort collapses to one or two uint16 STABLE argsorts,
+        # which numpy implements as radix sorts (~3.6x faster, half the
+        # memory traffic). Tokens arrive doc-contiguous, so with
+        # docId-ascending rows a single stable pass by code already
+        # yields (code asc, docId asc); out-of-order rows just add a
+        # stable pre-pass by per-batch doc rank. Equal (code, docId)
+        # entries are interchangeable -> output bytes identical.
+        vocab_n = len(denc.dictionary)
+        if vocab_n < (1 << 16) and batch.num_rows < (1 << 16):
+            if len(did_rows) > 1 and np.any(did_rows[1:] < did_rows[:-1]):
+                rank_rows = np.empty(len(did_rows), dtype=np.uint16)
+                rank_rows[np.argsort(did_rows, kind="stable")] = \
+                    np.arange(len(did_rows), dtype=np.uint16)
+                ord1 = np.argsort(rank_rows[parents], kind="stable")
+                order = ord1[np.argsort(
+                    codes.astype(np.uint16)[ord1], kind="stable")]
+            else:
+                order = np.argsort(codes.astype(np.uint16), kind="stable")
+        else:
+            order = sort_pairs(codes, did)
         c2, d2 = codes[order], did[order]
         tok_change = np.zeros(len(c2), dtype=bool)
         tok_change[0] = True
@@ -503,7 +524,12 @@ def _make_build_segments(seg_len_slices, avg_doc_len: float, cfg: IndexConfig):
         drank = np.empty(len(dorder), dtype=np.int64)
         drank[dorder] = np.arange(len(dorder), dtype=np.int64)
         rcodes_all = drank[codes]
-        order = np.argsort(rcodes_all, kind="stable")
+        # rank codes are < nt (group vocabulary): under 2^16 the stable
+        # argsort is numpy's radix sort — same order, ~3.6x faster and
+        # half the memory traffic (cf. the explode fast path)
+        order = np.argsort(rcodes_all.astype(np.uint16)
+                           if len(dorder) < (1 << 16) else rcodes_all,
+                           kind="stable")
         group = group.take(pa.array(order))
         terms_arr = group["term"]
         if isinstance(terms_arr, pa.ChunkedArray):

@@ -18,6 +18,7 @@ from .joins import (asof_join_backward, asof_join_backward_salted,
                     interval_join, interval_join_salted)
 from .quantiles import grouped_quantiles, grouped_quantiles_tdigest
 from .streaming import StreamingTumblingWindow, stream_tumbling_window_agg
+from .substring import ngram_window_rows, shared_ngram_pairs
 from .windows import hopping_window_agg, props_extract, sessionize, top_users_by_type, tumbling_window_agg
 
 __all__ = [
@@ -31,6 +32,7 @@ __all__ = [
     "jaccard_simjoin_exact", "cosine_all_pairs", "pii_redact",
     "repetition_stats", "connected_components", "source_quota_sample",
     "hash_split", "unigram_logprob",
+    "ngram_window_rows", "shared_ngram_pairs",
     "exact_distinct_per_group", "hll_distinct_per_group",
     "asof_join_backward", "asof_join_backward_salted", "interval_join",
     "grouped_quantiles", "grouped_quantiles_tdigest",

@@ -536,6 +536,11 @@ class QueryEngine:
         silently ignored, both as in QueryProcessorMain.java:139-154)."""
         r = self.reader
         bm25 = self.qcfg.standard == "BM25"
+        # one row-group-pruned, thread-overlapped read per shard for the
+        # whole query's cold terms — without this, each cold term paid a
+        # SEQUENTIAL shard read inside decoded() (~20 ms each), which was
+        # the whole p95 tail of multi-term first-seen queries
+        r.prefetch(terms)
         lists = []
         for t in terms:
             lex = r.lexicon_entry(t)
@@ -586,6 +591,7 @@ class QueryEngine:
         the decoded id lists, then gathered contribution sums."""
         r = self.reader
         bm25 = self.qcfg.standard == "BM25"
+        r.prefetch(terms)  # batched cold-term reads (see _score_terms_taat)
         lists = []
         for t in terms:
             lex = r.lexicon_entry(t)

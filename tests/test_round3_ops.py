@@ -332,6 +332,7 @@ class TestSourceQuota:
 
 @pytest.mark.parametrize("name", ["pii_redact", "repetition_stats",
                                   "ngram_jaccard_exact",
+                                  "substring_dup_exact",
                                   "embedding_near_dups_exact",
                                   "dedup_clusters", "source_quota",
                                   "distinct_users", "asof_purchases",
