@@ -76,6 +76,22 @@ def corpus_dir(sf: float) -> str:
     return out
 
 
+def _first_touch_ms_per_mb(mb: int = 16) -> float:
+    """Host-memory 'weather' probe: ms per MB to FIRST-TOUCH freshly
+    mapped anonymous memory. On this sandbox VM the cost is episodic —
+    measured 0.2 ms/MB in good weather and 230 ms/MB (1000x) during
+    host-level memory-reclaim waves (see BASELINE.md) — and it is
+    invisible to guest counters (no majfaults, no swap, no compaction
+    stalls). Every bench sample records the probe so a weather-degraded
+    sample is identifiable instead of silently poisoning scaling
+    claims."""
+    import numpy as np
+    buf = np.empty(mb * 1_000_000, dtype=np.uint8)
+    t0 = time.perf_counter()
+    buf[::4096] = 1  # touch every page once
+    return (time.perf_counter() - t0) * 1000.0 / mb
+
+
 def run_bench() -> dict:
     import ray
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
@@ -117,12 +133,17 @@ def run_bench() -> dict:
     best_build = None
     for rep in range(n_reps):
         shutil.rmtree(out, ignore_errors=True)
+        timings[f"weather_rep{rep}"] = round(_first_touch_ms_per_mb(), 2)
         t0 = time.time()
         rep_stats = build_index(
             rd.read_parquet(cdir,
                             columns=["repo", "path", "lang", "content"]),
             out, cfg)
         wall = time.time() - t0
+        # weather at BOTH ends of the rep: reclaim waves arrive on
+        # ~30 s timescales, so a clean start stamp alone does not
+        # certify the rep (measured: start 0.03 ms/MB, wall 2x degraded)
+        timings[f"weather_rep{rep}_end"] = round(_first_touch_ms_per_mb(), 2)
         timings[f"build_rep{rep}"] = wall
         if best_build is None or wall < best_build:
             best_build, stats = wall, rep_stats
@@ -342,6 +363,16 @@ def run_scaling() -> dict:
         samples_hi.append(run(hi))
     r_lo = min(samples_lo, key=lambda r: r["value"])
     r_hi = min(samples_hi, key=lambda r: r["value"])
+
+    def best_rep_weather(r: dict) -> list[float]:
+        """(start, end) first-touch ms/MB stamps of the winning rep."""
+        q = r["queries"]
+        reps = [k for k in q if re.fullmatch(r"build_rep\d+", k)]
+        best = min(reps, key=lambda k: q[k])
+        return [q.get(f"weather_{best[6:]}", -1.0),
+                q.get(f"weather_{best[6:]}_end", -1.0)]
+
+    weather = {"lo": best_rep_weather(r_lo), "hi": best_rep_weather(r_hi)}
     thr_lo = r_lo["postings_per_s"]
     thr_hi = r_hi["postings_per_s"]
     eff = (thr_hi / thr_lo) / (hi / lo)
@@ -398,6 +429,10 @@ def run_scaling() -> dict:
         "contention_source": contention_src,
         "percore_slowdown_by_op": per_op,
         "node_normalized_efficiency": round(eff * contention, 3),
+        # first-touch stamps (start, end) of each level's winning rep —
+        # > ~2 ms/MB means a host-memory reclaim wave degraded the rep
+        # (BASELINE.md documents the mechanism); the run is then flagged
+        "weather_ms_per_mb": weather,
         "stage_sub": {
             str(lo): min(samples_lo,
                          key=lambda r: r["value"]).get("stage_sub"),
@@ -405,6 +440,12 @@ def run_scaling() -> dict:
                          key=lambda r: r["value"]).get("stage_sub"),
         },
     }
+    bad = max(max(weather["lo"]), max(weather["hi"]))
+    if bad > 2.0:
+        result["note"] = (
+            f"host-memory reclaim wave during the winning reps "
+            f"(first-touch probe up to {bad:.0f} ms/MB vs ~0.2 healthy) "
+            "— walls degraded by host weather, excluded from claims")
     _update_baseline_md(result)
     return result
 
@@ -428,6 +469,8 @@ def _update_baseline_md(res: dict) -> None:
         flag = " †" if r.get("note") else ""
         if r.get("note"):
             notes.append(f"- † run {i + 1}: {r['note']}")
+        w = r.get("weather_ms_per_mb")
+        wtxt = (f"{max(w['lo']):.1f} / {max(w['hi']):.1f}" if w else "—")
         rows.append(
             f"| {i + 1} ({r.get('when', '?')}){flag} "
             f"| {', '.join(f'{v:.0f}' for v in s.get(str(lo), []))} "
@@ -437,7 +480,8 @@ def _update_baseline_md(res: dict) -> None:
             f"| {r.get('postings_stage_efficiency', '—')} "
             f"| {r.get('postings_stage_normalized', '—')} "
             f"| {r.get('contention_factor', '—')} "
-            f"| {r.get('node_normalized_efficiency', '—')} |")
+            f"| {r.get('node_normalized_efficiency', '—')} "
+            f"| {wtxt} |")
     if notes:
         rows.append("")
         rows.extend(notes)
@@ -454,8 +498,8 @@ salt_buckets=4, identical artifact out) in fresh processes at
 Each run interleaves 3 samples per level (each sample itself
 best-of-2 back-to-back builds); walls below are every sample's best.
 
-| run | {lo}-cpu walls (s) | {hi}-cpu walls (s) | best {lo}/{hi} | raw eff | postings-stage eff | stage norm | contention | node-normalized |
-|---|---|---|---|---|---|---|---|---|
+| run | {lo}-cpu walls (s) | {hi}-cpu walls (s) | best {lo}/{hi} | raw eff | postings-stage eff | stage norm | contention | node-normalized | weather (ms/MB {lo}/{hi}) |
+|---|---|---|---|---|---|---|---|---|---|
 {chr(10).join(rows)}
 
 - **raw eff** = (postings/s at {hi} cpus ÷ postings/s at {lo} cpus) ÷ 4.
@@ -477,6 +521,15 @@ best-of-2 back-to-back builds); walls below are every sample's best.
   stage's node-normalized efficiency.
 - **node-normalized** = raw eff × contention (target >= 0.8); best run
   to date: **{best['value']} raw / {best.get('node_normalized_efficiency', '?')} normalized**.
+- **weather** = first-touch ms/MB probe (max of start/end stamps of
+  each level's winning rep). Round 4 isolated the VM's documented
+  3.8x run noise to a precise mechanism: first-touch faults on freshly
+  mapped anonymous memory episodically cost ~230 ms/MB (vs ~0.2
+  healthy) — a host-level memory-reclaim/overcommit artifact invisible
+  to guest counters (no majfaults / swap / compaction stalls). Probes
+  > ~2 ms/MB flag a degraded run. mircv_ray retains malloc/jemalloc
+  arenas (see `_tune_malloc`) so steady-state kernels reuse hot pages,
+  which bounds — but cannot eliminate — the exposure.
 
 Single-box caveat: running 4x the CORES of one machine is harsher than
 running 4x the NODES — per-core turbo drops and SMT/cache/memory

@@ -56,8 +56,8 @@ import ray
 from ..codecs.blocks import encode_blocks
 from ..config import IndexConfig
 from ..text.tokenizer import Tokenizer
-from ..util import (binary_column_values, crc32_column, sha256_hex_column,
-                    sort_pairs)
+from ..util import (binary_column_values_view, crc32_column,
+                    sha256_hex_column, sort_pairs)
 from .manifests import read_manifest, stage_complete, write_manifest
 
 logger = logging.getLogger(__name__)
@@ -356,6 +356,8 @@ def _make_explode(num_shards: int, salt_buckets: int, n_docs: int):
     posting rows -> ~1M partial rows at 800k docs; Ray's sort exchange
     moves binary buffers cheaply but pays per ROW)."""
 
+    ids_dt = _ids_dtype(n_docs)
+
     def explode(batch: pa.Table) -> pa.Table:
         tokens = batch["tokens"]
         if isinstance(tokens, pa.ChunkedArray):
@@ -366,7 +368,11 @@ def _make_explode(num_shards: int, salt_buckets: int, n_docs: int):
         denc = pc.dictionary_encode(flat)
         if isinstance(denc, pa.ChunkedArray):
             denc = denc.combine_chunks()
-        codes = denc.indices.to_numpy().astype(np.int64)
+        # keep the per-token streams NARROW (int32 codes straight off the
+        # dictionary indices, docIds at the packed exchange width): the
+        # (code, docId) sort below is pure DRAM bandwidth — the measured
+        # 32-way ceiling on one box — so every upcast pass costs twice
+        codes = denc.indices.to_numpy()
         if len(codes) == 0:
             # a whole batch of docs can tokenize to zero tokens
             # (punctuation-only / all-stopword docs pass the blank filter)
@@ -378,7 +384,7 @@ def _make_explode(num_shards: int, salt_buckets: int, n_docs: int):
                 "ids_raw": pa.array([], type=pa.binary()),
                 "tfs_raw": pa.array([], type=pa.binary()),
             })
-        did_rows = batch["doc_id"].to_numpy()
+        did_rows = batch["doc_id"].to_numpy().astype(ids_dt)  # row-level
         did = did_rows[parents]
         # per-doc term counting (M11) as pure NumPy over dictionary
         # codes. The (code, docId) sort is the build's hottest kernel
@@ -416,7 +422,13 @@ def _make_explode(num_shards: int, salt_buckets: int, n_docs: int):
         run_dids = d2[pstarts]
         # seg is monotone in doc_id, so (code, doc_id) order is also
         # (code, seg) order — second-level runs give the partial lists
-        seg = (run_dids - 1) * salt_buckets // max(n_docs, 1)
+        # (the int32 fast path would overflow once n_docs*salt_buckets
+        # crosses 2^31 — upcast only then)
+        if n_docs * salt_buckets < 2**31:
+            seg = (run_dids - 1) * salt_buckets // max(n_docs, 1)
+        else:
+            seg = (run_dids.astype(np.int64) - 1) * salt_buckets \
+                // max(n_docs, 1)
         change = (np.diff(run_codes_all) != 0) | (np.diff(seg) != 0)
         starts = np.flatnonzero(np.append(True, change))
         ends = np.append(starts[1:], len(run_codes_all))
@@ -428,8 +440,8 @@ def _make_explode(num_shards: int, salt_buckets: int, n_docs: int):
         # built with from_buffers in one pass (the per-run tobytes()
         # list comprehension this replaces was ~80x slower and the last
         # Python loop in the explode hot path); byte-identical output
-        ids_raw = _packed_runs(run_dids, starts, 8)
-        tfs_raw = _packed_runs(tfs, starts, 4)
+        ids_raw = _packed_runs(run_dids, starts)
+        tfs_raw = _packed_runs(tfs, starts)
         return pa.table({
             "term": vocab.take(pa.array(run_codes, type=pa.int64())),
             "shard": pa.array(vshards[run_codes], type=pa.int64()),
@@ -441,11 +453,17 @@ def _make_explode(num_shards: int, salt_buckets: int, n_docs: int):
     return explode
 
 
-def _packed_runs(flat: np.ndarray, starts: np.ndarray,
-                 itemsize: int) -> pa.Array:
+def _packed_runs(flat: np.ndarray, starts: np.ndarray) -> pa.Array:
     """Consecutive runs (starts tile ``flat`` end to end) -> one binary
     column whose i-th value is flat[starts[i]:starts[i+1]] as raw bytes,
-    with the WHOLE flat array as the single values buffer."""
+    with the WHOLE flat array as the single values buffer. Item width
+    comes from ``flat.dtype`` — the partial-posting format packs ids as
+    int32 when every docId fits (int64 past 2^31 docs), halving the
+    bytes the postings exchange moves. ZERO-COPY: the arrow buffers
+    alias the numpy arrays (py_buffer holds a reference), so no
+    ``tobytes`` materialization pass — on this build's hottest stage
+    that copy was pure extra DRAM traffic."""
+    itemsize = flat.dtype.itemsize
     total = len(flat) * itemsize
     if total >= 2**31:
         raise ValueError("packed partial-posting batch >= 2 GiB: int32 "
@@ -455,8 +473,16 @@ def _packed_runs(flat: np.ndarray, starts: np.ndarray,
     offs[-1] = total
     return pa.Array.from_buffers(
         pa.binary(), len(starts),
-        [None, pa.py_buffer(offs.tobytes()),
-         pa.py_buffer(np.ascontiguousarray(flat).tobytes())])
+        [None, pa.py_buffer(offs),
+         pa.py_buffer(np.ascontiguousarray(flat))])
+
+
+def _ids_dtype(n_docs: int):
+    """Packed docId width for the partial-posting exchange: int32 while
+    every docId (1-based, <= n_docs) fits, int64 past 2^31 docs. Both
+    the producers (explode / merge partials) and the consumer
+    (build_segments) derive it from the same n_docs."""
+    return np.int32 if n_docs < 2**31 else np.int64
 
 
 def _term_shards_memo(vocab: pa.Array, num_shards: int) -> np.ndarray:
@@ -466,11 +492,13 @@ def _term_shards_memo(vocab: pa.Array, num_shards: int) -> np.ndarray:
     return (crc32_column(vocab) % np.uint32(num_shards)).astype(np.int64)
 
 
-def _make_build_segments(seg_len_slices, avg_doc_len: float, cfg: IndexConfig):
+def _make_build_segments(seg_len_slices, avg_doc_len: float,
+                         cfg: IndexConfig, n_docs: int):
     k1 = cfg.k1
     b = cfg.b
     codec = cfg.codec
     threshold = cfg.block_threshold
+    ids_dt = _ids_dtype(n_docs)
 
     empty_out = pa.table({
         "term": pa.array([], type=pa.string()),
@@ -505,36 +533,32 @@ def _make_build_segments(seg_len_slices, avg_doc_len: float, cfg: IndexConfig):
             # over-partitioned sorts (partitions > distinct keys) emit
             # empty/zero-column partition blocks — schema-pinned no-op
             return empty_out
-        # term-sort via DICTIONARY codes: a hot group (mega-df terms
+        # term order via DICTIONARY codes: a hot group (mega-df terms
         # hash-clustered into one shard) holds ~100x more partial rows
-        # than vocabulary, and the row-level STRING sort was the
+        # than vocabulary, and a row-level STRING sort was the
         # stage-straggler hot spot (one task 9.4 s vs 1.9 s mean at
-        # 32 cpus). Sorting the ~nt-sized dictionary and arg-sorting the
-        # int rank codes is output-identical: within-term row order is
-        # immaterial (the per-term value stream re-sorts by docId below).
+        # 32 cpus). Sorting the ~nt-sized dictionary and ranking the
+        # int codes is output-identical: within-term row order is
+        # immaterial (the per-term value stream re-sorts by docId
+        # below). The ROWS themselves are never reordered at all — the
+        # old table.take(order) copied the whole binary payload once
+        # just to establish term-major order, which the value-level
+        # composite sort below already provides; on a DRAM-bound box
+        # (and a real cluster's memory bus) that pass was ~a third of
+        # the stage's traffic.
         terms_in = group["term"]
         if isinstance(terms_in, pa.ChunkedArray):
             terms_in = terms_in.combine_chunks()
         denc = pc.dictionary_encode(terms_in)
         if isinstance(denc, pa.ChunkedArray):
             denc = denc.combine_chunks()
-        codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        codes = denc.indices.to_numpy(zero_copy_only=False)
         dorder = pc.sort_indices(denc.dictionary).to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        drank = np.empty(len(dorder), dtype=np.int64)
-        drank[dorder] = np.arange(len(dorder), dtype=np.int64)
+            zero_copy_only=False)
+        nt = len(dorder)
+        drank = np.empty(nt, dtype=np.int32)
+        drank[dorder] = np.arange(nt, dtype=np.int32)
         rcodes_all = drank[codes]
-        # rank codes are < nt (group vocabulary): under 2^16 the stable
-        # argsort is numpy's radix sort — same order, ~3.6x faster and
-        # half the memory traffic (cf. the explode fast path)
-        order = np.argsort(rcodes_all.astype(np.uint16)
-                           if len(dorder) < (1 << 16) else rcodes_all,
-                           kind="stable")
-        group = group.take(pa.array(order))
-        terms_arr = group["term"]
-        if isinstance(terms_arr, pa.ChunkedArray):
-            terms_arr = terms_arr.combine_chunks()
-        rcodes = rcodes_all[order]
         n_col = group["n"].to_numpy()
         shard_val = int(group["shard"][0].as_py())
         seg_val = int(group["seg"][0].as_py())
@@ -543,22 +567,20 @@ def _make_build_segments(seg_len_slices, avg_doc_len: float, cfg: IndexConfig):
         # would be terabytes at 10^12 docs); index = docId-1 - seg_lo
         seg_lo, seg_hi, seg_dir = seg_len_slices[seg_val]
         doc_lens = _seg_lens_cached(seg_dir, seg_lo, seg_hi)
-        # term run boundaries over the sorted partial rows (int rank
-        # compare; rows are term-sorted)
-        neq = rcodes[1:] != rcodes[:-1]
-        row_starts = np.flatnonzero(np.append(True, neq))
-        nt = len(row_starts)
-        # merged value stream, term-major, docId-ascending per term —
-        # binary values are tightly packed, so the whole stream is ONE
-        # typed view of the column buffer (no per-row Python bytes)
-        ids_all = binary_column_values(group["ids_raw"], np.int64)
-        tfs_all = binary_column_values(group["tfs_raw"],
-                                       np.int32).astype(np.int64)
-        row_codes = np.cumsum(np.append(0, neq.astype(np.int64)))
-        val_codes = np.repeat(row_codes, n_col)
-        vorder = sort_pairs(val_codes, ids_all)  # O3: explicit docId sort
-        ids_all, tfs_all = ids_all[vorder], tfs_all[vorder]
-        bounds = np.flatnonzero(np.diff(val_codes[vorder], prepend=-1))
+        # merged value stream, term-major, docId-ascending per term:
+        # ONE composite (term rank, docId) argsort over the packed
+        # value buffers, read as zero-copy typed views (the exchange
+        # packs ids at int32 below 2^31 docs — see _ids_dtype)
+        ids_flat = binary_column_values_view(group["ids_raw"], ids_dt)
+        tfs_flat = binary_column_values_view(group["tfs_raw"], np.int32)
+        val_codes = np.repeat(rcodes_all, n_col)
+        vorder = sort_pairs(val_codes, ids_flat)  # O3: explicit docId sort
+        # the stream stays at the packed width (int32 below 2^31 docs);
+        # the encode kernels upcast internally where they need 64 bits
+        ids_all = ids_flat[vorder]
+        tfs_all = tfs_flat[vorder]
+        vr_sorted = val_codes[vorder]
+        bounds = np.flatnonzero(np.diff(vr_sorted, prepend=-1))
         ends = np.append(bounds[1:], len(ids_all))
         df_arr = ends - bounds
         max_arr = ids_all[ends - 1]
@@ -568,7 +590,9 @@ def _make_build_segments(seg_len_slices, avg_doc_len: float, cfg: IndexConfig):
         tf_vals = 1.0 + np.log10(tfs_all)
         b25_arr = np.maximum.reduceat(b25_vals, bounds)
         tfidf_arr = np.maximum.reduceat(tf_vals, bounds)
-        out_term = terms_arr.take(pa.array(row_starts, type=pa.int64()))
+        # every dictionary entry occurs in the column, so the sorted
+        # dictionary IS the term column of the nt output rows
+        out_term = denc.dictionary.take(pa.array(dorder, type=pa.int64()))
         # single-block terms (df*4 <= threshold, C6) batch-encode for
         # vbyte/none; ef and multi-block terms use the per-term path
         single = (df_arr * 4 <= threshold) if codec != "ef" else \
@@ -848,7 +872,7 @@ def _encode_partials(posts, out: Path, cfg: IndexConfig, n_docs: int,
     for s2 in range(salt):
         lo, hi = _seg_bounds(s2, n_docs, salt)
         seg_len_slices.append((lo, hi, str(out / "doc_lens" / f"seg={s2}")))
-    build_fn = _make_build_segments(seg_len_slices, avg_doc_len, cfg)
+    build_fn = _make_build_segments(seg_len_slices, avg_doc_len, cfg, n_docs)
     xstats: dict = {}
     if cfg.exchange == "mr":
         xstats = _mr_exchange_build(posts, build_fn,

@@ -94,13 +94,18 @@ def _rows_to_partials(num_shards: int, salt_buckets: int, n_docs: int):
         denc = pc.dictionary_encode(terms)
         if isinstance(denc, pa.ChunkedArray):
             denc = denc.combine_chunks()
-        codes = denc.indices.to_numpy().astype(np.int64)
-        did = batch["doc_id"].to_numpy()
+        from .index_build import _ids_dtype
+        codes = denc.indices.to_numpy()
+        did = batch["doc_id"].to_numpy().astype(_ids_dtype(n_docs))
         tf = batch["tf"].to_numpy().astype(np.int32)
         from ..util import sort_pairs
         order = sort_pairs(codes, did)
         codes, did, tf = codes[order], did[order], tf[order]
-        seg = (did - 1) * salt_buckets // max(n_docs, 1)
+        if n_docs * salt_buckets < 2**31:
+            seg = (did - 1) * salt_buckets // max(n_docs, 1)
+        else:
+            seg = (did.astype(np.int64) - 1) * salt_buckets \
+                // max(n_docs, 1)
         change = np.empty(len(codes), dtype=bool)
         change[0] = True
         np.logical_or(codes[1:] != codes[:-1], seg[1:] != seg[:-1],
@@ -115,8 +120,8 @@ def _rows_to_partials(num_shards: int, salt_buckets: int, n_docs: int):
             "shard": pa.array(vshards[run_codes], type=pa.int64()),
             "seg": pa.array(seg[starts], type=pa.int64()),
             "n": pa.array(ends - starts, type=pa.int64()),
-            "ids_raw": _packed_runs(did, starts, 8),
-            "tfs_raw": _packed_runs(tf, starts, 4),
+            "ids_raw": _packed_runs(did, starts),
+            "tfs_raw": _packed_runs(tf, starts),
         })
     return to_partials
 

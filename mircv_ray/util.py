@@ -40,6 +40,27 @@ def binary_column_values(col, dtype) -> "np.ndarray":
     return data[offs[0]:offs[-1]].copy().view(dtype)
 
 
+def binary_column_values_view(col, dtype) -> "np.ndarray":
+    """Zero-copy variant of :func:`binary_column_values`: a typed VIEW
+    over the column's values buffer when the slice is aligned (the
+    common case — our packed-run writers start every buffer at offset
+    0), falling back to one copy when it isn't. The returned array may
+    alias arrow memory — callers must treat it as read-only."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    dtype = np.dtype(dtype)
+    if n == 0:
+        return np.zeros(0, dtype=dtype)
+    offs = np.frombuffer(col.buffers()[1], dtype=np.int32,
+                         count=n + 1, offset=col.offset * 4)
+    data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+    lo, hi = int(offs[0]), int(offs[-1])
+    if lo % dtype.itemsize == 0:
+        return data[lo:hi].view(dtype)
+    return data[lo:hi].copy().view(dtype)
+
+
 def sort_pairs(major: "np.ndarray", minor: "np.ndarray") -> "np.ndarray":
     """argsort of (major, minor) pairs of NON-NEGATIVE int64s.
 
