@@ -130,6 +130,13 @@ def run_bench() -> dict:
     # for code that benches 33 s in the next process) — two samples are
     # not always enough for the min to escape it at sf0.1 cost (~30 s).
     n_reps = int(os.environ.get("RAY_GRAFT_REPS", "3"))
+    # RAY_GRAFT_BLOCKS pins the read split count: Ray otherwise derives
+    # it from the cluster size, so an 8- and a 32-cpu run would execute
+    # DIFFERENT physical plans — the scaling mode pins it to make every
+    # task identical across levels (a requirement for the busy-ratio
+    # contention measurement, and for like-for-like walls)
+    blocks = os.environ.get("RAY_GRAFT_BLOCKS")
+    read_kw = {"override_num_blocks": int(blocks)} if blocks else {}
     best_build = None
     for rep in range(n_reps):
         shutil.rmtree(out, ignore_errors=True)
@@ -137,7 +144,8 @@ def run_bench() -> dict:
         t0 = time.time()
         rep_stats = build_index(
             rd.read_parquet(cdir,
-                            columns=["repo", "path", "lang", "content"]),
+                            columns=["repo", "path", "lang", "content"],
+                            **read_kw),
             out, cfg)
         wall = time.time() - t0
         # weather at BOTH ends of the rep: reclaim waves arrive on
@@ -325,14 +333,30 @@ def _spin_tokenize(_i: int) -> float:
 
 
 def run_scaling() -> dict:
+    # RAY_GRAFT_PAIR picks the N / 4N cpu levels (default "8,32").
+    # "2,8" is the SUPPLEMENTARY pair: both levels sit far below this
+    # box's DRAM-saturation point, so it isolates the JOB's scaling from
+    # the single-box bandwidth ceiling — the closer stand-in for N vs 4N
+    # NODES, where per-node memory bandwidth is constant. The corpus
+    # multiplier scales with the pair so the low level's wall stays
+    # practical while work still dominates stage startup at the high one.
+    pair = os.environ.get("RAY_GRAFT_PAIR", "8,32")
+    lo, hi = (int(x) for x in pair.split(","))
+    mult = os.environ.get("RAY_GRAFT_SCALE_MULT") or str(max(hi, 8))
+
     def run(ncpu: int) -> dict:
-        # mult=32 (1.6M docs at sf0.1) so per-stage work dominates the
-        # fixed stage-startup cost — the efficiency measurement then
-        # reflects throughput, as it would on a long-running cluster job.
-        # Both runs see the IDENTICAL input and produce the same index.
+        # default mult=32 (1.6M docs at sf0.1) so per-stage work
+        # dominates the fixed stage-startup cost — the efficiency
+        # measurement then reflects throughput, as it would on a
+        # long-running cluster job. Both runs see the IDENTICAL input
+        # and produce the same index.
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                   RAY_GRAFT_SCALE_MULT="32", RAY_GRAFT_LITE="1",
-                   RAY_GRAFT_REPS="2")
+                   RAY_GRAFT_SCALE_MULT=mult, RAY_GRAFT_LITE="1",
+                   RAY_GRAFT_REPS="2",
+                   # identical physical plan at both levels (see
+                   # run_bench): 4 splits per corpus file
+                   RAY_GRAFT_BLOCKS=os.environ.get("RAY_GRAFT_BLOCKS",
+                                                   "256"))
         out = subprocess.run([sys.executable, __file__], env=env,
                              capture_output=True, text=True, check=True).stdout
         res = json.loads(out.strip().splitlines()[-1])
@@ -346,7 +370,6 @@ def run_scaling() -> dict:
             except Exception:  # noqa: BLE001 — diagnostics only
                 pass
         return res
-    lo, hi = 8, 32
     # this sandbox VM has noisy neighbors (same-invocation builds vary up
     # to 2x) — interleave the levels, run each three times, and take the
     # best per level (min is the standard noise-robust wall estimator);
@@ -461,46 +484,60 @@ def _update_baseline_md(res: dict) -> None:
     hist.append(res)
     hist_p.write_text(json.dumps(hist, indent=1) + "\n")
 
+    tables = []
+    for pair in sorted({tuple(r["cpus"]) for r in hist}, reverse=True):
+        lo, hi = pair
+        rows = []
+        notes = []
+        for i, r in enumerate(hist):
+            if tuple(r["cpus"]) != pair:
+                continue
+            s = r.get("build_sec_samples", {})
+            flag = " †" if r.get("note") else ""
+            if r.get("note"):
+                notes.append(f"- † run {i + 1}: {r['note']}")
+            w = r.get("weather_ms_per_mb")
+            wtxt = (f"{max(w['lo']):.1f} / {max(w['hi']):.1f}" if w else "—")
+            rows.append(
+                f"| {i + 1} ({r.get('when', '?')}){flag} "
+                f"| {', '.join(f'{v:.0f}' for v in s.get(str(lo), []))} "
+                f"| {', '.join(f'{v:.0f}' for v in s.get(str(hi), []))} "
+                f"| {r['build_sec'][0]:.1f} / {r['build_sec'][1]:.1f} "
+                f"| {r['value']} "
+                f"| {r.get('postings_stage_efficiency', '—')} "
+                f"| {r.get('postings_stage_normalized', '—')} "
+                f"| {r.get('contention_factor', '—')} "
+                f"| {r.get('node_normalized_efficiency', '—')} "
+                f"| {wtxt} |")
+        if notes:
+            rows.append("")
+            rows.extend(notes)
+        head = "" if pair == (8, 32) else (
+            f"\n### Supplementary pair — {lo} vs {hi} cpus (both levels "
+            "below the box's DRAM-saturation point: isolates the job's "
+            "scaling from the single-box bandwidth ceiling — the closer "
+            "stand-in for N vs 4N NODES, where per-node bandwidth is "
+            "constant)\n")
+        tables.append(f"""{head}
+| run | {lo}-cpu walls (s) | {hi}-cpu walls (s) | best {lo}/{hi} | raw eff | postings-stage eff | stage norm | contention | node-normalized | weather (ms/MB {lo}/{hi}) |
+|---|---|---|---|---|---|---|---|---|---|
+{chr(10).join(rows)}""")
     lo, hi = res["cpus"]
-    rows = []
-    notes = []
-    for i, r in enumerate(hist):
-        s = r.get("build_sec_samples", {})
-        flag = " †" if r.get("note") else ""
-        if r.get("note"):
-            notes.append(f"- † run {i + 1}: {r['note']}")
-        w = r.get("weather_ms_per_mb")
-        wtxt = (f"{max(w['lo']):.1f} / {max(w['hi']):.1f}" if w else "—")
-        rows.append(
-            f"| {i + 1} ({r.get('when', '?')}){flag} "
-            f"| {', '.join(f'{v:.0f}' for v in s.get(str(lo), []))} "
-            f"| {', '.join(f'{v:.0f}' for v in s.get(str(hi), []))} "
-            f"| {r['build_sec'][0]:.1f} / {r['build_sec'][1]:.1f} "
-            f"| {r['value']} "
-            f"| {r.get('postings_stage_efficiency', '—')} "
-            f"| {r.get('postings_stage_normalized', '—')} "
-            f"| {r.get('contention_factor', '—')} "
-            f"| {r.get('node_normalized_efficiency', '—')} "
-            f"| {wtxt} |")
-    if notes:
-        rows.append("")
-        rows.extend(notes)
-    best = max((r for r in hist if not r.get("note")),
+    best = max((r for r in hist if not r.get("note")
+                and tuple(r["cpus"]) == (8, 32)),
                key=lambda r: r["value"])
     marker = "<!-- scaling-runs -->"
     section = f"""{marker}
 ## Scaling runs (this repo, `bench.py --scaling`, full history)
 
 Identical job (full parsed index build over the deterministic F1
-corpus: {res.get('n_docs', '?')} docs, fixed num_shards=64 /
-salt_buckets=4, identical artifact out) in fresh processes at
-{lo} and {hi} cpus — the sandbox stand-in for N vs 4N Ray clusters.
-Each run interleaves 3 samples per level (each sample itself
-best-of-2 back-to-back builds); walls below are every sample's best.
-
-| run | {lo}-cpu walls (s) | {hi}-cpu walls (s) | best {lo}/{hi} | raw eff | postings-stage eff | stage norm | contention | node-normalized | weather (ms/MB {lo}/{hi}) |
-|---|---|---|---|---|---|---|---|---|---|
-{chr(10).join(rows)}
+corpus, fixed num_shards=64 / salt_buckets=4, identical artifact out)
+in fresh processes at N and 4N cpus — the sandbox stand-in for N vs 4N
+Ray clusters. Primary pair 8/32 (1.58M docs); run a supplementary pair
+with RAY_GRAFT_PAIR (corpus multiplier scales with the pair). Each run
+interleaves 3 samples per level (each sample itself best-of-2
+back-to-back builds); walls below are every sample's best.
+{chr(10).join(tables)}
 
 - **raw eff** = (postings/s at {hi} cpus ÷ postings/s at {lo} cpus) ÷ 4.
 - **postings-stage eff** — same ratio over the postings-stage wall only:
