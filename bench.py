@@ -84,12 +84,24 @@ def _first_touch_ms_per_mb(mb: int = 16) -> float:
     invisible to guest counters (no majfaults, no swap, no compaction
     stalls). Every bench sample records the probe so a weather-degraded
     sample is identifiable instead of silently poisoning scaling
-    claims."""
+    claims.
+
+    Raw anonymous mmap, NOT a heap allocation: glibc's adaptive mmap
+    threshold retains a repeated same-size buffer in the arena after
+    the first call, so a long-lived process's heap probe silently
+    measures WARM pages (observed: probe 0.01 ms/MB while a concurrent
+    fresh-page numpy workload stalled ~900 ms/MB)."""
+    import mmap
+
     import numpy as np
-    buf = np.empty(mb * 1_000_000, dtype=np.uint8)
+    m = mmap.mmap(-1, mb * 1024 * 1024)
+    v = np.frombuffer(memoryview(m), dtype=np.uint8)
     t0 = time.perf_counter()
-    buf[::4096] = 1  # touch every page once
-    return (time.perf_counter() - t0) * 1000.0 / mb
+    v[::4096] = 1  # touch every page once
+    dt = (time.perf_counter() - t0) * 1000.0 / mb
+    del v
+    m.close()
+    return dt
 
 
 def run_bench() -> dict:

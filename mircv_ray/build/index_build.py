@@ -83,6 +83,12 @@ DRIVER_LEXICON_MAX_SEGROWS = 1_000_000
 def _cached_get(ref):
     key = ref.hex() if hasattr(ref, "hex") else id(ref)
     if key not in _worker_cache:
+        # bound the per-worker memo: each entry can be broadcast-sized
+        # (the id-mapping key buffer) and can pin its plasma object via
+        # zero-copy views — repeated builds in one session must not
+        # accumulate them (same policy as textops._lm_cache)
+        while len(_worker_cache) >= 8:
+            _worker_cache.pop(next(iter(_worker_cache)))
         _worker_cache[key] = ray.get(ref)
     return _worker_cache[key]
 
@@ -271,30 +277,62 @@ class AttachIds:
         self.mapping_ref = mapping_ref
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        keys, ids = _mapping_keys(self.mapping_ref)
-        bkeys = pc.binary_join_element_wise(
-            batch["repo"], batch["path"], "\x00").to_numpy(
-                zero_copy_only=False)
+        width, keys, ids = _mapping_keys(self.mapping_ref)
+        bkeys = _fixed_width_keys(pc.binary_join_element_wise(
+            batch["repo"], batch["path"], "\x00"), width)
         pos = np.searchsorted(keys, bkeys)
         return batch.append_column(
             "doc_id", pa.array(ids[pos], type=pa.int64()))
 
 
-def _mapping_keys(mapping_ref) -> tuple[np.ndarray, np.ndarray]:
-    """('repo\\x00path' key array, parallel doc_id array), built once per
-    worker process. The broadcast mapping table MUST already be sorted by
-    (repo, path) — build_id_mapping guarantees it and the resume path
-    re-sorts the checkpointed table — so no per-worker sort is needed
-    ('\\x00' sorts below every other byte, making joined-key order equal
+def _fixed_width_keys(joined, width: int) -> np.ndarray:
+    """'repo\\x00path' string array -> numpy 'S<width>' array backed by
+    ONE contiguous \\x00-right-padded buffer (zero-copy view of the arrow
+    fixed-size-binary cast). Bytewise order is preserved by the padding:
+    keys contain no NUL except the separator, so a proper prefix always
+    orders below its extensions both padded and unpadded — and numpy 'S'
+    comparisons are full-width memcmp, NOT C-string (embedded NULs
+    compare correctly; verified in tests). Replaces a ~mapping-sized
+    Python-object array that every worker used to materialize (1.6M
+    string objects per worker — the dominant per-worker warmup cost and
+    a fresh-page fault storm on this host)."""
+    if isinstance(joined, pa.ChunkedArray):
+        joined = joined.combine_chunks()
+    if len(joined) == 0:
+        return np.zeros(0, dtype=f"S{width}")
+    # rpad never truncates: a key longer than the mapping's max width
+    # would fail the fixed-size cast loudly (it cannot exist in the
+    # mapping, so a silent truncation could only produce a WRONG match)
+    fixed = pc.ascii_rpad(joined, width=width, padding="\x00").cast(
+        pa.binary(width))
+    if isinstance(fixed, pa.ChunkedArray):
+        fixed = fixed.combine_chunks()
+    return np.frombuffer(fixed.buffers()[1], dtype=f"S{width}",
+                         count=len(fixed), offset=fixed.offset * width)
+
+
+def _broadcast_mapping(mapping_tbl: pa.Table, ray_mod):
+    """ray.put the broadcast id mapping as (key byte width, sorted
+    'S<w>' key array, parallel doc_id array) — the lookup-ready form.
+    Built ONCE on the driver: every worker then reads the key buffer
+    zero-copy from the object store instead of re-deriving it (the old
+    per-worker build materialized a mapping-sized Python-object array
+    in every worker — the dominant warmup cost at high worker counts).
+    ``mapping_tbl`` MUST be sorted by (repo, path) — build_id_mapping
+    guarantees it and the resume path re-sorts the checkpointed table
+    ('\\x00' sorts below every other byte, so joined-key order equals
     the two-column order)."""
-    key = ("idmapkeys", mapping_ref.hex() if hasattr(mapping_ref, "hex")
-           else id(mapping_ref))
-    if key not in _worker_cache:
-        tbl = ray.get(mapping_ref)
-        keys = pc.binary_join_element_wise(
-            tbl["repo"], tbl["path"], "\x00").to_numpy(zero_copy_only=False)
-        _worker_cache[key] = (keys, tbl["doc_id"].to_numpy())
-    return _worker_cache[key]
+    joined = pc.binary_join_element_wise(mapping_tbl["repo"],
+                                         mapping_tbl["path"], "\x00")
+    width = max(int(pc.max(pc.binary_length(joined)).as_py() or 1), 1)
+    return ray_mod.put((width, _fixed_width_keys(joined, width),
+                        mapping_tbl["doc_id"].to_numpy()))
+
+
+def _mapping_keys(mapping_ref) -> tuple[int, np.ndarray, np.ndarray]:
+    """Worker-side read of a :func:`_broadcast_mapping` object —
+    zero-copy from the object store, memoized per worker."""
+    return _cached_get(mapping_ref)
 
 
 
@@ -794,8 +832,18 @@ def _build_lexicon_files(out: Path, n_docs: int) -> None:
     tasks (term->shard is functional, so aggregation never crosses
     shards — no term-wide shuffle). Writes ``out/lexicon``; the caller
     owns manifests."""
-    seg_rows = pads.dataset(str(out / "postings"), format="parquet",
-                            partitioning="hive").count_rows()
+    # seg-row count from the postings manifest's partition lineage when
+    # available (zero I/O) — the footer scan re-opens every partition
+    # file, a ~seconds-long SERIAL driver cost at 256 partitions that
+    # ate into the build's scaling efficiency (it is the same absolute
+    # time at every cluster size)
+    post_m = read_manifest(str(out), "postings") or {}
+    parts = post_m.get("partitions")
+    if parts:
+        seg_rows = sum(p["rows"] for p in parts.values())
+    else:
+        seg_rows = pads.dataset(str(out / "postings"), format="parquet",
+                                partitioning="hive").count_rows()
     if seg_rows == 0:
         lex_tbl = _agg_to_lex(pa.table({
             "term": pa.array([], pa.string()),
@@ -1184,7 +1232,7 @@ def build_index(corpus, out_dir: str, cfg: IndexConfig | None = None,
             # broadcast path: mapping table fits a worker heap — ray.put
             # once, binary-search per batch
             mapping_tbl = _driver_id_mapping(slim, ray)
-            mapping_ref = ray.put(mapping_tbl)
+            mapping_ref = _broadcast_mapping(mapping_tbl, ray)
             tok_mat = tok0.map_batches(AttachIds(mapping_ref),
                                        batch_format="pyarrow")
         else:
@@ -1254,7 +1302,9 @@ def build_index(corpus, out_dir: str, cfg: IndexConfig | None = None,
                 mapping_tbl = mapping_tbl.take(
                     pc.sort_indices(mapping_tbl["doc_id"]))  # _mapping_keys invariant
                 tok_mat = corpus.map_batches(
-                    AttachIdsTokenizeHash(cfg, ray.put(mapping_tbl)),
+                    AttachIdsTokenizeHash(cfg,
+                                          _broadcast_mapping(mapping_tbl,
+                                                             ray)),
                     batch_format="pyarrow", batch_size=cfg.tokenize_batch_size)
             else:
                 # scale resume: join the re-derived token stream against

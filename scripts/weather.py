@@ -22,11 +22,20 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def probe(mb: int = 16) -> float:
+    # raw anonymous mmap so every probe faults FRESH pages — a heap
+    # buffer gets retained by glibc's adaptive mmap threshold after the
+    # first call and would measure warm pages forever (see bench.py)
+    import mmap
+
     import numpy as np
-    buf = np.empty(mb * 1_000_000, dtype=np.uint8)
+    m = mmap.mmap(-1, mb * 1024 * 1024)
+    v = np.frombuffer(memoryview(m), dtype=np.uint8)
     t0 = time.perf_counter()
-    buf[::4096] = 1
-    return (time.perf_counter() - t0) * 1000.0 / mb
+    v[::4096] = 1
+    dt = (time.perf_counter() - t0) * 1000.0 / mb
+    del v
+    m.close()
+    return dt
 
 
 def main() -> None:

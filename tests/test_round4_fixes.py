@@ -372,3 +372,63 @@ class TestSaltedIntervalJoin:
             by="k", on="t", start_col="start", end_col="end",
             attach=ATTACH_IV, salt_width=50), ["lid"])
         assert got["iv_id"].to_pylist() == [None]
+
+
+class TestFixedWidthIdKeys:
+    """AttachIds' broadcast lookup uses one contiguous fixed-width
+    \\x00-padded 'S<w>' key buffer instead of a per-worker Python-object
+    array (round 4: per-worker warmup was ~mapping-sized object churn).
+    Padding must preserve bytewise (repo, path) order, including the
+    prefix/extension and embedded-NUL cases."""
+
+    def test_order_and_lookup_tricky_keys(self):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from mircv_ray.build.index_build import (AttachIds,
+                                                 _fixed_width_keys)
+
+        # prefix pairs, shared prefixes across the separator, and
+        # mixed-length repos/paths — sorted by (repo, path)
+        rows = [("a", "b"), ("a", "bb"), ("aa", "b"),
+                ("ab", ""), ("ab", "c"), ("b", "longer/path/x.py")]
+        repo = pa.array([r for r, _ in rows])
+        path = pa.array([p for _, p in rows])
+        joined = pc.binary_join_element_wise(repo, path, "\x00")
+        w = int(pc.max(pc.binary_length(joined)).as_py())
+        keys = _fixed_width_keys(joined, w)
+        # padded order == original bytewise order
+        assert np.all(keys[:-1] < keys[1:])
+
+        # end-to-end lookup through AttachIds against a fake ObjectRef
+        # carrying the lookup-ready broadcast payload (width, keys, ids)
+        payload = (w, keys,
+                   np.arange(1, len(rows) + 1, dtype=np.int64))
+
+        class FakeRef:
+            def hex(self):
+                return "fixedwidthtest"
+
+        import mircv_ray.build.index_build as ib
+        ref = FakeRef()
+        real_get = ib.ray.get
+        ib.ray.get = lambda r: payload if isinstance(r, FakeRef) else real_get(r)
+        try:
+            batch = pa.table({
+                "repo": pa.array([r for r, _ in reversed(rows)]),
+                "path": pa.array([p for _, p in reversed(rows)]),
+            })
+            out = AttachIds(ref)(batch)
+            assert out["doc_id"].to_pylist() == list(
+                range(len(rows), 0, -1))
+        finally:
+            ib.ray.get = real_get
+            ib._worker_cache.pop("fixedwidthtest", None)
+
+    def test_empty_mapping(self):
+        import pyarrow as pa
+
+        from mircv_ray.build.index_build import _fixed_width_keys
+        keys = _fixed_width_keys(pa.array([], type=pa.string()), 4)
+        assert len(keys) == 0
