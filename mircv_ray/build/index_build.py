@@ -53,7 +53,7 @@ import pyarrow.parquet as pq
 
 import ray
 
-from ..codecs.blocks import encode_blocks
+from ..codecs.blocks import encode_blocks, encode_stream_blocks, stream_block_bounds
 from ..config import IndexConfig
 from ..text.tokenizer import Tokenizer
 from ..util import (binary_column_values_view, crc32_column,
@@ -562,11 +562,11 @@ def _make_build_segments(seg_len_slices, avg_doc_len: float,
 
         Vocabulary grows ~linearly with a code corpus, so per-term work
         is the scale bottleneck: merging, docId sorting, df/max/upper-
-        bound aggregates and (for vbyte) the whole single-block encode
-        run as ONE set of NumPy passes over the value stream; the
-        per-term Python loop only slices bytes and appends, with
-        ``encode_blocks`` called solely for the rare multi-block
-        (hot/high-df) terms."""
+        bound aggregates and (for vbyte/none) the ENTIRE block encode —
+        single- and multi-block terms alike — run as NumPy passes over
+        the whole value stream with zero per-term/per-block Python
+        (``encode_stream_blocks``); only the secondary ef codec keeps a
+        per-term ``encode_blocks`` loop."""
         if group.num_rows == 0 or group.num_columns == 0:
             # over-partitioned sorts (partitions > distinct keys) emit
             # empty/zero-column partition blocks — schema-pinned no-op
@@ -631,48 +631,50 @@ def _make_build_segments(seg_len_slices, avg_doc_len: float,
         # every dictionary entry occurs in the column, so the sorted
         # dictionary IS the term column of the nt output rows
         out_term = denc.dictionary.take(pa.array(dorder, type=pa.int64()))
-        # single-block terms (df*4 <= threshold, C6) batch-encode for
-        # vbyte/none; ef and multi-block terms use the per-term path
-        single = (df_arr * 4 <= threshold) if codec != "ef" else \
-            np.zeros(nt, dtype=bool)
-        sb_ids: list[bytes] = []
-        sb_tfs: list[bytes] = []
-        if single.any():
-            vmask = np.repeat(single, df_arr)
-            sb_bounds = np.concatenate(
-                ([0], np.cumsum(df_arr[single])))
+        if codec != "ef":
+            # vbyte/none: the ENTIRE group encodes in one vectorized
+            # pass — block split, gap stream, unary stream and byte
+            # slicing all stream-level (codecs/blocks.py
+            # encode_stream_blocks). The old per-term loop made hot
+            # term-hash shards the build's straggler tasks: a mega-df
+            # term is ~sqrt(df) blocks, each a tiny numpy encode call
+            # (measured 10.6 s max task vs 1.25 s mean at 32 cpus).
+            bb, nb_t = stream_block_bounds(df_arr, threshold)
             if codec == "vbyte":
-                from ..codecs.blocks import encode_single_block_terms
-                sb_ids, sb_tfs = encode_single_block_terms(
-                    ids_all[vmask], tfs_all[vmask], sb_bounds)
-            else:  # "none": raw slices
-                raw_i = np.ascontiguousarray(ids_all[vmask], dtype="<i8")
-                raw_t = np.ascontiguousarray(tfs_all[vmask], dtype="<i4")
-                bi = raw_i.tobytes()
-                bt = raw_t.tobytes()
-                sb_ids = [bi[8 * s:8 * e] for s, e in
-                          zip(sb_bounds[:-1], sb_bounds[1:])]
-                sb_tfs = [bt[4 * s:4 * e] for s, e in
-                          zip(sb_bounds[:-1], sb_bounds[1:])]
-        out_bytes_ids, out_bytes_tfs = [], []
-        blk_max, blk_n, blk_ids, blk_tfs, blk_offsets = [], [], [], [], [0]
-        # per-block score-core maxima (block-max pruning: UB = idf * core;
-        # lossless skip data for MaxScore's non-essential lists)
-        blk_b25c, blk_tfc = [], []
-        j = 0
-        for gi in range(nt):
-            if single[gi]:
-                ib, tb = sb_ids[j], sb_tfs[j]
-                j += 1
-                out_bytes_ids.append(len(ib))
-                out_bytes_tfs.append(len(tb))
-                blk_max.append(int(max_arr[gi]))
-                blk_n.append(int(df_arr[gi]))
-                blk_b25c.append(float(b25_arr[gi]))
-                blk_tfc.append(float(tfidf_arr[gi]))
-                blk_ids.append(ib)
-                blk_tfs.append(tb)
-            else:
+                id_buf, id_bounds, tf_buf, tf_bounds = \
+                    encode_stream_blocks(ids_all, tfs_all, bb, bounds)
+            else:  # "none": raw little-endian slices at block bounds
+                id_buf = np.ascontiguousarray(ids_all, dtype="<i8")
+                id_bounds = bb * 8
+                tf_buf = np.ascontiguousarray(tfs_all, dtype="<i4")
+                tf_bounds = bb * 4
+            blk_starts = bb[:-1]
+            first_blk = np.cumsum(nb_t) - nb_t
+            last_blk = np.cumsum(nb_t)  # index into bounds arrays
+            blocks = pa.ListArray.from_arrays(
+                pa.array(np.concatenate(([0], last_blk)),
+                         type=pa.int32()),
+                pa.StructArray.from_arrays(
+                    [pa.array(ids_all[bb[1:] - 1], type=pa.int64()),
+                     pa.array(bb[1:] - blk_starts, type=pa.int64()),
+                     pa.array(np.maximum.reduceat(b25_vals, blk_starts),
+                              type=pa.float64()),
+                     pa.array(np.maximum.reduceat(tf_vals, blk_starts),
+                              type=pa.float64()),
+                     _binary_from_bounds(id_buf, id_bounds),
+                     _binary_from_bounds(tf_buf, tf_bounds)],
+                    fields=list(BLOCK_STRUCT)))
+            out_bytes_ids = id_bounds[last_blk] - id_bounds[first_blk]
+            out_bytes_tfs = tf_bounds[last_blk] - tf_bounds[first_blk]
+        else:
+            # ef: per-term encode (the split decision and the EF size
+            # math are value-dependent; ef is the reference-parity
+            # secondary codec, not the bench path)
+            out_bytes_ids, out_bytes_tfs = [], []
+            blk_max, blk_n, blk_ids, blk_tfs, blk_offsets = \
+                [], [], [], [], [0]
+            blk_b25c, blk_tfc = [], []
+            for gi in range(nt):
                 s, e = bounds[gi], ends[gi]
                 enc = encode_blocks(ids_all[s:e], tfs_all[s:e], codec,
                                     threshold)
@@ -682,21 +684,22 @@ def _make_build_segments(seg_len_slices, avg_doc_len: float,
                 blk_n.extend(enc["n"])
                 sizes = np.asarray(enc["n"], dtype=np.int64)
                 bstarts = np.cumsum(sizes) - sizes
-                blk_b25c.extend(np.maximum.reduceat(b25_vals[s:e], bstarts))
+                blk_b25c.extend(np.maximum.reduceat(b25_vals[s:e],
+                                                    bstarts))
                 blk_tfc.extend(np.maximum.reduceat(tf_vals[s:e], bstarts))
                 blk_ids.extend(enc["ids"])
                 blk_tfs.extend(enc["tfs"])
-            blk_offsets.append(len(blk_max))
-        blocks = pa.ListArray.from_arrays(
-            pa.array(blk_offsets, type=pa.int32()),
-            pa.StructArray.from_arrays(
-                [pa.array(blk_max, type=pa.int64()),
-                 pa.array(blk_n, type=pa.int64()),
-                 pa.array(blk_b25c, type=pa.float64()),
-                 pa.array(blk_tfc, type=pa.float64()),
-                 pa.array(blk_ids, type=pa.binary()),
-                 pa.array(blk_tfs, type=pa.binary())],
-                fields=list(BLOCK_STRUCT)))
+                blk_offsets.append(len(blk_max))
+            blocks = pa.ListArray.from_arrays(
+                pa.array(blk_offsets, type=pa.int32()),
+                pa.StructArray.from_arrays(
+                    [pa.array(blk_max, type=pa.int64()),
+                     pa.array(blk_n, type=pa.int64()),
+                     pa.array(blk_b25c, type=pa.float64()),
+                     pa.array(blk_tfc, type=pa.float64()),
+                     pa.array(blk_ids, type=pa.binary()),
+                     pa.array(blk_tfs, type=pa.binary())],
+                    fields=list(BLOCK_STRUCT)))
         return pa.table({
             "term": out_term,
             "shard": pa.array(np.full(nt, shard_val, dtype=np.int64)),
@@ -705,11 +708,32 @@ def _make_build_segments(seg_len_slices, avg_doc_len: float,
             "max_doc_id": pa.array(max_arr, type=pa.int64()),
             "bm25_core": pa.array(b25_arr, type=pa.float64()),
             "tfidf_core": pa.array(tfidf_arr, type=pa.float64()),
-            "bytes_ids": pa.array(out_bytes_ids, type=pa.int64()),
-            "bytes_tfs": pa.array(out_bytes_tfs, type=pa.int64()),
+            "bytes_ids": pa.array(np.asarray(out_bytes_ids),
+                                  type=pa.int64()),
+            "bytes_tfs": pa.array(np.asarray(out_bytes_tfs),
+                                  type=pa.int64()),
             "blocks": blocks,
         })
     return build_segments
+
+
+def _binary_from_bounds(data, bounds: np.ndarray) -> pa.Array:
+    """Arrow binary array over contiguous byte ``bounds`` slices of one
+    buffer — zero-copy (no per-slice Python bytes). ``data`` is a bytes
+    object or a numpy array viewing the byte stream."""
+    n = len(bounds) - 1
+    if int(bounds[-1]) > np.iinfo(np.int32).max:
+        # >2 GiB of encoded bytes in one (shard, seg) group: binary's
+        # int32 offsets can't address it — correct-but-copying fallback
+        # (resize num_shards/salt_buckets long before this at scale)
+        b = data if isinstance(data, bytes) else \
+            np.ascontiguousarray(data).tobytes()
+        return pa.array([b[int(s):int(e)] for s, e in
+                         zip(bounds[:-1], bounds[1:])], type=pa.binary())
+    off = np.ascontiguousarray(bounds, dtype=np.int32)
+    return pa.Array.from_buffers(
+        pa.binary(), n,
+        [None, pa.py_buffer(off), pa.py_buffer(data)])
 
 
 # ----------------------------------------------------- stage 2 MR exchange

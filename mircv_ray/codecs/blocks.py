@@ -106,6 +106,99 @@ def encode_blocks(doc_ids: np.ndarray, tfs: np.ndarray, codec: str,
     return out
 
 
+def encode_stream_blocks(doc_ids: np.ndarray, tfs: np.ndarray,
+                         block_bounds: np.ndarray,
+                         term_starts: np.ndarray
+                         ) -> tuple[bytes, np.ndarray, bytes, np.ndarray]:
+    """Vectorized vbyte+unary encoding of a whole blocked value stream.
+
+    ``doc_ids``/``tfs`` are a term-major, per-term docId-ascending
+    concatenation of MANY posting lists; ``block_bounds`` (len =
+    n_blocks + 1, ascending, covering the stream) marks EVERY block
+    boundary — single- and multi-block terms alike — and
+    ``term_starts`` the value indices where a new term begins (each
+    must also be a block start).
+
+    Byte-identical to ``encode_blocks(ids_t, tfs_t, "vbyte")`` called
+    per term: a term's first gap is its absolute first docId, and each
+    interior block's first gap is relative to the PREVIOUS block's max
+    docId — which is simply the previous stream element, so the whole
+    stream is ONE plain gap pass with a reset only at term starts. The
+    unary tf stream is byte-padded per block, exactly the per-block
+    ``unary_encode`` layout.
+
+    Returns ``(id_bytes, id_byte_bounds, tf_bytes, tf_byte_bounds)``:
+    two contiguous byte buffers plus per-block byte boundaries (len =
+    n_blocks + 1) — zero-copy sliceable into Arrow binary columns.
+    This replaces the per-block Python encode loop that made hot
+    term-hash shards (a mega-df term is ~sqrt(df) blocks) the build's
+    straggler tasks."""
+    from .vbyte import vbyte_encode, vbyte_lengths
+
+    n_blocks = len(block_bounds) - 1
+    if n_blocks <= 0 or len(doc_ids) == 0:
+        z = np.zeros(1, dtype=np.int64)
+        return b"", z, b"", z
+    starts = block_bounds[:-1]
+    ends = block_bounds[1:]
+    # ---- ids: one global gap stream, reset to absolute at term starts
+    gaps = doc_ids.astype(np.int64, copy=True)
+    gaps[1:] -= doc_ids[:-1]
+    gaps[term_starts] = doc_ids[term_starts]
+    id_bytes = vbyte_encode(gaps)
+    byte_ends = np.cumsum(vbyte_lengths(gaps))
+    id_bounds = np.concatenate(([0], byte_ends[ends - 1]))
+    # ---- tfs: global unary bit stream with per-BLOCK byte padding
+    tf64 = tfs.astype(np.int64)
+    cum_v = np.cumsum(tf64 + 1)
+    blk_base = np.concatenate(([0], cum_v[ends - 1][:-1]))
+    used_bits = cum_v[ends - 1] - blk_base          # sum+count per block
+    tf_sizes = np.maximum((used_bits + 7) // 8, 1)  # unary_byte_size per blk
+    tf_byte_ends = np.cumsum(tf_sizes)
+    tf_byte_starts = tf_byte_ends - tf_sizes
+    total_bits = int(tf_byte_ends[-1]) * 8
+    blk_bit_off = np.repeat(tf_byte_starts * 8, ends - starts)
+    zero_pos = blk_bit_off + (cum_v - np.repeat(blk_base, ends - starts)) - 1
+    delta = np.zeros(total_bits + 1, dtype=np.int8)
+    np.add.at(delta, tf_byte_starts * 8, 1)
+    np.add.at(delta, tf_byte_starts * 8 + used_bits, -1)
+    bits = (np.cumsum(delta[:-1]) > 0).astype(np.uint8)
+    bits[zero_pos] = 0
+    tf_bytes = np.packbits(bits).tobytes()
+    return (id_bytes, id_bounds, tf_bytes,
+            np.concatenate(([0], tf_byte_ends)))
+
+
+def stream_block_bounds(df: np.ndarray, threshold: int = BLOCK_THRESHOLD
+                        ) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized ``split_blocks`` over MANY vbyte/none posting lists.
+
+    ``df`` is the per-term posting count of a term-major value stream.
+    Returns ``(block_bounds, blocks_per_term)`` where ``block_bounds``
+    (len = total_blocks + 1) marks every block boundary in stream
+    coordinates — single block when ``df*4 <= threshold``, else
+    ``isqrt(df)`` postings per block with the remainder in the last
+    block, exactly ``split_blocks``'s policy."""
+    n = len(df)
+    if n == 0:
+        return np.zeros(1, dtype=np.int64), np.zeros(0, dtype=np.int64)
+    df = df.astype(np.int64)
+    # exact isqrt: float sqrt is correctly rounded but floor can still
+    # be off by one in principle — clamp with two integer corrections
+    bs = np.sqrt(df.astype(np.float64)).astype(np.int64)
+    bs = np.where((bs + 1) * (bs + 1) <= df, bs + 1, bs)
+    bs = np.where(bs * bs > df, bs - 1, bs)
+    single = df * 4 <= threshold
+    per_blk = np.maximum(np.where(single, df, bs), 1)
+    nb = np.where(single, 1, -(-df // per_blk))
+    total = int(nb.sum())
+    first = np.cumsum(nb) - nb
+    bidx = np.arange(total, dtype=np.int64) - np.repeat(first, nb)
+    term_off = np.cumsum(df) - df
+    bstarts = np.repeat(term_off, nb) + bidx * np.repeat(per_blk, nb)
+    return np.append(bstarts, int(df.sum())), nb
+
+
 def encode_single_block_terms(doc_ids: np.ndarray, tfs: np.ndarray,
                               bounds: np.ndarray
                               ) -> tuple[list[bytes], list[bytes]]:
