@@ -590,6 +590,46 @@ def queries() -> dict[str, Callable[[str], Any]]:
                               batch_format="pyarrow")
         return _sorted_table(out, ["a", "b"])
 
+    def semantic_dedup_exact(sf_dir: str):
+        # SemDeDup with n_clusters=1 IS the exact global rule: drop every
+        # vector that has an EARLIER (smaller-id) vector at cosine >= 0.3
+        # (same value-gap threshold as embedding_near_dups_exact) —
+        # min-id dominance, exactly SQL-expressible
+        from mircv_ray.ops import semantic_dedup
+        ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+        out = semantic_dedup(ds, n_clusters=1, threshold=0.3)
+        return _sorted_table(out.select_columns(["vec_id", "keep"]),
+                             ["vec_id"])
+
+    def semantic_dedup_clustered(sf_dir: str):
+        # production path (SemDeDup, arXiv:2303.09540): full-data Lloyd
+        # k-means bounds the candidate sets; only same-cluster pairs are
+        # compared. Which global near-dups stay visible depends on the
+        # learned partition (not SQL-expressible) -> rows-only, but
+        # SELF-VALIDATING in-entry: precision 1.0 vs the exact global
+        # rule is asserted (every clustered drop is a true near-dup)
+        from mircv_ray.ops import semantic_dedup
+        ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+        clustered = _sorted_table(
+            semantic_dedup(ds, n_clusters=8, threshold=0.3, iters=4,
+                           seed=42), ["vec_id"])
+        exact = _sorted_table(
+            semantic_dedup(ds, n_clusters=1, threshold=0.3)
+            .select_columns(["vec_id", "keep"]), ["vec_id"])
+        exact_drop = {v for v, k in zip(exact["vec_id"].to_pylist(),
+                                        exact["keep"].to_pylist()) if not k}
+        clus_drop = {v for v, k in zip(clustered["vec_id"].to_pylist(),
+                                       clustered["keep"].to_pylist())
+                     if not k}
+        if not clus_drop <= exact_drop:
+            raise AssertionError(
+                f"semantic_dedup precision violated: "
+                f"{len(clus_drop - exact_drop)} clustered drop(s) are "
+                "not global near-dups")
+        return clustered
+
     def source_quota(sf_dir: str):
         # per-source 800-token mixture cap (each sf source holds
         # ~1.1-1.7k tokens, so the cut lands mid-source and roughly
@@ -985,6 +1025,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substring_dup_exact": substring_dup_exact,
         "substring_dup_winnow": substring_dup_winnow,
         "embedding_near_dups_exact": embedding_near_dups_exact,
+        "semantic_dedup_exact": semantic_dedup_exact,
+        "semantic_dedup_clustered": semantic_dedup_clustered,
         "dataset_split": dataset_split,
         "lm_logprob": lm_logprob,
         "source_quota_salted": source_quota_salted,
@@ -1444,6 +1486,16 @@ ORDER BY 1, 2
         "ngram_jaccard_exact": _NGRAM_EXACT_SQL,
         "substring_dup_exact": _SUBSTRING_EXACT_SQL,
         "embedding_near_dups_exact": _EMB_EXACT_SQL,
+        # min-id dominance keep: drop iff an earlier id is >= threshold
+        "semantic_dedup_exact": """
+WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+           FROM embeddings),
+d AS (SELECT DISTINCT b.vec_id AS v
+      FROM n a JOIN n b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.e, b.e) >= 0.3)
+SELECT vec_id, vec_id NOT IN (SELECT v FROM d) AS keep
+FROM n ORDER BY vec_id
+""",
         "dedup_clusters": _CLUSTERS_SQL,
         # knuth multiplicative hash: exact BIGINT arithmetic both sides
         "dataset_split": """
@@ -1482,7 +1534,7 @@ FROM documents d LEFT JOIN s USING (doc_id) ORDER BY d.doc_id
         "source_quota_salted": _SOURCE_QUOTA_SQL,
         # minhash_pairs / simhash_pairs / ngram_jaccard /
         # contamination_fuzzy / embedding_near_dups / media_features /
-        # ann_cosine_topk_pq: intentionally no SQL
+        # ann_cosine_topk_pq / semantic_dedup_clustered: intentionally no SQL
         # oracle (LSH/hash-banded, quantized-approximate, or
         # model-shaped ops) -> driver records the rows-only check;
         # exact-value verification lives in tests/ against brute force,

@@ -334,6 +334,7 @@ class TestSourceQuota:
                                   "ngram_jaccard_exact",
                                   "substring_dup_exact",
                                   "embedding_near_dups_exact",
+                                  "semantic_dedup_exact",
                                   "dedup_clusters", "source_quota",
                                   "distinct_users", "asof_purchases",
                                   "value_quantiles", "dataset_split",
