@@ -129,8 +129,11 @@ def run_bench() -> dict:
     # num_shards is FIXED (not a function of cpu count) so the index
     # layout is identical across cluster sizes — the scaling runs must
     # produce the same artifact
+    # MIRCV_EXCHANGE A/Bs the postings exchange ("mr" = fused direct
+    # map/reduce, the round-4 scaling fix; "groupby" = Ray sort shuffle)
     cfg = IndexConfig(parse=True, codec="vbyte", num_shards=64,
-                      salt_buckets=4)
+                      salt_buckets=4,
+                      exchange=os.environ.get("MIRCV_EXCHANGE", "mr"))
     # Build twice, report the BEST run (min wall): steady-state
     # throughput (warm worker pool, warm page cache) is the quantity a
     # long-running cluster job sees, and this sandbox VM has documented

@@ -757,10 +757,9 @@ def _mr_map_split(tbl: pa.Table, num_parts: int, salt_buckets: int):
                  for s, e in zip(bounds[:-1], bounds[1:]))
 
 
-@ray.remote
-def _mr_reduce_build(build_fn, out_dir: str, shard: int, seg: int,
-                     *parts: pa.Table) -> dict:
-    """Reduce side: concat one partition's partials, build the final
+def _reduce_build_write(build_fn, out_dir: str, shard: int, seg: int,
+                        parts) -> dict:
+    """Reduce body: concat one partition's partials, build the final
     block-encoded segments, write its parquet file ATOMICALLY (tmp +
     rename into the hive shard layout) — the file's presence is the
     partition's completion marker, so a crashed build resumes by
@@ -771,13 +770,24 @@ def _mr_reduce_build(build_fn, out_dir: str, shard: int, seg: int,
     if not tbls:
         return {"rows": 0, "sec": 0.0}
     group = pa.concat_tables(tbls).combine_chunks()
+    t_concat = time.time()
     out = build_fn(group)
+    t_build = time.time()
     d = Path(out_dir) / f"shard={shard}"
     d.mkdir(parents=True, exist_ok=True)
     tmp = d / f".seg-{seg}.parquet.tmp"
     pq.write_table(out.drop_columns(["shard"]), str(tmp))
     os.replace(tmp, d / f"seg-{seg}.parquet")  # atomic publish
-    return {"rows": out.num_rows, "sec": time.time() - t0}
+    return {"rows": out.num_rows, "sec": time.time() - t0,
+            "concat_s": round(t_concat - t0, 3),
+            "build_s": round(t_build - t_concat, 3),
+            "write_s": round(time.time() - t_build, 3)}
+
+
+@ray.remote
+def _mr_reduce_build(build_fn, out_dir: str, shard: int, seg: int,
+                     *parts: pa.Table) -> dict:
+    return _reduce_build_write(build_fn, out_dir, shard, seg, parts)
 
 
 def _mr_exchange_build(posts, build_fn, out_dir: str,
@@ -827,6 +837,232 @@ def _mr_exchange_build(posts, build_fn, out_dir: str,
         "reduce_busy_s": round(sum(secs), 3),
         "reduce_max_s": round(secs[-1], 3),
         "reduce_p50_s": round(secs[len(secs) // 2], 3),
+    }
+
+
+_POSTS_EMPTY_COLS = {
+    "term": pa.string(), "shard": pa.int64(), "seg": pa.int64(),
+    "n": pa.int64(), "ids_raw": pa.binary(), "tfs_raw": pa.binary(),
+}
+
+
+# reduce buckets of the fused exchange: maps return MR2_BUCKETS objects
+# (not one per (shard, seg) key) — the ObjectRef matrix is maps x buckets
+# and per-ref serialization (~40-80 us each, borrower registration) is
+# the exchange's only driver cost that grows with task count; 64 buckets
+# keeps it metadata-sized while reduces stay ~2x the cpu count
+MR2_BUCKETS = 64
+# key -> bucket uses a coprime multiplier so one hot shard's salt
+# segments (consecutive key indices) land in DIFFERENT buckets (odd
+# multiplier, power-of-two bucket count => a permutation step)
+_MR2_PERM = 37
+
+
+def _mr2_bucket_of(key_idx, n_buckets: int):
+    return (key_idx * _MR2_PERM) % n_buckets
+
+
+@ray.remote
+def _mr2_map(chunks, batch_rows: int, mapping_box, num_shards: int,
+             salt_buckets: int, n_docs: int, n_buckets: int) -> tuple:
+    """Fused map side of the direct postings exchange: slice the
+    MATERIALIZED token blocks in ``chunks`` (list of (block_ref, start,
+    len) — nested refs, fetched zero-copy from plasma), attach doc ids
+    (broadcast path), explode to partial posting rows in ``batch_rows``
+    sub-batches (the radix fast path's sweet spot), split by reduce
+    bucket — all in ONE task, so the exchange's map phase IS the
+    explode compute (no intermediate dataset, no second scheduling
+    pass). Each bucket's rows are emitted (bucket, key)-sorted, so the
+    reduce side can slice one key's rows zero-copy. Returns
+    ``n_buckets`` tables. ``mapping_box`` is ``[mapping_ref]`` (nested
+    so the broadcast object arrives as a ref and is read zero-copy +
+    memoized per worker) or None when ``doc_id`` is already attached."""
+    attach = AttachIds(mapping_box[0]) if mapping_box else None
+    explode = _make_explode(num_shards, salt_buckets, n_docs)
+    num_parts = num_shards * salt_buckets
+    chunks_out = []
+    for ref, start, length in chunks:
+        tok_tbl = ray.get(ref)
+        end = min(start + length, tok_tbl.num_rows)
+        for off in range(start, end, batch_rows):
+            sub = tok_tbl.slice(off, min(batch_rows, end - off))
+            if attach is not None:
+                sub = attach(sub)
+            posts = explode(sub.select(["doc_id", "tokens"]))
+            if posts.num_rows:
+                chunks_out.append(posts)
+    empty = pa.table({k: pa.array([], type=t)
+                      for k, t in _POSTS_EMPTY_COLS.items()})
+    if not chunks_out:
+        return tuple(empty for _ in range(n_buckets))
+    posts = (chunks_out[0] if len(chunks_out) == 1
+             else pa.concat_tables(chunks_out).combine_chunks())
+    pkey = (posts["shard"].to_numpy() * salt_buckets +
+            posts["seg"].to_numpy()).astype(np.int64)
+    bkt = _mr2_bucket_of(pkey, n_buckets)
+    # ONE composite sort over the whole map output: grouped by bucket
+    # for the return split AND key-sorted within each bucket — the
+    # key-sorted invariant is per RETURN OBJECT, so it must hold across
+    # sub-batches, not just within one
+    order = np.argsort(bkt * num_parts + pkey, kind="stable")
+    posts = posts.take(pa.array(order))
+    bounds = np.searchsorted(bkt[order], np.arange(n_buckets + 1))
+    return tuple(
+        posts.slice(int(s), int(e - s)) if e > s else empty
+        for s, e in zip(bounds[:-1], bounds[1:]))
+
+
+@ray.remote
+def _mr2_reduce(build_fn, out_dir: str, salt_buckets: int, keys,
+                part_refs) -> list:
+    """Reduce one bucket: fetch its slices, locate each still-missing
+    key's rows with a zero-copy searchsorted slice per part (parts
+    arrive key-sorted from the maps), build + write that partition
+    atomically. ``part_refs`` is a LIST of ObjectRefs — nested on
+    purpose, twice over: reduces x maps TOP-LEVEL args were measured
+    ~7x slower end-to-end (small per-key outputs get inlined into
+    every task spec, copying the whole exchange payload through the
+    driver) and cost seconds of serial submit. The task is only
+    submitted after every map completed (ray.wait in the driver), so
+    the ray.get here never blocks a CPU slot waiting on upstream."""
+    t_f0 = time.time()
+    parts = [t for t in ray.get(list(part_refs)) if t.num_rows]
+    fetch_s = time.time() - t_f0
+    if not parts:
+        return [{"rows": 0, "sec": 0.0, "fetch_s": fetch_s}
+                for _ in keys]
+    pkeys = [(t["shard"].to_numpy() * salt_buckets +
+              t["seg"].to_numpy()).astype(np.int64) for t in parts]
+    out = []
+    for shard, seg in keys:
+        k = shard * salt_buckets + seg
+        slices = []
+        for t, pk in zip(parts, pkeys):
+            lo, hi = np.searchsorted(pk, [k, k + 1])
+            if hi > lo:
+                slices.append(t.slice(int(lo), int(hi - lo)))
+        r = _reduce_build_write(build_fn, out_dir, shard, seg, slices)
+        r["fetch_s"] = fetch_s
+        out.append(r)
+    return out
+
+
+def _mr2_exchange_build(tok_ds, mapping_ref, build_fn, out_dir: str,
+                        cfg: IndexConfig, n_docs: int) -> dict:
+    """Fused direct map/reduce postings exchange (the scale-selected
+    path): map tasks run attach+explode+split over fixed-size slices of
+    the materialized token blocks; one reduce per (shard, seg) builds +
+    writes its partition atomically (same per-partition resume contract
+    as :func:`_mr_exchange_build`).
+
+    Why not the Dataset ``groupby``: Ray's sort exchange wall carries
+    seconds of pure coordination that does NOT shrink with cores
+    (measured 3.5-9 s of non-busy sort wall at 32 cpus depending on
+    host weather) — the single biggest scaling-efficiency loss in the
+    build (BASELINE.md, round-4 audit). Here the only non-compute
+    costs are one ray.wait barrier (inherent to any all-to-all) and
+    the reduce submission, kept metadata-sized by the bucket fan-in
+    (refs = maps x MR2_BUCKETS, ~40-80 us per ref).
+
+    Map task size is a FIXED row target (explode_batch_size docs,
+    grouping small blocks / slicing big ones), not a function of
+    cluster size — every cpu level executes the identical physical
+    plan, which the scaling audit requires. At multi-node scale each
+    bucket slice moves once through the object store; past ~10^3 map
+    tasks a two-level merge tree would bound reduce fan-in
+    (documented, not needed at this fleet size)."""
+    num_parts = cfg.num_shards * cfg.salt_buckets
+    n_buckets = min(MR2_BUCKETS, num_parts)
+    todo = [p for p in range(num_parts)
+            if not (Path(out_dir) / f"shard={p // cfg.salt_buckets}"
+                    / f"seg-{p % cfg.salt_buckets}.parquet").exists()]
+    if not todo:
+        return {"n_reduces": 0}
+    keys_by_bucket: dict[int, list] = {}
+    for p in todo:
+        keys_by_bucket.setdefault(int(_mr2_bucket_of(p, n_buckets)), []) \
+            .append((p // cfg.salt_buckets, p % cfg.salt_buckets))
+    t0 = time.time()
+    # block refs + row counts from the materialized dataset's metadata —
+    # no block is fetched to the driver
+    refs_rows = []
+    for bundle in tok_ds.iter_internal_ref_bundles():
+        for ref, meta in bundle.blocks:
+            refs_rows.append((ref, meta.num_rows))
+    # pack blocks into ~explode_batch_size-doc map tasks: group small
+    # consecutive blocks, slice large ones — task count tracks the DATA,
+    # never the cluster size
+    target = cfg.explode_batch_size
+    groups: list[list] = []
+    cur: list = []
+    cur_rows = 0
+    for ref, n_rows in refs_rows:
+        off = 0
+        while off < n_rows:
+            take = min(n_rows - off, target - cur_rows)
+            cur.append((ref, off, take))
+            cur_rows += take
+            off += take
+            if cur_rows >= target:
+                groups.append(cur)
+                cur, cur_rows = [], 0
+    if cur:
+        groups.append(cur)
+    mbox = [mapping_ref] if mapping_ref is not None else None
+    mapper = _mr2_map.options(num_returns=n_buckets)
+    map_refs = [mapper.remote(g, cfg.explode_batch_size, mbox,
+                              cfg.num_shards, cfg.salt_buckets, n_docs,
+                              n_buckets)
+                for g in groups]
+    t_submit_maps = time.time()
+    # barrier WITHOUT fetching: every reduce needs every map's slice, so
+    # nothing downstream can start earlier anyway; waiting here lets the
+    # reduces take nested ref lists without blocking CPU slots in ray.get
+    ray.wait([m[0] for m in map_refs], num_returns=len(map_refs),
+             fetch_local=False)
+    t_maps = time.time()
+    # one reduce per KEY (task granularity = per-key max, ~1 s — a
+    # 4-key bucket reduce was the stage's straggler at 32 cpus), but
+    # each bucket's ref list is ray.put ONCE and shared by its key
+    # reduces — ref serialization stays maps x buckets, not maps x keys
+    bucket_blob = {b: ray.put([m[b] for m in map_refs])
+                   for b in keys_by_bucket}
+    tasks = [(b, key) for b, keys in sorted(keys_by_bucket.items())
+             for key in keys]
+    # sliding-window submission (~2x cpus in flight): dumping all
+    # reduces at once made their brief arg-fetch ray.get()s release CPU
+    # slots, cascading Ray into spawning waves of FRESH worker
+    # processes — each paying build_fn's first-call warmup (measured a
+    # 16 s single-key reduce during a host-memory wave vs ~0.1 s warm)
+    window = 2 * int(ray.cluster_resources().get("CPU", 32))
+    pending: list = []
+    res: list = []
+    for b, key in tasks:
+        if len(pending) >= window:
+            done, pending = ray.wait(pending, num_returns=1)
+            res.extend(r for sub in ray.get(done) for r in sub)
+        pending.append(_mr2_reduce.remote(
+            build_fn, out_dir, cfg.salt_buckets, [key], bucket_blob[b]))
+    t_submit = time.time()
+    res.extend(r for sub in ray.get(pending) for r in sub)
+    t_done = time.time()
+    secs = sorted(r["sec"] for r in res)
+    worst = max(res, key=lambda r: r["sec"])
+    return {
+        "n_reduces": len(tasks), "n_partitions": len(todo),
+        "n_map_tasks": len(map_refs),
+        "map_submit_s": round(t_submit_maps - t0, 3),
+        # fused attach+explode+split wall (the exchange's compute)
+        "map_wall_s": round(t_maps - t0, 3),
+        "submit_s": round(t_submit - t_maps, 3),
+        "reduce_wall_s": round(t_done - t_submit, 3),
+        "reduce_busy_s": round(sum(secs), 3),
+        "reduce_max_s": round(secs[-1], 3),
+        "reduce_p50_s": round(secs[len(secs) // 2], 3),
+        "reduce_worst": {k: worst.get(k) for k in
+                         ("sec", "fetch_s", "concat_s", "build_s",
+                          "write_s", "rows")},
+        "fetch_busy_s": round(sum(r.get("fetch_s", 0.0) for r in res), 3),
     }
 
 
@@ -932,12 +1168,18 @@ def _build_lexicon_files(out: Path, n_docs: int) -> None:
 
 
 def _encode_partials(posts, out: Path, cfg: IndexConfig, n_docs: int,
-                     avg_doc_len: float) -> dict:
+                     avg_doc_len: float, tok_source=None) -> dict:
     """Exchange + encode a PARTIAL-POSTING-ROWS dataset (the explode
     output shape: term, shard, seg, n, ids_raw, tfs_raw) into the final
     block-encoded postings store at ``out/postings``. Requires the
     doc-length sidecar; the caller owns manifests / resume policy.
-    Returns the exchange's per-phase wall stats (mr path)."""
+    Returns the exchange's per-phase wall stats (mr path).
+
+    ``tok_source`` = (materialized token Dataset, mapping_ref | None):
+    when given and ``cfg.exchange == 'mr'``, the FUSED exchange runs
+    attach+explode+split inside the map tasks (``posts`` is then unused
+    — it exists only for the groupby path and the posting-shaped
+    callers merge/vacuum, which have no token stream)."""
     salt = cfg.salt_buckets
     _ensure_doc_len_sidecar(out, n_docs, salt)
     seg_len_slices = []
@@ -946,7 +1188,11 @@ def _encode_partials(posts, out: Path, cfg: IndexConfig, n_docs: int,
         seg_len_slices.append((lo, hi, str(out / "doc_lens" / f"seg={s2}")))
     build_fn = _make_build_segments(seg_len_slices, avg_doc_len, cfg, n_docs)
     xstats: dict = {}
-    if cfg.exchange == "mr":
+    if cfg.exchange == "mr" and tok_source is not None:
+        xstats = _mr2_exchange_build(tok_source[0], tok_source[1],
+                                     build_fn, str(out / "postings"),
+                                     cfg, n_docs)
+    elif cfg.exchange == "mr":
         xstats = _mr_exchange_build(posts, build_fn,
                                     str(out / "postings"), cfg)
     else:
@@ -1235,6 +1481,7 @@ def build_index(corpus, out_dir: str, cfg: IndexConfig | None = None,
     # ---------------- stage 1: docs ----------------
     t0 = time.time()
     tok_mat = None
+    tok0 = None
     mapping_ref = None
     if not stage_complete(out_dir, "docs"):
         _fresh_stage_dir(out, "docs")
@@ -1340,6 +1587,20 @@ def build_index(corpus, out_dir: str, cfg: IndexConfig | None = None,
                 mapping_ds = rd.read_parquet(
                     str(out / "docs"), columns=["repo", "path", "doc_id"])
                 tok_mat = attach_ids_via_join(tok0r, mapping_ds)
+        tok_source = None
+        if cfg.exchange == "mr":
+            # the fused exchange maps over MATERIALIZED token blocks:
+            # broadcast path fuses AttachIds into the maps (tok0 has no
+            # doc_id yet); every other path already carries doc_id —
+            # materialize it if a resume left it lazy (one content pass,
+            # the same cost the docs stage pays on a fresh build)
+            if tok0 is not None and mapping_ref is not None:
+                tok_source = (tok0, mapping_ref)
+            else:
+                from ray.data.dataset import MaterializedDataset
+                if not isinstance(tok_mat, MaterializedDataset):
+                    tok_mat = tok_mat.materialize()
+                tok_source = (tok_mat, None)
         posts = tok_mat.select_columns(["doc_id", "tokens"]).map_batches(
             _make_explode(cfg.num_shards, cfg.salt_buckets, n_docs),
             batch_format="pyarrow", batch_size=cfg.explode_batch_size)
@@ -1348,7 +1609,8 @@ def build_index(corpus, out_dir: str, cfg: IndexConfig | None = None,
         # posting-build tasks (memoized per worker) — the driver holds
         # only (lo, hi, path) triples, never the array, and the build
         # closure carries no ObjectRefs
-        xstats = _encode_partials(posts, out, cfg, n_docs, avg_doc_len)
+        xstats = _encode_partials(posts, out, cfg, n_docs, avg_doc_len,
+                                  tok_source=tok_source)
         tp = time.time()
         pstats = _partition_stats(out / "postings")
         xstats["partition_stats_s"] = round(time.time() - tp, 3)
