@@ -102,6 +102,56 @@ SELECT qid, doc_id, round(score, 6) AS score FROM (
 """
 
 
+def _hybrid_rrf_sql() -> str:
+    """RRF fusion of the BM25 top-10 (the bm25_topk oracle's own CTEs)
+    with the dense cosine top-10 (query vector for qid q = embedding of
+    vec_id q); rrf = sum over sides of 1/(60 + rank)."""
+    nq = len(_BM25_QUERIES)
+    return f"""
+WITH {_TOKS_CTE},
+{_values_clause()},
+doclen AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM docs) AS n,
+                 (SELECT count(*) FROM tok)::DOUBLE
+                 / (SELECT count(*) FROM docs) AS avgdl),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scores AS (
+  SELECT q.qid, tf.doc_id,
+         sum({_BM25_EXPR}) AS score
+  FROM q
+  JOIN df ON df.term = q.term
+  JOIN tf ON tf.term = q.term
+  JOIN doclen dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.qid, tf.doc_id),
+sparse AS (SELECT qid, doc_id,
+                  row_number() OVER (PARTITION BY qid
+                                     ORDER BY score DESC, doc_id) AS rn
+           FROM scores),
+qv AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS e
+       FROM embeddings WHERE vec_id < {nq}),
+dense AS (SELECT qv.qid, x.vec_id AS doc_id,
+                 row_number() OVER (
+                   PARTITION BY qv.qid
+                   ORDER BY list_cosine_similarity(
+                              CAST(x.embedding AS DOUBLE[]), qv.e) DESC,
+                            x.vec_id) AS rn
+          FROM qv CROSS JOIN embeddings x),
+ranked AS (SELECT qid, doc_id, rn FROM sparse WHERE rn <= 10
+           UNION ALL
+           SELECT qid, doc_id, rn FROM dense WHERE rn <= 10),
+fused AS (SELECT qid, doc_id, sum(1.0 / (60 + rn)) AS rrf
+          FROM ranked GROUP BY qid, doc_id)
+SELECT qid, doc_id, round(rrf, 6) AS rrf FROM (
+  SELECT qid, doc_id, rrf,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY rrf DESC, doc_id) AS rn2
+  FROM fused) WHERE rn2 <= 10
+ORDER BY qid, doc_id
+"""
+
+
 def _topk_and_sql(score_expr: str) -> str:
     """Clean-AND conjunctive top-k: a doc qualifies iff it matches every
     LISTED KNOWN query term occurrence (duplicate terms still score
@@ -397,6 +447,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def tfidf_topk(sf_dir: str):
         return _topk_run(sf_dir, "TFIDF")
+
+    def hybrid_rrf(sf_dir: str):
+        # hybrid retrieval via Reciprocal Rank Fusion (Cormack et al.,
+        # SIGIR 2009): the inverted-index BM25 top-10 fused with the
+        # dense cosine top-10 over the embeddings table (query vector
+        # for qid q = embedding of vec_id q — deterministic and
+        # SQL-expressible). Ranks are recomputed from (score DESC, id
+        # ASC) on both sides, so engine and oracle fuse identical lists.
+        from mircv_ray.ops import cosine_topk, rrf_fuse
+        sparse = _topk_run(sf_dir, "BM25")
+        nq = len(_BM25_QUERIES)
+        qtbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding"],
+                             filters=[("vec_id", "<", nq)])
+        qtbl = qtbl.take(pc.sort_indices(qtbl["vec_id"]))
+        qv = np.stack([np.asarray(v)
+                       for v in qtbl["embedding"].to_pylist()])
+        emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                              columns=["vec_id", "embedding"])
+        dense = _sorted_table(cosine_topk(emb, qv, k=10),
+                              ["query_id", "vec_id"])
+        dense = dense.rename_columns(["qid", "doc_id", "score"])
+        fused = _round6(rrf_fuse([sparse, dense], k=10, k_rrf=60), "rrf")
+        return fused.take(pc.sort_indices(
+            fused, sort_keys=[("qid", "ascending"),
+                              ("doc_id", "ascending")]))
 
     def bm25_conjunctive_strict(sf_dir: str):
         # CLEAN-AND conjunctive (engine extension; SQL-expressible,
@@ -1010,6 +1086,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": bm25_topk,
         "bm25_conjunctive": bm25_conjunctive,
         "tfidf_topk": tfidf_topk,
+        "hybrid_rrf": hybrid_rrf,
         "bm25_conjunctive_strict": bm25_conjunctive_strict,
         "dedup_exact": dedup_exact,
         "token_count": token_count,
@@ -1354,6 +1431,7 @@ GROUP BY t.term, s.new_id
 """,
         "bm25_topk": _topk_sql(_BM25_EXPR),
         "tfidf_topk": _topk_sql(_TFIDF_EXPR),
+        "hybrid_rrf": _hybrid_rrf_sql(),
         "dedup_exact": """
 SELECT min(doc_id) AS keep_id, count(*) AS n_dups
 FROM documents GROUP BY text

@@ -12,6 +12,7 @@ from .textops import (
 from .dedup import connected_components, contamination_fuzzy, exact_dedup_keep, jaccard_simjoin_exact, minhash_signatures, minhash_candidate_pairs, simhash64, near_dup_pairs, ngram_jaccard_pairs, shingle_sets
 from .similarity import cosine_all_pairs, cosine_topk, ivf_build_centroids, ivf_cosine_topk, embedding_near_dup_pairs, pq_cosine_topk, pq_cosine_topk_rerank, pq_encode, pq_train
 from .clustering import kmeans_assign, kmeans_fit, semantic_dedup
+from .fusion import rrf_fuse
 from .multimodal import DecodeImage, SampleFrames, make_media_table
 from .sampling import hash_split, source_quota_sample
 from .sketches import exact_distinct_per_group, hll_distinct_per_group
@@ -41,4 +42,5 @@ __all__ = [
     "tumbling_window_agg", "hopping_window_agg", "sessionize", "props_extract", "top_users_by_type",
     "StreamingTumblingWindow", "stream_tumbling_window_agg",
     "kmeans_assign", "kmeans_fit", "semantic_dedup",
+    "rrf_fuse",
 ]
