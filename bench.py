@@ -384,6 +384,19 @@ def run_scaling() -> dict:
                                for k, v in _parse_busy(stats_p).items()}
             except Exception:  # noqa: BLE001 — diagnostics only
                 pass
+        else:
+            # mr exchange (raw tasks, no Ray Data stats dump): the
+            # fused maps and per-key reduces execute identical work at
+            # every cpu level, so their summed busy fills the same
+            # contention-probe role
+            sub = res.get("stage_sub", {}).get("postings_sub", {})
+            if sub.get("map_busy_s") and sub.get("reduce_busy_s"):
+                res["busy"] = {
+                    "mr2_map": round(sub["map_busy_s"], 2),
+                    "mr2_reduce": round(sub["reduce_busy_s"], 2),
+                    "TOTAL": round(sub["map_busy_s"]
+                                   + sub["reduce_busy_s"], 2),
+                }
         return res
     # this sandbox VM has noisy neighbors (same-invocation builds vary up
     # to 2x) — interleave the levels, run each three times, and take the

@@ -874,9 +874,14 @@ def _mr2_map(chunks, batch_rows: int, mapping_box, num_shards: int,
     explode compute (no intermediate dataset, no second scheduling
     pass). Each bucket's rows are emitted (bucket, key)-sorted, so the
     reduce side can slice one key's rows zero-copy. Returns
-    ``n_buckets`` tables. ``mapping_box`` is ``[mapping_ref]`` (nested
-    so the broadcast object arrives as a ref and is read zero-copy +
-    memoized per worker) or None when ``doc_id`` is already attached."""
+    ``n_buckets`` tables plus a trailing ``{"busy_s": wall}`` stats
+    dict — the maps execute IDENTICAL work at every cpu level, so the
+    summed busy is the scaling audit's job-kernel contention probe
+    (the role ``postings_raystats.txt`` plays on the groupby path).
+    ``mapping_box`` is ``[mapping_ref]`` (nested so the broadcast
+    object arrives as a ref and is read zero-copy + memoized per
+    worker) or None when ``doc_id`` is already attached."""
+    t0 = time.time()
     attach = AttachIds(mapping_box[0]) if mapping_box else None
     explode = _make_explode(num_shards, salt_buckets, n_docs)
     num_parts = num_shards * salt_buckets
@@ -894,7 +899,8 @@ def _mr2_map(chunks, batch_rows: int, mapping_box, num_shards: int,
     empty = pa.table({k: pa.array([], type=t)
                       for k, t in _POSTS_EMPTY_COLS.items()})
     if not chunks_out:
-        return tuple(empty for _ in range(n_buckets))
+        return tuple(empty for _ in range(n_buckets)) + \
+            ({"busy_s": time.time() - t0},)
     posts = (chunks_out[0] if len(chunks_out) == 1
              else pa.concat_tables(chunks_out).combine_chunks())
     pkey = (posts["shard"].to_numpy() * salt_buckets +
@@ -909,7 +915,8 @@ def _mr2_map(chunks, batch_rows: int, mapping_box, num_shards: int,
     bounds = np.searchsorted(bkt[order], np.arange(n_buckets + 1))
     return tuple(
         posts.slice(int(s), int(e - s)) if e > s else empty
-        for s, e in zip(bounds[:-1], bounds[1:]))
+        for s, e in zip(bounds[:-1], bounds[1:])) + \
+        ({"busy_s": time.time() - t0},)
 
 
 @ray.remote
@@ -1009,17 +1016,18 @@ def _mr2_exchange_build(tok_ds, mapping_ref, build_fn, out_dir: str,
     if cur:
         groups.append(cur)
     mbox = [mapping_ref] if mapping_ref is not None else None
-    mapper = _mr2_map.options(num_returns=n_buckets)
+    # +1 return: a trailing per-task busy stats dict (scaling audit)
+    mapper = _mr2_map.options(num_returns=n_buckets + 1)
     map_refs = [mapper.remote(g, cfg.explode_batch_size, mbox,
                               cfg.num_shards, cfg.salt_buckets, n_docs,
                               n_buckets)
                 for g in groups]
     t_submit_maps = time.time()
-    # barrier WITHOUT fetching: every reduce needs every map's slice, so
-    # nothing downstream can start earlier anyway; waiting here lets the
-    # reduces take nested ref lists without blocking CPU slots in ray.get
-    ray.wait([m[0] for m in map_refs], num_returns=len(map_refs),
-             fetch_local=False)
+    # barrier WITHOUT fetching the data: every reduce needs every map's
+    # slice, so nothing downstream can start earlier anyway; waiting
+    # here lets the reduces take nested ref lists without blocking CPU
+    # slots in ray.get. The stats dicts fetched ARE tiny.
+    map_stats = ray.get([m[n_buckets] for m in map_refs])
     t_maps = time.time()
     # one reduce per KEY (task granularity = per-key max, ~1 s — a
     # 4-key bucket reduce was the stage's straggler at 32 cpus), but
@@ -1054,6 +1062,9 @@ def _mr2_exchange_build(tok_ds, mapping_ref, build_fn, out_dir: str,
         "map_submit_s": round(t_submit_maps - t0, 3),
         # fused attach+explode+split wall (the exchange's compute)
         "map_wall_s": round(t_maps - t0, 3),
+        # summed map-task busy: identical tasks at every cpu level, so
+        # the lo/hi ratio measures single-box per-core contention
+        "map_busy_s": round(sum(s["busy_s"] for s in map_stats), 3),
         "submit_s": round(t_submit - t_maps, 3),
         "reduce_wall_s": round(t_done - t_submit, 3),
         "reduce_busy_s": round(sum(secs), 3),
