@@ -102,6 +102,54 @@ SELECT qid, doc_id, round(score, 6) AS score FROM (
 """
 
 
+# phrase-query suite: 2-term, 3-term-repeated, 2-term, stopword-ish
+# bigram, unknown term (matches nothing), single term (degenerates to tf)
+_PHRASE_QUERIES: list[str] = [
+    "hash join", "batch batch batch", "merge sort", "the a",
+    "xyznope filter", "window",
+]
+
+
+def _phrase_sql() -> str:
+    """Positional oracle for phrase_search: tokens get positions via
+    DuckDB's zipped unnest, each phrase is an m-way adjacency self-join
+    (p_k.pos = p_0.pos + k), occurrences counted per doc."""
+    toks_pos = f"""
+docs AS (
+  SELECT doc_id, text FROM documents
+  WHERE text IS NOT NULL AND trim(text, {_TRIM}) <> ''
+),
+tl AS (
+  SELECT doc_id,
+    list_filter(
+      list_transform(
+        list_filter(
+          string_split(lower(regexp_replace(regexp_replace(text,
+              '<[^>]+>', ' ', 'g'), '[[:punct:]]', ' ', 'g')), ' '),
+          x -> x <> '' AND strlen(x) < 64
+               AND NOT regexp_matches(x, '[^\\x00-\\x7F]')),
+        x -> trim(x, {_TRIM})),
+      x -> x <> '') AS toks
+  FROM docs),
+tokp AS (
+  SELECT doc_id, unnest(toks) AS term,
+         unnest(range(1, length(toks) + 1)) AS pos FROM tl)
+"""
+    parts = []
+    for qid, phrase in enumerate(_PHRASE_QUERIES):
+        terms = [t for t in phrase.split() if t]
+        joins = "".join(
+            f" JOIN tokp p{k} ON p{k}.doc_id = p0.doc_id"
+            f" AND p{k}.pos = p0.pos + {k}" for k in range(1, len(terms)))
+        where = " AND ".join(f"p{k}.term = '{t}'"
+                             for k, t in enumerate(terms))
+        parts.append(
+            f"SELECT {qid} AS qid, p0.doc_id, count(*) AS n_occurrences\n"
+            f"FROM tokp p0{joins} WHERE {where} GROUP BY p0.doc_id")
+    body = "\nUNION ALL\n".join(parts)
+    return f"WITH {toks_pos}\n{body}\nORDER BY qid, doc_id"
+
+
 def _hybrid_rrf_sql() -> str:
     """RRF fusion of the BM25 top-10 (the bm25_topk oracle's own CTEs)
     with the dense cosine top-10 (query vector for qid q = embedding of
@@ -474,6 +522,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
             fused, sort_keys=[("qid", "ascending"),
                               ("doc_id", "ascending")]))
 
+    def phrase_search(sf_dir: str):
+        # exact-phrase retrieval (engine EXTENSION — the reference index
+        # stores no positions): inverted-index conjunctive prune +
+        # candidate-only adjacency verify; oracle = positional
+        # self-join SQL. doc_id reported as docno (engine id - 1).
+        from mircv_ray.query.phrase import phrase_match
+        from mircv_ray.sources import documents_as_corpus
+        idx = _basic_index(sf_dir)
+        out = phrase_match(idx, documents_as_corpus(sf_dir),
+                           _PHRASE_QUERIES, parse=False, squeeze=False)
+        t = _sorted_table(out, ["qid", "doc_id"])
+        return t.set_column(t.schema.get_field_index("doc_id"), "doc_id",
+                            pc.subtract(t["doc_id"], 1))
+
+    def phrase_search_positional(sf_dir: str):
+        # same phrases, same oracle — but answered from the positional
+        # sidecar ALONE (no content re-scan): term -> (docIds, per-doc
+        # positions) lists, adjacency = vectorized composite-key chain.
+        # Must agree with phrase_search exactly (both are oracle-gated).
+        from mircv_ray.build.positions import (build_positions_index,
+                                               phrase_match_positional)
+        from mircv_ray.config import IndexConfig
+        from mircv_ray.sources import documents_as_corpus
+        idx = _basic_index(sf_dir)
+        build_positions_index(
+            idx, documents_as_corpus(sf_dir),
+            IndexConfig(parse=False, squeeze=False, num_shards=4,
+                        salt_buckets=2))
+        t = phrase_match_positional(idx, _PHRASE_QUERIES, parse=False,
+                                    squeeze=False)
+        t = t.take(pc.sort_indices(
+            t, sort_keys=[("qid", "ascending"), ("doc_id", "ascending")]))
+        return t.set_column(t.schema.get_field_index("doc_id"), "doc_id",
+                            pc.subtract(t["doc_id"], 1))
+
     def bm25_conjunctive_strict(sf_dir: str):
         # CLEAN-AND conjunctive (engine extension; SQL-expressible,
         # unlike the reference's quirky MaxScore conjunctive which stays
@@ -551,7 +634,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = pq_cosine_topk_rerank(ds, codes, books, qvecs, k=10)
         out = out.map_batches(lambda b: _round6(b, "score"),
                               batch_format="pyarrow")
-        return _sorted_table(out, ["query_id", "vec_id"])
+        got = _sorted_table(out, ["query_id", "vec_id"])
+        # SELF-VALIDATING in-entry (ADC scan is approximate, so
+        # rows-only at the driver): per-query recall@10 vs the exact
+        # brute-force cosine top-10 must be >= 0.9 — the
+        # tests/test_round3_ops.py bound on clustered data
+        base = np.array(emb["embedding"].to_pylist())
+        ids = emb["vec_id"].to_numpy()
+        unit = base / np.linalg.norm(base, axis=1, keepdims=True)
+        qunit = qvecs / np.linalg.norm(qvecs, axis=1, keepdims=True)
+        sims = qunit @ unit.T
+        pos = {int(v): i for i, v in enumerate(ids)}
+        for qi in range(len(qvecs)):
+            # exact top-10 by (cosine DESC, vec_id ASC)
+            order = np.lexsort((ids, -sims[qi]))[:10]
+            want = set(ids[order].tolist())
+            mask = np.asarray(got["query_id"]) == qi
+            have_ids = np.asarray(got["vec_id"])[mask]
+            recall = len(want & set(have_ids.tolist())) / len(want)
+            if recall < 0.9:
+                raise AssertionError(
+                    f"PQ+rerank recall@10 {recall:.2f} < 0.9 for "
+                    f"query {qi}")
+            # the rerank rescores candidates with FULL vectors, so every
+            # reported score must equal the recomputed exact cosine
+            ref = np.round(sims[qi][[pos[int(v)] for v in have_ids]], 6)
+            rep = np.asarray(got["score"])[mask]
+            if not np.allclose(rep, ref, atol=2e-6):
+                raise AssertionError(
+                    f"PQ rerank scores diverge from exact cosines for "
+                    f"query {qi}")
+        return got
 
     def lang_id(sf_dir: str):
         from mircv_ray.ops import lang_id as li
@@ -577,9 +690,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         probe_rows = pq.read_table(f"{sf_dir}/documents.parquet",
                                    columns=["doc_id", "text"]) \
             .sort_by("doc_id").slice(0, 3)
-        return _sorted_table(
+        got = _sorted_table(
             cf(_docs_ds(sf_dir), probe_rows["text"].to_pylist(),
                threshold=0.8), ["doc_id", "probe_idx"])
+        # SELF-VALIDATING in-entry (LSH-banded fuzzy match is
+        # probabilistic, so rows-only at the driver): each probe IS a
+        # corpus document, a guaranteed jaccard-1.0 hit — probe i must
+        # flag its own source doc
+        have = set(zip(got["doc_id"].to_pylist(),
+                       got["probe_idx"].to_pylist()))
+        missing = [(int(d), i) for i, d in
+                   enumerate(probe_rows["doc_id"].to_pylist())
+                   if (int(d), i) not in have]
+        if missing:
+            raise AssertionError(
+                f"fuzzy decontamination missed its guaranteed "
+                f"jaccard-1.0 (doc, probe) hits: {missing}")
+        return got
 
     def pii_redact(sf_dir: str):
         # the synthetic corpus has no organic PII, so each doc gets a
@@ -779,9 +906,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return cands
 
     def simhash_pairs(sf_dir: str):
-        from mircv_ray.ops import near_dup_pairs
-        return _sorted_table(near_dup_pairs(_docs_ds(sf_dir), max_hamming=3),
-                             ["a", "b"])
+        # LSH-banded, but pigeonhole + exact popcount verify make the
+        # result EXACT (every pair with hamming <= 3, nothing else) —
+        # intentionally no SQL oracle (simhash is not SQL-expressible),
+        # so SELF-VALIDATING in-entry: brute-force all-pairs popcount
+        # over the same signatures must yield the identical pair set
+        from mircv_ray.ops import near_dup_pairs, simhash64
+        got = _sorted_table(
+            near_dup_pairs(_docs_ds(sf_dir), max_hamming=3), ["a", "b"])
+        sig = _sorted_table(
+            _docs_ds(sf_dir).map_batches(simhash64,
+                                         batch_format="pyarrow"),
+            ["doc_id"])
+        ids = sig["doc_id"].to_numpy()
+        h = sig["simhash"].to_numpy().astype(np.uint64)
+        xor = h[:, None] ^ h[None, :]
+        ham = np.bitwise_count(xor) if hasattr(np, "bitwise_count") else \
+            np.unpackbits(xor.view(np.uint8).reshape(len(h), len(h), 8),
+                          axis=2).sum(axis=2)
+        ai, bi = np.nonzero(np.triu(ham <= 3, k=1))
+        want = set(zip(np.minimum(ids[ai], ids[bi]).tolist(),
+                       np.maximum(ids[ai], ids[bi]).tolist()))
+        have = set(zip(got["a"].to_pylist(), got["b"].to_pylist()))
+        if have != want:
+            raise AssertionError(
+                f"simhash pair set != brute force: missing "
+                f"{sorted(want - have)[:5]}, extra {sorted(have - want)[:5]}")
+        return got
 
     def ngram_jaccard(sf_dir: str):
         # LSH-bucketed candidates with exact jaccard verify -> rows-only
@@ -836,7 +987,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = embedding_near_dup_pairs(rd.from_arrow(aug), threshold=0.9)
         out = out.map_batches(lambda b: _round6(b, "cosine"),
                               batch_format="pyarrow")
-        return _sorted_table(out, ["a", "b"])
+        got = _sorted_table(out, ["a", "b"])
+        # SELF-VALIDATING in-entry (LSH is probabilistic, so rows-only
+        # at the driver): every planted (i, i+10^6) pair must be found,
+        # and every reported cosine must equal the value recomputed
+        # from the vectors
+        have = set(zip(got["a"].to_pylist(), got["b"].to_pylist()))
+        missing = [(i, i + 1_000_000) for i in range(20)
+                   if (i, i + 1_000_000) not in have]
+        if missing:
+            raise AssertionError(
+                f"LSH missed planted near-dup pairs: {missing}")
+        allv = np.concatenate([base, planted])
+        idx = {int(v): i for i, v in
+               enumerate(aug["vec_id"].to_numpy())}
+        unit = allv / np.linalg.norm(allv, axis=1, keepdims=True)
+        a_i = np.array([idx[v] for v in got["a"].to_pylist()])
+        b_i = np.array([idx[v] for v in got["b"].to_pylist()])
+        ref = np.round((unit[a_i] * unit[b_i]).sum(axis=1), 6)
+        rep = got["cosine"].to_numpy()
+        if not np.allclose(rep, ref, atol=1e-6):
+            bad = np.flatnonzero(~np.isclose(rep, ref, atol=1e-6))
+            raise AssertionError(
+                f"reported cosines diverge from recomputed values at "
+                f"pairs {bad.tolist()[:5]}")
+        return got
 
     def window_agg(sf_dir: str):
         from mircv_ray.ops import tumbling_window_agg
@@ -1086,6 +1261,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": bm25_topk,
         "bm25_conjunctive": bm25_conjunctive,
         "tfidf_topk": tfidf_topk,
+        "phrase_search": phrase_search,
+        "phrase_search_positional": phrase_search_positional,
         "hybrid_rrf": hybrid_rrf,
         "bm25_conjunctive_strict": bm25_conjunctive_strict,
         "dedup_exact": dedup_exact,
@@ -1431,6 +1608,8 @@ GROUP BY t.term, s.new_id
 """,
         "bm25_topk": _topk_sql(_BM25_EXPR),
         "tfidf_topk": _topk_sql(_TFIDF_EXPR),
+        "phrase_search": _phrase_sql(),
+        "phrase_search_positional": _phrase_sql(),
         "hybrid_rrf": _hybrid_rrf_sql(),
         "dedup_exact": """
 SELECT min(doc_id) AS keep_id, count(*) AS n_dups

@@ -3,6 +3,8 @@
 from .cursors import EXHAUSTED, PostingCursor
 from .scorer import max_score
 from .engine import IndexReader, QueryEngine, QueryScorer, run_queries, write_trec
+from .phrase import phrase_match, phrase_occurrence_counts
 
 __all__ = ["EXHAUSTED", "PostingCursor", "max_score", "IndexReader",
-           "QueryEngine", "QueryScorer", "run_queries", "write_trec"]
+           "QueryEngine", "QueryScorer", "run_queries", "write_trec",
+           "phrase_match", "phrase_occurrence_counts"]

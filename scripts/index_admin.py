@@ -48,6 +48,17 @@ def main() -> None:
 
     sp = sub.add_parser("status", help="print stats + tombstone count")
     sp.add_argument("index")
+
+    pp = sub.add_parser("positions", help="build the positional-postings "
+                        "sidecar (enables index-only phrase queries)")
+    pp.add_argument("index")
+    pp.add_argument("corpus", help="the corpus the index was built from "
+                    "(documents.parquet dir or file)")
+
+    qp = sub.add_parser("phrase", help="run phrase queries from the "
+                        "positional sidecar")
+    qp.add_argument("index")
+    qp.add_argument("phrases", nargs="+")
     args = ap.parse_args()
 
     from mircv_ray.build import (delete_docs, load_stats, load_tombstones,
@@ -73,11 +84,34 @@ def main() -> None:
         print(json.dumps(stats, indent=2, default=str))
         return
 
-    # merge / vacuum run Ray pipelines
+    if args.cmd == "phrase":
+        from mircv_ray.build import phrase_match_positional
+        stats = load_stats(args.index)
+        t = phrase_match_positional(args.index, args.phrases,
+                                    parse=stats["parse"],
+                                    squeeze=stats["squeeze"])
+        print(json.dumps(t.to_pylist()))
+        return
+
+    # merge / vacuum / positions run Ray pipelines
     import ray
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=args.num_cpus,
                  include_dashboard=False)
+    if args.cmd == "positions":
+        from mircv_ray.build import build_positions_index
+        from mircv_ray.config import IndexConfig
+        from mircv_ray.sources import documents_as_corpus
+        stats = load_stats(args.index)
+        cfg = IndexConfig(parse=stats["parse"], squeeze=stats["squeeze"],
+                          num_shards=stats["num_shards"],
+                          salt_buckets=stats["salt_buckets"])
+        corpus = documents_as_corpus(str(Path(args.corpus).parent)
+                                     if args.corpus.endswith(".parquet")
+                                     else args.corpus)
+        print(json.dumps(build_positions_index(args.index, corpus, cfg)))
+        ray.shutdown()
+        return
     if args.cmd == "merge":
         cfg = None
         if args.codec:
