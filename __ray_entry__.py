@@ -102,6 +102,46 @@ SELECT qid, doc_id, round(score, 6) AS score FROM (
 """
 
 
+# wildcard/prefix suite: broad ('s' fans out to many terms), narrow,
+# exact-term prefix, no-match
+_WILDCARD_QUERIES: list[str] = ["me", "s", "ta", "windo", "zzz"]
+
+
+def _wildcard_sql() -> str:
+    """Same BM25 scoring CTEs as bm25_topk, but q(qid, term) comes from
+    expanding each prefix over the corpus's distinct terms via LIKE —
+    the SQL mirror of the engine's sorted-lexicon range scan."""
+    vals = ", ".join(f"({i}, '{p}')"
+                     for i, p in enumerate(_WILDCARD_QUERIES))
+    return f"""
+WITH {_TOKS_CTE},
+p(qid, pref) AS (VALUES {vals}),
+q AS (SELECT p.qid, t.term
+      FROM p JOIN (SELECT DISTINCT term FROM tok) t
+        ON t.term LIKE p.pref || '%'),
+doclen AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM docs) AS n,
+                 (SELECT count(*) FROM tok)::DOUBLE
+                 / (SELECT count(*) FROM docs) AS avgdl),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scores AS (
+  SELECT q.qid, tf.doc_id,
+         sum({_BM25_EXPR}) AS score
+  FROM q
+  JOIN df ON df.term = q.term
+  JOIN tf ON tf.term = q.term
+  JOIN doclen dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.qid, tf.doc_id)
+SELECT qid, doc_id, round(score, 6) AS score FROM (
+  SELECT qid, doc_id, score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score DESC, doc_id) AS rn
+  FROM scores) WHERE rn <= 10
+"""
+
+
 # phrase-query suite: 2-term, 3-term-repeated, 2-term, stopword-ish
 # bigram, unknown term (matches nothing), single term (degenerates to tf)
 _PHRASE_QUERIES: list[str] = [
@@ -110,11 +150,9 @@ _PHRASE_QUERIES: list[str] = [
 ]
 
 
-def _phrase_sql() -> str:
-    """Positional oracle for phrase_search: tokens get positions via
-    DuckDB's zipped unnest, each phrase is an m-way adjacency self-join
-    (p_k.pos = p_0.pos + k), occurrences counted per doc."""
-    toks_pos = f"""
+# positional token CTE (positions via DuckDB's zipped unnest) — shared
+# by the phrase and proximity oracles
+_POS_CTE = f"""
 docs AS (
   SELECT doc_id, text FROM documents
   WHERE text IS NOT NULL AND trim(text, {_TRIM}) <> ''
@@ -135,6 +173,13 @@ tokp AS (
   SELECT doc_id, unnest(toks) AS term,
          unnest(range(1, length(toks) + 1)) AS pos FROM tl)
 """
+
+
+def _phrase_sql() -> str:
+    """Positional oracle for phrase_search: tokens get positions via
+    DuckDB's zipped unnest, each phrase is an m-way adjacency self-join
+    (p_k.pos = p_0.pos + k), occurrences counted per doc."""
+    toks_pos = _POS_CTE
     parts = []
     for qid, phrase in enumerate(_PHRASE_QUERIES):
         terms = [t for t in phrase.split() if t]
@@ -148,6 +193,43 @@ tokp AS (
             f"FROM tokp p0{joins} WHERE {where} GROUP BY p0.doc_id")
     body = "\nUNION ALL\n".join(parts)
     return f"WITH {toks_pos}\n{body}\nORDER BY qid, doc_id"
+
+
+# proximity suite: 2-term, 3-term, single term (min_span = 1),
+# unknown term (matches nothing)
+_PROXIMITY_QUERIES: list[str] = [
+    "hash join", "merge sort batch", "window", "xyznope filter",
+]
+
+
+def _proximity_sql() -> str:
+    """Oracle for proximity_search (minimal cover window): anchors are
+    all query-term occurrences; each term's next occurrence >= anchor
+    comes from a grouped range join; span = greatest(next_j) - anchor
+    + 1, minimized per doc. Inner joins drop docs missing any term."""
+    parts = []
+    for qid, q in enumerate(_PROXIMITY_QUERIES):
+        terms = sorted(set(t for t in q.split() if t))
+        in_list = ", ".join(f"'{t}'" for t in terms)
+        nexts = "".join(
+            f", n{k} AS (SELECT a.doc_id, a.pos, min(p.pos) AS n\n"
+            f"  FROM anch a JOIN tokp p ON p.doc_id = a.doc_id\n"
+            f"  AND p.pos >= a.pos AND p.term = '{t}'\n"
+            f"  GROUP BY a.doc_id, a.pos)"
+            for k, t in enumerate(terms))
+        joins = "".join(
+            f" JOIN n{k} ON n{k}.doc_id = a.doc_id AND n{k}.pos = a.pos"
+            for k in range(len(terms)))
+        great = ", ".join(f"n{k}.n" for k in range(len(terms)))
+        great = f"greatest({great})" if len(terms) > 1 else great
+        parts.append(
+            f"SELECT {qid} AS qid, doc_id, min(span) AS min_span FROM (\n"
+            f"  WITH anch AS (SELECT doc_id, pos FROM tokp\n"
+            f"                WHERE term IN ({in_list})){nexts}\n"
+            f"  SELECT a.doc_id, {great} - a.pos + 1 AS span\n"
+            f"  FROM anch a{joins}) GROUP BY doc_id")
+    body = "\nUNION ALL\n".join(parts)
+    return ("WITH " + _POS_CTE + "\n" + body + "\nORDER BY qid, doc_id")
 
 
 def _hybrid_rrf_sql() -> str:
@@ -552,6 +634,49 @@ def queries() -> dict[str, Callable[[str], Any]]:
                         salt_buckets=2))
         t = phrase_match_positional(idx, _PHRASE_QUERIES, parse=False,
                                     squeeze=False)
+        t = t.take(pc.sort_indices(
+            t, sort_keys=[("qid", "ascending"), ("doc_id", "ascending")]))
+        return t.set_column(t.schema.get_field_index("doc_id"), "doc_id",
+                            pc.subtract(t["doc_id"], 1))
+
+    def wildcard_bm25(sf_dir: str):
+        # wildcard/prefix retrieval: each query is a PREFIX, expanded to
+        # every matching lexicon term (two binary searches over the
+        # sorted key array), then scored as a disjunctive BM25 top-10
+        # over the distinct expansion — oracle expands via LIKE over the
+        # same token stream
+        from mircv_ray.config import QueryConfig
+        from mircv_ray.query import QueryEngine
+        idx = _basic_index(sf_dir)
+        eng = QueryEngine(idx, QueryConfig(standard="BM25", k=10,
+                                           parse=False, squeeze=False))
+        qids, dids, scores = [], [], []
+        for qid, prefix in enumerate(_WILDCARD_QUERIES):
+            terms = eng.reader.prefix_terms(prefix)
+            for doc_id, score in eng.score_terms(terms,
+                                                 conjunctive=False):
+                qids.append(qid)
+                dids.append(doc_id - 1)
+                scores.append(round(score, 6))
+        return pa.table({"qid": pa.array(qids, type=pa.int64()),
+                         "doc_id": pa.array(dids, type=pa.int64()),
+                         "score": pa.array(scores, type=pa.float64())})
+
+    def proximity_search(sf_dir: str):
+        # unordered proximity (minimal cover window) from the positional
+        # sidecar: every doc holding ALL query terms, with the smallest
+        # token window covering one occurrence of each (min_span)
+        from mircv_ray.build.positions import (build_positions_index,
+                                               proximity_min_span)
+        from mircv_ray.config import IndexConfig
+        from mircv_ray.sources import documents_as_corpus
+        idx = _basic_index(sf_dir)
+        build_positions_index(
+            idx, documents_as_corpus(sf_dir),
+            IndexConfig(parse=False, squeeze=False, num_shards=4,
+                        salt_buckets=2))
+        t = proximity_min_span(idx, _PROXIMITY_QUERIES, parse=False,
+                               squeeze=False)
         t = t.take(pc.sort_indices(
             t, sort_keys=[("qid", "ascending"), ("doc_id", "ascending")]))
         return t.set_column(t.schema.get_field_index("doc_id"), "doc_id",
@@ -1263,6 +1388,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_topk": tfidf_topk,
         "phrase_search": phrase_search,
         "phrase_search_positional": phrase_search_positional,
+        "proximity_search": proximity_search,
+        "wildcard_bm25": wildcard_bm25,
         "hybrid_rrf": hybrid_rrf,
         "bm25_conjunctive_strict": bm25_conjunctive_strict,
         "dedup_exact": dedup_exact,
@@ -1610,6 +1737,8 @@ GROUP BY t.term, s.new_id
         "tfidf_topk": _topk_sql(_TFIDF_EXPR),
         "phrase_search": _phrase_sql(),
         "phrase_search_positional": _phrase_sql(),
+        "proximity_search": _proximity_sql(),
+        "wildcard_bm25": _wildcard_sql(),
         "hybrid_rrf": _hybrid_rrf_sql(),
         "dedup_exact": """
 SELECT min(doc_id) AS keep_id, count(*) AS n_dups

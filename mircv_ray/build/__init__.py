@@ -4,7 +4,7 @@ from .index_build import build_index, load_stats
 from .manifests import write_manifest, read_manifest, stage_complete
 from .merge import merge_indexes
 from .positions import (build_positions_index, phrase_match_positional,
-                        read_term_positions)
+                        proximity_min_span, read_term_positions)
 from .tombstones import (clear_tombstones, delete_docs, load_tombstones,
                          vacuum_index)
 
@@ -12,4 +12,4 @@ __all__ = ["build_index", "load_stats", "merge_indexes", "delete_docs",
            "load_tombstones", "clear_tombstones", "vacuum_index",
            "write_manifest", "read_manifest", "stage_complete",
            "build_positions_index", "phrase_match_positional",
-           "read_term_positions"]
+           "read_term_positions", "proximity_min_span"]

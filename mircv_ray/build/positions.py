@@ -156,13 +156,9 @@ def _encode_pos_group(group: pa.Table, out_dir: str, n_docs: int) -> dict:
         denc = denc.combine_chunks()
     tcodes = denc.indices.to_numpy()
     n_runs = group["n"].to_numpy()
-    # flatten the packed partial streams (zero-copy buffer views)
-    def flat_of(col, dt):
-        b = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
-            else col
-        return np.concatenate([
-            np.frombuffer(v.as_buffer(), dtype=dt) for v in b
-        ]) if len(b) else np.empty(0, dtype=dt)
+    # flatten the packed partial streams — one zero-copy typed view per
+    # column (same contract as the main build's build_segments)
+    from ..util import binary_column_values_view as flat_of
     ids = flat_of(group["ids_raw"], ids_dt)
     cnts = flat_of(group["cnt_raw"], np.int32)
     run_of = np.repeat(np.arange(len(n_runs), dtype=np.int64), n_runs)
@@ -383,3 +379,79 @@ def phrase_match_positional(index_dir: str, phrases: list[str],
     return pa.table({"qid": pa.array(np.concatenate(qids)),
                      "doc_id": pa.array(np.concatenate(dids)),
                      "n_occurrences": pa.array(np.concatenate(occs))})
+
+
+def proximity_min_span(index_dir: str, queries: list[str],
+                       parse: bool = False, squeeze: bool = False,
+                       num_shards: int | None = None,
+                       salt_buckets: int | None = None) -> pa.Table:
+    """Unordered proximity search from the positional sidecar: for each
+    query, every live doc containing ALL its (distinct) terms, with the
+    MINIMAL token-window length covering at least one occurrence of
+    each (``min_span``; 1 = all terms at one position, i.e. m = 1).
+
+    Vectorized minimal-cover over every doc at once via composite
+    (docId << 32 | pos) keys: the optimal window starting at anchor
+    occurrence a ends at ``max_j next_j(a)`` where ``next_j`` is term
+    j's first occurrence >= a in the same doc (one ``searchsorted`` per
+    term over its sorted keyset); per-doc minima via ``np.minimum.at``.
+    No per-doc or per-candidate Python loop."""
+    import json
+    stats = json.loads((Path(index_dir) / "stats.json").read_text())
+    num_shards = num_shards or int(stats["num_shards"])
+    salt_buckets = salt_buckets or int(stats.get("salt_buckets", 1))
+    from .tombstones import load_tombstones
+    tombs = load_tombstones(index_dir)
+    out_q, out_d, out_s = [], [], []
+    cache: dict[str, tuple | None] = {}
+    for qid, q in enumerate(queries):
+        terms = sorted(set(tokenize_text(q, parse=parse,
+                                         squeeze=squeeze)))
+        if not terms:
+            continue
+        keysets = []
+        for t in terms:
+            if t not in cache:
+                cache[t] = read_term_positions(
+                    index_dir, t, num_shards, salt_buckets)
+            tp = cache[t]
+            if tp is None:
+                break
+            ids, cnts, pos = tp
+            k = (np.repeat(ids, cnts) << np.int64(32)) \
+                | pos.astype(np.int64)
+            keysets.append(np.sort(k))
+        if len(keysets) != len(terms):
+            continue
+        anchors = np.unique(np.concatenate(keysets))
+        a_doc = anchors >> np.int64(32)
+        end = anchors.copy()
+        valid = np.ones(len(anchors), dtype=bool)
+        for ks in keysets:
+            p = np.searchsorted(ks, anchors)
+            inb = p < len(ks)
+            nxt = np.where(inb, ks[np.minimum(p, len(ks) - 1)], -1)
+            ok = inb & ((nxt >> np.int64(32)) == a_doc)
+            valid &= ok
+            end = np.maximum(end, np.where(ok, nxt, end))
+        if not valid.any():
+            continue
+        a_doc = a_doc[valid]
+        span = ((end[valid] & np.int64(0xFFFFFFFF))
+                - (anchors[valid] & np.int64(0xFFFFFFFF)) + 1)
+        docs, inv = np.unique(a_doc, return_inverse=True)
+        best = np.full(len(docs), np.iinfo(np.int64).max)
+        np.minimum.at(best, inv, span)
+        if len(tombs):
+            alive = ~np.isin(docs, tombs)
+            docs, best = docs[alive], best[alive]
+        out_q.append(np.full(len(docs), qid, dtype=np.int64))
+        out_d.append(docs)
+        out_s.append(best)
+    if not out_q:
+        return pa.table({"qid": pa.array([], type=pa.int64()),
+                         "doc_id": pa.array([], type=pa.int64()),
+                         "min_span": pa.array([], type=pa.int64())})
+    return pa.table({"qid": pa.array(np.concatenate(out_q)),
+                     "doc_id": pa.array(np.concatenate(out_d)),
+                     "min_span": pa.array(np.concatenate(out_s))})

@@ -114,6 +114,19 @@ class _LexiconView:
         for t in self.terms:
             yield t.decode()
 
+    def prefix_terms(self, prefix: str) -> list[str]:
+        """All lexicon terms starting with ``prefix``, in sorted order —
+        two binary searches over the sorted fixed-width key array
+        (wildcard/prefix query expansion). Index terms are ASCII (the
+        tokenizer drops non-ASCII), so ``prefix + 0xff`` upper-bounds
+        every extension."""
+        enc = prefix.encode()
+        if not enc or len(enc) >= 64:
+            return []
+        lo = int(np.searchsorted(self.terms, np.bytes_(enc)))
+        hi = int(np.searchsorted(self.terms, np.bytes_(enc + b"\xff")))
+        return [t.decode() for t in self.terms[lo:hi]]
+
     def __len__(self) -> int:
         return len(self.terms)
 
@@ -267,6 +280,10 @@ class IndexReader:
 
     def lexicon_entry(self, term: str):
         return self._lex.get(term)
+
+    def prefix_terms(self, prefix: str) -> list[str]:
+        """Wildcard expansion: lexicon terms starting with ``prefix``."""
+        return self._lex.prefix_terms(prefix)
 
     def _store(self, term: str, rows: list[list[dict]]):
         """Segment block-lists (seg-ascending) -> flat cursor arrays."""

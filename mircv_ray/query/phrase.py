@@ -141,7 +141,8 @@ class _PhraseVerifier:
 
 def phrase_match(index_dir: str, corpus, phrases: list[str],
                  parse: bool = False, squeeze: bool = False,
-                 content_col: str = "content", concurrency: int = 4):
+                 content_col: str = "content",
+                 concurrency: int | tuple | None = None):
     """Exact-phrase search: for each phrase string return every live
     document containing its tokens ADJACENT and in order, with the
     occurrence count.
@@ -178,6 +179,12 @@ def phrase_match(index_dir: str, corpus, phrases: list[str],
     if isinstance(keys, pa.ChunkedArray):
         keys = keys.combine_chunks()
     state_ref = ray.put((keys, ids, memb))
+    if concurrency is None:
+        # autoscaling actor pool sized to the cluster: the scan is
+        # embarrassingly parallel and per-batch work collapses to one
+        # hash probe for candidate-free batches
+        concurrency = (1, max(2, int(ray.cluster_resources()
+                                     .get("CPU", 8))))
     return corpus.select_columns(["repo", "path", content_col]) \
         .map_batches(_PhraseVerifier, batch_format="pyarrow",
                      concurrency=concurrency,

@@ -199,3 +199,91 @@ class TestPositionalSidecar:
         delete_docs(idx2, [2])
         got = phrase_match_positional(idx2, ["binary search"])
         assert 2 not in got["doc_id"].to_pylist()
+
+
+class TestPrefixTerms:
+    def test_prefix_expansion_vs_brute_force(self, built):
+        from mircv_ray.query.engine import IndexReader
+        out, _ = built
+        rdr = IndexReader(out)
+        vocab = sorted({t for d in DOCS
+                        for t in tokenize_text(d, parse=False,
+                                               squeeze=False)})
+        for prefix in ("s", "se", "search", "bin", "merge", "zz", "b"):
+            want = [t for t in vocab if t.startswith(prefix)]
+            assert rdr.prefix_terms(prefix) == want, prefix
+        assert rdr.prefix_terms("") == []
+        assert rdr.prefix_terms("x" * 64) == []
+
+
+def brute_min_span(tokens: list[str], terms: list[str]) -> int | None:
+    """Smallest window [i, j] covering every term at least once."""
+    best = None
+    for i in range(len(tokens)):
+        need = set(terms)
+        for j in range(i, len(tokens)):
+            need.discard(tokens[j])
+            if not need:
+                if best is None or j - i + 1 < best:
+                    best = j - i + 1
+                break
+    return best
+
+
+class TestProximity:
+    def test_min_span_vs_brute_force(self, positional):
+        from mircv_ray.build.positions import proximity_min_span
+        out, corpus, _ = positional
+        queries = ["binary search", "search walk", "merge sort",
+                   "binary", "tree walk binary", "nosuch binary"]
+        got = proximity_min_span(out, queries)
+        got = sorted(zip(got["qid"].to_pylist(),
+                         got["doc_id"].to_pylist(),
+                         got["min_span"].to_pylist()))
+        want = []
+        for qid, q in enumerate(queries):
+            terms = sorted(set(tokenize_text(q, parse=False,
+                                             squeeze=False)))
+            for i, doc in enumerate(DOCS):
+                toks = tokenize_text(doc, parse=False, squeeze=False)
+                s = brute_min_span(toks, terms)
+                if s is not None:
+                    want.append((qid, i + 1, s))
+        assert got == sorted(want)
+
+    def test_random_streams_vs_brute_force(self, positional, tmp_path,
+                                           ray_session):
+        # fresh random corpus: the vectorized minimal-cover must equal
+        # the quadratic brute force everywhere
+        import ray.data as rd
+        from mircv_ray.build import build_index
+        from mircv_ray.build.positions import (build_positions_index,
+                                               proximity_min_span)
+        from mircv_ray.config import IndexConfig
+        rng = np.random.default_rng(11)
+        vocab = ["a", "b", "c", "d", "e"]
+        docs = [" ".join(vocab[int(v)]
+                         for v in rng.integers(0, 5, rng.integers(1, 40)))
+                for _ in range(40)]
+        tbl = pa.table({"repo": ["r"] * 40,
+                        "path": [f"p{i:02d}" for i in range(40)],
+                        "commit": ["c"] * 40, "lang": ["t"] * 40,
+                        "content": docs})
+        out = str(tmp_path / "pidx")
+        cfg = IndexConfig(parse=False, squeeze=False, num_shards=4,
+                          salt_buckets=2)
+        build_index(rd.from_arrow(tbl), out, cfg)
+        build_positions_index(out, rd.from_arrow(tbl), cfg)
+        queries = ["a b", "a b c", "d e a", "e", "a a b"]
+        got = proximity_min_span(out, queries)
+        got = sorted(zip(got["qid"].to_pylist(),
+                         got["doc_id"].to_pylist(),
+                         got["min_span"].to_pylist()))
+        want = []
+        for qid, q in enumerate(queries):
+            terms = sorted(set(q.split()))
+            for i, doc in enumerate(docs):
+                s = brute_min_span(doc.split(), terms)
+                if s is not None:
+                    want.append((qid, i + 1, s))
+        assert got == sorted(want)
