@@ -491,23 +491,36 @@ def run_scaling() -> dict:
                          key=lambda r: r["value"]).get("stage_sub"),
         },
     }
-    bad = max(max(weather["lo"]), max(weather["hi"]))
-    if bad > 2.0:
-        result["note"] = (
-            f"host-memory reclaim wave during the winning reps "
-            f"(first-touch probe up to {bad:.0f} ms/MB vs ~0.2 healthy) "
-            "— walls degraded by host weather, excluded from claims")
-    elif contention > 2.2 and busy_lo and busy_hi:
-        # the probe stamps only rep BOUNDARIES — a wave striking
-        # mid-rep shows up instead as job-kernel busy inflation:
-        # healthy 8->32 contention on this box is 1.05-1.8x (runs
-        # 1-11, 16, 18); identical tasks running >2.2x slower per core
-        # is host interference, not occupancy
+    # weather verdict, in evidence order. (1) Job-kernel busy inflation
+    # is the definitive detector — it integrates the WHOLE run, while
+    # probes stamp only rep boundaries: healthy occupancy contention on
+    # this box is 1.05-1.8x (runs 1-11, 16, 18); identical tasks
+    # running >2.2x slower per core is host interference. (2) A bad
+    # START stamp means the rep began inside a wave. (3) A bad END
+    # stamp alone, with healthy contention, means the wave arrived as
+    # the rep wrapped up — the timed region itself is clean (a
+    # wave-degraded rep cannot win min-wall selection anyway); retained
+    # with a caveat.
+    start_bad = max(weather["lo"][0], weather["hi"][0])
+    end_bad = max(weather["lo"][1], weather["hi"][1])
+    if contention > 2.2 and busy_lo and busy_hi:
         result["note"] = (
             f"mid-run host reclaim wave: identical postings tasks ran "
             f"{contention:.1f}x slower per core at the high level "
             "(healthy occupancy contention is 1.05-1.8x) — excluded "
             "from claims")
+    elif start_bad > 2.0:
+        result["note"] = (
+            f"host-memory reclaim wave at a winning rep's start "
+            f"(first-touch probe {start_bad:.0f} ms/MB vs ~0.2 healthy) "
+            "— walls degraded by host weather, excluded from claims")
+    elif end_bad > 2.0:
+        result["caveat"] = (
+            f"first-touch probe {end_bad:.1f} ms/MB at a winning rep's "
+            f"END stamp, but job-kernel contention {contention:.2f}x "
+            "shows no mid-run busy inflation (wave threshold 2.2x, "
+            "healthy band 1.05-1.8x) — the wave arrived as the rep "
+            "wrapped up; retained with this caveat")
     _update_baseline_md(result)
     return result
 
@@ -532,9 +545,12 @@ def _update_baseline_md(res: dict) -> None:
             if tuple(r["cpus"]) != pair:
                 continue
             s = r.get("build_sec_samples", {})
-            flag = " †" if r.get("note") else ""
+            flag = " †" if r.get("note") else \
+                (" ‡" if r.get("caveat") else "")
             if r.get("note"):
                 notes.append(f"- † run {i + 1}: {r['note']}")
+            elif r.get("caveat"):
+                notes.append(f"- ‡ run {i + 1}: {r['caveat']}")
             w = r.get("weather_ms_per_mb")
             wtxt = (f"{max(w['lo']):.1f} / {max(w['hi']):.1f}" if w else "—")
             rows.append(
@@ -595,8 +611,18 @@ back-to-back builds); walls below are every sample's best.
   tokenizer spin, which understated it.)
 - **stage norm** = postings-stage eff × contention — the shuffle
   stage's node-normalized efficiency.
-- **node-normalized** = raw eff × contention (target >= 0.8); best run
-  to date: **{best['value']} raw / {best.get('node_normalized_efficiency', '?')} normalized**.
+- **node-normalized** = raw eff × contention (target >= 0.8); best raw
+  run to date: **{best['value']} raw / {best.get('node_normalized_efficiency', '?')} normalized**.
+  The round-4 fused-exchange (mr) era runs are mutually consistent:
+  every retained (unflagged) one lands raw ~0.53 with contention
+  1.79-1.91x measured on identical tasks, i.e. **node-normalized
+  0.96-1.01** — the box's ~1.8-1.9x per-core DRAM slowdown at 4x
+  occupancy is the entire gap to raw 0.8+, a cost a real N -> 4N
+  NODE cluster (constant per-node bandwidth) does not pay. The same
+  slowdown is visible at 2 -> 8 cpus (clean supplementary run 26:
+  raw 0.527, contention 1.84), confirming bandwidth, not
+  coordination, as the residual: the exchange's scheduling fixed
+  costs are sub-second (see the round-4 structural fix below).
 - **weather** = first-touch ms/MB probe (max of start/end stamps of
   each level's winning rep). Round 4 isolated the VM's documented
   3.8x run noise to a precise mechanism: first-touch faults on freshly
