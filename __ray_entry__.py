@@ -232,6 +232,50 @@ def _proximity_sql() -> str:
     return ("WITH " + _POS_CTE + "\n" + body + "\nORDER BY qid, doc_id")
 
 
+_SNIPPET_CTX = 3
+
+
+def _snippet_sql() -> str:
+    """Oracle for snippet_search: the proximity oracle's minimal-cover
+    windows, argmin (span, start) per doc via row_number, then the
+    window ± ctx context tokens sliced out of the doc's token list
+    (DuckDB 1-based inclusive slicing clamps like the engine)."""
+    ctx = _SNIPPET_CTX
+    parts = []
+    for qid, q in enumerate(_PROXIMITY_QUERIES):
+        terms = sorted(set(t for t in q.split() if t))
+        in_list = ", ".join(f"'{t}'" for t in terms)
+        nexts = "".join(
+            f", n{k} AS (SELECT a.doc_id, a.pos, min(p.pos) AS n\n"
+            f"  FROM anch a JOIN tokp p ON p.doc_id = a.doc_id\n"
+            f"  AND p.pos >= a.pos AND p.term = '{t}'\n"
+            f"  GROUP BY a.doc_id, a.pos)"
+            for k, t in enumerate(terms))
+        joins = "".join(
+            f" JOIN n{k} ON n{k}.doc_id = a.doc_id AND n{k}.pos = a.pos"
+            for k in range(len(terms)))
+        great = ", ".join(f"n{k}.n" for k in range(len(terms)))
+        great = f"greatest({great})" if len(terms) > 1 else great
+        parts.append(
+            f"SELECT {qid} AS qid, w.doc_id, w.s AS start_pos,\n"
+            f"  w.span AS min_span,\n"
+            f"  array_to_string(tl.toks[greatest(1, w.s - {ctx}):"
+            f"least(len(tl.toks), w.s + w.span - 1 + {ctx})], ' ')"
+            f" AS snippet\n"
+            f"FROM (\n"
+            f"  WITH anch AS (SELECT doc_id, pos FROM tokp\n"
+            f"                WHERE term IN ({in_list})){nexts}\n"
+            f"  SELECT doc_id, s, span FROM (\n"
+            f"    SELECT a.doc_id, a.pos AS s, {great} - a.pos + 1"
+            f" AS span,\n"
+            f"           row_number() OVER (PARTITION BY a.doc_id\n"
+            f"             ORDER BY {great} - a.pos, a.pos) AS rn\n"
+            f"    FROM anch a{joins}) WHERE rn = 1) w\n"
+            f"JOIN tl ON tl.doc_id = w.doc_id")
+    body = "\nUNION ALL\n".join(parts)
+    return ("WITH " + _POS_CTE + "\n" + body + "\nORDER BY qid, doc_id")
+
+
 def _hybrid_rrf_sql() -> str:
     """RRF fusion of the BM25 top-10 (the bm25_topk oracle's own CTEs)
     with the dense cosine top-10 (query vector for qid q = embedding of
@@ -681,6 +725,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
             t, sort_keys=[("qid", "ascending"), ("doc_id", "ascending")]))
         return t.set_column(t.schema.get_field_index("doc_id"), "doc_id",
                             pc.subtract(t["doc_id"], 1))
+
+    def snippet_search(sf_dir: str):
+        # keyword-in-context snippets: the proximity queries' BEST
+        # minimal-cover window per doc (argmin span, then start) ± 3
+        # context tokens, sliced from content in one candidate-only
+        # scan. start_pos reported 1-based to match the SQL slicing.
+        from mircv_ray.build.positions import build_positions_index
+        from mircv_ray.config import IndexConfig
+        from mircv_ray.query.snippets import snippet_extract
+        from mircv_ray.sources import documents_as_corpus
+        idx = _basic_index(sf_dir)
+        build_positions_index(
+            idx, documents_as_corpus(sf_dir),
+            IndexConfig(parse=False, squeeze=False, num_shards=4,
+                        salt_buckets=2))
+        out = snippet_extract(idx, documents_as_corpus(sf_dir),
+                              _PROXIMITY_QUERIES, ctx=_SNIPPET_CTX,
+                              parse=False, squeeze=False)
+        t = _sorted_table(out, ["qid", "doc_id"])
+        t = t.set_column(t.schema.get_field_index("doc_id"), "doc_id",
+                         pc.subtract(t["doc_id"], 1))
+        t = t.set_column(t.schema.get_field_index("start"), "start",
+                         pc.add(t["start"], 1))
+        return t.rename_columns(
+            ["qid", "doc_id", "start_pos", "min_span", "snippet"])
 
     def bm25_conjunctive_strict(sf_dir: str):
         # CLEAN-AND conjunctive (engine extension; SQL-expressible,
@@ -1389,6 +1458,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_search": phrase_search,
         "phrase_search_positional": phrase_search_positional,
         "proximity_search": proximity_search,
+        "snippet_search": snippet_search,
         "wildcard_bm25": wildcard_bm25,
         "hybrid_rrf": hybrid_rrf,
         "bm25_conjunctive_strict": bm25_conjunctive_strict,
@@ -1738,6 +1808,7 @@ GROUP BY t.term, s.new_id
         "phrase_search": _phrase_sql(),
         "phrase_search_positional": _phrase_sql(),
         "proximity_search": _proximity_sql(),
+        "snippet_search": _snippet_sql(),
         "wildcard_bm25": _wildcard_sql(),
         "hybrid_rrf": _hybrid_rrf_sql(),
         "dedup_exact": """

@@ -381,6 +381,62 @@ def phrase_match_positional(index_dir: str, phrases: list[str],
                      "n_occurrences": pa.array(np.concatenate(occs))})
 
 
+def _min_cover_windows(keysets: list[np.ndarray]):
+    """Per-doc BEST minimal-cover window over composite
+    ``(docId << 32 | pos)`` keysets (one sorted array per query term).
+
+    For each anchor occurrence ``a`` the optimal window starting there
+    ends at ``max_j next_j(a)`` (term j's first occurrence >= a in the
+    same doc); the per-doc best is the argmin over anchors of
+    ``(span, start)`` — smallest window, earliest on ties — computed as
+    one ``np.minimum.at`` over the ``span << 32 | start`` composite.
+    Returns ``(docs, spans, starts)`` (starts are 0-based in-doc
+    positions) or three empty arrays."""
+    empty = (np.empty(0, dtype=np.int64),) * 3
+    anchors = np.unique(np.concatenate(keysets))
+    a_doc = anchors >> np.int64(32)
+    end = anchors.copy()
+    valid = np.ones(len(anchors), dtype=bool)
+    for ks in keysets:
+        p = np.searchsorted(ks, anchors)
+        inb = p < len(ks)
+        nxt = np.where(inb, ks[np.minimum(p, len(ks) - 1)], -1)
+        ok = inb & ((nxt >> np.int64(32)) == a_doc)
+        valid &= ok
+        end = np.maximum(end, np.where(ok, nxt, end))
+    if not valid.any():
+        return empty
+    a_doc = a_doc[valid]
+    start = anchors[valid] & np.int64(0xFFFFFFFF)
+    span = (end[valid] & np.int64(0xFFFFFFFF)) - start + 1
+    docs, inv = np.unique(a_doc, return_inverse=True)
+    best = np.full(len(docs), np.iinfo(np.int64).max)
+    np.minimum.at(best, inv, (span << np.int64(32)) | start)
+    return docs, best >> np.int64(32), best & np.int64(0xFFFFFFFF)
+
+
+def term_keysets(index_dir: str, terms: list[str], num_shards: int,
+                 salt_buckets: int,
+                 cache: dict | None = None) -> list[np.ndarray] | None:
+    """Sorted composite ``(docId << 32 | pos)`` keysets for ``terms``
+    from the positional sidecar, or None if any term is absent."""
+    keysets = []
+    for t in terms:
+        if cache is None or t not in cache:
+            tp = read_term_positions(index_dir, t, num_shards,
+                                     salt_buckets)
+            if cache is not None:
+                cache[t] = tp
+        else:
+            tp = cache[t]
+        if tp is None:
+            return None
+        ids, cnts, pos = tp
+        k = (np.repeat(ids, cnts) << np.int64(32)) | pos.astype(np.int64)
+        keysets.append(np.sort(k))
+    return keysets
+
+
 def proximity_min_span(index_dir: str, queries: list[str],
                        parse: bool = False, squeeze: bool = False,
                        num_shards: int | None = None,
@@ -409,39 +465,13 @@ def proximity_min_span(index_dir: str, queries: list[str],
                                          squeeze=squeeze)))
         if not terms:
             continue
-        keysets = []
-        for t in terms:
-            if t not in cache:
-                cache[t] = read_term_positions(
-                    index_dir, t, num_shards, salt_buckets)
-            tp = cache[t]
-            if tp is None:
-                break
-            ids, cnts, pos = tp
-            k = (np.repeat(ids, cnts) << np.int64(32)) \
-                | pos.astype(np.int64)
-            keysets.append(np.sort(k))
-        if len(keysets) != len(terms):
+        keysets = term_keysets(index_dir, terms, num_shards,
+                               salt_buckets, cache)
+        if keysets is None:
             continue
-        anchors = np.unique(np.concatenate(keysets))
-        a_doc = anchors >> np.int64(32)
-        end = anchors.copy()
-        valid = np.ones(len(anchors), dtype=bool)
-        for ks in keysets:
-            p = np.searchsorted(ks, anchors)
-            inb = p < len(ks)
-            nxt = np.where(inb, ks[np.minimum(p, len(ks) - 1)], -1)
-            ok = inb & ((nxt >> np.int64(32)) == a_doc)
-            valid &= ok
-            end = np.maximum(end, np.where(ok, nxt, end))
-        if not valid.any():
+        docs, best, _starts = _min_cover_windows(keysets)
+        if len(docs) == 0:
             continue
-        a_doc = a_doc[valid]
-        span = ((end[valid] & np.int64(0xFFFFFFFF))
-                - (anchors[valid] & np.int64(0xFFFFFFFF)) + 1)
-        docs, inv = np.unique(a_doc, return_inverse=True)
-        best = np.full(len(docs), np.iinfo(np.int64).max)
-        np.minimum.at(best, inv, span)
         if len(tombs):
             alive = ~np.isin(docs, tombs)
             docs, best = docs[alive], best[alive]
