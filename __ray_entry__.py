@@ -232,6 +232,69 @@ def _proximity_sql() -> str:
     return ("WITH " + _POS_CTE + "\n" + body + "\nORDER BY qid, doc_id")
 
 
+_PRF_K_FB, _PRF_M_EXP, _PRF_DF_CAP = 5, 3, 10
+
+
+def _prf_sql() -> str:
+    """Oracle for bm25_prf: first-pass BM25 top-k_fb per query (the
+    bm25_topk CTEs), expansion = top-m_exp terms of the feedback docs
+    by (summed tf DESC, term ASC), excluding original terms and terms
+    with df * df_cap > N, then a second BM25 pass over original +
+    expansion terms (original duplicates still score twice)."""
+    return f"""
+WITH {_TOKS_CTE},
+{_values_clause()},
+doclen AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM docs) AS n,
+                 (SELECT count(*) FROM tok)::DOUBLE
+                 / (SELECT count(*) FROM docs) AS avgdl),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scores0 AS (
+  SELECT q.qid, tf.doc_id, sum({_BM25_EXPR}) AS score
+  FROM q
+  JOIN df ON df.term = q.term
+  JOIN tf ON tf.term = q.term
+  JOIN doclen dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.qid, tf.doc_id),
+fb AS (SELECT qid, doc_id FROM (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score DESC, doc_id) AS rn
+  FROM scores0) WHERE rn <= {_PRF_K_FB}),
+cand AS (
+  SELECT fb.qid, tf.term, sum(tf.tf) AS w
+  FROM fb
+  JOIN tf ON tf.doc_id = fb.doc_id
+  JOIN df ON df.term = tf.term
+  CROSS JOIN stats s
+  WHERE df.df * {_PRF_DF_CAP} <= s.n
+    AND NOT EXISTS (SELECT 1 FROM q
+                    WHERE q.qid = fb.qid AND q.term = tf.term)
+  GROUP BY fb.qid, tf.term),
+exp AS (SELECT qid, term FROM (
+  SELECT qid, term,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY w DESC, term) AS rn
+  FROM cand) WHERE rn <= {_PRF_M_EXP}),
+q1 AS (SELECT qid, term FROM q UNION ALL SELECT qid, term FROM exp),
+scores1 AS (
+  SELECT q1.qid, tf.doc_id, sum({_BM25_EXPR}) AS score
+  FROM q1
+  JOIN df ON df.term = q1.term
+  JOIN tf ON tf.term = q1.term
+  JOIN doclen dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q1.qid, tf.doc_id)
+SELECT qid, doc_id, round(score, 6) AS score FROM (
+  SELECT qid, doc_id, score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score DESC, doc_id) AS rn
+  FROM scores1) WHERE rn <= 10
+"""
+
+
 _SNIPPET_CTX = 3
 
 
@@ -725,6 +788,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
             t, sort_keys=[("qid", "ascending"), ("doc_id", "ascending")]))
         return t.set_column(t.schema.get_field_index("doc_id"), "doc_id",
                             pc.subtract(t["doc_id"], 1))
+
+    def bm25_prf(sf_dir: str):
+        # pseudo-relevance-feedback expansion: BM25 top-5 feedback docs
+        # per query, top-3 expansion terms by summed tf (integer — bit-
+        # deterministic vs SQL) excluding originals and df*10 > N terms,
+        # then a second BM25 pass over original + expansion terms
+        from mircv_ray.query.feedback import bm25_prf as prf
+        from mircv_ray.sources import documents_as_corpus
+        idx = _basic_index(sf_dir)
+        t, _exp = prf(idx, documents_as_corpus(sf_dir), _BM25_QUERIES,
+                      k_fb=_PRF_K_FB, m_exp=_PRF_M_EXP,
+                      df_cap=_PRF_DF_CAP, k=10, parse=False,
+                      squeeze=False)
+        t = t.take(pc.sort_indices(
+            t, sort_keys=[("qid", "ascending"), ("doc_id", "ascending")]))
+        t = t.set_column(t.schema.get_field_index("doc_id"), "doc_id",
+                         pc.subtract(t["doc_id"], 1))
+        return _round6(t, "score")
 
     def snippet_search(sf_dir: str):
         # keyword-in-context snippets: the proximity queries' BEST
@@ -1459,6 +1540,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_search_positional": phrase_search_positional,
         "proximity_search": proximity_search,
         "snippet_search": snippet_search,
+        "bm25_prf": bm25_prf,
         "wildcard_bm25": wildcard_bm25,
         "hybrid_rrf": hybrid_rrf,
         "bm25_conjunctive_strict": bm25_conjunctive_strict,
@@ -1809,6 +1891,7 @@ GROUP BY t.term, s.new_id
         "phrase_search_positional": _phrase_sql(),
         "proximity_search": _proximity_sql(),
         "snippet_search": _snippet_sql(),
+        "bm25_prf": _prf_sql(),
         "wildcard_bm25": _wildcard_sql(),
         "hybrid_rrf": _hybrid_rrf_sql(),
         "dedup_exact": """

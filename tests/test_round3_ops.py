@@ -342,7 +342,8 @@ class TestSourceQuota:
                                   "event_sessions",
                                   "window_agg_streaming",
                                   "merge_postings", "delete_postings",
-                                  "vacuum_postings", "snippet_search"])
+                                  "vacuum_postings", "snippet_search",
+                                  "bm25_prf"])
 def test_entry_matches_oracle_sql(ray_session, name):
     """Driver-gate dry run at sf0.001: identical column names, row
     counts, and values (after each side's documented rounding). Entries
