@@ -142,6 +142,50 @@ SELECT qid, doc_id, round(score, 6) AS score FROM (
 """
 
 
+# fuzzy ("did you mean") suite: deletion typo, substitution typo, a
+# TRANSPOSITION (plain Levenshtein distance 2 — must match nothing
+# unless some term is truly within 1), a short term with neighbors,
+# an exact term, and a no-match
+_FUZZY_QUERIES: list[str] = ["mergee", "tablr", "jion", "ro", "kay",
+                             "zzzz"]
+
+
+def _fuzzy_sql() -> str:
+    """Same BM25 scoring CTEs as bm25_topk, but q(qid, term) expands
+    each query word to the distinct corpus terms within Levenshtein
+    distance <= 1 — the SQL mirror of the engine's vectorized
+    lexicon-matrix edit-distance filter."""
+    vals = ", ".join(f"({i}, '{w}')"
+                     for i, w in enumerate(_FUZZY_QUERIES))
+    return f"""
+WITH {_TOKS_CTE},
+p(qid, w) AS (VALUES {vals}),
+q AS (SELECT p.qid, t.term
+      FROM p JOIN (SELECT DISTINCT term FROM tok) t
+        ON levenshtein(t.term, p.w) <= 1),
+doclen AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM docs) AS n,
+                 (SELECT count(*) FROM tok)::DOUBLE
+                 / (SELECT count(*) FROM docs) AS avgdl),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scores AS (
+  SELECT q.qid, tf.doc_id,
+         sum({_BM25_EXPR}) AS score
+  FROM q
+  JOIN df ON df.term = q.term
+  JOIN tf ON tf.term = q.term
+  JOIN doclen dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.qid, tf.doc_id)
+SELECT qid, doc_id, round(score, 6) AS score FROM (
+  SELECT qid, doc_id, score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score DESC, doc_id) AS rn
+  FROM scores) WHERE rn <= 10
+"""
+
+
 # phrase-query suite: 2-term, 3-term-repeated, 2-term, stopword-ish
 # bigram, unknown term (matches nothing), single term (degenerates to tf)
 _PHRASE_QUERIES: list[str] = [
@@ -788,6 +832,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
             t, sort_keys=[("qid", "ascending"), ("doc_id", "ascending")]))
         return t.set_column(t.schema.get_field_index("doc_id"), "doc_id",
                             pc.subtract(t["doc_id"], 1))
+
+    def fuzzy_bm25(sf_dir: str):
+        # "did you mean": each query word expands to its Levenshtein
+        # <=1 lexicon terms (vectorized byte-matrix check), scored as
+        # disjunctive BM25 top-10; oracle expands via levenshtein()
+        from mircv_ray.query.fuzzy import bm25_fuzzy
+        idx = _basic_index(sf_dir)
+        t, _exp = bm25_fuzzy(idx, _FUZZY_QUERIES, k=10, parse=False,
+                             squeeze=False)
+        t = t.take(pc.sort_indices(
+            t, sort_keys=[("qid", "ascending"), ("doc_id", "ascending")]))
+        t = t.set_column(t.schema.get_field_index("doc_id"), "doc_id",
+                         pc.subtract(t["doc_id"], 1))
+        return _round6(t, "score")
 
     def bm25_prf(sf_dir: str):
         # pseudo-relevance-feedback expansion: BM25 top-5 feedback docs
@@ -1541,6 +1599,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "proximity_search": proximity_search,
         "snippet_search": snippet_search,
         "bm25_prf": bm25_prf,
+        "fuzzy_bm25": fuzzy_bm25,
         "wildcard_bm25": wildcard_bm25,
         "hybrid_rrf": hybrid_rrf,
         "bm25_conjunctive_strict": bm25_conjunctive_strict,
@@ -1892,6 +1951,7 @@ GROUP BY t.term, s.new_id
         "proximity_search": _proximity_sql(),
         "snippet_search": _snippet_sql(),
         "bm25_prf": _prf_sql(),
+        "fuzzy_bm25": _fuzzy_sql(),
         "wildcard_bm25": _wildcard_sql(),
         "hybrid_rrf": _hybrid_rrf_sql(),
         "dedup_exact": """
