@@ -276,6 +276,86 @@ def _proximity_sql() -> str:
     return ("WITH " + _POS_CTE + "\n" + body + "\nORDER BY qid, doc_id")
 
 
+# boolean +pos -neg suite: negation prunes, stopword-vs-stopword,
+# no negatives, unknown negative (ignored), unknown positive (empty),
+# duplicate positive (scores twice)
+_BOOL_QUERIES: list[tuple[list[str], list[str]]] = [
+    (["merge", "sort"], ["join"]),
+    (["the"], ["a"]),
+    (["hash"], []),
+    (["table"], ["zzznope"]),
+    (["zzznope"], ["merge"]),
+    (["merge", "merge"], ["key"]),
+]
+
+
+def _boolean_sql() -> str:
+    """Oracle for boolean_not: docs holding every distinct KNOWN
+    positive term (count == per-query known-positive count) and no
+    known negative term, scored over the positive rows (duplicates
+    twice), top-10."""
+    pv = ", ".join(f"({i}, '{t}')"
+                   for i, (ps, _) in enumerate(_BOOL_QUERIES)
+                   for t in ps)
+    nv = ", ".join(f"({i}, '{t}')"
+                   for i, (_, ns) in enumerate(_BOOL_QUERIES)
+                   for t in ns)
+    return f"""
+WITH {_TOKS_CTE},
+qp(qid, term) AS (VALUES {pv}),
+qn(qid, term) AS (VALUES {nv}),
+doclen AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM docs) AS n,
+                 (SELECT count(*) FROM tok)::DOUBLE
+                 / (SELECT count(*) FROM docs) AS avgdl),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+kp AS (SELECT DISTINCT qp.qid, qp.term FROM qp
+       JOIN df ON df.term = qp.term),
+nk AS (SELECT qid, count(*) AS m FROM kp GROUP BY qid),
+cand AS (SELECT kp.qid, tf.doc_id
+         FROM kp JOIN tf ON tf.term = kp.term
+         JOIN nk ON nk.qid = kp.qid
+         GROUP BY kp.qid, tf.doc_id, nk.m
+         HAVING count(*) = nk.m),
+excl AS (SELECT DISTINCT qn.qid, tf.doc_id FROM qn
+         JOIN tf ON tf.term = qn.term),
+final AS (SELECT c.qid, c.doc_id FROM cand c
+          LEFT JOIN excl e ON e.qid = c.qid AND e.doc_id = c.doc_id
+          WHERE e.doc_id IS NULL),
+scores AS (
+  SELECT f.qid, f.doc_id, sum({_BM25_EXPR}) AS score
+  FROM final f
+  JOIN qp ON qp.qid = f.qid
+  JOIN df ON df.term = qp.term
+  JOIN tf ON tf.term = qp.term AND tf.doc_id = f.doc_id
+  JOIN doclen dl ON dl.doc_id = f.doc_id
+  CROSS JOIN stats s
+  GROUP BY f.qid, f.doc_id)
+SELECT qid, doc_id, round(score, 6) AS score FROM (
+  SELECT qid, doc_id, score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score DESC, doc_id) AS rn
+  FROM scores) WHERE rn <= 10
+"""
+
+
+def _facet_sql() -> str:
+    """Oracle for facet_search: the disjunctive match set (DISTINCT
+    docs holding >= 1 query term) joined to the documents table's
+    ``lang``, counted per (query, facet value)."""
+    return f"""
+WITH {_TOKS_CTE},
+{_values_clause()},
+m AS (SELECT DISTINCT q.qid, t.doc_id FROM q
+      JOIN tok t ON t.term = q.term)
+SELECT m.qid, d.lang AS facet, count(*) AS n_docs
+FROM m JOIN documents d ON d.doc_id = m.doc_id
+GROUP BY m.qid, d.lang
+ORDER BY m.qid, facet
+"""
+
+
 _PRF_K_FB, _PRF_M_EXP, _PRF_DF_CAP = 5, 3, 10
 
 
@@ -832,6 +912,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
             t, sort_keys=[("qid", "ascending"), ("doc_id", "ascending")]))
         return t.set_column(t.schema.get_field_index("doc_id"), "doc_id",
                             pc.subtract(t["doc_id"], 1))
+
+    def boolean_not(sf_dir: str):
+        # +pos -neg boolean retrieval: every distinct known positive
+        # term present, no known negative term, positives score with
+        # duplicates counted twice (the clean-AND quirk), top-10
+        from mircv_ray.query.boolean import bm25_boolean
+        idx = _basic_index(sf_dir)
+        t = bm25_boolean(idx, _BOOL_QUERIES, k=10, parse=False,
+                         squeeze=False)
+        t = t.take(pc.sort_indices(
+            t, sort_keys=[("qid", "ascending"), ("doc_id", "ascending")]))
+        t = t.set_column(t.schema.get_field_index("doc_id"), "doc_id",
+                         pc.subtract(t["doc_id"], 1))
+        return _round6(t, "score")
+
+    def facet_search(sf_dir: str):
+        # faceted search: per (query, lang) count of the FULL
+        # disjunctive match set — match ids from the index alone, one
+        # column-pruned scan of the docs table for the facet column
+        from mircv_ray.query.facets import facet_counts
+        idx = _basic_index(sf_dir)
+        t = facet_counts(idx, _BM25_QUERIES, facet_col="lang")
+        return t.take(pc.sort_indices(
+            t, sort_keys=[("qid", "ascending"), ("facet", "ascending")]))
 
     def fuzzy_bm25(sf_dir: str):
         # "did you mean": each query word expands to its Levenshtein
@@ -1600,6 +1704,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snippet_search": snippet_search,
         "bm25_prf": bm25_prf,
         "fuzzy_bm25": fuzzy_bm25,
+        "facet_search": facet_search,
+        "boolean_not": boolean_not,
         "wildcard_bm25": wildcard_bm25,
         "hybrid_rrf": hybrid_rrf,
         "bm25_conjunctive_strict": bm25_conjunctive_strict,
@@ -1952,6 +2058,8 @@ GROUP BY t.term, s.new_id
         "snippet_search": _snippet_sql(),
         "bm25_prf": _prf_sql(),
         "fuzzy_bm25": _fuzzy_sql(),
+        "facet_search": _facet_sql(),
+        "boolean_not": _boolean_sql(),
         "wildcard_bm25": _wildcard_sql(),
         "hybrid_rrf": _hybrid_rrf_sql(),
         "dedup_exact": """
