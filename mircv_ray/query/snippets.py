@@ -127,6 +127,18 @@ class _SnippetSlicer:
         row_of = np.full(int(cand_pos.max()) + 1, -1, dtype=np.int64)
         row_of[cand_pos] = np.arange(len(cand_pos))
         r = row_of[self.win_row[hit]]
+        # sidecar/corpus mismatch guard: every window must fit its
+        # doc's token stream (positions and the scan tokenize the SAME
+        # content by construction — a violation means the caller paired
+        # the index with a different corpus)
+        over = self.win_start[hit] + self.win_span[hit] > lens[r]
+        if over.any():
+            i = int(np.flatnonzero(over)[0])
+            raise ValueError(
+                "positional sidecar does not match the supplied corpus: "
+                f"doc_id {int(self.win_doc[hit][i])} window end "
+                f"{int(self.win_start[hit][i] + self.win_span[hit][i])} "
+                f"> {int(lens[r][i])} tokens")
         s = np.maximum(self.win_start[hit] - self.ctx, 0)
         e = np.minimum(self.win_start[hit] + self.win_span[hit]
                        + self.ctx, lens[r])

@@ -8,6 +8,14 @@ from scratch); these subcommands drive the incremental machinery:
     python scripts/index_admin.py delete INDEX --ids-file ids.txt
     python scripts/index_admin.py vacuum INDEX OUT
     python scripts/index_admin.py status INDEX
+    python scripts/index_admin.py positions INDEX CORPUS
+    python scripts/index_admin.py phrase INDEX "hash join" ...
+    python scripts/index_admin.py proximity INDEX "merge sort" ...
+    python scripts/index_admin.py fuzzy INDEX mergee tablr
+    python scripts/index_admin.py boolean INDEX --pos merge,sort --neg join
+    python scripts/index_admin.py facets INDEX merge sort --facet lang
+    python scripts/index_admin.py snippet INDEX CORPUS "merge sort" ...
+    python scripts/index_admin.py prf INDEX CORPUS merge,sort ...
 """
 
 from __future__ import annotations
@@ -59,6 +67,46 @@ def main() -> None:
                         "positional sidecar")
     qp.add_argument("index")
     qp.add_argument("phrases", nargs="+")
+
+    xp = sub.add_parser("proximity", help="minimal-cover proximity "
+                        "search from the positional sidecar")
+    xp.add_argument("index")
+    xp.add_argument("queries", nargs="+")
+
+    fz = sub.add_parser("fuzzy", help="'did you mean' retrieval: each "
+                        "word expands to its Levenshtein<=1 lexicon "
+                        "terms, scored as disjunctive BM25")
+    fz.add_argument("index")
+    fz.add_argument("words", nargs="+")
+    fz.add_argument("-k", type=int, default=10)
+
+    bq = sub.add_parser("boolean", help="+pos -neg retrieval")
+    bq.add_argument("index")
+    bq.add_argument("--pos", required=True,
+                    help="comma-separated required terms")
+    bq.add_argument("--neg", default="",
+                    help="comma-separated excluded terms")
+    bq.add_argument("-k", type=int, default=10)
+
+    fc = sub.add_parser("facets", help="facet counts of the full match "
+                        "set over a docs-table column")
+    fc.add_argument("index")
+    fc.add_argument("terms", nargs="+")
+    fc.add_argument("--facet", default="lang")
+
+    sn = sub.add_parser("snippet", help="best-window snippets (needs "
+                        "the positional sidecar and the corpus)")
+    sn.add_argument("index")
+    sn.add_argument("corpus")
+    sn.add_argument("queries", nargs="+")
+    sn.add_argument("--ctx", type=int, default=3)
+
+    rf = sub.add_parser("prf", help="pseudo-relevance-feedback BM25 "
+                        "(needs the corpus for feedback-doc tfs)")
+    rf.add_argument("index")
+    rf.add_argument("corpus")
+    rf.add_argument("queries", nargs="+",
+                    help="each query = comma-separated terms")
     args = ap.parse_args()
 
     from mircv_ray.build import (delete_docs, load_stats, load_tombstones,
@@ -93,7 +141,37 @@ def main() -> None:
         print(json.dumps(t.to_pylist()))
         return
 
-    # merge / vacuum / positions run Ray pipelines
+    if args.cmd == "proximity":
+        from mircv_ray.build.positions import proximity_min_span
+        stats = load_stats(args.index)
+        t = proximity_min_span(args.index, args.queries,
+                               parse=stats["parse"],
+                               squeeze=stats["squeeze"])
+        print(json.dumps(t.to_pylist()))
+        return
+
+    if args.cmd == "fuzzy":
+        from mircv_ray.query.fuzzy import bm25_fuzzy
+        stats = load_stats(args.index)
+        t, exp = bm25_fuzzy(args.index, args.words, k=args.k,
+                            parse=stats["parse"],
+                            squeeze=stats["squeeze"])
+        print(json.dumps({"expansions": exp,
+                          "results": t.to_pylist()}))
+        return
+
+    if args.cmd == "boolean":
+        from mircv_ray.query.boolean import bm25_boolean
+        stats = load_stats(args.index)
+        pos = [x for x in args.pos.split(",") if x.strip()]
+        neg = [x for x in args.neg.split(",") if x.strip()]
+        t = bm25_boolean(args.index, [(pos, neg)], k=args.k,
+                         parse=stats["parse"],
+                         squeeze=stats["squeeze"])
+        print(json.dumps(t.to_pylist()))
+        return
+
+    # the remaining subcommands run Ray pipelines
     import ray
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=args.num_cpus,
@@ -110,6 +188,35 @@ def main() -> None:
                                      if args.corpus.endswith(".parquet")
                                      else args.corpus)
         print(json.dumps(build_positions_index(args.index, corpus, cfg)))
+        ray.shutdown()
+        return
+    if args.cmd == "facets":
+        from mircv_ray.query.facets import facet_counts
+        t = facet_counts(args.index, [args.terms],
+                         facet_col=args.facet)
+        print(json.dumps(t.to_pylist()))
+        ray.shutdown()
+        return
+    if args.cmd in ("snippet", "prf"):
+        from mircv_ray.sources import documents_as_corpus
+        stats = load_stats(args.index)
+        corpus = documents_as_corpus(str(Path(args.corpus).parent)
+                                     if args.corpus.endswith(".parquet")
+                                     else args.corpus)
+        if args.cmd == "snippet":
+            from mircv_ray.query.snippets import snippet_extract
+            out = snippet_extract(args.index, corpus, args.queries,
+                                  ctx=args.ctx, parse=stats["parse"],
+                                  squeeze=stats["squeeze"])
+            print(json.dumps(out.take_all()))
+        else:
+            from mircv_ray.query.feedback import bm25_prf
+            qs = [[t for t in q.split(",") if t] for q in args.queries]
+            t, exp = bm25_prf(args.index, corpus, qs,
+                              parse=stats["parse"],
+                              squeeze=stats["squeeze"])
+            print(json.dumps({"expansions": exp,
+                              "results": t.to_pylist()}))
         ray.shutdown()
         return
     if args.cmd == "merge":

@@ -152,6 +152,22 @@ class TestSnippetExtract:
         # 'walk' only in doc 1, 'alone' only in doc 4 — no doc has both
         assert run(built, ["walk alone"]) == set()
 
+    def test_mismatched_corpus_raises_clearly(self, built):
+        # pairing the index with a DIFFERENT corpus (same ids, other
+        # texts) must raise the sidecar-mismatch diagnostic, not a
+        # numpy shape error
+        import ray.data as rd
+        from mircv_ray.query.snippets import snippet_extract
+        out, _ = built
+        wrong = pa.table({
+            "repo": ["r"] * len(DOCS),
+            "path": [f"f{i}" for i in range(len(DOCS))],
+            "content": ["tiny doc"] * len(DOCS),
+        })
+        with pytest.raises(Exception, match="does not match"):
+            snippet_extract(out, rd.from_arrow(wrong),
+                            ["binary search"], ctx=CTX).take_all()
+
     def test_tombstoned_docs_drop(self, built):
         out, corpus = built
         from mircv_ray.build.tombstones import delete_docs
