@@ -253,6 +253,40 @@ def run_bench() -> dict:
                 qv, k=10).count()
     timings["ann"] = time.time() - t0
 
+    # positional sidecar (one extra content pass) + the index-only
+    # retrieval extensions it enables, plus fuzzy expansion latency
+    from mircv_ray.build import (build_positions_index,
+                                 phrase_match_positional)
+    from mircv_ray.build.positions import proximity_min_span
+    from mircv_ray.query.fuzzy import bm25_fuzzy
+    from mircv_ray.query.snippets import snippet_extract
+    t0 = time.time()
+    build_positions_index(
+        out, rd.read_parquet(cdir, columns=["repo", "path", "lang",
+                                            "content"]), cfg)
+    timings["positions_build"] = time.time() - t0
+    phrases = ["hash join", "merge sort", "stream window", "big table"]
+    t0 = time.time()
+    for _rep in range(5):
+        phrase_match_positional(out, phrases, parse=cfg.parse,
+                                squeeze=cfg.squeeze)
+    timings["phrase_batch4"] = (time.time() - t0) / 5
+    t0 = time.time()
+    for _rep in range(5):
+        proximity_min_span(out, phrases, parse=cfg.parse,
+                           squeeze=cfg.squeeze)
+    timings["proximity_batch4"] = (time.time() - t0) / 5
+    t0 = time.time()
+    for _rep in range(5):
+        bm25_fuzzy(out, ["merg", "tabl", "windo", "stream"], k=10,
+                   parse=cfg.parse, squeeze=cfg.squeeze)
+    timings["fuzzy_batch4"] = (time.time() - t0) / 5
+    t0 = time.time()
+    snippet_extract(out, rd.read_parquet(
+        cdir, columns=["repo", "path", "content"]), phrases, ctx=3,
+        parse=cfg.parse, squeeze=cfg.squeeze).count()
+    timings["snippet_batch4"] = time.time() - t0
+
     # incremental maintenance: tombstone 1% of docs, physically vacuum
     # them out (decode -> filter+renumber -> re-encode, no content scan)
     # — compare against `build` for the rebuild-avoidance win
