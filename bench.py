@@ -649,14 +649,17 @@ back-to-back builds); walls below are every sample's best.
   run to date: **{best['value']} raw / {best.get('node_normalized_efficiency', '?')} normalized**.
   The round-4 fused-exchange (mr) era runs are mutually consistent:
   every retained (unflagged) one lands raw ~0.53 with contention
-  1.79-1.91x measured on identical tasks, i.e. **node-normalized
-  0.96-1.01** — the box's ~1.8-1.9x per-core DRAM slowdown at 4x
-  occupancy is the entire gap to raw 0.8+, a cost a real N -> 4N
-  NODE cluster (constant per-node bandwidth) does not pay. The same
-  slowdown is visible at 2 -> 8 cpus (clean supplementary run 26:
-  raw 0.527, contention 1.84), confirming bandwidth, not
-  coordination, as the residual: the exchange's scheduling fixed
-  costs are sub-second (see the round-4 structural fix below).
+  1.74-1.91x measured on identical tasks, i.e. **node-normalized
+  0.94-1.01**, including THREE fully clean primary-pair runs (31-33:
+  normalized 0.984 / 0.968 / 0.94, weather <=0.7 ms/MB both sides) —
+  the box's ~1.8x per-core DRAM slowdown at 4x occupancy is the
+  entire gap to raw 0.8+, a cost a real N -> 4N NODE cluster
+  (constant per-node bandwidth) does not pay. Direct confirmation at
+  LOW occupancy: the clean 2 -> 8 cpu run 34 lands **raw 0.842 /
+  stage 0.83** — where DRAM contention is mild, raw efficiency itself
+  clears the bar, so bandwidth, not coordination, is the residual:
+  the exchange's scheduling fixed costs are sub-second (see the
+  round-4 structural fix below).
 - **weather** = first-touch ms/MB probe (max of start/end stamps of
   each level's winning rep). Round 4 isolated the VM's documented
   3.8x run noise to a precise mechanism: first-touch faults on freshly
