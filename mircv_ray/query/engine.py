@@ -600,15 +600,22 @@ class QueryEngine:
         order = np.lexsort((cand, -sc))[:k]  # score desc, docId asc (O4 ties)
         return [(int(cand[i]), float(sc[i])) for i in order]
 
-    def score_terms_strict_and(self, terms: list[str]) -> list[tuple[int, float]]:
+    def score_terms_strict_and(self, terms: list[str],
+                               exclude_terms: list[str] = (),
+                               ) -> list[tuple[int, float]]:
         """CLEAN-AND conjunctive top-k (engine extension; SQL-expressible,
         unlike the reference's MaxScore conjunctive quirks): a doc scores
         iff it contains EVERY distinct known query term; duplicate query
         terms still score twice. Vectorized: sorted-array intersection of
-        the decoded id lists, then gathered contribution sums."""
+        the decoded id lists, then gathered contribution sums.
+
+        ``exclude_terms`` (boolean NOT, `query/boolean.py`): docs holding
+        ANY known excluded term are dropped BEFORE top-k selection
+        (after would under-fill k); unknown terms are ignored."""
         r = self.reader
         bm25 = self.qcfg.standard == "BM25"
-        r.prefetch(terms)  # batched cold-term reads (see _score_terms_taat)
+        # batched cold-term reads (see _score_terms_taat)
+        r.prefetch(list(terms) + list(exclude_terms))
         lists = []
         for t in terms:
             lex = r.lexicon_entry(t)
@@ -629,6 +636,13 @@ class QueryEngine:
         inter = distinct[0]
         for ids in distinct[1:]:
             inter = np.intersect1d(inter, ids, assume_unique=True)
+            if not len(inter):
+                return []
+        for t in set(exclude_terms):
+            dec = r.decoded(t)
+            if dec is None:
+                continue
+            inter = inter[~np.isin(inter, dec[0], assume_unique=True)]
             if not len(inter):
                 return []
         if len(r.tombstones):

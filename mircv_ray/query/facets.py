@@ -88,10 +88,10 @@ def facet_counts(index_dir: str, queries: list[list[str]],
                       "n_docs": pa.array([], type=pa.int64())})
     if not id_sets:
         return empty
+    from .candidates import default_scan_concurrency
     state_ref = ray.put(id_sets)
     if concurrency is None:
-        concurrency = (1, max(2, int(ray.cluster_resources()
-                                     .get("CPU", 8))))
+        concurrency = default_scan_concurrency()
     ds = rd.read_parquet(str(f"{index_dir}/docs"),
                          columns=["doc_id", facet_col]) \
         .map_batches(_FacetCounter, batch_format="pyarrow",
@@ -101,6 +101,8 @@ def facet_counts(index_dir: str, queries: list[list[str]],
     if not parts:
         return empty
     merged = pa.concat_tables(parts).combine_chunks()
-    return merged.group_by(["qid", "facet"]) \
-        .aggregate([("n_docs", "sum")]) \
-        .rename_columns(["qid", "facet", "n_docs"])
+    agg = merged.group_by(["qid", "facet"]).aggregate([("n_docs", "sum")])
+    # select by NAME — pyarrow's group_by output column order has
+    # differed across releases
+    return pa.table({"qid": agg["qid"], "facet": agg["facet"],
+                     "n_docs": agg["n_docs_sum"]})

@@ -30,7 +30,6 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
-import pyarrow.parquet as pq
 import ray
 
 from ..config import QueryConfig
@@ -49,17 +48,14 @@ class _TfCounter:
                              content_col=content_col)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from .candidates import filter_to_candidates
         empty = pa.table({"doc_id": pa.array([], type=pa.int64()),
                           "term": pa.array([], type=pa.string()),
                           "tf": pa.array([], type=pa.int64())})
-        key = pc.binary_join_element_wise(batch["repo"], batch["path"],
-                                          "\x00")
-        pos = pc.index_in(key, value_set=self.keys)
-        sel = pc.is_valid(pos)
-        if not pc.any(sel).as_py():
+        hitb = filter_to_candidates(batch, self.keys)
+        if hitb is None:
             return empty
-        batch = batch.filter(sel)
-        cand_pos = np.asarray(pos.filter(sel), dtype=np.int64)
+        batch, cand_pos = hitb
         toks = self.tok(batch)["tokens"]
         if isinstance(toks, pa.ChunkedArray):
             toks = toks.combine_chunks()
@@ -92,18 +88,11 @@ def feedback_term_counts(index_dir: str, corpus, fb_doc_ids: np.ndarray,
                          concurrency=None) -> pa.Table:
     """(doc_id, term, tf) for every feedback doc, via one candidate-only
     corpus scan (non-candidate batches cost one hash probe)."""
-    dt = pq.read_table(str(f"{index_dir}/docs"),
-                       columns=["doc_id", "repo", "path"],
-                       filters=[("doc_id", "in", fb_doc_ids.tolist())])
-    order = np.argsort(dt["doc_id"].to_numpy())
-    dt = dt.take(pa.array(order))
-    keys = pc.binary_join_element_wise(dt["repo"], dt["path"], "\x00")
-    if isinstance(keys, pa.ChunkedArray):
-        keys = keys.combine_chunks()
-    state_ref = ray.put((keys, dt["doc_id"].to_numpy().astype(np.int64)))
+    from .candidates import candidate_key_table, default_scan_concurrency
+    keys, ids = candidate_key_table(index_dir, fb_doc_ids)
+    state_ref = ray.put((keys, ids))
     if concurrency is None:
-        concurrency = (1, max(2, int(ray.cluster_resources()
-                                     .get("CPU", 8))))
+        concurrency = default_scan_concurrency()
     out = corpus.select_columns(["repo", "path", content_col]) \
         .map_batches(_TfCounter, batch_format="pyarrow",
                      concurrency=concurrency,

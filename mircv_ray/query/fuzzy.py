@@ -51,7 +51,10 @@ def _length_index(terms: np.ndarray):
     lens = np.where(has0, np.argmax(m == 0, axis=1), 64)
     order = np.argsort(lens, kind="stable")
     out = (order, lens[order], m, terms)
-    if len(_len_cache) > 4:
+    # the byte matrix is a view over the lexicon's key array, so each
+    # cached entry PINS that lexicon's terms (engine._lex_cache bounds
+    # itself to 4 for the same reason) — keep at most 2 pinned here
+    if len(_len_cache) >= 2:
         _len_cache.pop(next(iter(_len_cache)))
     _len_cache[key] = out
     return out[:3]
@@ -121,10 +124,17 @@ def bm25_fuzzy(index_dir: str, queries: list[str], k: int = 10,
     from .engine import QueryEngine
     eng = QueryEngine(index_dir, QueryConfig(
         standard=standard, k=k, parse=parse, squeeze=squeeze))
+    from ..text.tokenizer import tokenize_text
     qids, dids, scores = [], [], []
     expansions: dict[int, list[str]] = {}
     for qid, w in enumerate(queries):
-        terms = ed1_terms(eng.reader._lex, w)
+        # normalize the raw word through the query tokenizer first
+        # (lowercase, punctuation, stemming when parse=True) so
+        # "Mergee" behaves like every other query path; a word that
+        # tokenizes to several tokens expands each and unions
+        words = tokenize_text(w, parse=parse, squeeze=squeeze)
+        terms = sorted({t for v in words
+                        for t in ed1_terms(eng.reader._lex, v)})
         expansions[qid] = terms
         for doc_id, score in eng.score_terms(terms, conjunctive=False):
             qids.append(qid)

@@ -28,7 +28,6 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
-import pyarrow.parquet as pq
 import ray
 
 from ..text.tokenizer import Tokenizer, tokenize_text
@@ -108,17 +107,14 @@ class _PhraseVerifier:
                              content_col=content_col)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        key = pc.binary_join_element_wise(batch["repo"], batch["path"],
-                                          "\x00")
-        pos = pc.index_in(key, value_set=self.keys)
-        sel = pc.is_valid(pos)
+        from .candidates import filter_to_candidates
         empty = pa.table({"qid": pa.array([], type=pa.int64()),
                           "doc_id": pa.array([], type=pa.int64()),
                           "n_occurrences": pa.array([], type=pa.int64())})
-        if not pc.any(sel).as_py():
+        hitb = filter_to_candidates(batch, self.keys)
+        if hitb is None:
             return empty
-        batch = batch.filter(sel)
-        cand_pos = np.asarray(pos.filter(sel), dtype=np.int64)
+        batch, cand_pos = hitb
         toks = self.tok(batch)["tokens"]
         qids, dids, occs = [], [], []
         for qid, terms in enumerate(self.phrases):
@@ -166,25 +162,14 @@ def phrase_match(index_dir: str, corpus, phrases: list[str],
         return rd.from_arrow(schema.empty_table())
     # candidate keys: engine id -> (repo, path) from the index's docs
     # table, fetched for the candidate ids only (rarest-term-df sized)
-    dt = pq.read_table(str(f"{index_dir}/docs"),
-                       columns=["doc_id", "repo", "path"],
-                       filters=[("doc_id", "in", union.tolist())])
-    order = np.argsort(dt["doc_id"].to_numpy())
-    dt = dt.take(pa.array(order))
-    ids = dt["doc_id"].to_numpy().astype(np.int64)
+    from .candidates import candidate_key_table, default_scan_concurrency
+    keys, ids = candidate_key_table(index_dir, union)
     memb = np.zeros((len(ids), len(phrases)), dtype=bool)
     for qi, cand in enumerate(per_phrase):
         memb[np.searchsorted(ids, cand), qi] = True
-    keys = pc.binary_join_element_wise(dt["repo"], dt["path"], "\x00")
-    if isinstance(keys, pa.ChunkedArray):
-        keys = keys.combine_chunks()
     state_ref = ray.put((keys, ids, memb))
     if concurrency is None:
-        # autoscaling actor pool sized to the cluster: the scan is
-        # embarrassingly parallel and per-batch work collapses to one
-        # hash probe for candidate-free batches
-        concurrency = (1, max(2, int(ray.cluster_resources()
-                                     .get("CPU", 8))))
+        concurrency = default_scan_concurrency()
     return corpus.select_columns(["repo", "path", content_col]) \
         .map_batches(_PhraseVerifier, batch_format="pyarrow",
                      concurrency=concurrency,

@@ -30,7 +30,6 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
-import pyarrow.parquet as pq
 import ray
 
 from ..text.tokenizer import Tokenizer, tokenize_text
@@ -100,19 +99,16 @@ class _SnippetSlicer:
                              content_col=content_col)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from .candidates import filter_to_candidates
         empty = pa.table({"qid": pa.array([], type=pa.int64()),
                           "doc_id": pa.array([], type=pa.int64()),
                           "start": pa.array([], type=pa.int64()),
                           "min_span": pa.array([], type=pa.int64()),
                           "snippet": pa.array([], type=pa.string())})
-        key = pc.binary_join_element_wise(batch["repo"], batch["path"],
-                                          "\x00")
-        pos = pc.index_in(key, value_set=self.keys)
-        sel = pc.is_valid(pos)
-        if not pc.any(sel).as_py():
+        hitb = filter_to_candidates(batch, self.keys)
+        if hitb is None:
             return empty
-        batch = batch.filter(sel)
-        cand_pos = np.asarray(pos.filter(sel), dtype=np.int64)
+        batch, cand_pos = hitb
         toks = self.tok(batch)["tokens"]
         if isinstance(toks, pa.ChunkedArray):
             toks = toks.combine_chunks()
@@ -184,24 +180,16 @@ def snippet_extract(index_dir: str, corpus, queries: list[str],
                         ("snippet", pa.string())])
     if wins.num_rows == 0:
         return rd.from_arrow(schema.empty_table())
+    from .candidates import candidate_key_table, default_scan_concurrency
     cand = np.unique(wins["doc_id"].to_numpy())
-    dt = pq.read_table(str(f"{index_dir}/docs"),
-                       columns=["doc_id", "repo", "path"],
-                       filters=[("doc_id", "in", cand.tolist())])
-    order = np.argsort(dt["doc_id"].to_numpy())
-    dt = dt.take(pa.array(order))
-    ids = dt["doc_id"].to_numpy().astype(np.int64)
-    keys = pc.binary_join_element_wise(dt["repo"], dt["path"], "\x00")
-    if isinstance(keys, pa.ChunkedArray):
-        keys = keys.combine_chunks()
+    keys, ids = candidate_key_table(index_dir, cand)
     win_doc = wins["doc_id"].to_numpy()
     state_ref = ray.put((keys, np.searchsorted(ids, win_doc),
                          wins["qid"].to_numpy(), win_doc,
                          wins["start"].to_numpy(),
                          wins["min_span"].to_numpy()))
     if concurrency is None:
-        concurrency = (1, max(2, int(ray.cluster_resources()
-                                     .get("CPU", 8))))
+        concurrency = default_scan_concurrency()
     return corpus.select_columns(["repo", "path", content_col]) \
         .map_batches(_SnippetSlicer, batch_format="pyarrow",
                      concurrency=concurrency,

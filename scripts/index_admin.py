@@ -163,8 +163,8 @@ def main() -> None:
     if args.cmd == "boolean":
         from mircv_ray.query.boolean import bm25_boolean
         stats = load_stats(args.index)
-        pos = [x for x in args.pos.split(",") if x.strip()]
-        neg = [x for x in args.neg.split(",") if x.strip()]
+        pos = [x.strip() for x in args.pos.split(",") if x.strip()]
+        neg = [x.strip() for x in args.neg.split(",") if x.strip()]
         t = bm25_boolean(args.index, [(pos, neg)], k=args.k,
                          parse=stats["parse"],
                          squeeze=stats["squeeze"])
@@ -211,7 +211,8 @@ def main() -> None:
             print(json.dumps(out.take_all()))
         else:
             from mircv_ray.query.feedback import bm25_prf
-            qs = [[t for t in q.split(",") if t] for q in args.queries]
+            qs = [[t.strip() for t in q.split(",") if t.strip()]
+                  for q in args.queries]
             t, exp = bm25_prf(args.index, corpus, qs,
                               parse=stats["parse"],
                               squeeze=stats["squeeze"])

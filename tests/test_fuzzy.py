@@ -57,6 +57,24 @@ class TestEd1Kernel:
         for q in queries:
             check(vocab, q)
 
+    def test_cache_identity_guard(self):
+        # a recycled id() must not serve another array's cached state:
+        # poison the cache under this array's id with a stale entry
+        # whose stored identity differs — the guard must recompute
+        from mircv_ray.query import fuzzy
+        lex = FakeLex(["merge", "sort"])
+        stale = FakeLex(["zzz"]).terms
+        fuzzy._len_cache.clear()
+        fuzzy._len_cache[id(lex.terms)] = (
+            np.array([0]), np.array([3]),
+            np.ascontiguousarray(stale).view(np.uint8).reshape(-1, 64),
+            stale)
+        assert fuzzy.ed1_terms(lex, "merge") == ["merge"]
+        # and a genuine hit (same identity) is served from cache
+        order0, _, _ = fuzzy._length_index(lex.terms)
+        order1, _, _ = fuzzy._length_index(lex.terms)
+        assert order0 is order1
+
     def test_length_edges(self):
         from mircv_ray.query.fuzzy import ed1_terms
         assert ed1_terms(FakeLex(["a", "ab"]), "") == []
