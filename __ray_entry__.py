@@ -239,6 +239,46 @@ def _phrase_sql() -> str:
     return f"WITH {toks_pos}\n{body}\nORDER BY qid, doc_id"
 
 
+def _phrase_bm25_sql() -> str:
+    """Oracle for phrase_bm25: the phrase oracle's occurrence counts
+    played as tf in the BM25 formula, df = docs containing the phrase,
+    doc lengths/stats from the same token CTE."""
+    parts = []
+    for qid, phrase in enumerate(_PHRASE_QUERIES):
+        terms = [t for t in phrase.split() if t]
+        joins = "".join(
+            f" JOIN tokp p{k} ON p{k}.doc_id = p0.doc_id"
+            f" AND p{k}.pos = p0.pos + {k}" for k in range(1, len(terms)))
+        where = " AND ".join(f"p{k}.term = '{t}'"
+                             for k, t in enumerate(terms))
+        parts.append(
+            f"SELECT {qid} AS qid, p0.doc_id, count(*) AS tf\n"
+            f"FROM tokp p0{joins} WHERE {where} GROUP BY p0.doc_id")
+    occ = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH {_POS_CTE},
+doclen AS (SELECT doc_id, len(toks) AS dl FROM tl),
+stats AS (SELECT (SELECT count(*) FROM docs) AS n,
+                 (SELECT sum(len(toks)) FROM tl)::DOUBLE
+                 / (SELECT count(*) FROM docs) AS avgdl),
+occ AS ({occ}),
+dfq AS (SELECT qid, count(*) AS df FROM occ GROUP BY qid),
+scores AS (
+  SELECT o.qid, o.doc_id,
+         (o.tf / (1.5*(0.3 + 0.7*(dl.dl / s.avgdl)) + o.tf))
+         * log10(s.n / dfq.df) AS score
+  FROM occ o
+  JOIN doclen dl ON dl.doc_id = o.doc_id
+  JOIN dfq ON dfq.qid = o.qid
+  CROSS JOIN stats s)
+SELECT qid, doc_id, round(score, 6) AS score FROM (
+  SELECT qid, doc_id, score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score DESC, doc_id) AS rn
+  FROM scores) WHERE rn <= 10
+"""
+
+
 # proximity suite: 2-term, 3-term, single term (min_span = 1),
 # unknown term (matches nothing)
 _PROXIMITY_QUERIES: list[str] = [
@@ -869,6 +909,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
             t, sort_keys=[("qid", "ascending"), ("doc_id", "ascending")]))
         return t.set_column(t.schema.get_field_index("doc_id"), "doc_id",
                             pc.subtract(t["doc_id"], 1))
+
+    def phrase_bm25(sf_dir: str):
+        # RANKED phrase search: occurrence count as tf in the BM25
+        # formula, df = docs containing the phrase; matches from the
+        # positional sidecar, scoring one vectorized pass
+        from mircv_ray.build.positions import (build_positions_index,
+                                               phrase_bm25 as pb)
+        from mircv_ray.config import IndexConfig
+        from mircv_ray.sources import documents_as_corpus
+        idx = _basic_index(sf_dir)
+        build_positions_index(
+            idx, documents_as_corpus(sf_dir),
+            IndexConfig(parse=False, squeeze=False, num_shards=4,
+                        salt_buckets=2))
+        t = pb(idx, _PHRASE_QUERIES, k=10, parse=False, squeeze=False)
+        t = t.take(pc.sort_indices(
+            t, sort_keys=[("qid", "ascending"), ("doc_id", "ascending")]))
+        t = t.set_column(t.schema.get_field_index("doc_id"), "doc_id",
+                         pc.subtract(t["doc_id"], 1))
+        return _round6(t, "score")
 
     def wildcard_bm25(sf_dir: str):
         # wildcard/prefix retrieval: each query is a PREFIX, expanded to
@@ -1706,6 +1766,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_bm25": fuzzy_bm25,
         "facet_search": facet_search,
         "boolean_not": boolean_not,
+        "phrase_bm25": phrase_bm25,
         "wildcard_bm25": wildcard_bm25,
         "hybrid_rrf": hybrid_rrf,
         "bm25_conjunctive_strict": bm25_conjunctive_strict,
@@ -2060,6 +2121,7 @@ GROUP BY t.term, s.new_id
         "fuzzy_bm25": _fuzzy_sql(),
         "facet_search": _facet_sql(),
         "boolean_not": _boolean_sql(),
+        "phrase_bm25": _phrase_bm25_sql(),
         "wildcard_bm25": _wildcard_sql(),
         "hybrid_rrf": _hybrid_rrf_sql(),
         "dedup_exact": """

@@ -437,6 +437,44 @@ def term_keysets(index_dir: str, terms: list[str], num_shards: int,
     return keysets
 
 
+def phrase_bm25(index_dir: str, phrases: list[str], k: int = 10,
+                parse: bool = False, squeeze: bool = False) -> pa.Table:
+    """RANKED phrase search: the phrase's exact-adjacency occurrence
+    count plays the role of tf in the engine's BM25 formula
+    (``score = tf/(k1·Bj+tf) · log10(N/df)`` with df = number of live
+    docs containing the phrase — the natural lift of Q3 from terms to
+    phrases; same k1/b/Bj as the scorer, `query/scorer.py`). Matches
+    come from the positional sidecar (`phrase_match_positional`, no
+    content scan); scoring is one vectorized pass over the
+    output-sized match table. Returns (qid, doc_id, score) top-``k``
+    per query by (score DESC, doc_id ASC)."""
+    from ..query.engine import IndexReader
+    occ = phrase_match_positional(index_dir, phrases, parse=parse,
+                                  squeeze=squeeze)
+    reader = IndexReader(index_dir)
+    qids = occ["qid"].to_numpy()
+    dids = occ["doc_id"].to_numpy()
+    tf = occ["n_occurrences"].to_numpy().astype(np.float64)
+    out_q, out_d, out_s = [], [], []
+    for qid in np.unique(qids):
+        m = qids == qid
+        d, f = dids[m], tf[m]
+        df = len(d)
+        idf = np.log10(reader.n_docs / df)
+        score = f / (reader.k1 * reader.bj_at(d - 1) + f) * idf
+        order = np.lexsort((d, -score))[:k]
+        out_q.append(np.full(len(order), qid, dtype=np.int64))
+        out_d.append(d[order])
+        out_s.append(score[order])
+    if not out_q:
+        return pa.table({"qid": pa.array([], type=pa.int64()),
+                         "doc_id": pa.array([], type=pa.int64()),
+                         "score": pa.array([], type=pa.float64())})
+    return pa.table({"qid": pa.array(np.concatenate(out_q)),
+                     "doc_id": pa.array(np.concatenate(out_d)),
+                     "score": pa.array(np.concatenate(out_s))})
+
+
 def proximity_min_span(index_dir: str, queries: list[str],
                        parse: bool = False, squeeze: bool = False,
                        num_shards: int | None = None,

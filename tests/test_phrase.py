@@ -112,6 +112,38 @@ class TestPhraseMatch:
         assert all(d not in (5, 6) for _, d, _n in got)
         assert (0, 1, 1) in got and (0, 2, 2) in got
 
+    def test_phrase_bm25_matches_direct_formula(self, built):
+        # ranked phrase search: occurrence count as tf in the exact
+        # reference BM25 formula, df = docs containing the phrase
+        import math
+
+        from mircv_ray.build import build_positions_index
+        from mircv_ray.build.positions import phrase_bm25
+        from mircv_ray.config import IndexConfig
+        out, corpus = built
+        build_positions_index(out, corpus,
+                              IndexConfig(parse=False, squeeze=False,
+                                          num_shards=4, salt_buckets=2))
+        phrases = ["binary search", "merge merge", "nosuchterm x"]
+        t = phrase_bm25(out, phrases, k=10)
+        got = sorted((r["qid"], r["doc_id"], round(r["score"], 9))
+                     for r in t.to_pylist())
+        toks = [tokenize_text(d, parse=False, squeeze=False)
+                for d in DOCS]
+        n = len(toks)
+        avgdl = sum(len(ts) for ts in toks) / n
+        want = []
+        for qid, p in enumerate(phrases):
+            terms = tokenize_text(p, parse=False, squeeze=False)
+            occ = {i + 1: brute_count(ts, terms)
+                   for i, ts in enumerate(toks)}
+            occ = {d: c for d, c in occ.items() if c}
+            for d, c in occ.items():
+                bj = 0.3 + 0.7 * len(toks[d - 1]) / avgdl
+                s = c / (1.5 * bj + c) * math.log10(n / len(occ))
+                want.append((qid, d, round(s, 9)))
+        assert got == sorted(want)
+
     def test_single_term_degenerates_to_tf(self, built):
         got = run(built, ["binary"])
         tf = {i + 1: tokenize_text(d, parse=False, squeeze=False)
