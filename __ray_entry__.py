@@ -459,6 +459,58 @@ SELECT qid, doc_id, round(score, 6) AS score FROM (
 """
 
 
+# more-like-this suite: source docs by docno (engine id - 1)
+_MLT_DOCNOS = [0, 7, 42]
+# df cap disabled for the driver suite (df_cap=1 <=> df <= N, always
+# true): the synthetic vocab is 31 hot terms (median df ~390 of 500
+# docs, one rare term) so any real cap empties the selection; the
+# cap's exclusion behavior is pytest-verified on the fixture corpus
+# (tests/test_feedback.py brute_mlt with df_cap=2)
+_MLT_M, _MLT_DF_CAP = 5, 1
+
+
+def _mlt_sql() -> str:
+    """Oracle for more_like_this: each source doc's top-m terms by
+    (tf DESC, term ASC), df*cap <= N, scored as disjunctive BM25
+    top-10 with the source doc excluded."""
+    vals = ", ".join(f"({i}, {d})" for i, d in enumerate(_MLT_DOCNOS))
+    return f"""
+WITH {_TOKS_CTE},
+src(qid, doc_id) AS (VALUES {vals}),
+doclen AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM docs) AS n,
+                 (SELECT count(*) FROM tok)::DOUBLE
+                 / (SELECT count(*) FROM docs) AS avgdl),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+cand AS (SELECT s.qid, tf.term, tf.tf
+         FROM src s
+         JOIN tf ON tf.doc_id = s.doc_id
+         JOIN df ON df.term = tf.term
+         CROSS JOIN stats st
+         WHERE df.df * {_MLT_DF_CAP} <= st.n),
+q AS (SELECT qid, term FROM (
+  SELECT qid, term,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY tf DESC, term) AS rn
+  FROM cand) WHERE rn <= {_MLT_M}),
+scores AS (
+  SELECT q.qid, tf.doc_id, sum({_BM25_EXPR}) AS score
+  FROM q
+  JOIN df ON df.term = q.term
+  JOIN tf ON tf.term = q.term
+  JOIN doclen dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.qid, tf.doc_id)
+SELECT qid, doc_id, round(score, 6) AS score FROM (
+  SELECT sc.qid, sc.doc_id, sc.score,
+         row_number() OVER (PARTITION BY sc.qid
+                            ORDER BY sc.score DESC, sc.doc_id) AS rn
+  FROM scores sc JOIN src ON src.qid = sc.qid
+  WHERE sc.doc_id <> src.doc_id) WHERE rn <= 10
+"""
+
+
 _SNIPPET_CTX = 3
 
 
@@ -1023,6 +1075,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
                       k_fb=_PRF_K_FB, m_exp=_PRF_M_EXP,
                       df_cap=_PRF_DF_CAP, k=10, parse=False,
                       squeeze=False)
+        t = t.take(pc.sort_indices(
+            t, sort_keys=[("qid", "ascending"), ("doc_id", "ascending")]))
+        t = t.set_column(t.schema.get_field_index("doc_id"), "doc_id",
+                         pc.subtract(t["doc_id"], 1))
+        return _round6(t, "score")
+
+    def more_like_this(sf_dir: str):
+        # document-similarity queries: each source doc's top-5 terms
+        # (integer tf weights, df*10<=N cap) as a disjunctive BM25
+        # top-10, source doc excluded
+        from mircv_ray.query.feedback import more_like_this as mlt
+        from mircv_ray.sources import documents_as_corpus
+        idx = _basic_index(sf_dir)
+        t, _terms = mlt(idx, documents_as_corpus(sf_dir),
+                        [d + 1 for d in _MLT_DOCNOS], m_terms=_MLT_M,
+                        df_cap=_MLT_DF_CAP, k=10, parse=False,
+                        squeeze=False)
         t = t.take(pc.sort_indices(
             t, sort_keys=[("qid", "ascending"), ("doc_id", "ascending")]))
         t = t.set_column(t.schema.get_field_index("doc_id"), "doc_id",
@@ -1767,6 +1836,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "facet_search": facet_search,
         "boolean_not": boolean_not,
         "phrase_bm25": phrase_bm25,
+        "more_like_this": more_like_this,
         "wildcard_bm25": wildcard_bm25,
         "hybrid_rrf": hybrid_rrf,
         "bm25_conjunctive_strict": bm25_conjunctive_strict,
@@ -2122,6 +2192,7 @@ GROUP BY t.term, s.new_id
         "facet_search": _facet_sql(),
         "boolean_not": _boolean_sql(),
         "phrase_bm25": _phrase_bm25_sql(),
+        "more_like_this": _mlt_sql(),
         "wildcard_bm25": _wildcard_sql(),
         "hybrid_rrf": _hybrid_rrf_sql(),
         "dedup_exact": """

@@ -106,6 +106,56 @@ def feedback_term_counts(index_dir: str, corpus, fb_doc_ids: np.ndarray,
     return pa.concat_tables(tbls).combine_chunks()
 
 
+def more_like_this(index_dir: str, corpus, doc_ids: list[int],
+                   m_terms: int = 5, df_cap: int = 10, k: int = 10,
+                   parse: bool = False, squeeze: bool = False,
+                   content_col: str = "content") -> tuple[pa.Table, dict]:
+    """Document-similarity queries (Lucene-style "more like this"):
+    for each source doc, its top-``m_terms`` representative terms —
+    by (tf within the doc DESC, term ASC), dropping stopword-like
+    ``df * df_cap > N`` terms; integer weights keep selection
+    bit-deterministic — score as a disjunctive BM25 top-``k`` with the
+    source doc itself excluded. The source docs' terms come from the
+    same candidate-only scan PRF uses (only ``len(doc_ids)`` docs'
+    content is touched). Returns (table(qid, doc_id, score),
+    {qid: [terms]}) where qid indexes ``doc_ids``."""
+    from .engine import QueryEngine
+    eng = QueryEngine(index_dir, QueryConfig(
+        standard="BM25", k=k + 1, parse=parse, squeeze=squeeze))
+    n = eng.reader.n_docs
+    src = np.unique(np.asarray(doc_ids, dtype=np.int64))
+    counts = feedback_term_counts(index_dir, corpus, src,
+                                  parse, squeeze, content_col)
+    cdoc = counts["doc_id"].to_numpy()
+    cterm = counts["term"].to_pylist()
+    ctf = counts["tf"].to_numpy()
+    terms_of: dict[int, list[str]] = {}
+    for qid, d in enumerate(doc_ids):
+        rows = np.flatnonzero(cdoc == d)
+        w = []
+        for i in rows:
+            t = cterm[i]
+            lex = eng.reader.lexicon_entry(t)
+            if lex is None or lex[0] * df_cap > n:
+                continue
+            w.append((-int(ctf[i]), t))
+        terms_of[qid] = [t for _, t in sorted(w)[:m_terms]]
+    qids, dids, scores = [], [], []
+    for qid, d in enumerate(doc_ids):
+        # engine k is k+1 so dropping the source doc still fills k
+        hits = [(doc_id, s) for doc_id, s in
+                eng.score_terms(terms_of[qid], conjunctive=False)
+                if doc_id != d][:k]
+        for doc_id, s in hits:
+            qids.append(qid)
+            dids.append(doc_id)
+            scores.append(s)
+    return (pa.table({"qid": pa.array(qids, type=pa.int64()),
+                      "doc_id": pa.array(dids, type=pa.int64()),
+                      "score": pa.array(scores, type=pa.float64())}),
+            terms_of)
+
+
 def bm25_prf(index_dir: str, corpus, queries: list[list[str]],
              k_fb: int = 5, m_exp: int = 3, df_cap: int = 10,
              k: int = 10, parse: bool = False, squeeze: bool = False,

@@ -131,3 +131,41 @@ class TestPRF:
     def test_expansion_excludes_original_terms(self, built):
         _, exp = run(built, [["binary", "search"]])
         assert not ({"binary", "search"} & set(exp.get(0, [])))
+
+
+def brute_mlt(doc_ids, m_terms=3, df_cap=2, k=5):
+    toks, tf, df, n, avgdl = corpus_stats()
+    out, terms_of = [], {}
+    for qid, d in enumerate(doc_ids):
+        cand = [(-f, t) for t, f in tf[d - 1].items()
+                if df[t] * df_cap <= n]
+        terms = [t for _, t in sorted(cand)[:m_terms]]
+        terms_of[qid] = terms
+        hits = [(dd, s) for dd, s in
+                score_pass(terms, tf, df, n, avgdl, toks, k + 1)
+                if dd != d - 1][:k]
+        out += [(qid, dd + 1, round(s, 9)) for dd, s in hits]
+    return sorted(out), terms_of
+
+
+class TestMoreLikeThis:
+    def test_matches_brute_force(self, built):
+        from mircv_ray.query.feedback import more_like_this
+        out, corpus = built
+        srcs = [1, 7, 3]
+        t, terms = more_like_this(out, corpus, srcs, m_terms=3,
+                                  df_cap=2, k=5, parse=False,
+                                  squeeze=False)
+        got = sorted((q, d, round(s, 9)) for q, d, s in
+                     zip(t["qid"].to_pylist(), t["doc_id"].to_pylist(),
+                         t["score"].to_pylist()))
+        want, want_terms = brute_mlt(srcs, m_terms=3, df_cap=2, k=5)
+        assert {q: terms[q] for q in terms} == want_terms
+        assert got == want
+
+    def test_source_doc_never_in_results(self, built):
+        from mircv_ray.query.feedback import more_like_this
+        out, corpus = built
+        t, _ = more_like_this(out, corpus, [2], m_terms=3, df_cap=2,
+                              k=10, parse=False, squeeze=False)
+        assert 2 not in t["doc_id"].to_pylist()

@@ -345,7 +345,7 @@ class TestSourceQuota:
                                   "vacuum_postings", "snippet_search",
                                   "bm25_prf", "fuzzy_bm25",
                                   "facet_search", "boolean_not",
-                                  "phrase_bm25"])
+                                  "phrase_bm25", "more_like_this"])
 def test_entry_matches_oracle_sql(ray_session, name):
     """Driver-gate dry run at sf0.001: identical column names, row
     counts, and values (after each side's documented rounding). Entries
