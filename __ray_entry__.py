@@ -142,6 +142,49 @@ SELECT qid, doc_id, round(score, 6) AS score FROM (
 """
 
 
+# infix/suffix wildcard suite (k-gram index path): suffix, contains
+# (short pieces: full-vocab verify fallback), multi-star, narrow
+# infix, both-anchored, no-match
+_INFIX_QUERIES: list[str] = ["*er", "*a*", "s*a*", "*indo*", "st*am",
+                             "*zzz*"]
+
+
+def _infix_sql() -> str:
+    """Same BM25 scoring CTEs as bm25_topk, but q(qid, term) comes from
+    matching each ``*`` pattern (translated to LIKE) over the corpus's
+    distinct terms — the SQL mirror of the engine's k-gram-filtered
+    wildcard expansion."""
+    vals = ", ".join(f"({i}, '{p.replace('*', '%')}')"
+                     for i, p in enumerate(_INFIX_QUERIES))
+    return f"""
+WITH {_TOKS_CTE},
+p(qid, pat) AS (VALUES {vals}),
+q AS (SELECT p.qid, t.term
+      FROM p JOIN (SELECT DISTINCT term FROM tok) t
+        ON t.term LIKE p.pat),
+doclen AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM docs) AS n,
+                 (SELECT count(*) FROM tok)::DOUBLE
+                 / (SELECT count(*) FROM docs) AS avgdl),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scores AS (
+  SELECT q.qid, tf.doc_id,
+         sum({_BM25_EXPR}) AS score
+  FROM q
+  JOIN df ON df.term = q.term
+  JOIN tf ON tf.term = q.term
+  JOIN doclen dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.qid, tf.doc_id)
+SELECT qid, doc_id, round(score, 6) AS score FROM (
+  SELECT qid, doc_id, score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score DESC, doc_id) AS rn
+  FROM scores) WHERE rn <= 10
+"""
+
+
 # fuzzy ("did you mean") suite: deletion typo, substitution typo, a
 # TRANSPOSITION (plain Levenshtein distance 2 — must match nothing
 # unless some term is truly within 1), a short term with neighbors,
@@ -1049,6 +1092,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return t.take(pc.sort_indices(
             t, sort_keys=[("qid", "ascending"), ("facet", "ascending")]))
 
+    def wildcard_infix_bm25(sf_dir: str):
+        # general wildcard (suffix/infix/multi-star) via the 3-gram
+        # lexicon index + vectorized greedy verify, scored as
+        # disjunctive BM25 top-10; oracle expands via LIKE
+        from mircv_ray.query.kgram import bm25_wildcard
+        idx = _basic_index(sf_dir)
+        t, _exp = bm25_wildcard(idx, _INFIX_QUERIES, k=10, parse=False,
+                                squeeze=False)
+        t = t.take(pc.sort_indices(
+            t, sort_keys=[("qid", "ascending"), ("doc_id", "ascending")]))
+        t = t.set_column(t.schema.get_field_index("doc_id"), "doc_id",
+                         pc.subtract(t["doc_id"], 1))
+        return _round6(t, "score")
+
     def fuzzy_bm25(sf_dir: str):
         # "did you mean": each query word expands to its Levenshtein
         # <=1 lexicon terms (vectorized byte-matrix check), scored as
@@ -1833,6 +1890,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snippet_search": snippet_search,
         "bm25_prf": bm25_prf,
         "fuzzy_bm25": fuzzy_bm25,
+        "wildcard_infix_bm25": wildcard_infix_bm25,
         "facet_search": facet_search,
         "boolean_not": boolean_not,
         "phrase_bm25": phrase_bm25,
@@ -2189,6 +2247,7 @@ GROUP BY t.term, s.new_id
         "snippet_search": _snippet_sql(),
         "bm25_prf": _prf_sql(),
         "fuzzy_bm25": _fuzzy_sql(),
+        "wildcard_infix_bm25": _infix_sql(),
         "facet_search": _facet_sql(),
         "boolean_not": _boolean_sql(),
         "phrase_bm25": _phrase_bm25_sql(),

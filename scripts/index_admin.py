@@ -80,6 +80,13 @@ def main() -> None:
     fz.add_argument("words", nargs="+")
     fz.add_argument("-k", type=int, default=10)
 
+    wc = sub.add_parser("wildcard", help="general * wildcard retrieval "
+                        "(suffix/infix/multi-star) via the 3-gram "
+                        "lexicon index, scored as disjunctive BM25")
+    wc.add_argument("index")
+    wc.add_argument("patterns", nargs="+")
+    wc.add_argument("-k", type=int, default=10)
+
     bq = sub.add_parser("boolean", help="+pos -neg retrieval")
     bq.add_argument("index")
     bq.add_argument("--pos", required=True,
@@ -156,6 +163,16 @@ def main() -> None:
         t, exp = bm25_fuzzy(args.index, args.words, k=args.k,
                             parse=stats["parse"],
                             squeeze=stats["squeeze"])
+        print(json.dumps({"expansions": exp,
+                          "results": t.to_pylist()}))
+        return
+
+    if args.cmd == "wildcard":
+        from mircv_ray.query.kgram import bm25_wildcard
+        stats = load_stats(args.index)
+        t, exp = bm25_wildcard(args.index, args.patterns, k=args.k,
+                               parse=stats["parse"],
+                               squeeze=stats["squeeze"])
         print(json.dumps({"expansions": exp,
                           "results": t.to_pylist()}))
         return
