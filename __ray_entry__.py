@@ -185,6 +185,45 @@ SELECT qid, doc_id, round(score, 6) AS score FROM (
 """
 
 
+# sequence packing: budget/shard picked so the sf0.01 corpus exercises
+# multi-doc bins, multi-bin shards AND overflow docs (doc_len > budget)
+_PACK_BUDGET = 96
+_PACK_SHARD = 64
+
+
+def _packing_sql() -> str:
+    """Recursive-CTE mirror of the greedy next-fit packing rule: rows
+    ordered by doc_id within shard; the recursion carries (bin, fill)
+    and opens a new bin when the next doc does not fit. Value-equal to
+    the searchsorted kernel by construction."""
+    return f"""
+WITH RECURSIVE {_TOKS_CTE},
+dl AS (SELECT d.doc_id, count(t.term) AS doc_len
+       FROM docs d LEFT JOIN tok t ON d.doc_id = t.doc_id
+       GROUP BY d.doc_id),
+seq AS (SELECT doc_id, doc_len, doc_id // {_PACK_SHARD} AS shard,
+               row_number() OVER (PARTITION BY doc_id // {_PACK_SHARD}
+                                  ORDER BY doc_id) AS rn
+        FROM dl),
+rec AS (
+  SELECT shard, rn, doc_id, doc_len,
+         0::BIGINT AS bin, 0::BIGINT AS "offset", doc_len AS fill
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.shard, s.rn, s.doc_id, s.doc_len,
+         CASE WHEN r.fill + s.doc_len > {_PACK_BUDGET}
+              THEN r.bin + 1 ELSE r.bin END,
+         CASE WHEN r.fill + s.doc_len > {_PACK_BUDGET}
+              THEN 0 ELSE r.fill END,
+         CASE WHEN r.fill + s.doc_len > {_PACK_BUDGET}
+              THEN s.doc_len ELSE r.fill + s.doc_len END
+  FROM rec r JOIN seq s ON s.shard = r.shard AND s.rn = r.rn + 1)
+SELECT doc_id, doc_len, shard, bin, "offset",
+       doc_len > {_PACK_BUDGET} AS overflow
+FROM rec
+"""
+
+
 # fuzzy ("did you mean") suite: deletion typo, substitution typo, a
 # TRANSPOSITION (plain Levenshtein distance 2 — must match nothing
 # unless some term is truly within 1), a short term with neighbors,
@@ -1106,6 +1145,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
                          pc.subtract(t["doc_id"], 1))
         return _round6(t, "score")
 
+    def seq_packing(sf_dir: str):
+        # LLM-training sequence packing: greedy next-fit of docs (in id
+        # order within fixed id-range shards; bins never cross shards)
+        # into 96-token context windows — one searchsorted per bin, no
+        # per-row Python; oracle is a recursive CTE carrying (bin, fill)
+        from mircv_ray.ops import basic_token_stats, pack_sequences
+        dl = (_docs_ds(sf_dir)
+              .map_batches(_non_blank, batch_format="pyarrow")
+              .map_batches(basic_token_stats, batch_format="pyarrow"))
+        out = pack_sequences(dl, budget=_PACK_BUDGET,
+                             shard_size=_PACK_SHARD)
+        return _sorted_table(out, ["doc_id"])
+
     def fuzzy_bm25(sf_dir: str):
         # "did you mean": each query word expands to its Levenshtein
         # <=1 lexicon terms (vectorized byte-matrix check), scored as
@@ -1890,6 +1942,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snippet_search": snippet_search,
         "bm25_prf": bm25_prf,
         "fuzzy_bm25": fuzzy_bm25,
+        "seq_packing": seq_packing,
         "wildcard_infix_bm25": wildcard_infix_bm25,
         "facet_search": facet_search,
         "boolean_not": boolean_not,
@@ -2247,6 +2300,7 @@ GROUP BY t.term, s.new_id
         "snippet_search": _snippet_sql(),
         "bm25_prf": _prf_sql(),
         "fuzzy_bm25": _fuzzy_sql(),
+        "seq_packing": _packing_sql(),
         "wildcard_infix_bm25": _infix_sql(),
         "facet_search": _facet_sql(),
         "boolean_not": _boolean_sql(),

@@ -13,6 +13,7 @@ from .dedup import connected_components, contamination_fuzzy, exact_dedup_keep, 
 from .similarity import cosine_all_pairs, cosine_topk, ivf_build_centroids, ivf_cosine_topk, embedding_near_dup_pairs, pq_cosine_topk, pq_cosine_topk_rerank, pq_encode, pq_train
 from .clustering import kmeans_assign, kmeans_fit, semantic_dedup
 from .fusion import rrf_fuse
+from .packing import greedy_pack, pack_sequences
 from .multimodal import DecodeImage, SampleFrames, make_media_table
 from .sampling import hash_split, source_quota_sample
 from .sketches import exact_distinct_per_group, hll_distinct_per_group
@@ -43,4 +44,5 @@ __all__ = [
     "StreamingTumblingWindow", "stream_tumbling_window_agg",
     "kmeans_assign", "kmeans_fit", "semantic_dedup",
     "rrf_fuse",
+    "greedy_pack", "pack_sequences",
 ]
