@@ -1145,6 +1145,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
                          pc.subtract(t["doc_id"], 1))
         return _round6(t, "score")
 
+    def collocations(sf_dir: str):
+        # collocation mining: every adjacent alnum-token bigram with
+        # corpus count >= 5, scored by PMI (Church & Hanks 1990) —
+        # one content scan, counts attach by broadcast or term-hash
+        # partitioned join (pytest pins both paths identical)
+        from mircv_ray.ops import pmi_collocations
+        return _sorted_table(pmi_collocations(_docs_ds(sf_dir),
+                                              min_count=5),
+                             ["term_a", "term_b"])
+
     def seq_packing(sf_dir: str):
         # LLM-training sequence packing: greedy next-fit of docs (in id
         # order within fixed id-range shards; bins never cross shards)
@@ -1943,6 +1953,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_prf": bm25_prf,
         "fuzzy_bm25": fuzzy_bm25,
         "seq_packing": seq_packing,
+        "collocations": collocations,
         "wildcard_infix_bm25": wildcard_infix_bm25,
         "facet_search": facet_search,
         "boolean_not": boolean_not,
@@ -2301,6 +2312,25 @@ GROUP BY t.term, s.new_id
         "bm25_prf": _prf_sql(),
         "fuzzy_bm25": _fuzzy_sql(),
         "seq_packing": _packing_sql(),
+        # adjacent-bigram PMI over the alnum token stream; float eval
+        # order matches ops/collocations._pmi_table exactly
+        "collocations": f"""
+WITH d AS (SELECT doc_id, {_ALNUM_TOKS} AS toks FROM documents),
+tk AS (SELECT doc_id, unnest(toks) AS term,
+              generate_subscripts(toks, 1) AS ord FROM d),
+bg AS (SELECT a.term AS term_a, b.term AS term_b
+       FROM tk a JOIN tk b ON a.doc_id = b.doc_id AND b.ord = a.ord + 1),
+u AS (SELECT term, count(*)::BIGINT AS c FROM tk GROUP BY term),
+tt AS (SELECT sum(c)::DOUBLE AS n FROM u),
+p AS (SELECT term_a, term_b, count(*)::BIGINT AS c_ab
+      FROM bg GROUP BY 1, 2),
+bt AS (SELECT sum(c_ab)::DOUBLE AS n FROM p)
+SELECT p.term_a, p.term_b, p.c_ab AS pair_count,
+       round(log10((p.c_ab * (SELECT n FROM tt) * (SELECT n FROM tt)) /
+             ((SELECT n FROM bt) * ua.c * ub.c)), 4) AS pmi
+FROM p JOIN u ua ON ua.term = p.term_a JOIN u ub ON ub.term = p.term_b
+WHERE p.c_ab >= 5 ORDER BY term_a, term_b
+""",
         "wildcard_infix_bm25": _infix_sql(),
         "facet_search": _facet_sql(),
         "boolean_not": _boolean_sql(),

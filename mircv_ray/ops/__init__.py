@@ -14,6 +14,7 @@ from .similarity import cosine_all_pairs, cosine_topk, ivf_build_centroids, ivf_
 from .clustering import kmeans_assign, kmeans_fit, semantic_dedup
 from .fusion import rrf_fuse
 from .packing import greedy_pack, pack_sequences
+from .collocations import pmi_collocations
 from .multimodal import DecodeImage, SampleFrames, make_media_table
 from .sampling import hash_split, source_quota_sample
 from .sketches import exact_distinct_per_group, hll_distinct_per_group
@@ -45,4 +46,5 @@ __all__ = [
     "kmeans_assign", "kmeans_fit", "semantic_dedup",
     "rrf_fuse",
     "greedy_pack", "pack_sequences",
+    "pmi_collocations",
 ]
