@@ -4,6 +4,7 @@ from .corpus import (
     CORPUS_COLUMNS,
     collection_tsv_as_corpus,
     documents_as_corpus,
+    jsonl_as_corpus,
     documents_as_corpus_table,
     generate_corpus_table,
     write_corpus,
@@ -13,6 +14,7 @@ __all__ = [
     "CORPUS_COLUMNS",
     "collection_tsv_as_corpus",
     "documents_as_corpus",
+    "jsonl_as_corpus",
     "documents_as_corpus_table",
     "generate_corpus_table",
     "write_corpus",

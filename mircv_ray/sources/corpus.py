@@ -93,6 +93,74 @@ def documents_as_corpus(sf_dir: str, parallelism: int | None = None):
     return ds.map_batches(to_corpus, batch_format="pyarrow")
 
 
+def _pid_to_path(pid: pa.Array) -> pa.Array:
+    """pid -> path: numeric pids zero-pad to 12 so lexicographic
+    (repo, path) docId order equals numeric pid order; decided PER
+    VALUE (a mixed collection can't get batch-dependent paths);
+    numeric pids wider than the pad escape the order, so they raise."""
+    is_num = pc.match_substring_regex(pid, r"^\d{1,12}$")
+    over = pc.match_substring_regex(pid, r"^\d{13,}$")
+    if len(pid) and pc.any(over).as_py():
+        bad = pid.filter(over)[0].as_py()
+        raise ValueError(
+            f"numeric pid {bad!r} exceeds the 12-digit pad width — "
+            "it would sort out of numeric order")
+    return pc.if_else(is_num, pc.utf8_lpad(pid, 12, "0"), pid)
+
+
+def jsonl_as_corpus(path, id_field: str = "id", text_field: str = "text",
+                    lang_field: str | None = None,
+                    repo: str = "collection", lang: str = "txt"):
+    """JSON-Lines corpus (the de-facto LLM-training-data interchange
+    format: one JSON object per line) -> corpus-shaped Dataset.
+
+    ``path`` is a file, directory, or list accepted by
+    ``ray.data.read_json`` (which streams .jsonl/.jsonl.gz in parallel
+    via the Arrow JSON reader — no driver-side parse). ``id_field`` /
+    ``text_field`` name the document key and content; ``lang_field``
+    optionally maps a per-record language tag, else ``lang`` applies
+    to every row. Ids follow the same per-value zero-pad rule as the
+    TSV reader so numeric-id corpora keep numeric docId order; blank
+    or missing text rows are dropped (the build's blank filter would
+    drop them anyway). Identical content through the TSV and JSONL
+    readers builds byte-identical indexes (pytest-pinned)."""
+    import ray.data as rd
+
+    def parse(batch: pa.Table) -> pa.Table:
+        if id_field not in batch.column_names:
+            raise ValueError(f"jsonl records lack id field {id_field!r}")
+        if text_field not in batch.column_names:
+            raise ValueError(
+                f"jsonl records lack text field {text_field!r}")
+        pid = batch[id_field]
+        if isinstance(pid, pa.ChunkedArray):
+            pid = pid.combine_chunks()
+        pid = pid.cast(pa.string())
+        txt = batch[text_field]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        txt = pc.fill_null(txt.cast(pa.string()), "")
+        if lang_field is not None:
+            lg = batch[lang_field]
+            if isinstance(lg, pa.ChunkedArray):
+                lg = lg.combine_chunks()
+            lg = pc.fill_null(lg.cast(pa.string()), lang)
+        else:
+            lg = pa.array([lang] * len(pid), type=pa.string())
+        keep = pc.greater(pc.binary_length(pc.utf8_trim_whitespace(txt)),
+                          0)
+        pid, txt, lg = pid.filter(keep), txt.filter(keep), lg.filter(keep)
+        return pa.table({
+            "repo": pa.array([repo] * len(pid)),
+            "path": _pid_to_path(pid),
+            "commit": pa.array([""] * len(pid)),
+            "lang": lg,
+            "content": txt,
+        })
+
+    return rd.read_json(path).map_batches(parse, batch_format="pyarrow")
+
+
 def collection_tsv_as_corpus(path: str, repo: str = "collection",
                              lang: str = "txt"):
     """The reference's own collection format -> corpus-shaped Dataset.
@@ -144,14 +212,7 @@ def collection_tsv_as_corpus(path: str, repo: str = "collection",
         txt = pc.list_element(parts, 1)
         keep = pc.greater(pc.binary_length(pc.utf8_trim_whitespace(txt)), 0)
         pid, txt = pid.filter(keep), txt.filter(keep)
-        is_num = pc.match_substring_regex(pid, r"^\d{1,12}$")
-        over = pc.match_substring_regex(pid, r"^\d{13,}$")
-        if len(pid) and pc.any(over).as_py():
-            bad = pid.filter(over)[0].as_py()
-            raise ValueError(
-                f"numeric pid {bad!r} exceeds the 12-digit pad width — "
-                "it would sort out of numeric order")
-        pid_path = pc.if_else(is_num, pc.utf8_lpad(pid, 12, "0"), pid)
+        pid_path = _pid_to_path(pid)
         return pa.table({
             "repo": pa.array([repo] * len(pid)),
             "path": pid_path,
