@@ -1913,6 +1913,52 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 f"exact={t[bad]}")
         return est
 
+    def heavy_users_mg(sf_dir: str):
+        # Misra-Gries frequent users per event_type: only <= k+1
+        # summary rows per (group, batch) shuffle, never the distinct
+        # pairs. Estimates are batch-boundary-dependent (any MG merge
+        # tree is) -> rows-only driver check, but SELF-VALIDATING
+        # in-entry against the exact counts: est <= true <= est + err
+        # for every reported item, and every item with true > err must
+        # be reported (the PODS'12 guarantees) — violations raise
+        from ray.data.aggregate import Count
+
+        from mircv_ray.ops import mg_heavy_hitters
+        k = 8
+        ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_type", "user_id"])
+        est = _sorted_table(
+            mg_heavy_hitters(ev, "event_type", "user_id", k=k),
+            ["event_type", "user_id"])
+        exact = _sorted_table(
+            rd.read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "user_id"])
+            .groupby(["event_type", "user_id"])
+            .aggregate(Count(alias_name="c")),
+            ["event_type", "user_id"])
+        true = {(g, u): c for g, u, c in zip(
+            exact["event_type"].to_pylist(),
+            exact["user_id"].to_pylist(), exact["c"].to_pylist())}
+        totals: dict = {}
+        for (g, _), c in true.items():
+            totals[g] = totals.get(g, 0) + c
+        err_by_group: dict = {}
+        for g, u, e, err, n in zip(est["event_type"].to_pylist(),
+                                   est["user_id"].to_pylist(),
+                                   est["est_count"].to_pylist(),
+                                   est["err_bound"].to_pylist(),
+                                   est["n_group"].to_pylist()):
+            assert n == totals[g], (g, n, totals[g])
+            assert e <= true[(g, u)] <= e + err, (g, u, e, err)
+            err_by_group[g] = err
+        reported = set(zip(est["event_type"].to_pylist(),
+                           est["user_id"].to_pylist()))
+        for (g, u), c in true.items():
+            err = err_by_group.get(g, totals[g] // (k + 1))
+            if c > err:
+                assert (g, u) in reported, (g, u, c, err)
+        return est
+
     def top_users(sf_dir: str):
         from mircv_ray.ops import top_users_by_type
         ev = rd.read_parquet(
@@ -2003,6 +2049,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users": distinct_users,
         "distinct_users_hll": distinct_users_hll,
         "top_users": top_users,
+        "heavy_users_mg": heavy_users_mg,
         "media_features": media_features,
     }
 
@@ -2518,8 +2565,8 @@ FROM documents d LEFT JOIN s USING (doc_id) ORDER BY d.doc_id
         "source_quota_salted": _SOURCE_QUOTA_SQL,
         # minhash_pairs / simhash_pairs / ngram_jaccard /
         # contamination_fuzzy / embedding_near_dups / media_features /
-        # ann_cosine_topk_pq / semantic_dedup_clustered: intentionally no SQL
-        # oracle (LSH/hash-banded, quantized-approximate, or
+        # ann_cosine_topk_pq / semantic_dedup_clustered / heavy_users_mg:
+        # intentionally no SQL oracle (LSH/hash-banded, quantized-approximate, or
         # model-shaped ops) -> driver records the rows-only check;
         # exact-value verification lives in tests/ against brute force,
         # and each LSH/approximate family has an exact oracle-gated twin

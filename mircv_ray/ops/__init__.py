@@ -17,7 +17,7 @@ from .packing import greedy_pack, pack_sequences
 from .collocations import pmi_collocations
 from .multimodal import DecodeImage, SampleFrames, make_media_table
 from .sampling import hash_split, source_quota_sample
-from .sketches import exact_distinct_per_group, hll_distinct_per_group
+from .sketches import exact_distinct_per_group, hll_distinct_per_group, mg_heavy_hitters
 from .joins import (asof_join_backward, asof_join_backward_salted,
                     interval_join, interval_join_salted)
 from .quantiles import grouped_quantiles, grouped_quantiles_tdigest
@@ -47,4 +47,5 @@ __all__ = [
     "rrf_fuse",
     "greedy_pack", "pack_sequences",
     "pmi_collocations",
+    "mg_heavy_hitters",
 ]

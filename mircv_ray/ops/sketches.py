@@ -182,3 +182,104 @@ def hll_distinct_per_group(ds, group_col: str, value_col: str,
               .map_groups(pre_merge, batch_format="pyarrow")
               .groupby(group_col)
               .map_groups(merge, batch_format="pyarrow"))
+
+
+# --------------------------------------------------------- heavy hitters
+
+def _mg_prune(t: pa.Table, group_col: str, item_col: str, c_col: str,
+              k: int) -> pa.Table:
+    """Misra-Gries prune, vectorized over EVERY group at once: within
+    each group sort counts desc (item asc ties), subtract the (k+1)-th
+    largest count from all, drop <= 0 — at most k survivors per group.
+    The subtraction is what buys the mergeable error bound (Agarwal et
+    al., Mergeable Summaries, PODS'12 §3.1)."""
+    if t.num_rows == 0:
+        return t
+    order = pc.sort_indices(t, sort_keys=[
+        (group_col, "ascending"), (c_col, "descending"),
+        (item_col, "ascending")])
+    t = t.take(order)
+    g = t[group_col].combine_chunks()
+    if len(g) > 1:
+        neq = pc.not_equal(g.slice(1), g.slice(0, len(g) - 1)) \
+            .to_numpy(zero_copy_only=False)
+    else:
+        neq = np.zeros(0, dtype=bool)
+    run_id = np.cumsum(np.append(0, neq.astype(np.int64)))
+    starts = np.flatnonzero(np.append(True, neq))
+    within = np.arange(len(g)) - starts[run_id]
+    c = t[c_col].to_numpy()
+    lens = np.diff(np.append(starts, len(g)))
+    # the (k+1)-th largest per run, 0 where the run has <= k items
+    thr_pos = starts + np.minimum(k, lens - 1)
+    thr = np.where(lens > k, c[thr_pos], 0)
+    resid = c - thr[run_id]
+    keep = resid > 0
+    out = t.filter(pa.array(keep))
+    return out.set_column(out.schema.get_field_index(c_col), c_col,
+                          pa.array(resid[keep], type=pa.int64()))
+
+
+def mg_heavy_hitters(ds, group_col: str, item_col: str, k: int = 8):
+    """Per-group frequent items via mergeable Misra-Gries summaries.
+
+    Unlike the exact grouped count (which must shuffle every distinct
+    (group, item) pair), only <= k+1 rows per (group, batch) ever move:
+    each batch emits its exact per-group item counts PRUNED to a
+    capacity-k MG summary plus one exact group-total row, and one small
+    groupby merges summaries (sum per item, prune again).
+
+    Returns (group, item, est_count, err_bound, n_group) for the items
+    retained by the final summary, with the PODS'12 guarantees:
+    ``est_count <= true_count <= est_count + err_bound`` and every item
+    with ``true_count > err_bound`` present, where ``err_bound =
+    (n_group - sum(est_count)) // (k+1)`` per group. Estimates depend
+    on batch boundaries (any MG merge tree does); the BOUNDS always
+    hold — the driver entry asserts them against the exact counts
+    in-entry, and pytest pins them across partitionings.
+    """
+    from .. import use_push_shuffle
+    use_push_shuffle(ds)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        a = batch.select([group_col, item_col]) \
+                 .group_by([group_col, item_col]) \
+                 .aggregate([([], "count_all")])
+        cnt = pa.table({group_col: a[group_col], item_col: a[item_col],
+                        "c": a["count_all"].cast(pa.int64())})
+        pruned = _mg_prune(cnt, group_col, item_col, "c", k)
+        tot = batch.select([group_col]).group_by(group_col) \
+                   .aggregate([([], "count_all")])
+        totals = pa.table({
+            group_col: tot[group_col],
+            item_col: pa.nulls(tot.num_rows, cnt[item_col].type),
+            "c": tot["count_all"].cast(pa.int64())})
+        return pa.concat_tables([pruned, totals.cast(pruned.schema)])
+
+    def merge(group: pa.Table) -> pa.Table:
+        if group.num_columns == 0 or group.num_rows == 0:
+            return pa.table({})
+        is_tot = pc.is_null(group[item_col])
+        n_group = int(pc.sum(group.filter(is_tot)["c"]).as_py() or 0)
+        items = group.filter(pc.invert(is_tot))
+        summed = items.group_by([group_col, item_col]).aggregate(
+            [("c", "sum")])
+        summed = pa.table({group_col: summed[group_col],
+                           item_col: summed[item_col],
+                           "c": summed["c_sum"].cast(pa.int64())})
+        final = _mg_prune(summed, group_col, item_col, "c", k)
+        est_sum = int(pc.sum(final["c"]).as_py() or 0)
+        err = (n_group - est_sum) // (k + 1)
+        n = final.num_rows
+        return pa.table({
+            group_col: final[group_col],
+            item_col: final[item_col],
+            "est_count": final["c"],
+            "err_bound": pa.array(np.full(n, err, dtype=np.int64)),
+            "n_group": pa.array(np.full(n, n_group, dtype=np.int64)),
+        })
+
+    return (ds.select_columns([group_col, item_col])
+              .map_batches(partial, batch_format="pyarrow")
+              .groupby(group_col)
+              .map_groups(merge, batch_format="pyarrow"))
