@@ -5,6 +5,8 @@ from .corpus import (
     collection_tsv_as_corpus,
     documents_as_corpus,
     jsonl_as_corpus,
+    warc_as_corpus,
+    warc_record_bytes,
     documents_as_corpus_table,
     generate_corpus_table,
     write_corpus,
@@ -15,6 +17,8 @@ __all__ = [
     "collection_tsv_as_corpus",
     "documents_as_corpus",
     "jsonl_as_corpus",
+    "warc_as_corpus",
+    "warc_record_bytes",
     "documents_as_corpus_table",
     "generate_corpus_table",
     "write_corpus",

@@ -161,6 +161,138 @@ def jsonl_as_corpus(path, id_field: str = "id", text_field: str = "text",
     return rd.read_json(path).map_batches(parse, batch_format="pyarrow")
 
 
+# ------------------------------------------------------------------ WARC
+
+def warc_record_bytes(headers: dict, payload: bytes) -> bytes:
+    """Serialize one WARC/1.0 record (header block + payload + the
+    mandatory two trailing CRLFs, ISO 28500 §4). ``Content-Length`` is
+    computed; other headers pass through in dict order. Used by tests
+    and demos to build deterministic fixtures — the engine itself only
+    READS WARC."""
+    lines = ["WARC/1.0"]
+    for k, v in headers.items():
+        if k.lower() == "content-length":
+            continue
+        lines.append(f"{k}: {v}")
+    lines.append(f"Content-Length: {len(payload)}")
+    head = ("\r\n".join(lines) + "\r\n\r\n").encode("utf-8")
+    return head + payload + b"\r\n\r\n"
+
+
+def _warc_iter_records(data: bytes):
+    """Yield (headers: dict[lower->str], payload: bytes) from one WARC
+    stream. Sequential by necessity (record length lives in each
+    record's own Content-Length header), but the loop runs once per
+    RECORD (content-sized work units, like the multimodal codecs), and
+    the payload is a zero-copy memoryview slice."""
+    view = memoryview(data)
+    pos, n = 0, len(data)
+    while pos < n:
+        while data.startswith(b"\r\n", pos):
+            pos += 2
+        if pos >= n:
+            break
+        hdr_end = data.find(b"\r\n\r\n", pos)
+        if hdr_end < 0:
+            raise ValueError(f"truncated WARC header at byte {pos}")
+        head = data[pos:hdr_end].decode("utf-8", "replace")
+        lines = head.split("\r\n")
+        if not lines[0].startswith("WARC/"):
+            raise ValueError(
+                f"not a WARC record at byte {pos}: {lines[0][:40]!r}")
+        headers: dict[str, str] = {}
+        for ln in lines[1:]:
+            k, _, v = ln.partition(":")
+            headers[k.strip().lower()] = v.strip()
+        try:
+            clen = int(headers["content-length"])
+        except (KeyError, ValueError):
+            raise ValueError(f"WARC record at byte {pos} lacks a valid "
+                             "Content-Length") from None
+        body_start = hdr_end + 4
+        if body_start + clen > n:
+            raise ValueError(f"WARC record at byte {pos} overruns the "
+                             f"stream (Content-Length {clen})")
+        yield headers, view[body_start:body_start + clen]
+        pos = body_start + clen
+
+
+def _http_body(payload: bytes) -> bytes:
+    """Strip the HTTP response envelope from an application/http
+    payload (status line + headers end at the first blank line)."""
+    cut = payload.find(b"\r\n\r\n")
+    return payload[cut + 4:] if cut >= 0 else payload
+
+
+def warc_as_corpus(path, repo: str = "warc", lang: str = "html",
+                   record_types: tuple = ("response", "resource",
+                                          "conversion"),
+                   parallelism: int | None = None):
+    """WARC (ISO 28500, the Common-Crawl / web-archive interchange
+    format) -> corpus-shaped Dataset.
+
+    ``path`` is a ``.warc`` / ``.warc.gz`` file, directory, or list for
+    ``ray.data.read_binary_files``. Parallelism is per FILE — the right
+    axis at web scale, where a crawl is millions of ~1 GB segment files
+    (per-record gzip members make mid-file splits impossible without an
+    offset index; CDX-style indexes can be layered on later). Each map
+    task holds one decompressed segment, so per-task memory is bounded
+    by segment size — size ``override_num_blocks``/file count, not
+    ``batch_size``, to tune this stage.
+
+    Per record: ``response`` payloads drop their HTTP envelope;
+    ``resource``/``conversion`` payloads are taken whole; all other
+    types (warcinfo, request, metadata, revisit) are skipped. The
+    document id is ``WARC-Target-URI`` (falling back to
+    ``WARC-Record-ID``) and follows the same per-value zero-pad rule as
+    the TSV/JSONL readers, so numeric-URI corpora keep numeric docId
+    order and identical content builds a byte-identical index
+    (pytest-pinned). Bodies decode as UTF-8 with replacement; blank
+    ones are dropped.
+    """
+    import gzip
+
+    import ray.data as rd
+
+    types = {t.lower() for t in record_types}
+
+    def parse(batch: pa.Table) -> pa.Table:
+        pids, txts = [], []
+        for blob in batch["bytes"]:
+            data = blob.as_py()
+            if data[:2] == b"\x1f\x8b":
+                # per-record gzip members; gzip joins concatenated
+                # members transparently
+                data = gzip.decompress(data)
+            for hdrs, payload in _warc_iter_records(data):
+                if hdrs.get("warc-type", "").lower() not in types:
+                    continue
+                if hdrs.get("content-type", "").startswith(
+                        "application/http"):
+                    payload = _http_body(bytes(payload))
+                txt = bytes(payload).decode("utf-8", "replace")
+                pids.append(hdrs.get("warc-target-uri")
+                            or hdrs.get("warc-record-id", ""))
+                txts.append(txt)
+        pid = pa.array(pids, type=pa.string())
+        txt = pa.array(txts, type=pa.string())
+        keep = pc.greater(pc.binary_length(pc.utf8_trim_whitespace(txt)),
+                          0)
+        pid, txt = pid.filter(keep), txt.filter(keep)
+        return pa.table({
+            "repo": pa.array([repo] * len(pid)),
+            "path": _pid_to_path(pid),
+            "commit": pa.array([""] * len(pid)),
+            "lang": pa.array([lang] * len(pid)),
+            "content": txt,
+        })
+
+    ds = rd.read_binary_files(path)
+    if parallelism:
+        ds = ds.repartition(parallelism)
+    return ds.map_batches(parse, batch_format="pyarrow")
+
+
 def collection_tsv_as_corpus(path: str, repo: str = "collection",
                              lang: str = "txt"):
     """The reference's own collection format -> corpus-shaped Dataset.
