@@ -1368,6 +1368,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _sorted_table(
             contamination_check(_docs_ds(sf_dir), _PROBES), ["doc_id"])
 
+    def contamination_ngram(sf_dir: str):
+        # n-gram-overlap decontamination (GPT-3 appendix-C rule) with a
+        # Bloom prefilter; result is EXACT (the bloom only prefilters),
+        # so it is SQL-oracle-gated. Probes = the 40-char prefixes of
+        # the 3 lowest-id documents (guaranteed hits, derived
+        # identically in SQL) + one alien string (pins the zero case).
+        from mircv_ray.ops import contamination_ngram as cn
+        probe_rows = pq.read_table(f"{sf_dir}/documents.parquet",
+                                   columns=["doc_id", "text"]) \
+            .sort_by("doc_id").slice(0, 3)
+        probes = [t[:40] for t in probe_rows["text"].to_pylist()]
+        probes.append("quantumzebralatticequantumzebralattice")
+        return _sorted_table(cn(_docs_ds(sf_dir), probes, n=20),
+                             ["doc_id"])
+
     def contamination_fuzzy(sf_dir: str):
         # probes = three real document texts -> guaranteed jaccard-1.0
         # hits; LSH-banded so intentionally no SQL oracle (rows check)
@@ -2030,6 +2045,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clusters": dedup_clusters,
         "source_quota": source_quota,
         "contamination": contamination,
+        "contamination_ngram": contamination_ngram,
         "contamination_fuzzy": contamination_fuzzy,
         "minhash_pairs": minhash_pairs,
         "simhash_pairs": simhash_pairs,
@@ -2510,6 +2526,32 @@ ORDER BY 1, 2
             + ")::BIGINT AS n_probes_hit,\n       ("
             + " OR ".join(f"contains(text, '{p}')" for p in _PROBES)
             + ") AS contaminated\nFROM documents\nORDER BY doc_id"),
+        "contamination_ngram": """
+WITH pr AS (
+  SELECT substr(text, 1, 40) AS probe
+  FROM documents ORDER BY doc_id LIMIT 3
+), pr2 AS (
+  SELECT probe FROM pr
+  UNION ALL SELECT 'quantumzebralatticequantumzebralattice'
+), pg AS (
+  SELECT DISTINCT substr(probe, CAST(i AS INT), 20) AS gram
+  FROM pr2, LATERAL (SELECT unnest(generate_series(
+        1, greatest(length(probe) - 19, 0))) AS i) t
+  WHERE length(probe) >= 20
+), dg AS (
+  SELECT doc_id, substr(text, CAST(i AS INT), 20) AS gram
+  FROM documents, LATERAL (SELECT unnest(generate_series(
+        1, greatest(length(text) - 19, 0))) AS i) t
+), m AS (
+  SELECT doc_id, COUNT(DISTINCT dg.gram) AS c
+  FROM dg JOIN pg USING (gram) GROUP BY 1
+)
+SELECT d.doc_id,
+       COALESCE(m.c, 0) AS n_shared_grams,
+       COALESCE(m.c, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN m USING (doc_id)
+ORDER BY doc_id
+""",
         "bm25_topk_maxscore": _topk_sql(_BM25_EXPR),
         "bm25_conjunctive_strict": _topk_and_sql(_BM25_EXPR),
         "pii_redact": _PII_SQL,

@@ -6,8 +6,8 @@ fingerprints, verbatim-probe decontamination), and multimodal decode
 
 from .textops import (
     ContaminationCheck, basic_token_stats, contamination_check,
-    fingerprint, lang_id, pii_redact, quality_stats, repetition_stats,
-    token_count, unigram_logprob,
+    contamination_ngram, fingerprint, lang_id, pii_redact,
+    quality_stats, repetition_stats, token_count, unigram_logprob,
 )
 from .dedup import connected_components, contamination_fuzzy, exact_dedup_keep, jaccard_simjoin_exact, minhash_signatures, minhash_candidate_pairs, simhash64, near_dup_pairs, ngram_jaccard_pairs, shingle_sets
 from .similarity import cosine_all_pairs, cosine_topk, ivf_build_centroids, ivf_cosine_topk, embedding_near_dup_pairs, pq_cosine_topk, pq_cosine_topk_rerank, pq_encode, pq_train
@@ -17,7 +17,9 @@ from .packing import greedy_pack, pack_sequences
 from .collocations import pmi_collocations
 from .multimodal import DecodeImage, SampleFrames, make_media_table
 from .sampling import hash_split, source_quota_sample
-from .sketches import exact_distinct_per_group, hll_distinct_per_group, mg_heavy_hitters
+from .sketches import (bloom_build, bloom_params, bloom_probe, bloom_test,
+                       exact_distinct_per_group, hll_distinct_per_group,
+                       mg_heavy_hitters)
 from .joins import (asof_join_backward, asof_join_backward_salted,
                     interval_join, interval_join_salted)
 from .quantiles import grouped_quantiles, grouped_quantiles_tdigest
@@ -48,4 +50,6 @@ __all__ = [
     "greedy_pack", "pack_sequences",
     "pmi_collocations",
     "mg_heavy_hitters",
+    "bloom_build", "bloom_params", "bloom_probe", "bloom_test",
+    "contamination_ngram",
 ]

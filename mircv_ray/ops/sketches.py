@@ -283,3 +283,118 @@ def mg_heavy_hitters(ds, group_col: str, item_col: str, k: int = 8):
               .map_batches(partial, batch_format="pyarrow")
               .groupby(group_col)
               .map_groups(merge, batch_format="pyarrow"))
+
+
+# ------------------------------------------------------------------ Bloom
+
+def bloom_params(n_items: int, fpr: float = 1e-3) -> tuple[int, int]:
+    """Optimal (n_bits, k) for ``n_items`` keys at false-positive rate
+    ``fpr``: n_bits = -n ln p / ln^2 2 (rounded up to a multiple of 8),
+    k = (n_bits/n) ln 2."""
+    import math
+    n_items = max(int(n_items), 1)
+    n_bits = int(math.ceil(-n_items * math.log(fpr) / (math.log(2) ** 2)))
+    n_bits = max((n_bits + 7) & ~7, 64)
+    k = max(int(round(n_bits / n_items * math.log(2))), 1)
+    return n_bits, k
+
+
+def _bloom_positions(h: np.ndarray, n_bits: int, k: int) -> np.ndarray:
+    """k bit positions per uint64 hash via Kirsch–Mitzenmacher double
+    hashing: pos_i = (h1 + i*h2) mod n_bits, h2 forced odd. Returns a
+    flat int64 array of len(h)*k positions."""
+    h = h.astype(np.uint64, copy=False)
+    with np.errstate(over="ignore"):
+        h2 = _splitmix64(h ^ np.uint64(0xA5A5A5A5A5A5A5A5)) | np.uint64(1)
+        i = np.arange(k, dtype=np.uint64)
+        pos = (h[:, None] + i[None, :] * h2[:, None]) % np.uint64(n_bits)
+    return pos.reshape(-1).astype(np.int64)
+
+
+def bloom_build(ds, value_col: str | None = None, *, n_bits: int,
+                k: int = 4, hash_col: str | None = None) -> np.ndarray:
+    """Bloom filter over a column -> one uint8 bitmap (little-endian bit
+    order: bit i lives at ``bitmap[i >> 3] & (1 << (i & 7))``).
+
+    Assembly is RANGE-PARTITIONED so nothing larger than the final
+    bitmap ever concentrates: map tasks emit per-batch DEDUPLICATED bit
+    positions (k*rows*8 bytes, the only exchange), a 64-way groupby
+    over ``pos // sub_range`` packs each range's bits in parallel, and
+    the driver concatenates the 64 range blobs — exactly bitmap-sized,
+    the same driver budget as HLL registers or k-means centroids. At
+    1e8 keys / 1e-3 fpr the bitmap is ~180 MB: broadcast once with
+    ``ray.put``; for key sets far beyond that, use the partitioned
+    exact joins instead (a bloom that big stops being the small side).
+
+    ``hash_col`` names a precomputed uint64-as-int64 hash column
+    (e.g. a rolling-window hash); otherwise ``value_col`` is hashed
+    with the sketch family's `_hash_column`.
+    """
+    if (value_col is None) == (hash_col is None):
+        raise ValueError("pass exactly one of value_col / hash_col")
+    n_sub = 64
+    sub_range = -(-n_bits // n_sub)
+    sub_range = (sub_range + 7) & ~7          # byte-aligned ranges
+    n_bytes = n_bits // 8
+
+    def positions(batch: pa.Table) -> pa.Table:
+        col = batch[hash_col or value_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if hash_col is not None:
+            h = col.to_numpy(zero_copy_only=False).view(np.uint64)
+        else:
+            h = _hash_column(col)
+        pos = np.unique(_bloom_positions(h, n_bits, k))
+        return pa.table({"pos": pa.array(pos, type=pa.int64()),
+                         "sub": pa.array(pos // sub_range)})
+
+    def pack(group: pa.Table) -> pa.Table:
+        sub = int(group["sub"][0].as_py())
+        lo = sub * sub_range
+        width = min(sub_range, n_bits - lo)
+        bits = np.zeros(width, dtype=np.uint8)
+        bits[group["pos"].to_numpy() - lo] = 1
+        return pa.table({
+            "sub": pa.array([sub], type=pa.int64()),
+            "bits": pa.array([np.packbits(bits, bitorder="little")
+                              .tobytes()], type=pa.binary()),
+        })
+
+    parts = (ds.map_batches(positions, batch_format="pyarrow")
+               .groupby("sub")
+               .map_groups(pack, batch_format="pyarrow")
+               .take_all())                       # <= 64 bitmap-range rows
+    bitmap = np.zeros(n_bytes, dtype=np.uint8)
+    for row in parts:
+        lo = row["sub"] * sub_range // 8
+        blob = np.frombuffer(row["bits"], dtype=np.uint8)
+        bitmap[lo:lo + len(blob)] |= blob
+    return bitmap
+
+
+def bloom_test(h: np.ndarray, bitmap: np.ndarray, n_bits: int,
+               k: int) -> np.ndarray:
+    """Membership test of uint64 hashes against a `bloom_build` bitmap:
+    bool array, True = maybe-member (no false negatives)."""
+    if len(h) == 0:
+        return np.zeros(0, dtype=bool)
+    pos = _bloom_positions(h, n_bits, k).reshape(len(h), k)
+    hits = (bitmap[pos >> 3] & (1 << (pos & 7)).astype(np.uint8)) != 0
+    return hits.all(axis=1)
+
+
+def bloom_probe(ds, value_col: str, bitmap_ref, n_bits: int, k: int,
+                alias: str = "maybe_member"):
+    """Map-only membership flags against a broadcast bitmap
+    (``bitmap_ref`` = ``ray.put(bitmap)``, fetched zero-copy once per
+    worker)."""
+    import ray
+
+    def probe(batch: pa.Table) -> pa.Table:
+        bitmap = ray.get(bitmap_ref)
+        h = _hash_column(batch[value_col])
+        return batch.append_column(
+            alias, pa.array(bloom_test(h, bitmap, n_bits, k)))
+
+    return ds.map_batches(probe, batch_format="pyarrow")

@@ -543,3 +543,170 @@ def _lm_score_joined(ds, counts_ds, log_total: float, id_col: str,
         })
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+# --------------------------------- n-gram decontamination (Bloom prefilter)
+
+def contamination_ngram(ds, probes, n: int = 20, text_col: str = "text",
+                        id_col: str = "doc_id", fpr: float = 1e-3):
+    """(doc_id, n_shared_grams, contaminated) for every document —
+    n-gram-overlap decontamination: a document is contaminated iff it
+    shares any length-``n`` byte window with any probe (the GPT-3
+    appendix-C / PaLM overlap rule; `ContaminationCheck`'s docstring
+    names this Bloom pass as the scale path for probe suites too large
+    for one regex alternation).
+
+    The answer is EXACT (SQL-mirrorable): the Bloom filter only
+    prefilters. Three passes, none content-shuffling:
+
+    1. probe grams (small side, distributed): rolling-hash windows ->
+       `bloom_build`'s range-partitioned bitmap — sized by
+       `bloom_params(total probe windows, fpr)`.
+    2. docs (map-only): window hashes roll per batch, test against the
+       broadcast bitmap; only FLAGGED windows materialize gram bytes —
+       the exchange carries candidate rows only (no false negatives,
+       so recall is exactly 1; false positives die in pass 3).
+    3. exact verify: candidate grams + probe grams meet in one
+       ghash-partitioned exchange; matching is by GRAM BYTES
+       (`pc.is_in`), distinct-per-partition == globally distinct since
+       a gram maps to one partition. Per-doc counts (aggregate-sized)
+       broadcast back onto the full id column.
+
+    Probes shorter than ``n`` contribute no windows (the overlap rule
+    is undefined below the window length); documents shorter than
+    ``n`` are clean by construction.
+    """
+    import ray
+    import ray.data as rd
+
+    from .dedup import _add_pkey
+    from .sketches import bloom_params, bloom_test, bloom_build
+    from .substring import ngram_window_rows, _window_hashes
+    from ..util import binary_values_parts, multi_arange
+
+    probe_list = [str(p) for p in probes]
+    if not probe_list:
+        raise ValueError("probes must be a non-empty list of strings")
+    n_probe_grams = sum(max(len(p.encode()) - n + 1, 0)
+                        for p in probe_list)
+    if n_probe_grams == 0:
+        raise ValueError(f"no probe is at least n={n} bytes long")
+    n_bits, k = bloom_params(n_probe_grams, fpr)
+
+    probes_ds = rd.from_arrow(pa.table({
+        "probe_idx": pa.array(range(len(probe_list)), type=pa.int64()),
+        text_col: pa.array(probe_list, type=pa.string()),
+    }))
+
+    def probe_grams(batch: pa.Table) -> pa.Table:
+        t = ngram_window_rows(batch, text_col, "probe_idx", n)
+        return pa.table({"gram": t["gram"], "ghash": t["ghash"],
+                         id_col: pa.array(
+                             np.full(t.num_rows, -1, dtype=np.int64))})
+
+    grams_probe = probes_ds.map_batches(probe_grams,
+                                        batch_format="pyarrow")
+    bitmap_ref = ray.put(bloom_build(grams_probe, hash_col="ghash",
+                                     n_bits=n_bits, k=k))
+
+    def flagged_doc_grams(batch: pa.Table):
+        bitmap = ray.get(bitmap_ref)
+        # char-budget slices bound the O(batch bytes) hash temps and
+        # each yielded block (the shared_ngram_pairs pattern)
+        lens_all = pc.binary_length(batch[text_col]).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        budget = 4 << 20
+        cum = np.cumsum(lens_all)
+        total = int(cum[-1]) if len(cum) else 0
+        marks = np.searchsorted(cum, np.arange(budget, total, budget),
+                                side="left") + 1
+        cuts = np.unique(np.concatenate(
+            [[0], marks, [len(lens_all)]])).tolist()
+        for s, e in zip(cuts[:-1], cuts[1:]):
+            sl = batch.slice(s, e - s)
+            data, lens = binary_values_parts(sl[text_col])
+            ids = sl[id_col].to_numpy()
+            wins = np.maximum(lens - (n - 1), 0)
+            doc_starts = np.cumsum(lens) - lens
+            starts = np.repeat(doc_starts, wins) + multi_arange(wins)
+            h = _window_hashes(data, starts, n)
+            flag = bloom_test(h, bitmap, n_bits, k)
+            starts, h = starts[flag], h[flag]
+            win_ids = np.repeat(ids, wins)[flag]
+            m = len(starts)
+            if m:
+                g = data[starts[:, None] + np.arange(n, dtype=np.int64)]
+                gram_arr = pa.Array.from_buffers(
+                    pa.binary(n), m, [None, pa.py_buffer(g.tobytes())])
+            else:
+                gram_arr = pa.array([], type=pa.binary(n))
+            yield pa.table({
+                "gram": gram_arr,
+                "ghash": pa.array(h.view(np.int64)),
+                id_col: pa.array(win_ids, type=pa.int64()),
+            })
+
+    cand = ds.select_columns([id_col, text_col]).map_batches(
+        flagged_doc_grams, batch_format="pyarrow")
+
+    def verify(group: pa.Table) -> pa.Table:
+        is_probe = pc.equal(group[id_col], -1)
+        probe_set = group.filter(is_probe)["gram"]
+        docs = group.filter(pc.invert(is_probe))
+        if probe_set.length() == 0 or docs.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64())})
+        hit = pc.fill_null(pc.is_in(docs["gram"],
+                                    value_set=probe_set.combine_chunks()),
+                           False)
+        docs = docs.filter(hit)
+        # distinct (doc, gram) within the partition == global distinct
+        # (a gram maps to exactly one pkey); dedup by one sort + one
+        # neighbor-equality pass over (id, gram bytes)
+        order = pc.sort_indices(docs, sort_keys=[(id_col, "ascending"),
+                                                 ("gram", "ascending")])
+        docs = docs.take(order)
+        ids_np = docs[id_col].to_numpy()
+        grams_bytes = docs["gram"]
+        same_id = np.zeros(len(ids_np), dtype=bool)
+        if len(ids_np) > 1:
+            same_id[1:] = ids_np[1:] == ids_np[:-1]
+            same_gram = pc.equal(grams_bytes.slice(1),
+                                 grams_bytes.slice(0, len(ids_np) - 1))
+            same_id[1:] &= pc.fill_null(same_gram, False).to_numpy(
+                zero_copy_only=False)
+        keep_ids = ids_np[~same_id]
+        uid, cnt = np.unique(keep_ids, return_counts=True)
+        return pa.table({id_col: pa.array(uid, type=pa.int64()),
+                         "c": pa.array(cnt, type=pa.int64())})
+
+    both = cand.union(grams_probe)
+    packed = both.map_batches(lambda b: _add_pkey(b, ["ghash"]),
+                              batch_format="pyarrow")
+    per_part = packed.groupby("pkey").map_groups(
+        verify, batch_format="pyarrow")
+    counts = per_part.groupby(id_col).sum("c")
+    rows = counts.take_all()                   # contaminated-doc-sized
+    cid = np.array([r[id_col] for r in rows], dtype=np.int64)
+    cc = np.array([r["sum(c)"] for r in rows], dtype=np.int64)
+    order = np.argsort(cid)
+    cid, cc = cid[order], cc[order]
+    lookup_ref = ray.put((cid, cc))
+
+    def attach(batch: pa.Table) -> pa.Table:
+        lcid, lcc = ray.get(lookup_ref)
+        ids = batch[id_col].to_numpy()
+        pos = np.searchsorted(lcid, ids)
+        pos_c = np.minimum(pos, max(len(lcid) - 1, 0))
+        found = np.zeros(len(ids), dtype=bool)
+        if len(lcid):
+            found = lcid[pos_c] == ids
+        cnt = np.where(found, lcc[pos_c] if len(lcid) else 0, 0)
+        return pa.table({
+            id_col: batch[id_col],
+            "n_shared_grams": pa.array(cnt.astype(np.int64)),
+            "contaminated": pa.array(cnt > 0),
+        })
+
+    return ds.select_columns([id_col]).map_batches(
+        attach, batch_format="pyarrow")

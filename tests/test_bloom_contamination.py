@@ -1,0 +1,102 @@
+"""Bloom filter primitives + n-gram-overlap decontamination."""
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _brute_contaminated(docs, probes, n):
+    """(doc_id -> count of DISTINCT shared n-byte windows)."""
+    probe_grams = set()
+    for p in probes:
+        b = p.encode()
+        for i in range(len(b) - n + 1):
+            probe_grams.add(b[i:i + n])
+    out = {}
+    for did, txt in docs:
+        b = txt.encode()
+        shared = {b[i:i + n] for i in range(len(b) - n + 1)} & probe_grams
+        out[did] = len(shared)
+    return out
+
+
+def test_bloom_no_false_negatives_and_fpr(ray_session):
+    import ray.data as rd
+    from mircv_ray.ops import bloom_build, bloom_params, bloom_test
+    from mircv_ray.ops.sketches import _hash_column
+
+    rng = np.random.default_rng(7)
+    members = [f"key-{i}" for i in range(5000)]
+    others = [f"other-{i}" for i in range(20000)]
+    n_bits, k = bloom_params(len(members), fpr=1e-2)
+    ds = rd.from_arrow(pa.table({"v": members})).repartition(4)
+    bitmap = bloom_build(ds, "v", n_bits=n_bits, k=k)
+
+    hm = _hash_column(pa.array(members))
+    assert bloom_test(hm, bitmap, n_bits, k).all()   # zero false negatives
+
+    ho = _hash_column(pa.array(others))
+    fpr = bloom_test(ho, bitmap, n_bits, k).mean()
+    assert fpr <= 3e-2, f"observed fpr {fpr} >> configured 1e-2"
+
+
+def test_bloom_probe_stage(ray_session):
+    import ray
+    import ray.data as rd
+    from mircv_ray.ops import bloom_build, bloom_params, bloom_probe
+
+    keys = [f"u{i}" for i in range(100)]
+    n_bits, k = bloom_params(len(keys), 1e-4)
+    bitmap = bloom_build(rd.from_arrow(pa.table({"v": keys})), "v",
+                         n_bits=n_bits, k=k)
+    mixed = rd.from_arrow(pa.table({"v": ["u5", "nope-xyzzy", "u99"]}))
+    t = bloom_probe(mixed, "v", ray.put(bitmap), n_bits, k) \
+        .to_pandas().set_index("v")["maybe_member"]
+    assert bool(t["u5"]) and bool(t["u99"])
+    # "nope-xyzzy" is allowed to false-positive, but at 1e-4 it won't
+    assert not bool(t["nope-xyzzy"])
+
+
+@pytest.mark.parametrize("n", [8, 16])
+def test_contamination_ngram_equals_brute_force(ray_session, n):
+    import ray.data as rd
+    from mircv_ray.ops import contamination_ngram
+
+    rng = np.random.default_rng(11)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    docs = []
+    for i in range(60):
+        words = rng.choice(vocab, size=rng.integers(3, 25)).tolist()
+        docs.append((i, " ".join(words)))
+    docs.append((60, "xx"))                       # shorter than n: clean
+    # probes: two verbatim slices of real docs (guaranteed hits where
+    # long enough), one alien string, one short probe (no windows)
+    probes = [docs[3][1][:30], docs[17][1], "quantum zebra lattice qq",
+              "tiny"]
+    probes = [p for p in probes if len(p) >= n] + ["quantum zebra " + "q" * n]
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([d for d, _ in docs], type=pa.int64()),
+        "text": pa.array([t for _, t in docs]),
+    })).repartition(5)
+    got = contamination_ngram(ds, probes, n=n).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    exp = _brute_contaminated(docs, probes, n)
+    assert got.doc_id.tolist() == sorted(exp)
+    for _, row in got.iterrows():
+        assert row.n_shared_grams == exp[row.doc_id], row.doc_id
+        assert row.contaminated == (exp[row.doc_id] > 0)
+    # sanity: the planted verbatim probes actually contaminate
+    assert got.set_index("doc_id").contaminated[3]
+    assert got.set_index("doc_id").contaminated[17]
+
+
+def test_contamination_ngram_validation(ray_session):
+    import ray.data as rd
+    from mircv_ray.ops import contamination_ngram
+
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array([1], pa.int64()),
+                                 "text": ["hello world"]}))
+    with pytest.raises(ValueError, match="non-empty"):
+        contamination_ngram(ds, [], n=5)
+    with pytest.raises(ValueError, match="at least n"):
+        contamination_ngram(ds, ["ab"], n=5)
