@@ -1974,6 +1974,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 assert (g, u) in reported, (g, u, c, err)
         return est
 
+    def event_counts_cm(sf_dir: str):
+        # Count-Min point estimates per event_type. Estimates are
+        # hash-dependent -> rows-only driver check, but SELF-VALIDATING
+        # in-entry against the exact counts: est >= true for EVERY key
+        # (the CM one-sided guarantee) and est <= true + e*N/width with
+        # the standard per-query failure budget — violations raise
+        import math
+
+        from ray.data.aggregate import Count
+
+        from mircv_ray.ops import cm_build, cm_query
+        width, depth = 1 << 12, 4
+        ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_type"])
+        m = cm_build(ev, "event_type", width=width, depth=depth)
+        exact = _sorted_table(
+            rd.read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_type"])
+            .groupby("event_type").aggregate(Count(alias_name="c")),
+            ["event_type"])
+        types = exact["event_type"]
+        est = cm_query(m, types)
+        tv = exact["c"].to_numpy()
+        n_total = int(tv.sum())
+        assert (est >= tv).all(), "CM under-counted"
+        bound = math.e * n_total / width
+        over = est - tv
+        assert (over <= 2 * bound).mean() >= 0.95, (
+            f"CM over-count beyond 2x Markov bound: {over}")
+        return pa.table({
+            "event_type": types,
+            "est_count": pa.array(est, type=pa.int64()),
+            "n_total": pa.array(
+                np.full(len(est), n_total, dtype=np.int64)),
+        })
+
     def top_users(sf_dir: str):
         from mircv_ray.ops import top_users_by_type
         ev = rd.read_parquet(
@@ -2066,6 +2102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_hll": distinct_users_hll,
         "top_users": top_users,
         "heavy_users_mg": heavy_users_mg,
+        "event_counts_cm": event_counts_cm,
         "media_features": media_features,
     }
 

@@ -18,8 +18,8 @@ from .collocations import pmi_collocations
 from .multimodal import DecodeImage, SampleFrames, make_media_table
 from .sampling import hash_split, source_quota_sample
 from .sketches import (bloom_build, bloom_params, bloom_probe, bloom_test,
-                       exact_distinct_per_group, hll_distinct_per_group,
-                       mg_heavy_hitters)
+                       cm_build, cm_query, exact_distinct_per_group,
+                       hll_distinct_per_group, mg_heavy_hitters)
 from .joins import (asof_join_backward, asof_join_backward_salted,
                     interval_join, interval_join_salted)
 from .quantiles import grouped_quantiles, grouped_quantiles_tdigest
@@ -52,4 +52,5 @@ __all__ = [
     "mg_heavy_hitters",
     "bloom_build", "bloom_params", "bloom_probe", "bloom_test",
     "contamination_ngram",
+    "cm_build", "cm_query",
 ]

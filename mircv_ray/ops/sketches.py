@@ -398,3 +398,90 @@ def bloom_probe(ds, value_col: str, bitmap_ref, n_bits: int, k: int,
             alias, pa.array(bloom_test(h, bitmap, n_bits, k)))
 
     return ds.map_batches(probe, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------- Count-Min
+
+def _cm_cols(h: np.ndarray, width: int, depth: int) -> np.ndarray:
+    """(len(h), depth) column indices: row i hashes h through
+    splitmix64 with a row-derived seed."""
+    with np.errstate(over="ignore"):
+        seeds = _splitmix64(np.arange(1, depth + 1, dtype=np.uint64)
+                            * np.uint64(0x9E3779B97F4A7C15))
+        cols = _splitmix64(h[:, None] ^ seeds[None, :]) % np.uint64(width)
+    return cols.astype(np.int64)
+
+
+def cm_build(ds, key_col: str, width: int = 1 << 16,
+             depth: int = 4) -> np.ndarray:
+    """Count-Min sketch (Cormode & Muthukrishnan '05) of a key column:
+    one (depth, width) int64 matrix. Point estimates via `cm_query`
+    never under-count; over-count <= e*N/width with probability
+    1 - e^-depth per query.
+
+    Deterministic and partitioning-independent (cell sums are
+    associative), pytest-pinned. Build is SPARSE + range-partitioned:
+    map tasks emit (row, col, count) triples for the keys PRESENT in
+    the batch (<= depth * distinct-per-batch rows — never the dense
+    matrix), one `col // sub_range` groupby sums each column range in
+    parallel, and the driver assembles exactly matrix-sized blobs
+    (the HLL/bloom driver budget)."""
+    n_sub = 64
+    sub_range = -(-width // n_sub)
+
+    def triples(batch: pa.Table) -> pa.Table:
+        col = batch[key_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        denc = pc.dictionary_encode(col)
+        if isinstance(denc, pa.ChunkedArray):
+            denc = denc.combine_chunks()
+        codes = denc.indices.to_numpy().astype(np.int64)
+        cnt = np.bincount(codes, minlength=len(denc.dictionary))
+        h = _hash_column(denc.dictionary)
+        cols = _cm_cols(h, width, depth)          # (n_distinct, depth)
+        nk = len(h)
+        rows = np.broadcast_to(np.arange(depth, dtype=np.int64),
+                               (nk, depth))
+        return pa.table({
+            "r": pa.array(rows.reshape(-1)),
+            "c": pa.array(cols.reshape(-1)),
+            "v": pa.array(np.repeat(cnt, depth).astype(np.int64)),
+            "sub": pa.array(cols.reshape(-1) // sub_range),
+        })
+
+    def pack(group: pa.Table) -> pa.Table:
+        sub = int(group["sub"][0].as_py())
+        lo = sub * sub_range
+        w = min(sub_range, width - lo)
+        m = np.zeros((depth, w), dtype=np.int64)
+        np.add.at(m, (group["r"].to_numpy(),
+                      group["c"].to_numpy() - lo), group["v"].to_numpy())
+        return pa.table({
+            "sub": pa.array([sub], type=pa.int64()),
+            "blob": pa.array([m.tobytes()], type=pa.binary()),
+        })
+
+    parts = (ds.select_columns([key_col])
+               .map_batches(triples, batch_format="pyarrow")
+               .groupby("sub")
+               .map_groups(pack, batch_format="pyarrow")
+               .take_all())                      # <= 64 matrix-range rows
+    matrix = np.zeros((depth, width), dtype=np.int64)
+    for row in parts:
+        lo = row["sub"] * sub_range
+        blob = np.frombuffer(row["blob"], dtype=np.int64).reshape(depth, -1)
+        matrix[:, lo:lo + blob.shape[1]] += blob
+    return matrix
+
+
+def cm_query(matrix: np.ndarray, keys: pa.Array) -> np.ndarray:
+    """Point count estimates (int64, >= true count) for each key."""
+    depth, width = matrix.shape
+    if isinstance(keys, pa.ChunkedArray):
+        keys = keys.combine_chunks()
+    h = _hash_column(keys)
+    if len(h) == 0:
+        return np.zeros(0, dtype=np.int64)
+    cols = _cm_cols(h, width, depth)
+    return matrix[np.arange(depth)[None, :], cols].min(axis=1)
