@@ -1550,6 +1550,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _sorted_table(unigram_logprob(_docs_ds(sf_dir)),
                              ["doc_id"])
 
+    def bigram_lm(sf_dir: str):
+        # interpolated bigram-LM scoring (Jelinek-Mercer, lam=0.7),
+        # trained on the corpus itself; exactly SQL-mirrorable (the
+        # oracle writes (1.0 - 0.7) so both engines use the identical
+        # double for 1-lam)
+        from mircv_ray.ops import bigram_logprob
+        return _sorted_table(bigram_logprob(_docs_ds(sf_dir), lam=0.7),
+                             ["doc_id"])
+
+    def gopher_quality(sf_dir: str):
+        # Gopher quality rules (Rae et al. 2021 §A1.1) — thresholds
+        # chosen so the synthetic corpus exercises both keep branches
+        # (word counts run 10-99, stopword presence 0-1)
+        from mircv_ray.ops import gopher_filter
+        return _sorted_table(
+            gopher_filter(_docs_ds(sf_dir), min_words=30,
+                          max_words=100_000, min_mean_word_len=3.0,
+                          max_mean_word_len=10.0, max_symbol_ratio=0.1,
+                          min_alpha_word_ratio=0.8, min_stopwords=1),
+            ["doc_id"])
+
     def dataset_split(sf_dir: str):
         # deterministic map-only train/val/test split (knuth32 mode is
         # exactly SQL-mirrorable; crc32 mode is the general-id default)
@@ -2077,6 +2098,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup_clustered": semantic_dedup_clustered,
         "dataset_split": dataset_split,
         "lm_logprob": lm_logprob,
+        "bigram_lm": bigram_lm,
+        "gopher_quality": gopher_quality,
         "source_quota_salted": source_quota_salted,
         "dedup_clusters": dedup_clusters,
         "source_quota": source_quota,
@@ -2638,6 +2661,77 @@ SELECT d.doc_id,
                   THEN log10((SELECT n FROM tot)) - s.slc / s.n_tokens
                   ELSE 0 END, 4) AS avg_neg_logprob
 FROM documents d LEFT JOIN s USING (doc_id) ORDER BY d.doc_id
+""",
+        # interpolated bigram LM (lam=0.7): (1.0 - 0.7) is written out
+        # so SQL computes the IDENTICAL double for 1-lam that the
+        # engine's float arithmetic produces; per-doc sums round to 4
+        # decimals on both sides like lm_logprob
+        "bigram_lm": f"""
+WITH d AS (SELECT doc_id, {_ALNUM_TOKS} AS toks FROM documents),
+tk AS (SELECT doc_id, unnest(toks) AS term,
+              generate_subscripts(toks, 1) AS ord FROM d),
+bg AS (SELECT a.doc_id, a.term AS ta, b.term AS tb
+       FROM tk a JOIN tk b ON a.doc_id = b.doc_id AND b.ord = a.ord + 1),
+u AS (SELECT term, count(*)::BIGINT AS c FROM tk GROUP BY term),
+tot AS (SELECT sum(c)::DOUBLE AS n FROM u),
+p AS (SELECT ta, tb, count(*)::BIGINT AS c_ab FROM bg GROUP BY 1, 2),
+tr AS (SELECT doc_id, ta, tb, count(*)::BIGINT AS k FROM bg
+       GROUP BY 1, 2, 3),
+w AS (SELECT tr.doc_id, tr.k,
+             tr.k * log10(0.7 * (p.c_ab::DOUBLE / ua.c::DOUBLE)
+                          + (1.0 - 0.7) * (ub.c::DOUBLE /
+                                           (SELECT n FROM tot))) AS w
+      FROM tr JOIN p ON p.ta = tr.ta AND p.tb = tr.tb
+              JOIN u ua ON ua.term = tr.ta
+              JOIN u ub ON ub.term = tr.tb),
+agg AS (SELECT doc_id, sum(k)::BIGINT AS n, sum(w) AS s
+        FROM w GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(agg.n, 0) AS n_transitions,
+       round(coalesce(agg.s, 0), 4) AS sum_log10_p,
+       round(CASE WHEN agg.n > 0 THEN -(agg.s / agg.n) ELSE 0 END,
+             4) AS avg_neg_logprob
+FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id
+""",
+        # Gopher rules: same alnum splitter; symbol ratio via the same
+        # length-difference arithmetic and eval order as the engine
+        "gopher_quality": f"""
+WITH d AS (SELECT doc_id, coalesce(text, '') AS text,
+                  {_ALNUM_TOKS} AS toks FROM documents),
+tk AS (SELECT doc_id, unnest(toks) AS term FROM d),
+agg AS (SELECT doc_id, count(*)::BIGINT AS nw,
+               sum(length(term))::DOUBLE AS swl,
+               sum(CASE WHEN regexp_matches(term, '[a-z]')
+                        THEN 1.0 ELSE 0.0 END) AS na
+        FROM tk GROUP BY 1),
+st AS (SELECT doc_id, count(DISTINCT term)::BIGINT AS ns FROM tk
+       WHERE term IN ('the','be','to','of','and','that','have','with')
+       GROUP BY 1),
+base AS (SELECT d.doc_id,
+       coalesce(agg.nw, 0) AS n_words,
+       CASE WHEN coalesce(agg.nw, 0) > 0
+            THEN round(agg.swl / agg.nw, 4) ELSE 0.0
+            END AS mean_word_len,
+       CASE WHEN coalesce(agg.nw, 0) > 0
+            THEN round(agg.na / agg.nw, 4) ELSE 0.0
+            END AS alpha_word_ratio,
+       CASE WHEN length(d.text) > 0
+            THEN round(((length(d.text)
+                         - length(replace(d.text, '#', '')))::DOUBLE
+                        + (length(d.text)
+                           - length(replace(d.text, '...', '')))::DOUBLE
+                          / 3.0)
+                       / length(d.text), 4)
+            ELSE 0.0 END AS symbol_ratio,
+       coalesce(st.ns, 0) AS n_stopwords_present
+FROM d LEFT JOIN agg USING (doc_id) LEFT JOIN st USING (doc_id))
+SELECT doc_id, n_words, mean_word_len, alpha_word_ratio, symbol_ratio,
+       n_stopwords_present,
+       (n_words >= 30 AND n_words <= 100000
+        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        AND symbol_ratio <= 0.1 AND alpha_word_ratio >= 0.8
+        AND n_stopwords_present >= 1) AS keep
+FROM base ORDER BY doc_id
 """,
         "source_quota": _SOURCE_QUOTA_SQL,
         # the mega-source salted path must reproduce it exactly

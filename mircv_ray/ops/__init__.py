@@ -6,9 +6,11 @@ fingerprints, verbatim-probe decontamination), and multimodal decode
 
 from .textops import (
     ContaminationCheck, basic_token_stats, contamination_check,
-    contamination_ngram, fingerprint, lang_id, pii_redact,
-    quality_stats, repetition_stats, token_count, unigram_logprob,
+    contamination_ngram, fingerprint, gopher_filter, lang_id,
+    pii_redact, quality_stats, repetition_stats, token_count,
+    unigram_logprob,
 )
+from .lm import bigram_logprob
 from .dedup import connected_components, contamination_fuzzy, exact_dedup_keep, jaccard_simjoin_exact, minhash_signatures, minhash_candidate_pairs, simhash64, near_dup_pairs, ngram_jaccard_pairs, shingle_sets
 from .similarity import cosine_all_pairs, cosine_topk, ivf_build_centroids, ivf_cosine_topk, embedding_near_dup_pairs, pq_cosine_topk, pq_cosine_topk_rerank, pq_encode, pq_train
 from .clustering import kmeans_assign, kmeans_fit, semantic_dedup
@@ -53,4 +55,5 @@ __all__ = [
     "bloom_build", "bloom_params", "bloom_probe", "bloom_test",
     "contamination_ngram",
     "cm_build", "cm_query",
+    "bigram_logprob", "gopher_filter",
 ]

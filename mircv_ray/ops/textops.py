@@ -710,3 +710,109 @@ def contamination_ngram(ds, probes, n: int = 20, text_col: str = "text",
 
     return ds.select_columns([id_col]).map_batches(
         attach, batch_format="pyarrow")
+
+
+# ------------------------------------------------ Gopher quality filter
+
+# the 8 Gopher stop words (Rae et al. 2021 §A1.1): a document must
+# contain at least 2 of them to pass the "stop word" rule
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have",
+                    "with")
+
+
+def gopher_filter(ds, id_col: str = "doc_id", text_col: str = "text",
+                  min_words: int = 50, max_words: int = 100_000,
+                  min_mean_word_len: float = 3.0,
+                  max_mean_word_len: float = 10.0,
+                  max_symbol_ratio: float = 0.1,
+                  min_alpha_word_ratio: float = 0.8,
+                  min_stopwords: int = 2):
+    """(doc_id, n_words, mean_word_len, alpha_word_ratio, symbol_ratio,
+    n_stopwords_present, keep) — the Gopher repetition-free quality
+    rules (Rae et al. 2021 §A1.1), the standard pre-training quality
+    gate, over the shared alnum tokenizer so every rule is exactly
+    SQL-mirrorable:
+
+    - word count within [min_words, max_words]
+    - mean word length within [min_mean_word_len, max_mean_word_len]
+    - '#'/'...'-symbol-to-character ratio <= max_symbol_ratio
+    - fraction of words containing an alphabetic char >=
+      min_alpha_word_ratio
+    - at least ``min_stopwords`` DISTINCT Gopher stop words present
+
+    One map-only pass (no shuffle); ratios round to 4 decimals for
+    oracle hash stability. Documents with zero words fail the word-
+    count rule (ratios emit 0.0)."""
+
+    stop_arr = pa.array(list(GOPHER_STOPWORDS), type=pa.string())
+
+    def stats(batch: pa.Table) -> pa.Table:
+        t = batch[text_col]
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        t = pc.fill_null(t, "")
+        flat, parent, n_words = _alnum_flat_terms(batch, text_col)
+        n_docs = batch.num_rows
+        wlen = pc.binary_length(flat).to_numpy(zero_copy_only=False)
+        sum_wlen = np.bincount(parent, weights=wlen, minlength=n_docs)
+        has_alpha = pc.match_substring_regex(flat, "[a-z]") \
+            .to_numpy(zero_copy_only=False)
+        n_alpha = np.bincount(parent, weights=has_alpha,
+                              minlength=n_docs)
+        # distinct stop words present: per (doc, stopword) membership
+        is_stop = pc.is_in(flat, value_set=stop_arr) \
+            .to_numpy(zero_copy_only=False)
+        sidx = np.flatnonzero(is_stop)
+        if len(sidx):
+            sw = pc.index_in(flat.take(pa.array(sidx, type=pa.int64())),
+                             value_set=stop_arr) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            pairs = parent[sidx] * len(GOPHER_STOPWORDS) + sw
+            uniq = np.unique(pairs)
+            n_stop = np.bincount(uniq // len(GOPHER_STOPWORDS),
+                                 minlength=n_docs).astype(np.int64)
+        else:
+            n_stop = np.zeros(n_docs, dtype=np.int64)
+        n_chars = pc.binary_length(t).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        n_hash = n_chars - pc.binary_length(
+            pc.replace_substring(t, "#", "")) \
+            .to_numpy(zero_copy_only=False)
+        t_no_ell = pc.replace_substring(t, "...", "")
+        n_ell = (n_chars - pc.binary_length(t_no_ell)
+                 .to_numpy(zero_copy_only=False)) / 3.0
+        nw = n_words.astype(np.float64)
+
+        # half-AWAY-from-zero to 4 decimals (DuckDB round()), not
+        # numpy's half-to-even: small-integer ratios like 141/32 =
+        # 4.40625 land exactly on the boundary and the two conventions
+        # diverge there
+        def r4(x: np.ndarray) -> np.ndarray:
+            return np.trunc(x * 1e4 + np.copysign(0.5, x)) / 1e4
+
+        mean_wl = r4(
+            np.where(n_words > 0, sum_wlen / np.maximum(nw, 1.0), 0.0))
+        alpha_r = r4(
+            np.where(n_words > 0, n_alpha / np.maximum(nw, 1.0), 0.0))
+        # symbol ratio: (#'#' + #'...') / chars — DuckDB mirrors via
+        # length-difference arithmetic, same eval order
+        sym_r = r4(
+            np.where(n_chars > 0,
+                     (n_hash + n_ell) / np.maximum(n_chars, 1.0), 0.0))
+        keep = ((n_words >= min_words) & (n_words <= max_words)
+                & (mean_wl >= min_mean_word_len)
+                & (mean_wl <= max_mean_word_len)
+                & (sym_r <= max_symbol_ratio)
+                & (alpha_r >= min_alpha_word_ratio)
+                & (n_stop >= min_stopwords))
+        return pa.table({
+            id_col: batch[id_col],
+            "n_words": pa.array(n_words, type=pa.int64()),
+            "mean_word_len": pa.array(mean_wl, type=pa.float64()),
+            "alpha_word_ratio": pa.array(alpha_r, type=pa.float64()),
+            "symbol_ratio": pa.array(sym_r, type=pa.float64()),
+            "n_stopwords_present": pa.array(n_stop, type=pa.int64()),
+            "keep": pa.array(keep),
+        })
+
+    return ds.map_batches(stats, batch_format="pyarrow")
