@@ -1571,6 +1571,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
                           min_alpha_word_ratio=0.8, min_stopwords=1),
             ["doc_id"])
 
+    def line_dedup_corpus(sf_dir: str):
+        # corpus-level duplicate-line removal (RefinedWeb/C4 boilerplate
+        # step) over a deterministic multi-line view of the single-line
+        # synthetic docs (' merge ' -> newline); exact-bytes matching on
+        # both engine paths makes it SQL-mirrorable
+        from mircv_ray.ops import line_dedup
+
+        def to_lines(b: pa.Table) -> pa.Table:
+            t = pc.replace_substring(pc.fill_null(b["text"], ""),
+                                     " merge ", "\n")
+            return pa.table({"doc_id": b["doc_id"], "text": t})
+
+        ds = _docs_ds(sf_dir).map_batches(to_lines,
+                                          batch_format="pyarrow")
+        return _sorted_table(line_dedup(ds, min_count=2), ["doc_id"])
+
+    def dup_line_stats(sf_dir: str):
+        # Gopher repetition rules 1-4 (dup line/para fractions) over a
+        # two-level view: ' the ' -> blank line (paragraph break),
+        # remaining spaces -> newline; map-only, exactly SQL-mirrorable
+        from mircv_ray.ops import duplicate_line_stats
+
+        def to_lines(b: pa.Table) -> pa.Table:
+            t = pc.fill_null(b["text"], "")
+            t = pc.replace_substring(t, " the ", "\n\n")
+            t = pc.replace_substring(t, " ", "\n")
+            return pa.table({"doc_id": b["doc_id"], "text": t})
+
+        out = (_docs_ds(sf_dir)
+               .map_batches(to_lines, batch_format="pyarrow")
+               .map_batches(duplicate_line_stats,
+                            batch_format="pyarrow"))
+        return _sorted_table(out, ["doc_id"])
+
     def dataset_split(sf_dir: str):
         # deterministic map-only train/val/test split (knuth32 mode is
         # exactly SQL-mirrorable; crc32 mode is the general-id default)
@@ -2096,6 +2130,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dups_exact": embedding_near_dups_exact,
         "semantic_dedup_exact": semantic_dedup_exact,
         "semantic_dedup_clustered": semantic_dedup_clustered,
+        "line_dedup": line_dedup_corpus,
+        "dup_line_stats": dup_line_stats,
         "dataset_split": dataset_split,
         "lm_logprob": lm_logprob,
         "bigram_lm": bigram_lm,
@@ -2630,6 +2666,75 @@ SELECT vec_id, vec_id NOT IN (SELECT v FROM d) AS keep
 FROM n ORDER BY vec_id
 """,
         "dedup_clusters": _CLUSTERS_SQL,
+        # corpus-wide duplicate-line removal over the ' merge '->newline
+        # view; string_agg skips the NULL-cased dup lines, coalesce
+        # covers all-duplicate docs (engine emits '')
+        "line_dedup": """
+WITH d AS (SELECT doc_id,
+                  replace(coalesce(text, ''), ' merge ', chr(10)) AS t
+           FROM documents),
+l AS (SELECT doc_id, unnest(string_split(t, chr(10))) AS line,
+             generate_subscripts(string_split(t, chr(10)), 1) AS ord
+      FROM d),
+c AS (SELECT line, count(*)::BIGINT AS c FROM l GROUP BY line)
+SELECT l.doc_id,
+       count(*)::BIGINT AS n_lines,
+       sum(CASE WHEN c.c >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup_lines,
+       coalesce(string_agg(CASE WHEN c.c < 2 THEN l.line END, chr(10)
+                           ORDER BY l.ord), '') AS text_clean
+FROM l JOIN c USING (line)
+GROUP BY l.doc_id ORDER BY l.doc_id
+""",
+        # within-doc dup line/para fractions (Gopher rules 1-4) over the
+        # two-level ' the '->para-break, ' '->newline view; an occurrence
+        # is dup iff an identical element appeared EARLIER in the doc
+        # (row_number > 1); strlen = bytes, matching the engine
+        "dup_line_stats": """
+WITH d AS (SELECT doc_id,
+                  replace(replace(coalesce(text, ''), ' the ',
+                                  chr(10) || chr(10)),
+                          ' ', chr(10)) AS t
+           FROM documents),
+ln AS (SELECT doc_id, unnest(string_split(t, chr(10))) AS el,
+              generate_subscripts(string_split(t, chr(10)), 1) AS ord
+       FROM d),
+lr AS (SELECT doc_id, el,
+              row_number() OVER (PARTITION BY doc_id, el
+                                 ORDER BY ord) AS rn FROM ln),
+la AS (SELECT doc_id, count(*)::BIGINT AS n,
+              sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::DOUBLE AS nd,
+              sum(strlen(el))::DOUBLE AS tc,
+              sum(CASE WHEN rn > 1 THEN strlen(el) ELSE 0
+                  END)::DOUBLE AS dc
+       FROM lr GROUP BY doc_id),
+pn AS (SELECT doc_id,
+              unnest(string_split(t, chr(10) || chr(10))) AS el,
+              generate_subscripts(string_split(t, chr(10) || chr(10)),
+                                  1) AS ord
+       FROM d),
+pr AS (SELECT doc_id, el,
+              row_number() OVER (PARTITION BY doc_id, el
+                                 ORDER BY ord) AS rn FROM pn),
+pg AS (SELECT doc_id, count(*)::BIGINT AS n,
+              sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::DOUBLE AS nd,
+              sum(strlen(el))::DOUBLE AS tc,
+              sum(CASE WHEN rn > 1 THEN strlen(el) ELSE 0
+                  END)::DOUBLE AS dc
+       FROM pr GROUP BY doc_id)
+SELECT d.doc_id,
+       la.n AS n_lines,
+       round(CASE WHEN la.n > 0 THEN la.nd / la.n ELSE 0 END,
+             4) AS dup_line_frac,
+       round(CASE WHEN la.tc > 0 THEN la.dc / la.tc ELSE 0 END,
+             4) AS dup_line_char_frac,
+       pg.n AS n_paras,
+       round(CASE WHEN pg.n > 0 THEN pg.nd / pg.n ELSE 0 END,
+             4) AS dup_para_frac,
+       round(CASE WHEN pg.tc > 0 THEN pg.dc / pg.tc ELSE 0 END,
+             4) AS dup_para_char_frac
+FROM d JOIN la USING (doc_id) JOIN pg USING (doc_id)
+ORDER BY d.doc_id
+""",
         # knuth multiplicative hash: exact BIGINT arithmetic both sides
         "dataset_split": """
 WITH b AS (SELECT doc_id,
