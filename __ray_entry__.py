@@ -1605,6 +1605,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
                             batch_format="pyarrow"))
         return _sorted_table(out, ["doc_id"])
 
+    def ngram_repetition(sf_dir: str):
+        # Gopher n-gram repetition rules 5-8: top-{2,3,4}-gram char
+        # fraction + duplicate-{5..10}-gram coverage fraction; map-only
+        from mircv_ray.ops import ngram_repetition_stats
+        out = _docs_ds(sf_dir).map_batches(ngram_repetition_stats,
+                                           batch_format="pyarrow")
+        return _sorted_table(out, ["doc_id"])
+
     def dataset_split(sf_dir: str):
         # deterministic map-only train/val/test split (knuth32 mode is
         # exactly SQL-mirrorable; crc32 mode is the general-id default)
@@ -2132,6 +2140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup_clustered": semantic_dedup_clustered,
         "line_dedup": line_dedup_corpus,
         "dup_line_stats": dup_line_stats,
+        "ngram_repetition": ngram_repetition,
         "dataset_split": dataset_split,
         "lm_logprob": lm_logprob,
         "bigram_lm": bigram_lm,
@@ -2223,6 +2232,54 @@ FROM s ORDER BY doc_id
 # non-[a-z0-9], drop empties)
 _ALNUM_TOKS = ("list_filter(regexp_split_to_array(lower(coalesce(text, '')),"
                " '[^a-z0-9]+'), x -> len(x) > 0)")
+
+
+def _ngram_rep_sql(top_ns=(2, 3, 4), dup_ns=(5, 6, 7, 8, 9, 10)) -> str:
+    """Gopher rules 5-8 oracle, one CTE family per n: grams via list
+    slicing + lateral position series, top = per-doc max of
+    count * (strlen(joined) - (n-1) separators) == token bytes; dup =
+    distinct token positions covered by rn>1 occurrences."""
+    ctes = [f"d AS (SELECT doc_id, {_ALNUM_TOKS} AS toks FROM documents)",
+            "tk AS (SELECT doc_id, unnest(toks) AS term,\n"
+            "              generate_subscripts(toks, 1) AS ord FROM d)",
+            "tc AS (SELECT doc_id, sum(strlen(term))::BIGINT AS tot\n"
+            "       FROM tk GROUP BY doc_id)"]
+    cols = ["d.doc_id", "coalesce(tc.tot, 0)::BIGINT AS n_token_chars"]
+    joins = ["LEFT JOIN tc USING (doc_id)"]
+    for n in top_ns:
+        ctes.append(f"""g{n} AS (SELECT d.doc_id, u.s,
+        array_to_string(d.toks[u.s : u.s + {n - 1}], chr(31)) AS g
+ FROM d, LATERAL (SELECT unnest(generate_series(
+        1, len(d.toks) - {n} + 1)) AS s) u)""")
+        ctes.append(f"""t{n} AS (SELECT doc_id,
+        max(cnt * (strlen(g) - {n - 1}))::DOUBLE AS best
+ FROM (SELECT doc_id, g, count(*)::BIGINT AS cnt
+       FROM g{n} GROUP BY 1, 2) GROUP BY doc_id)""")
+        cols.append(f"round(coalesce(t{n}.best, 0)"
+                    f" / greatest(coalesce(tc.tot, 0), 1)::DOUBLE,"
+                    f" 4) AS top_{n}gram_char_frac")
+        joins.append(f"LEFT JOIN t{n} USING (doc_id)")
+    for n in dup_ns:
+        ctes.append(f"""r{n} AS (SELECT doc_id, s, row_number() OVER (
+        PARTITION BY doc_id,
+        array_to_string(toks_sl, chr(31)) ORDER BY s) AS rn
+ FROM (SELECT d.doc_id, u.s, d.toks[u.s : u.s + {n - 1}] AS toks_sl
+       FROM d, LATERAL (SELECT unnest(generate_series(
+             1, len(d.toks) - {n} + 1)) AS s) u))""")
+        ctes.append(f"""c{n} AS (SELECT DISTINCT doc_id, s + v.j AS pos
+ FROM (SELECT doc_id, s FROM r{n} WHERE rn > 1),
+      LATERAL (SELECT unnest(generate_series(0, {n - 1})) AS j) v)""")
+        ctes.append(f"""x{n} AS (SELECT c.doc_id,
+        sum(strlen(tk.term))::DOUBLE AS dc
+ FROM c{n} c JOIN tk ON tk.doc_id = c.doc_id AND tk.ord = c.pos
+ GROUP BY 1)""")
+        cols.append(f"round(coalesce(x{n}.dc, 0)"
+                    f" / greatest(coalesce(tc.tot, 0), 1)::DOUBLE,"
+                    f" 4) AS dup_{n}gram_char_frac")
+        joins.append(f"LEFT JOIN x{n} USING (doc_id)")
+    return ("WITH " + ",\n".join(ctes) + "\nSELECT "
+            + ",\n       ".join(cols) + "\nFROM d "
+            + " ".join(joins) + "\nORDER BY d.doc_id")
 
 _REPETITION_SQL = f"""
 WITH t AS (SELECT doc_id, {_ALNUM_TOKS} AS toks FROM documents),
@@ -2735,6 +2792,9 @@ SELECT d.doc_id,
 FROM d JOIN la USING (doc_id) JOIN pg USING (doc_id)
 ORDER BY d.doc_id
 """,
+        # Gopher rules 5-8 over the shared alnum token stream; gram
+        # equality by joined token bytes (engine: 64-bit window hash)
+        "ngram_repetition": _ngram_rep_sql(),
         # knuth multiplicative hash: exact BIGINT arithmetic both sides
         "dataset_split": """
 WITH b AS (SELECT doc_id,

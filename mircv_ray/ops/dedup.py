@@ -35,7 +35,8 @@ _MERSENNE = np.uint64((1 << 61) - 1)
 _NUM_PERM = 64
 
 
-def _token_ids_flat(batch: pa.Table, text_col: str, hash64: bool = False):
+def _token_ids_flat(batch: pa.Table, text_col: str, hash64: bool = False,
+                    return_lens: bool = False):
     """Lowercased alnum tokens per doc -> (flat base hashes, doc offsets).
 
     ``hash64=False`` keeps the historical 32-bit crc32 token hash (the
@@ -67,6 +68,10 @@ def _token_ids_flat(batch: pa.Table, text_col: str, hash64: bool = False):
             | crc32_column(rev).astype(np.uint64)
     base = vocab_hash[denc.indices.to_numpy(zero_copy_only=False)] \
         if len(flat) else np.zeros(0, dtype=np.uint64)
+    if return_lens:
+        lens = pc.binary_length(flat).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return base, counts, lens
     return base, counts
 
 
