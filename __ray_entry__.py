@@ -1613,6 +1613,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                            batch_format="pyarrow")
         return _sorted_table(out, ["doc_id"])
 
+    def c4_clean(sf_dir: str):
+        # C4 cleaning rules (Raffel et al. 2020 §2.2) over a view that
+        # exercises every rule: ' merge ' -> '.\n' (terminal-punct
+        # lines), ' dup ' -> ' lorem ipsum ' (doc-level drop, ~25 docs
+        # at sf0.01); keeps 84/500, drops the rest
+        from mircv_ray.ops import c4_line_filter
+
+        def to_lines(b: pa.Table) -> pa.Table:
+            t = pc.fill_null(b["text"], "")
+            t = pc.replace_substring(t, " dup ", " lorem ipsum ")
+            t = pc.replace_substring(t, " merge ", ".\n")
+            return pa.table({"doc_id": b["doc_id"], "text": t})
+
+        out = (_docs_ds(sf_dir)
+               .map_batches(to_lines, batch_format="pyarrow")
+               .map_batches(c4_line_filter, batch_format="pyarrow"))
+        return _sorted_table(out, ["doc_id"])
+
     def dataset_split(sf_dir: str):
         # deterministic map-only train/val/test split (knuth32 mode is
         # exactly SQL-mirrorable; crc32 mode is the general-id default)
@@ -2141,6 +2159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_dedup": line_dedup_corpus,
         "dup_line_stats": dup_line_stats,
         "ngram_repetition": ngram_repetition,
+        "c4_clean": c4_clean,
         "dataset_split": dataset_split,
         "lm_logprob": lm_logprob,
         "bigram_lm": bigram_lm,
@@ -2795,6 +2814,40 @@ ORDER BY d.doc_id
         # Gopher rules 5-8 over the shared alnum token stream; gram
         # equality by joined token bytes (engine: 64-bit window hash)
         "ngram_repetition": _ngram_rep_sql(),
+        # C4 line+doc cleaning rules over the ' dup '->lorem,
+        # ' merge '->'.\n' view; word count = maximal non-space/tab runs
+        "c4_clean": """
+WITH d AS (SELECT doc_id,
+   replace(replace(coalesce(text, ''), ' dup ', ' lorem ipsum '),
+           ' merge ', '.' || chr(10)) AS t
+   FROM documents),
+l AS (SELECT doc_id, unnest(string_split(t, chr(10))) AS line,
+             generate_subscripts(string_split(t, chr(10)), 1) AS ord
+      FROM d),
+f AS (SELECT doc_id, line, ord,
+             ((ends_with(line, '.') OR ends_with(line, '!')
+               OR ends_with(line, '?') OR ends_with(line, '"'))
+              AND length(list_filter(
+                    regexp_split_to_array(line, '[ \t]+'),
+                    x -> len(x) > 0)) >= 5
+              AND NOT contains(lower(line), 'javascript')) AS ok
+      FROM l),
+k AS (SELECT f.doc_id, count(*)::BIGINT AS n_lines,
+             sum(CASE WHEN ok THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+             string_agg(CASE WHEN ok THEN line END, chr(10)
+                        ORDER BY ord) AS joined
+      FROM f GROUP BY f.doc_id)
+SELECT d.doc_id,
+       k.n_lines,
+       k.n_kept AS n_kept_lines,
+       (k.n_kept >= 3 AND NOT contains(lower(d.t), 'lorem ipsum')
+        AND NOT contains(d.t, '{')) AS keep,
+       CASE WHEN k.n_kept >= 3
+                 AND NOT contains(lower(d.t), 'lorem ipsum')
+                 AND NOT contains(d.t, '{')
+            THEN coalesce(k.joined, '') ELSE '' END AS text_clean
+FROM d JOIN k USING (doc_id) ORDER BY d.doc_id
+""",
         # knuth multiplicative hash: exact BIGINT arithmetic both sides
         "dataset_split": """
 WITH b AS (SELECT doc_id,
