@@ -1631,6 +1631,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
                .map_batches(c4_line_filter, batch_format="pyarrow"))
         return _sorted_table(out, ["doc_id"])
 
+    def cooccurrence(sf_dir: str):
+        # GloVe-style windowed co-occurrence counts (ordered pairs,
+        # distance <= 3, corpus-wide count >= 2) with the 1/d
+        # distance-decayed weight
+        from mircv_ray.ops import cooccurrence_counts
+        out = cooccurrence_counts(_docs_ds(sf_dir), window=3,
+                                  min_count=2)
+        return _sorted_table(out, ["term_a", "term_b"])
+
     def dataset_split(sf_dir: str):
         # deterministic map-only train/val/test split (knuth32 mode is
         # exactly SQL-mirrorable; crc32 mode is the general-id default)
@@ -2160,6 +2169,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_line_stats": dup_line_stats,
         "ngram_repetition": ngram_repetition,
         "c4_clean": c4_clean,
+        "cooccurrence": cooccurrence,
         "dataset_split": dataset_split,
         "lm_logprob": lm_logprob,
         "bigram_lm": bigram_lm,
@@ -2847,6 +2857,21 @@ SELECT d.doc_id,
                  AND NOT contains(d.t, '{')
             THEN coalesce(k.joined, '') ELSE '' END AS text_clean
 FROM d JOIN k USING (doc_id) ORDER BY d.doc_id
+""",
+        # windowed co-occurrence: integer pair counts hash-exact; the
+        # 1/d weight sums round 4 (identical 1/d doubles both sides)
+        "cooccurrence": f"""
+WITH d AS (SELECT doc_id, {_ALNUM_TOKS} AS toks FROM documents),
+tk AS (SELECT doc_id, unnest(toks) AS term,
+              generate_subscripts(toks, 1) AS pos FROM d),
+p AS (SELECT a.term AS term_a, b.term AS term_b,
+             1.0 / (b.pos - a.pos) AS w
+      FROM tk a JOIN tk b ON a.doc_id = b.doc_id
+           AND b.pos > a.pos AND b.pos <= a.pos + 3)
+SELECT term_a, term_b, count(*)::BIGINT AS pair_count,
+       round(sum(w), 4) AS glove_weight
+FROM p GROUP BY 1, 2 HAVING count(*) >= 2
+ORDER BY term_a, term_b
 """,
         # knuth multiplicative hash: exact BIGINT arithmetic both sides
         "dataset_split": """
