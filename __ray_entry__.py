@@ -1640,6 +1640,44 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                   min_count=2)
         return _sorted_table(out, ["term_a", "term_b"])
 
+    def pagerank_docs(sf_dir: str):
+        # PageRank over a deterministic synthetic doc graph: docs not
+        # divisible by 10 emit two knuth-hash out-edges (so 10% of
+        # nodes are dangling and exercise the redistribution term);
+        # 10 damped rounds, ranks round 8
+        import ray.data as rd
+        from mircv_ray.ops import pagerank
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id"])
+        n = ds.count()
+
+        def mk_edges(b: pa.Table) -> pa.Table:
+            did = b["doc_id"].to_numpy().astype(np.int64)
+            src = did[did % 10 != 0]
+            d1 = (src * 2654435761 + 7) % n
+            d2 = (src * 40503 + 13) % n
+            return pa.table({
+                "src": pa.array(np.concatenate([src, src]),
+                                type=pa.int64()),
+                "dst": pa.array(np.concatenate([d1, d2]),
+                                type=pa.int64())})
+
+        edges = ds.map_batches(mk_edges, batch_format="pyarrow")
+        nodes = ds.map_batches(
+            lambda b: pa.table({"node": b["doc_id"]}),
+            batch_format="pyarrow")
+        out = pagerank(edges, nodes, n_iter=10, damping=0.85)
+
+        def r8(b: pa.Table) -> pa.Table:
+            r = b["rank"].to_numpy()
+            return pa.table({
+                "doc_id": b["node"],
+                "rank": pa.array(np.trunc(r * 1e8 + 0.5) / 1e8,
+                                 type=pa.float64())})
+
+        return _sorted_table(out.map_batches(r8, batch_format="pyarrow"),
+                             ["doc_id"])
+
     def dataset_split(sf_dir: str):
         # deterministic map-only train/val/test split (knuth32 mode is
         # exactly SQL-mirrorable; crc32 mode is the general-id default)
@@ -2170,6 +2208,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_repetition": ngram_repetition,
         "c4_clean": c4_clean,
         "cooccurrence": cooccurrence,
+        "pagerank_docs": pagerank_docs,
         "dataset_split": dataset_split,
         "lm_logprob": lm_logprob,
         "bigram_lm": bigram_lm,
@@ -2261,6 +2300,43 @@ FROM s ORDER BY doc_id
 # non-[a-z0-9], drop empties)
 _ALNUM_TOKS = ("list_filter(regexp_split_to_array(lower(coalesce(text, '')),"
                " '[^a-z0-9]+'), x -> len(x) > 0)")
+
+
+def _pagerank_sql(n_iter: int = 10) -> str:
+    """PageRank oracle: one (dangling-mass, scatter-sum, update) CTE
+    triple per iteration, same derived edges as the entry."""
+    parts = [
+        "n AS (SELECT count(*)::BIGINT AS cnt FROM documents)",
+        "v AS (SELECT doc_id AS node FROM documents)",
+        """e AS MATERIALIZED (
+  SELECT doc_id AS src,
+         (doc_id * 2654435761 + 7) % (SELECT cnt FROM n) AS dst
+  FROM documents WHERE doc_id % 10 <> 0
+  UNION ALL
+  SELECT doc_id, (doc_id * 40503 + 13) % (SELECT cnt FROM n)
+  FROM documents WHERE doc_id % 10 <> 0)""",
+        "od AS MATERIALIZED (SELECT src, count(*)::DOUBLE AS deg FROM e GROUP BY src)",
+        "r0 AS MATERIALIZED (SELECT node, 1.0 / (SELECT cnt FROM n) AS r FROM v)"]
+    for k in range(n_iter):
+        parts.append(
+            f"dm{k} AS MATERIALIZED (SELECT coalesce(sum(r), 0) AS m "
+            f"FROM r{k} "
+            f"LEFT JOIN od ON r{k}.node = od.src WHERE od.src IS NULL)")
+        parts.append(
+            f"s{k} AS MATERIALIZED (SELECT e.dst AS node, "
+            f"sum(r{k}.r / od.deg) AS s\n"
+            f" FROM e JOIN od USING (src) JOIN r{k} ON r{k}.node = e.src\n"
+            f" GROUP BY e.dst)")
+        parts.append(
+            f"r{k + 1} AS MATERIALIZED (SELECT v.node,\n"
+            f" (1.0 - 0.85) / (SELECT cnt FROM n)\n"
+            f" + 0.85 * (coalesce(s{k}.s, 0)\n"
+            f"           + (SELECT m FROM dm{k})"
+            f" / (SELECT cnt FROM n)) AS r\n"
+            f" FROM v LEFT JOIN s{k} USING (node))")
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT node AS doc_id, round(r, 8) AS rank"
+              f" FROM r{n_iter} ORDER BY node")
 
 
 def _ngram_rep_sql(top_ns=(2, 3, 4), dup_ns=(5, 6, 7, 8, 9, 10)) -> str:
@@ -2873,6 +2949,11 @@ SELECT term_a, term_b, count(*)::BIGINT AS pair_count,
 FROM p GROUP BY 1, 2 HAVING count(*) >= 2
 ORDER BY term_a, term_b
 """,
+        # PageRank, K unrolled iterations over the same knuth-hash edge
+        # derivation (exact BIGINT arithmetic); per-iteration dangling
+        # mass + damping formula in the engine's evaluation order;
+        # ranks round 8 (float sum-order skew ~1e-16 vs a 1e-8 grid)
+        "pagerank_docs": _pagerank_sql(),
         # knuth multiplicative hash: exact BIGINT arithmetic both sides
         "dataset_split": """
 WITH b AS (SELECT doc_id,

@@ -1,0 +1,87 @@
+"""PageRank: parity vs a dense numpy power iteration on graphs with
+dangling, isolated, self-loop, multi-edge and hub nodes."""
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+
+
+NODES = list(range(9))
+EDGES = [
+    (0, 1), (0, 2), (1, 2), (2, 0),   # cycle-ish core
+    (3, 2), (3, 2),                   # multi-edge into the hub
+    (4, 4),                           # self-loop
+    (5, 0), (5, 1), (5, 2), (5, 3),   # fan-out
+    (6, 2),
+    # 7 dangling (no out-edges), 8 isolated (no edges at all)
+    (0, 7),
+]
+
+
+def _brute(edges, nodes, n_iter=10, d=0.85):
+    nodes = sorted(nodes)
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    outdeg = Counter(s for s, _ in edges)
+    r = np.full(n, 1.0 / n)
+    for _ in range(n_iter):
+        s = np.zeros(n)
+        dm = sum(r[idx[v]] for v in nodes if outdeg[v] == 0)
+        for u, v in edges:
+            s[idx[v]] += r[idx[u]] / outdeg[u]
+        r = (1.0 - d) / n + d * (s + dm / n)
+    return {v: r[idx[v]] for v in nodes}
+
+
+def _run(edges, nodes, parts=3, **kw):
+    import ray
+    import ray.data as rd
+    from mircv_ray.ops import pagerank
+    e = rd.from_arrow(pa.table({
+        "src": pa.array([s for s, _ in edges], type=pa.int64()),
+        "dst": pa.array([t for _, t in edges], type=pa.int64()),
+    })).repartition(parts)
+    v = rd.from_arrow(pa.table({
+        "node": pa.array(nodes, type=pa.int64())})).repartition(parts)
+    out = pagerank(e, v, **kw)
+    t = pa.concat_tables(ray.get(out.to_arrow_refs()),
+                         promote_options="default").combine_chunks()
+    return {t["node"][i].as_py(): t["rank"][i].as_py()
+            for i in range(t.num_rows)}
+
+
+def test_pagerank_equals_power_iteration(ray_session):
+    exp = _brute(EDGES, NODES)
+    got = _run(EDGES, NODES)
+    assert set(got) == set(exp)
+    for v in NODES:
+        assert abs(got[v] - exp[v]) < 1e-9, v
+    # total mass conserved; hub 2 outranks the isolated node 8
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    assert got[2] > got[8]
+
+
+def test_pagerank_partition_invariance(ray_session):
+    a = _run(EDGES, NODES, parts=1, n_iter=5)
+    b = _run(EDGES, NODES, parts=7, n_iter=5)
+    for v in NODES:
+        assert abs(a[v] - b[v]) < 1e-12, v
+
+
+def test_pagerank_all_dangling(ray_session):
+    # no edges at all: every round redistributes uniformly -> uniform
+    got = _run([], [0, 1, 2, 3], n_iter=4)
+    for v in got.values():
+        assert abs(v - 0.25) < 1e-12
+
+
+def test_pagerank_validation(ray_session):
+    import pytest
+    import ray.data as rd
+    from mircv_ray.ops import pagerank
+    e = rd.from_items([{"src": 0, "dst": 1}])
+    v = rd.from_items([{"node": 0}, {"node": 1}])
+    with pytest.raises(ValueError):
+        pagerank(e, v, damping=1.0)
+    with pytest.raises(ValueError):
+        pagerank(e, v, n_iter=0)
