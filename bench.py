@@ -241,6 +241,13 @@ def run_bench() -> dict:
                             threshold=0.5).count()
     timings["dedup_minhash"] = time.time() - t0
 
+    # corpus-wide duplicate-line removal (count + rebuild passes)
+    from mircv_ray.ops import line_dedup
+    t0 = time.time()
+    line_dedup(docs.map_batches(add_id, batch_format="pyarrow"),
+               min_count=2).count()
+    timings["line_dedup"] = time.time() - t0
+
     # ANN brute-force cosine over embeddings.parquet
     from mircv_ray.ops import cosine_topk
     import pyarrow.parquet as pq
