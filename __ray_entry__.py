@@ -1678,6 +1678,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _sorted_table(out.map_batches(r8, batch_format="pyarrow"),
                              ["doc_id"])
 
+    def keywords_tfidf(sf_dir: str):
+        # per-doc top-5 TF-IDF keywords, ties by term asc; scores
+        # round 6 for the hash (ordering uses the unrounded doubles on
+        # both sides)
+        from mircv_ray.ops import tfidf_keywords
+        out = tfidf_keywords(_docs_ds(sf_dir), k=5)
+
+        def r6(b: pa.Table) -> pa.Table:
+            s = b["tfidf"].to_numpy()
+            return b.set_column(
+                b.schema.get_field_index("tfidf"), "tfidf",
+                pa.array(np.trunc(s * 1e6 + 0.5) / 1e6,
+                         type=pa.float64()))
+
+        return _sorted_table(out.map_batches(r6, batch_format="pyarrow"),
+                             ["doc_id", "rank"])
+
     def dataset_split(sf_dir: str):
         # deterministic map-only train/val/test split (knuth32 mode is
         # exactly SQL-mirrorable; crc32 mode is the general-id default)
@@ -2209,6 +2226,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "c4_clean": c4_clean,
         "cooccurrence": cooccurrence,
         "pagerank_docs": pagerank_docs,
+        "keywords_tfidf": keywords_tfidf,
         "dataset_split": dataset_split,
         "lm_logprob": lm_logprob,
         "bigram_lm": bigram_lm,
@@ -2954,6 +2972,25 @@ ORDER BY term_a, term_b
         # mass + damping formula in the engine's evaluation order;
         # ranks round 8 (float sum-order skew ~1e-16 vs a 1e-8 grid)
         "pagerank_docs": _pagerank_sql(),
+        # per-doc top-5 TF-IDF keywords: identical tf*log10(N/df)
+        # doubles order both sides; ties by term asc; scores round 6
+        "keywords_tfidf": f"""
+WITH d AS (SELECT doc_id, {_ALNUM_TOKS} AS toks FROM documents),
+tk AS (SELECT doc_id, unnest(toks) AS term FROM d),
+p AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tk GROUP BY 1, 2),
+f AS (SELECT term, count(*)::BIGINT AS df FROM p GROUP BY term),
+n AS (SELECT count(*)::BIGINT AS cnt FROM documents),
+s AS (SELECT p.doc_id, p.term,
+             p.tf * log10((SELECT cnt FROM n)::DOUBLE / f.df) AS score,
+             row_number() OVER (
+                 PARTITION BY p.doc_id
+                 ORDER BY p.tf * log10((SELECT cnt FROM n)::DOUBLE
+                                       / f.df) DESC,
+                          p.term ASC) AS rnk
+      FROM p JOIN f USING (term))
+SELECT doc_id, rnk::BIGINT AS rank, term, round(score, 6) AS tfidf
+FROM s WHERE rnk <= 5 ORDER BY doc_id, rank
+""",
         # knuth multiplicative hash: exact BIGINT arithmetic both sides
         "dataset_split": """
 WITH b AS (SELECT doc_id,

@@ -16,6 +16,7 @@ from .ngramrep import ngram_repetition_stats
 from .c4filter import c4_line_filter
 from .cooccur import cooccurrence_counts
 from .graph import pagerank
+from .keywords import tfidf_keywords
 from .dedup import connected_components, contamination_fuzzy, exact_dedup_keep, jaccard_simjoin_exact, minhash_signatures, minhash_candidate_pairs, simhash64, near_dup_pairs, ngram_jaccard_pairs, shingle_sets
 from .similarity import cosine_all_pairs, cosine_topk, ivf_build_centroids, ivf_cosine_topk, embedding_near_dup_pairs, pq_cosine_topk, pq_cosine_topk_rerank, pq_encode, pq_train
 from .clustering import kmeans_assign, kmeans_fit, semantic_dedup
@@ -66,4 +67,5 @@ __all__ = [
     "c4_line_filter",
     "cooccurrence_counts",
     "pagerank",
+    "tfidf_keywords",
 ]
