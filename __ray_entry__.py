@@ -1276,6 +1276,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from mircv_ray.ops import quality_stats as qs
         return _docs_ds(sf_dir).map_batches(qs, batch_format="pyarrow")
 
+    def char_entropy(sf_dir: str):
+        # per-doc character Shannon entropy (gibberish/boilerplate
+        # signal); DuckDB's entropy() aggregate is the same base-2
+        # definition, so this is value-exact at round-4
+        from mircv_ray.ops import char_entropy as ce
+        return _docs_ds(sf_dir).map_batches(ce, batch_format="pyarrow")
+
     def ann_cosine_topk(sf_dir: str):
         from mircv_ray.ops import cosine_topk
         emb = pq.read_table(f"{sf_dir}/embeddings.parquet",
@@ -2207,6 +2214,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": dedup_exact,
         "token_count": token_count,
         "quality_stats": quality_stats,
+        "char_entropy": char_entropy,
         "ann_cosine_topk": ann_cosine_topk,
         "ann_cosine_topk_ivf": ann_cosine_topk_ivf,
         "ann_cosine_topk_pq": ann_cosine_topk_pq,
@@ -2696,6 +2704,19 @@ SELECT doc_id,
        (length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')))::BIGINT AS n_upper,
        (length(text) - length(regexp_replace(text, ' ', '', 'g')))::BIGINT AS n_spaces
 FROM documents
+""",
+        "char_entropy": """
+WITH ch AS (
+  SELECT d.doc_id, t.c
+  FROM (SELECT doc_id, regexp_split_to_array(coalesce(text,''), '') AS cs
+        FROM documents) d, UNNEST(d.cs) AS t(c)
+  WHERE t.c <> ''),
+e AS (SELECT doc_id, count(*)::BIGINT AS n_chars, entropy(c) AS ent
+      FROM ch GROUP BY doc_id)
+SELECT d.doc_id, coalesce(e.n_chars, 0)::BIGINT AS n_chars,
+       round(coalesce(e.ent, 0.0), 4) AS char_entropy
+FROM documents d LEFT JOIN e USING (doc_id)
+ORDER BY doc_id
 """,
         "ann_cosine_topk": ann_sql,
         "ann_cosine_topk_ivf": ann_sql,

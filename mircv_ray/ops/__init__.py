@@ -5,10 +5,10 @@ fingerprints, verbatim-probe decontamination), and multimodal decode
 (real pure-NumPy PPM/PGM/BMP/PNG/WAV/RAWV codecs; JPEG/MP4 stubbed)."""
 
 from .textops import (
-    ContaminationCheck, basic_token_stats, contamination_check,
-    contamination_ngram, fingerprint, gopher_filter, lang_id,
-    pii_redact, quality_stats, repetition_stats, token_count,
-    unigram_logprob,
+    ContaminationCheck, basic_token_stats, char_entropy,
+    contamination_check, contamination_ngram, fingerprint,
+    gopher_filter, lang_id, pii_redact, quality_stats,
+    repetition_stats, token_count, unigram_logprob,
 )
 from .lm import bigram_logprob
 from .linededup import duplicate_line_stats, line_dedup
@@ -45,7 +45,7 @@ __all__ = [
     "ngram_jaccard_pairs", "shingle_sets", "embedding_near_dup_pairs",
     "jaccard_simjoin_exact", "cosine_all_pairs", "pii_redact",
     "repetition_stats", "connected_components", "source_quota_sample",
-    "hash_split", "unigram_logprob",
+    "hash_split", "unigram_logprob", "char_entropy",
     "ngram_window_rows", "shared_ngram_pairs",
     "exact_distinct_per_group", "hll_distinct_per_group",
     "asof_join_backward", "asof_join_backward_salted", "interval_join",

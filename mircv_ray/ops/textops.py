@@ -816,3 +816,45 @@ def gopher_filter(ds, id_col: str = "doc_id", text_col: str = "text",
         })
 
     return ds.map_batches(stats, batch_format="pyarrow")
+
+
+def char_entropy(batch: pa.Table, text_col: str = "text",
+                 id_col: str = "doc_id") -> pa.Table:
+    """Per-document Shannon entropy (base 2) over CHARACTERS — the
+    classic gibberish/boilerplate quality signal (low entropy = repeated
+    filler, near-random = binary junk); used as a cheap pre-filter in
+    web-scale cleaning stacks alongside the Gopher rules.
+
+    Vectorized: the batch's whole utf-8 values buffer decodes ONCE to a
+    uint32 codepoint array (no Python loop over rows); per-(doc, char)
+    counts come from one np.unique over a packed 64-bit key. NULL text
+    counts as empty (entropy 0.0), matching the SQL oracle's
+    coalesce(text, ''). Entropy rounds half-away-from-zero to 4
+    decimals (DuckDB round()) for oracle hash stability.
+    """
+    t = batch[text_col]
+    if isinstance(t, pa.ChunkedArray):
+        t = t.combine_chunks()
+    t = pc.fill_null(t, "")
+    n = len(t)
+    lens = pc.utf8_length(t).to_numpy(zero_copy_only=False).astype(np.int64)
+    from ..util import binary_column_values
+    raw = binary_column_values(t, np.uint8)
+    # concatenation of valid utf-8 strings is valid utf-8: one decode +
+    # one utf-32 encode turns the whole batch into codepoints
+    codes = np.frombuffer(raw.tobytes().decode("utf-8")
+                          .encode("utf-32-le"), dtype=np.uint32)
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+    # pack (doc, codepoint) into one sortable key: codepoints < 0x110000
+    key = doc_idx * 0x110000 + codes.astype(np.int64)
+    uq, cnt = np.unique(key, return_counts=True)
+    docs_of = uq // 0x110000
+    p = cnt / np.maximum(lens[docs_of], 1).astype(np.float64)
+    ent = np.zeros(n, dtype=np.float64)
+    np.add.at(ent, docs_of, -p * np.log2(p))
+    ent = np.trunc(ent * 1e4 + 0.5) / 1e4  # half-away-from-zero round 4
+    return pa.table({
+        id_col: batch[id_col],
+        "n_chars": pa.array(lens, type=pa.int64()),
+        "char_entropy": pa.array(ent, type=pa.float64()),
+    })

@@ -27,7 +27,7 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
 
-def main(sf_dir: str) -> int:
+def main(sf_dir: str, only: list[str] | None = None) -> int:
     import ray
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=8, include_dashboard=False,
@@ -46,6 +46,8 @@ def main(sf_dir: str) -> int:
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     failures = 0
+    if only:
+        qs = {k: v for k, v in qs.items() if k in only}
     for name, fn in qs.items():
         try:
             got = canon(to_pandas(fn(sf_dir)))
@@ -85,7 +87,7 @@ def main(sf_dir: str) -> int:
 
 if __name__ == "__main__":
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    rc = main(sf)
+    rc = main(sf, only=sys.argv[2:] or None)
     import ray
     ray.shutdown()
     sys.exit(1 if rc else 0)

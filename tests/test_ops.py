@@ -195,6 +195,29 @@ class TestTextOps:
         assert set(out.columns) >= {"doc_id", "lang_pred"}
         assert len(out) == 20
 
+    def test_char_entropy_brute_force(self, ray_session):
+        # character (not byte) semantics: multibyte, empty, null,
+        # single-char, long repeated — all against collections.Counter
+        import math
+        from collections import Counter
+        from mircv_ray.ops import char_entropy
+        texts = ["aabb", "", None, "héllo wörld", "aaaa",
+                 "the quick brown fox", "日本語テキスト日本", "ab" * 500]
+        tbl = pa.table({
+            "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+            "text": pa.array(texts, type=pa.string())})
+        out = rd.from_arrow(tbl).map_batches(
+            char_entropy, batch_format="pyarrow").to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        for i, s in enumerate(texts):
+            s = s or ""
+            c, n = Counter(s), len(s)
+            ent = (-sum((v / n) * math.log2(v / n) for v in c.values())
+                   if n else 0.0)
+            ent = math.trunc(ent * 1e4 + 0.5) / 1e4
+            assert out["n_chars"][i] == n
+            assert abs(out["char_entropy"][i] - ent) < 1e-12
+
 
 class TestContamination:
     def test_contamination_vs_brute_force(self, ray_session):
