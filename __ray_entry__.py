@@ -1713,6 +1713,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
                          hash_mode="knuth32")
         return _sorted_table(out, ["doc_id"])
 
+    def stratified_sample(sf_dir: str):
+        # deterministic per-lang bottom-20-by-hash sample (knuth32 mode
+        # is exactly SQL-mirrorable, like dataset_split)
+        from mircv_ray.ops import stratified_sample as strat
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "lang"])
+        return _sorted_table(strat(ds, "lang", 20, hash_mode="knuth32"),
+                             ["lang", "sample_rank"])
+
     def source_quota_salted(sf_dir: str):
         # the mega-source two-phase path must produce EXACTLY the
         # source_quota output — same oracle SQL
@@ -2236,6 +2245,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_docs": pagerank_docs,
         "keywords_tfidf": keywords_tfidf,
         "dataset_split": dataset_split,
+        "stratified_sample": stratified_sample,
         "lm_logprob": lm_logprob,
         "bigram_lm": bigram_lm,
         "gopher_quality": gopher_quality,
@@ -3022,6 +3032,18 @@ SELECT doc_id,
             WHEN bkt < 900000 THEN 'val'
             ELSE 'test' END AS split
 FROM b ORDER BY doc_id
+""",
+        "stratified_sample": """
+WITH h AS (SELECT doc_id, lang,
+                  (doc_id * 2654435761) % 4294967296 AS hv
+           FROM documents),
+r AS (SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY hv, doc_id) AS sample_rank
+      FROM h)
+SELECT doc_id, lang, sample_rank FROM r
+WHERE sample_rank <= 20
+ORDER BY lang, sample_rank
 """,
         # unigram LM over the corpus's own alnum tokens; per-doc float
         # sums round to 4 decimals on BOTH sides (engines associate

@@ -200,3 +200,74 @@ def hash_split(ds, id_col: str, fractions: dict[str, float],
         return batch.append_column("split", split)
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def stratified_sample(ds, group_col: str, n_per_group: int,
+                      id_col: str = "doc_id", hash_mode: str = "knuth32",
+                      salt: int = 0):
+    """Deterministic stratified sampling: the ``n_per_group`` rows of
+    each group with the smallest (hash(id), id) — a uniform
+    without-replacement sample per stratum that is a pure function of
+    the ids (no RNG state; resume / backfill / any partitioning
+    re-derives the identical sample, the property a 100-TB sampling
+    pass needs). ``salt`` re-draws the sample.
+
+    Shape: map-side lossless pre-top-k — each batch keeps at most
+    ``n_per_group`` rows per group (the global bottom-n by hash is a
+    subset of the union of per-batch bottom-ns), so only <= n rows per
+    (group, batch) enter the single ``group_col`` exchange; the final
+    per-group merge re-applies the same bottom-n rule. Content columns
+    never shuffle — sample ids join back to content map-side if needed.
+
+    Returns (id_col, group_col, sample_rank) with rank 1..n in hash
+    order. ``hash_mode`` as in :func:`hash_split` ("knuth32" is
+    SQL-mirrorable; "crc32" for general string ids).
+    """
+    if n_per_group <= 0:
+        raise ValueError("n_per_group must be positive")
+    if hash_mode not in ("crc32", "knuth32"):
+        raise ValueError(f"unknown hash_mode {hash_mode!r}")
+
+    def row_hash(ids: pa.ChunkedArray | pa.Array) -> np.ndarray:
+        if hash_mode == "knuth32":
+            v = ids.to_numpy(zero_copy_only=False).astype(np.uint64)
+            return (((v + np.uint64(salt)) * np.uint64(2654435761))
+                    % np.uint64(2**32)).astype(np.int64)
+        from ..util import crc32_column
+        return crc32_column(pc.cast(ids, pa.string()),
+                            seed=salt).astype(np.int64)
+
+    def bottom_n(tbl: pa.Table, with_rank: bool) -> pa.Table:
+        ids = tbl[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        h = row_hash(ids)
+        idv = ids.to_numpy(zero_copy_only=False)
+        grp = tbl[group_col]
+        if isinstance(grp, pa.ChunkedArray):
+            grp = grp.combine_chunks()
+        codes = grp.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((idv, h, codes))
+        gc = codes[order]
+        # rank within each group run (runs are contiguous after lexsort)
+        starts = np.flatnonzero(np.concatenate([[True], gc[1:] != gc[:-1]]))
+        pos = np.arange(len(gc)) - np.repeat(starts, np.diff(
+            np.concatenate([starts, [len(gc)]])))
+        keep = order[pos < n_per_group]
+        out = pa.table({id_col: ids.take(pa.array(keep)),
+                        group_col: grp.take(pa.array(keep))})
+        if with_rank:
+            out = out.append_column(
+                "sample_rank",
+                pa.array(pos[pos < n_per_group] + 1, type=pa.int64()))
+        return out
+
+    pre = ds.map_batches(lambda b: bottom_n(b, False),
+                         batch_format="pyarrow")
+    return pre.groupby(group_col).map_groups(
+        lambda g: bottom_n(g, True) if g.num_rows else pa.table(
+            {id_col: pa.array([], type=pa.int64()),
+             group_col: pa.array([], type=pa.string()),
+             "sample_rank": pa.array([], type=pa.int64())}),
+        batch_format="pyarrow")

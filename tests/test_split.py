@@ -73,3 +73,67 @@ class TestHashSplit:
         with pytest.raises(ValueError, match="hash_mode"):
             hash_split(rd.from_arrow(_ids(10)), "doc_id",
                        {"a": 1.0}, hash_mode="md5")
+
+
+class TestStratifiedSample:
+    def _tbl(self, n=3000, seed=1):
+        rng = np.random.default_rng(seed)
+        return pa.table({
+            "doc_id": pa.array(np.arange(n), type=pa.int64()),
+            "lang": pa.array(rng.choice(["en", "fr", "de"], n).tolist()),
+        })
+
+    def _brute(self, tbl, k):
+        df = tbl.to_pandas()
+        df["h"] = (df.doc_id.astype(np.uint64) * np.uint64(2654435761)) \
+            % np.uint64(2**32)
+        return (df.sort_values(["lang", "h", "doc_id"])
+                .groupby("lang").head(k)
+                .sort_values(["lang", "h", "doc_id"])
+                .reset_index(drop=True))
+
+    @pytest.mark.parametrize("parts", [1, 7])
+    def test_matches_brute_force_any_partitioning(self, ray_session, parts):
+        import ray.data as rd
+        from mircv_ray.ops import stratified_sample
+        tbl = self._tbl()
+        out = (stratified_sample(rd.from_arrow(tbl).repartition(parts),
+                                 "lang", 5).to_pandas()
+               .sort_values(["lang", "sample_rank"]).reset_index(drop=True))
+        exp = self._brute(tbl, 5)
+        assert list(out.doc_id) == list(exp.doc_id)
+        assert list(out.sample_rank) == [1, 2, 3, 4, 5] * 3
+
+    def test_small_group_keeps_all(self, ray_session):
+        import ray.data as rd
+        from mircv_ray.ops import stratified_sample
+        tbl = pa.table({"doc_id": pa.array([1, 2, 3, 10], type=pa.int64()),
+                        "lang": pa.array(["en", "en", "en", "fr"])})
+        out = (stratified_sample(rd.from_arrow(tbl), "lang", 10)
+               .to_pandas().sort_values(["lang", "sample_rank"]))
+        assert len(out) == 4
+        assert list(out[out.lang == "en"].sample_rank) == [1, 2, 3]
+        assert list(out[out.lang == "fr"].sample_rank) == [1]
+
+    def test_salt_redraws(self, ray_session):
+        import ray.data as rd
+        from mircv_ray.ops import stratified_sample
+        tbl = self._tbl()
+        a = stratified_sample(rd.from_arrow(tbl), "lang", 5,
+                              salt=0).to_pandas()
+        b = stratified_sample(rd.from_arrow(tbl), "lang", 5,
+                              salt=99).to_pandas()
+        assert set(a.doc_id) != set(b.doc_id)
+
+    def test_crc32_mode_and_validation(self, ray_session):
+        import ray.data as rd
+        from mircv_ray.ops import stratified_sample
+        tbl = self._tbl(500)
+        out = stratified_sample(rd.from_arrow(tbl), "lang", 3,
+                                hash_mode="crc32").to_pandas()
+        assert len(out) == 9
+        with pytest.raises(ValueError):
+            stratified_sample(rd.from_arrow(tbl), "lang", 0)
+        with pytest.raises(ValueError):
+            stratified_sample(rd.from_arrow(tbl), "lang", 3,
+                              hash_mode="nope")
