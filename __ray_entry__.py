@@ -1713,6 +1713,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
                          hash_mode="knuth32")
         return _sorted_table(out, ["doc_id"])
 
+    def alpha_mix_weights(sf_dir: str):
+        # temperature-scaled per-source sampling weights (alpha=0.3)
+        from mircv_ray.ops import alpha_mix_weights as amw
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                             columns=["source", "text"])
+        return _sorted_table(amw(ds, alpha=0.3), ["source"])
+
     def stratified_sample(sf_dir: str):
         # deterministic per-lang bottom-20-by-hash sample (knuth32 mode
         # is exactly SQL-mirrorable, like dataset_split)
@@ -2246,6 +2253,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "keywords_tfidf": keywords_tfidf,
         "dataset_split": dataset_split,
         "stratified_sample": stratified_sample,
+        "alpha_mix_weights": alpha_mix_weights,
         "lm_logprob": lm_logprob,
         "bigram_lm": bigram_lm,
         "gopher_quality": gopher_quality,
@@ -3032,6 +3040,20 @@ SELECT doc_id,
             WHEN bkt < 900000 THEN 'val'
             ELSE 'test' END AS split
 FROM b ORDER BY doc_id
+""",
+        "alpha_mix_weights": f"""
+WITH c AS (SELECT source,
+                  sum(len(regexp_extract_all(text,
+                      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')))::BIGINT
+                    AS n_tokens
+           FROM documents GROUP BY source),
+tot AS (SELECT sum(n_tokens)::DOUBLE AS t FROM c),
+w AS (SELECT source, n_tokens, n_tokens / tot.t AS share,
+             pow(n_tokens / tot.t, 0.3) AS pw
+      FROM c, tot)
+SELECT source, n_tokens, round(share, 6) AS share,
+       round(pw / sum(pw) OVER (), 6) AS weight
+FROM w ORDER BY source
 """,
         "stratified_sample": """
 WITH h AS (SELECT doc_id, lang,

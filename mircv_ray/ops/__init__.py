@@ -24,7 +24,7 @@ from .fusion import rrf_fuse
 from .packing import greedy_pack, pack_sequences
 from .collocations import pmi_collocations
 from .multimodal import DecodeImage, SampleFrames, make_media_table
-from .sampling import hash_split, source_quota_sample, stratified_sample
+from .sampling import alpha_mix_weights, hash_split, source_quota_sample, stratified_sample
 from .sketches import (bloom_build, bloom_params, bloom_probe, bloom_test,
                        cm_build, cm_query, exact_distinct_per_group,
                        hll_distinct_per_group, mg_heavy_hitters)
@@ -45,7 +45,7 @@ __all__ = [
     "ngram_jaccard_pairs", "shingle_sets", "embedding_near_dup_pairs",
     "jaccard_simjoin_exact", "cosine_all_pairs", "pii_redact",
     "repetition_stats", "connected_components", "source_quota_sample",
-    "hash_split", "stratified_sample", "unigram_logprob", "char_entropy",
+    "hash_split", "stratified_sample", "alpha_mix_weights", "unigram_logprob", "char_entropy",
     "ngram_window_rows", "shared_ngram_pairs",
     "exact_distinct_per_group", "hll_distinct_per_group",
     "asof_join_backward", "asof_join_backward_salted", "interval_join",

@@ -271,3 +271,63 @@ def stratified_sample(ds, group_col: str, n_per_group: int,
              group_col: pa.array([], type=pa.string()),
              "sample_rank": pa.array([], type=pa.int64())}),
         batch_format="pyarrow")
+
+
+def alpha_mix_weights(ds, alpha: float = 0.3, source_col: str = "source",
+                      text_col: str = "text"):
+    """Temperature-scaled mixture weights over sources/languages — the
+    multilingual alpha-sampling rule (mBERT/XLM/mC4: sample source g
+    with probability share_g^alpha, renormalized), used to up-weight
+    low-resource strata when composing a training mix.
+
+    Returns one row per source: (source, n_tokens, share, weight),
+    share = n_tokens / total, weight = share^alpha / sum(share^alpha),
+    both rounded to 6 decimals for oracle hash stability.
+
+    Shape: one vectorized token-count scan with per-batch map-side
+    combine (only (source, partial_sum) rows enter the exchange), one
+    tiny source groupby, then one constant-key group task over the
+    source-count rows (group-count-sized, never content-sized) does the
+    normalization.
+    """
+    if alpha <= 0:
+        raise ValueError("alpha must be positive")
+
+    def count(batch: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(batch[text_col], TOKEN_COUNT_RE)
+        n = n.combine_chunks() if isinstance(n, pa.ChunkedArray) else n
+        part = pa.table({source_col: batch[source_col],
+                         "n": n.cast(pa.int64())}) \
+            .group_by(source_col).aggregate([("n", "sum")])
+        return pa.table({source_col: part[source_col],
+                         "n_tokens": part["n_sum"]})
+
+    from ray.data.aggregate import Sum
+    sums = (ds.map_batches(count, batch_format="pyarrow")
+            .groupby(source_col)
+            .aggregate(Sum("n_tokens", alias_name="n_tokens")))
+
+    def normalize(group: pa.Table) -> pa.Table:
+        cols = [source_col, "n_tokens"]
+        if group.num_rows == 0 or group.num_columns == 0:
+            return pa.table({source_col: pa.array([], type=pa.string()),
+                             "n_tokens": pa.array([], type=pa.int64()),
+                             "share": pa.array([], type=pa.float64()),
+                             "weight": pa.array([], type=pa.float64())})
+        g = group.select(cols)
+        n = g["n_tokens"].to_numpy().astype(np.float64)
+        share = n / n.sum()
+        pw = np.power(share, alpha)
+        w = pw / pw.sum()
+        r6 = lambda x: np.trunc(x * 1e6 + 0.5) / 1e6
+        return pa.table({source_col: g[source_col],
+                         "n_tokens": g["n_tokens"],
+                         "share": pa.array(r6(share)),
+                         "weight": pa.array(r6(w))})
+
+    def tag_all(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__all", pa.array(np.zeros(batch.num_rows, np.int8)))
+
+    return (sums.map_batches(tag_all, batch_format="pyarrow")
+            .groupby("__all").map_groups(normalize, batch_format="pyarrow"))

@@ -137,3 +137,52 @@ class TestStratifiedSample:
         with pytest.raises(ValueError):
             stratified_sample(rd.from_arrow(tbl), "lang", 3,
                               hash_mode="nope")
+
+
+class TestAlphaMixWeights:
+    def _docs(self):
+        rng = np.random.default_rng(7)
+        srcs, texts = [], []
+        for src, n, words in [("web", 200, 40), ("wiki", 50, 30),
+                              ("code", 10, 25)]:
+            for i in range(n):
+                srcs.append(src)
+                texts.append(" ".join(
+                    f"w{rng.integers(0, 99)}" for _ in range(words)))
+        return pa.table({"source": pa.array(srcs), "text": pa.array(texts)})
+
+    def test_matches_numpy_reference(self, ray_session):
+        import ray.data as rd
+        from mircv_ray.ops import alpha_mix_weights
+        tbl = self._docs()
+        out = (alpha_mix_weights(rd.from_arrow(tbl).repartition(4),
+                                 alpha=0.3)
+               .to_pandas().sort_values("source").reset_index(drop=True))
+        # brute-force reference with the same token regex
+        import re
+        rx = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
+        counts = {}
+        for s, t in zip(tbl["source"].to_pylist(), tbl["text"].to_pylist()):
+            counts[s] = counts.get(s, 0) + len(rx.findall(t))
+        srcs = sorted(counts)
+        n = np.array([counts[s] for s in srcs], dtype=np.float64)
+        share = n / n.sum()
+        pw = share ** 0.3
+        w = pw / pw.sum()
+        assert list(out.source) == srcs
+        assert list(out.n_tokens) == [counts[s] for s in srcs]
+        np.testing.assert_allclose(out.share, np.round(share, 6), atol=1e-6)
+        np.testing.assert_allclose(out.weight, np.round(w, 6), atol=1e-6)
+        # alpha<1 up-weights the low-resource stratum
+        lo = srcs[int(np.argmin(n))]
+        row = out[out.source == lo].iloc[0]
+        assert row.weight > row.share
+
+    def test_alpha_one_is_identity_and_validation(self, ray_session):
+        import ray.data as rd
+        from mircv_ray.ops import alpha_mix_weights
+        tbl = self._docs()
+        out = alpha_mix_weights(rd.from_arrow(tbl), alpha=1.0).to_pandas()
+        np.testing.assert_allclose(out.share, out.weight, atol=2e-6)
+        with pytest.raises(ValueError):
+            alpha_mix_weights(rd.from_arrow(tbl), alpha=0)
