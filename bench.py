@@ -131,8 +131,14 @@ def run_bench() -> dict:
     # produce the same artifact
     # MIRCV_EXCHANGE A/Bs the postings exchange ("mr" = fused direct
     # map/reduce, the round-4 scaling fix; "groupby" = Ray sort shuffle)
+    # salt_buckets=8 (was 4): the hot term-hash key's build was the
+    # 32-cpu reduce-phase straggler (2.7 s task vs 0.15 s p50 on run 37's
+    # box; salt A/B: max task 6.7-7.3 s at salt=4 vs 0.45-1.7 s at
+    # salt=8). Finer salt splits a mega term's postings by docId range;
+    # the exchange's key->bin packing keeps the task/fetch count flat.
     cfg = IndexConfig(parse=True, codec="vbyte", num_shards=64,
-                      salt_buckets=4,
+                      salt_buckets=int(os.environ.get(
+                          "MIRCV_SALT_BUCKETS", "8")),
                       exchange=os.environ.get("MIRCV_EXCHANGE", "mr"))
     # Build twice, report the BEST run (min wall): steady-state
     # throughput (warm worker pool, warm page cache) is the quantity a

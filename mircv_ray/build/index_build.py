@@ -900,11 +900,19 @@ def _mr2_map(chunks, batch_rows: int, mapping_box, num_shards: int,
                       for k, t in _POSTS_EMPTY_COLS.items()})
     if not chunks_out:
         return tuple(empty for _ in range(n_buckets)) + \
-            ({"busy_s": time.time() - t0},)
+            ({"busy_s": time.time() - t0,
+              "key_postings": np.zeros(num_parts, dtype=np.int64)},)
     posts = (chunks_out[0] if len(chunks_out) == 1
              else pa.concat_tables(chunks_out).combine_chunks())
     pkey = (posts["shard"].to_numpy() * salt_buckets +
             posts["seg"].to_numpy()).astype(np.int64)
+    # per-key posting counts (sum of run lengths): the driver sums these
+    # across maps to order the reduces longest-first (LPT) — a hot
+    # term-hash key's build otherwise lands late in the wave and sets
+    # the stage wall by itself at high cpu counts
+    key_postings = np.bincount(
+        pkey, weights=posts["n"].to_numpy().astype(np.float64),
+        minlength=num_parts).astype(np.int64)
     bkt = _mr2_bucket_of(pkey, n_buckets)
     # ONE composite sort over the whole map output: grouped by bucket
     # for the return split AND key-sorted within each bucket — the
@@ -916,7 +924,7 @@ def _mr2_map(chunks, batch_rows: int, mapping_box, num_shards: int,
     return tuple(
         posts.slice(int(s), int(e - s)) if e > s else empty
         for s, e in zip(bounds[:-1], bounds[1:])) + \
-        ({"busy_s": time.time() - t0},)
+        ({"busy_s": time.time() - t0, "key_postings": key_postings},)
 
 
 @ray.remote
@@ -932,11 +940,19 @@ def _mr2_reduce(build_fn, out_dir: str, salt_buckets: int, keys,
     driver) and cost seconds of serial submit. The task is only
     submitted after every map completed (ray.wait in the driver), so
     the ray.get here never blocks a CPU slot waiting on upstream."""
+    import os
+    # cold-worker audit: a reduce landing on a process that has not run
+    # one before pays numpy/pyarrow page-in + allocator warmup that
+    # busy-ratio contention does NOT explain; the driver sums cold vs
+    # warm busy so the scaling analysis can attribute it
+    cold = not _worker_cache.get("_mr2_reduce_warm", False)
+    _worker_cache["_mr2_reduce_warm"] = True
     t_f0 = time.time()
     parts = [t for t in ray.get(list(part_refs)) if t.num_rows]
     fetch_s = time.time() - t_f0
     if not parts:
-        return [{"rows": 0, "sec": 0.0, "fetch_s": fetch_s}
+        return [{"rows": 0, "sec": 0.0, "fetch_s": fetch_s,
+                 "pid": os.getpid(), "cold": cold}
                 for _ in keys]
     pkeys = [(t["shard"].to_numpy() * salt_buckets +
               t["seg"].to_numpy()).astype(np.int64) for t in parts]
@@ -950,7 +966,13 @@ def _mr2_reduce(build_fn, out_dir: str, salt_buckets: int, keys,
                 slices.append(t.slice(int(lo), int(hi - lo)))
         r = _reduce_build_write(build_fn, out_dir, shard, seg, slices)
         r["fetch_s"] = fetch_s
+        r["pid"] = os.getpid()
+        r["cold"] = cold
+        cold = False
         out.append(r)
+    task_sec = fetch_s + sum(r["sec"] for r in out)
+    for r in out:
+        r["task_sec"] = task_sec
     return out
 
 
@@ -1035,24 +1057,74 @@ def _mr2_exchange_build(tok_ds, mapping_ref, build_fn, out_dir: str,
     # reduces — ref serialization stays maps x buckets, not maps x keys
     bucket_blob = {b: ray.put([m[b] for m in map_refs])
                    for b in keys_by_bucket}
-    tasks = [(b, key) for b, keys in sorted(keys_by_bucket.items())
-             for key in keys]
+    # LPT: submit the heaviest keys FIRST. The maps report exact per-key
+    # posting counts, so the hot term-hash key (9x the p50 at sf0.1)
+    # starts at t=0 instead of landing in the last wave and setting the
+    # stage wall by itself — the round-3 audit's single biggest
+    # reduce-phase loss at 32 cpus.
+    key_load = np.zeros(num_parts, dtype=np.int64)
+    for s in map_stats:
+        kp = s.get("key_postings")
+        if kp is not None:
+            key_load += kp
+    # Pack each bucket's keys into ~TARGET balanced bins (first-fit
+    # decreasing, cap = per-bin fair share): finer salting splits a
+    # mega-term's postings across more (shard, seg) keys — the straggler
+    # fix — but per-KEY tasks would then re-fetch every bucket's ref
+    # list once per key (fetch count = num_parts x n_maps). Binning
+    # keeps task count ~constant as salt_buckets grows, so the fetch
+    # bill stays flat while the LARGEST task keeps shrinking. The rule
+    # depends only on the data (loads) and cfg, never on cluster size:
+    # the scaling audit requires the identical physical plan at N and
+    # 4N cpus.
+    target_tasks = max(256, num_parts // 4)
+    fair = max(1, int(sum(int(key_load[s * cfg.salt_buckets + g])
+                          for _, ks in keys_by_bucket.items()
+                          for s, g in ks) // target_tasks))
+    tasks = []  # (bucket, [keys], bin_load)
+    for b, ks in keys_by_bucket.items():
+        loaded = sorted(((int(key_load[s * cfg.salt_buckets + g]), (s, g))
+                         for s, g in ks), reverse=True)
+        bins: list = []  # [load, [keys]]
+        for ld, key in loaded:
+            for bin_ in bins:
+                if bin_[0] + ld <= fair:
+                    bin_[0] += ld
+                    bin_[1].append(key)
+                    break
+            else:
+                bins.append([ld, [key]])
+        tasks.extend((b, bin_[1], bin_[0]) for bin_ in bins)
+    # LPT: heaviest bins first, so the residual largest task starts at
+    # t=0 instead of landing in the last wave and setting the stage wall
+    tasks.sort(key=lambda t: -t[2])
+    # build_fn ships once through the object store instead of being
+    # pickled into all ~num_parts task specs (top-level ref args are
+    # resolved by Ray before the task runs)
+    build_fn_ref = ray.put(build_fn)
     # sliding-window submission (~2x cpus in flight): dumping all
     # reduces at once made their brief arg-fetch ray.get()s release CPU
     # slots, cascading Ray into spawning waves of FRESH worker
     # processes — each paying build_fn's first-call warmup (measured a
-    # 16 s single-key reduce during a host-memory wave vs ~0.1 s warm)
+    # 16 s single-key reduce during a host-memory wave vs ~0.1 s warm).
+    # The window advances in CHUNKS with the result fetch deferred to
+    # the end: the old wait(1)+get-per-completion loop serialized
+    # ~2 x num_parts driver RPCs into the reduce wall (1-2 s at every
+    # cpu level, ~40% of the phase at 32 cpus).
     window = 2 * int(ray.cluster_resources().get("CPU", 32))
+    chunk = max(1, window // 8)
     pending: list = []
-    res: list = []
-    for b, key in tasks:
+    out_refs: list = []
+    for b, keys, _load in tasks:
         if len(pending) >= window:
-            done, pending = ray.wait(pending, num_returns=1)
-            res.extend(r for sub in ray.get(done) for r in sub)
-        pending.append(_mr2_reduce.remote(
-            build_fn, out_dir, cfg.salt_buckets, [key], bucket_blob[b]))
+            _, pending = ray.wait(pending, num_returns=chunk)
+        r = _mr2_reduce.remote(
+            build_fn_ref, out_dir, cfg.salt_buckets, keys,
+            bucket_blob[b])
+        pending.append(r)
+        out_refs.append(r)
     t_submit = time.time()
-    res.extend(r for sub in ray.get(pending) for r in sub)
+    res = [r for sub in ray.get(out_refs) for r in sub]
     t_done = time.time()
     secs = sorted(r["sec"] for r in res)
     worst = max(res, key=lambda r: r["sec"])
@@ -1070,10 +1142,21 @@ def _mr2_exchange_build(tok_ds, mapping_ref, build_fn, out_dir: str,
         "reduce_busy_s": round(sum(secs), 3),
         "reduce_max_s": round(secs[-1], 3),
         "reduce_p50_s": round(secs[len(secs) // 2], 3),
+        # whole-TASK wall skew (a task = one bin of co-bucket keys):
+        # the quantity that actually bounds the reduce phase
+        "task_max_s": round(max(r.get("task_sec", r["sec"])
+                                for r in res), 3),
         "reduce_worst": {k: worst.get(k) for k in
                          ("sec", "fetch_s", "concat_s", "build_s",
-                          "write_s", "rows")},
+                          "write_s", "rows", "cold")},
         "fetch_busy_s": round(sum(r.get("fetch_s", 0.0) for r in res), 3),
+        # cold-vs-warm attribution: busy seconds spent in reduces that
+        # were a worker process's FIRST (allocator/page-in warmup the
+        # contention probe can't see) and the distinct worker count
+        "reduce_cold_n": sum(1 for r in res if r.get("cold")),
+        "reduce_cold_busy_s": round(
+            sum(r["sec"] for r in res if r.get("cold")), 3),
+        "reduce_workers": len({r.get("pid") for r in res}),
     }
 
 
