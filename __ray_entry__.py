@@ -935,6 +935,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         idx = _basic_index(sf_dir)
         return dump_postings(idx, docno_offset=-1)
 
+    def champion_lists(sf_dir: str):
+        # per-term top-3 postings by (tf desc, doc_id) — the inexact
+        # top-k "fancy list" structure (IIR Sec 7.1.3); lossless
+        # per-batch pre-top-m, slim final groupby
+        from mircv_ray.query.champions import champion_lists as champs
+        idx = _basic_index(sf_dir)
+        return _sorted_table(champs(idx, m=3, docno_offset=-1),
+                             ["term", "doc_id"])
+
     def merge_postings(sf_dir: str):
         # incremental index: base half + delta half, merged — must equal
         # the full-corpus postings (same oracle SQL as `postings`)
@@ -1282,6 +1291,93 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # definition, so this is value-exact at round-4
         from mircv_ray.ops import char_entropy as ce
         return _docs_ds(sf_dir).map_batches(ce, batch_format="pyarrow")
+
+    def dsir_weights_exact(sf_dir: str):
+        # DSIR importance weights (arXiv:2302.03169) toward lang='en',
+        # UNHASHED feature space — the exact twin, SQL-mirrorable
+        from mircv_ray.ops import dsir_weights
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "lang", "text"])
+        return _sorted_table(
+            dsir_weights(ds, "lang", "en"), ["doc_id"])
+
+    def dsir_weights_hashed(sf_dir: str):
+        # the paper's production shape: crc32-hashed feature buckets
+        # bound the model at `buckets` floats regardless of corpus
+        # size. Bucketing is not SQL-expressible (no crc32 in DuckDB)
+        # -> rows-only, but SELF-VALIDATING in-entry: the hashed
+        # weights must rank-correlate with the exact twin (hash
+        # collisions only blur, never invert, a clear en/non-en split)
+        from mircv_ray.ops import dsir_weights
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "lang", "text"])
+        hashed = _sorted_table(
+            dsir_weights(ds, "lang", "en", buckets=4096), ["doc_id"])
+        exact = _sorted_table(
+            dsir_weights(ds, "lang", "en"), ["doc_id"])
+        import numpy as np
+        a = np.asarray(hashed["log_weight"].to_pylist())
+        b = np.asarray(exact["log_weight"].to_pylist())
+        if len(a) > 2 and float(np.std(a)) > 0 and float(np.std(b)) > 0:
+            ra = np.argsort(np.argsort(a)).astype(np.float64)
+            rb = np.argsort(np.argsort(b)).astype(np.float64)
+            rho = float(np.corrcoef(ra, rb)[0, 1])
+            if rho < 0.9:
+                raise AssertionError(
+                    f"hashed-DSIR rank correlation {rho:.3f} < 0.9 "
+                    "vs the exact feature space")
+        return hashed
+
+    def quality_deciles(sf_dir: str):
+        # entropy-ranked decile bucketing (the CCNet perplexity-bucket
+        # shape with the n=0 score): exact global ntile via range-
+        # partitioned sort + metadata-sized block offsets
+        from mircv_ray.ops import char_entropy as ce
+        from mircv_ray.ops import global_ntile
+        scored = _docs_ds(sf_dir).map_batches(ce, batch_format="pyarrow") \
+            .select_columns(["doc_id", "char_entropy"])
+        out = global_ntile(scored, ["char_entropy", "doc_id"], 10,
+                           out_col="decile")
+        return _sorted_table(out, ["doc_id"])
+
+    def knn_graph_exact(sf_dir: str):
+        # exact cosine kNN graph (tiled block-nested-loop, per-tile
+        # partial top-k both directions, per-src merge) — the ground
+        # truth the LSH graph is recall-validated against
+        from mircv_ray.ops import knn_graph
+        ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+        out = knn_graph(ds, k=5)
+        out = out.map_batches(lambda b: _round6(b, "cosine"),
+                              batch_format="pyarrow")
+        return _sorted_table(out, ["src", "dst"])
+
+    def knn_graph_approx(sf_dir: str):
+        # LSH-bucketed kNN graph (the 10^12-row path: only same-band
+        # pairs are scored). Approximate by construction -> rows-only at
+        # the driver, but SELF-VALIDATING in-entry: edge recall vs the
+        # exact graph is asserted, and every emitted cosine is exact
+        from mircv_ray.ops import knn_graph, knn_graph_lsh
+        ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+        approx = _sorted_table(
+            knn_graph_lsh(ds, k=5, bands=16).map_batches(
+                lambda b: _round6(b, "cosine"), batch_format="pyarrow"),
+            ["src", "dst"])
+        exact = _sorted_table(
+            knn_graph(ds, k=5).map_batches(
+                lambda b: _round6(b, "cosine"), batch_format="pyarrow"),
+            ["src", "dst"])
+        def edge_set(t):
+            return set(zip(t["src"].to_pylist(), t["dst"].to_pylist()))
+        want, have = edge_set(exact), edge_set(approx)
+        recall = len(want & have) / max(len(want), 1)
+        if recall < 0.35:
+            raise AssertionError(
+                f"LSH kNN edge recall {recall:.2f} < 0.35 vs exact "
+                "(iid-random embeddings are the LSH worst case; real "
+                "clustered corpora sit far higher)")
+        return approx
 
     def ann_cosine_topk(sf_dir: str):
         from mircv_ray.ops import cosine_topk
@@ -2205,6 +2301,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lexicon": lexicon,
         "top_terms": top_terms,
         "postings": postings,
+        "champion_lists": champion_lists,
         "merge_postings": merge_postings,
         "delete_postings": delete_postings,
         "vacuum_postings": vacuum_postings,
@@ -2231,6 +2328,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count": token_count,
         "quality_stats": quality_stats,
         "char_entropy": char_entropy,
+        "quality_deciles": quality_deciles,
+        "dsir_weights_exact": dsir_weights_exact,
+        "dsir_weights_hashed": dsir_weights_hashed,
+        "knn_graph_exact": knn_graph_exact,
+        "knn_graph_approx": knn_graph_approx,
         "ann_cosine_topk": ann_cosine_topk,
         "ann_cosine_topk_ivf": ann_cosine_topk_ivf,
         "ann_cosine_topk_pq": ann_cosine_topk_pq,
@@ -2648,6 +2750,15 @@ SELECT term, df FROM df ORDER BY df DESC, term LIMIT 50
 WITH {_TOKS_CTE}
 SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY term, doc_id
 """,
+        "champion_lists": f"""
+WITH {_TOKS_CTE},
+p AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY term, doc_id),
+r AS (SELECT term, doc_id, tf,
+             row_number() OVER (PARTITION BY term
+                                ORDER BY tf DESC, doc_id) AS rn
+      FROM p)
+SELECT term, doc_id, tf FROM r WHERE rn <= 3 ORDER BY term, doc_id
+""",
         # incremental merge must reproduce the full-corpus postings
         "merge_postings": f"""
 WITH {_TOKS_CTE}
@@ -2735,6 +2846,62 @@ SELECT d.doc_id, coalesce(e.n_chars, 0)::BIGINT AS n_chars,
        round(coalesce(e.ent, 0.0), 4) AS char_entropy
 FROM documents d LEFT JOIN e USING (doc_id)
 ORDER BY doc_id
+""",
+        # DSIR log-likelihood-ratio weights, unhashed unigram features:
+        # add-one-smoothed token models target (lang='en') vs raw, per-doc
+        # sum of per-token log10 ratios, round-4 (float sums associate
+        # differently across engines)
+        "dsir_weights_exact": f"""
+WITH tk AS (
+  SELECT d.doc_id, d.lang, t.term FROM (
+    SELECT doc_id, lang, {_ALNUM_TOKS} AS toks FROM documents) d,
+  UNNEST(d.toks) AS t(term)),
+f AS (SELECT term, count(*)::BIGINT AS c_all,
+             sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS c_tgt
+      FROM tk GROUP BY term),
+g AS (SELECT (SELECT count(*) FROM f)::DOUBLE AS v,
+             (SELECT sum(c_all) FROM f)::DOUBLE AS n_all,
+             (SELECT sum(c_tgt) FROM f)::DOUBLE AS n_tgt),
+r AS (SELECT term,
+             log10(c_tgt + 1.0) - log10(n_tgt + v)
+           - log10(c_all + 1.0) + log10(n_all + v) AS lr
+      FROM f, g),
+s AS (SELECT tk.doc_id, sum(r.lr) AS w, count(*)::BIGINT AS n_tokens
+      FROM tk JOIN r USING (term) GROUP BY tk.doc_id)
+SELECT d.doc_id, coalesce(s.n_tokens, 0)::BIGINT AS n_tokens,
+       round(coalesce(s.w, 0.0), 4) AS log_weight
+FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+ORDER BY d.doc_id
+""",
+        # same entropy expression, then SQL ntile over (score, doc_id) —
+        # the Ray side stamps the closed-form ntile of the exact global
+        # rank after a range-partitioned sort
+        "quality_deciles": """
+WITH ch AS (
+  SELECT d.doc_id, t.c
+  FROM (SELECT doc_id, regexp_split_to_array(coalesce(text,''), '') AS cs
+        FROM documents) d, UNNEST(d.cs) AS t(c)
+  WHERE t.c <> ''),
+e AS (SELECT doc_id, entropy(c) AS ent FROM ch GROUP BY doc_id),
+s AS (SELECT d.doc_id,
+             round(coalesce(e.ent, 0.0), 4) AS char_entropy
+      FROM documents d LEFT JOIN e USING (doc_id))
+SELECT doc_id, char_entropy,
+       ntile(10) OVER (ORDER BY char_entropy, doc_id)::BIGINT AS decile
+FROM s ORDER BY doc_id
+""",
+        "knn_graph_exact": """
+WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+           FROM embeddings),
+s AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+             list_cosine_similarity(a.e, b.e) AS cos
+      FROM n a JOIN n b ON a.vec_id <> b.vec_id),
+r AS (SELECT src, dst, cos,
+             row_number() OVER (PARTITION BY src
+                                ORDER BY cos DESC, dst) AS rn
+      FROM s)
+SELECT src, dst, round(cos, 6) AS cosine
+FROM r WHERE rn <= 5 ORDER BY src, dst
 """,
         "ann_cosine_topk": ann_sql,
         "ann_cosine_topk_ivf": ann_sql,

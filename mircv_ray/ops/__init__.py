@@ -18,8 +18,9 @@ from .cooccur import cooccurrence_counts
 from .graph import pagerank
 from .keywords import tfidf_keywords
 from .dedup import connected_components, contamination_fuzzy, exact_dedup_keep, jaccard_simjoin_exact, minhash_signatures, minhash_candidate_pairs, simhash64, near_dup_pairs, ngram_jaccard_pairs, shingle_sets
-from .similarity import cosine_all_pairs, cosine_topk, ivf_build_centroids, ivf_cosine_topk, embedding_near_dup_pairs, pq_cosine_topk, pq_cosine_topk_rerank, pq_encode, pq_train
+from .similarity import cosine_all_pairs, cosine_topk, ivf_build_centroids, ivf_cosine_topk, embedding_near_dup_pairs, knn_graph, knn_graph_lsh, pq_cosine_topk, pq_cosine_topk_rerank, pq_encode, pq_train
 from .clustering import kmeans_assign, kmeans_fit, semantic_dedup
+from .dsir import dsir_weights
 from .fusion import rrf_fuse
 from .packing import greedy_pack, pack_sequences
 from .collocations import pmi_collocations
@@ -30,7 +31,7 @@ from .sketches import (bloom_build, bloom_params, bloom_probe, bloom_test,
                        hll_distinct_per_group, mg_heavy_hitters)
 from .joins import (asof_join_backward, asof_join_backward_salted,
                     interval_join, interval_join_salted)
-from .quantiles import grouped_quantiles, grouped_quantiles_tdigest
+from .quantiles import global_ntile, grouped_quantiles, grouped_quantiles_tdigest
 from .streaming import StreamingTumblingWindow, stream_tumbling_window_agg
 from .substring import ngram_window_rows, shared_ngram_pairs
 from .windows import hopping_window_agg, props_extract, sessionize, top_users_by_type, tumbling_window_agg
@@ -45,7 +46,8 @@ __all__ = [
     "ngram_jaccard_pairs", "shingle_sets", "embedding_near_dup_pairs",
     "jaccard_simjoin_exact", "cosine_all_pairs", "pii_redact",
     "repetition_stats", "connected_components", "source_quota_sample",
-    "hash_split", "stratified_sample", "alpha_mix_weights", "unigram_logprob", "char_entropy",
+    "hash_split", "stratified_sample", "alpha_mix_weights",
+    "knn_graph", "knn_graph_lsh", "global_ntile", "dsir_weights", "unigram_logprob", "char_entropy",
     "ngram_window_rows", "shared_ngram_pairs",
     "exact_distinct_per_group", "hll_distinct_per_group",
     "asof_join_backward", "asof_join_backward_salted", "interval_join",

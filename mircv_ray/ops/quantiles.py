@@ -185,3 +185,51 @@ def grouped_quantiles_tdigest(ds, group_col: str, value_col: str,
               .map_groups(pre_merge, batch_format="pyarrow")
               .groupby(group_col)
               .map_groups(merge, batch_format="pyarrow"))
+
+
+def global_ntile(ds, sort_cols: list, n_tiles: int,
+                 out_col: str = "tile"):
+    """Exact SQL ``ntile(n) OVER (ORDER BY sort_cols)``: rows in global
+    ``sort_cols`` order are dealt into ``n_tiles`` buckets, the first
+    ``n_rows % n_tiles`` buckets one row larger — the quality-decile /
+    percentile-bucket step of perplexity- and entropy-based corpus
+    filtering (CCNet buckets its corpus by LM perplexity terciles).
+
+    Scalable exact global rank WITHOUT a driver materialization:
+    ``Dataset.sort`` range-partitions the rows into globally ordered
+    blocks; the per-block row counts (block METADATA, never block data)
+    give each block's exclusive prefix offset, and one raw Ray task per
+    block stamps rank = offset + arange and the closed-form ntile of
+    that rank. Everything after the sort is map-only; the only driver
+    state is one int per block.
+    """
+    import ray
+    import ray.data as rd
+
+    if n_tiles <= 0:
+        raise ValueError("n_tiles must be positive")
+    sorted_ds = ds.sort(sort_cols)
+
+    refs, rows = [], []
+    for bundle in sorted_ds.iter_internal_ref_bundles():
+        for ref, meta in bundle.blocks:
+            refs.append(ref)
+            rows.append(meta.num_rows)
+    offsets = np.concatenate([[0], np.cumsum(rows[:-1])]).astype(np.int64) \
+        if rows else np.zeros(0, dtype=np.int64)
+    n_rows = int(sum(rows))
+    base = n_rows // n_tiles
+    rem = n_rows % n_tiles
+
+    @ray.remote
+    def stamp(tbl: pa.Table, off: int) -> pa.Table:
+        rank = off + np.arange(tbl.num_rows, dtype=np.int64)
+        big = (base + 1) * rem  # rows living in the size-(base+1) tiles
+        tile = np.where(
+            rank < big,
+            rank // max(base + 1, 1) + 1,
+            rem + (rank - big) // max(base, 1) + 1).astype(np.int64)
+        return tbl.append_column(out_col, pa.array(tile))
+
+    out_refs = [stamp.remote(r, int(o)) for r, o in zip(refs, offsets)]
+    return rd.from_arrow_refs(out_refs)

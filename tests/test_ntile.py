@@ -1,0 +1,53 @@
+"""global_ntile: exact SQL ntile semantics over a distributed sort."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _sql_ntile(n_rows: int, n_tiles: int) -> np.ndarray:
+    base, rem = divmod(n_rows, n_tiles)
+    out = []
+    for t in range(1, n_tiles + 1):
+        out.extend([t] * (base + (1 if t <= rem else 0)))
+    return np.array(out, dtype=np.int64)
+
+
+class TestGlobalNtile:
+    @pytest.mark.parametrize("n,tiles", [(1000, 10), (97, 10), (5, 10),
+                                         (64, 7)])
+    def test_matches_sql_semantics(self, ray_session, n, tiles):
+        import ray.data as rd
+        from mircv_ray.ops import global_ntile
+        rng = np.random.default_rng(5)
+        vals = rng.permutation(n).astype(np.float64)
+        tbl = pa.table({"doc_id": pa.array(np.arange(n), type=pa.int64()),
+                        "score": pa.array(vals)})
+        out = (global_ntile(rd.from_arrow(tbl).repartition(4),
+                            ["score", "doc_id"], tiles, out_col="tile")
+               .to_pandas().sort_values("score").reset_index(drop=True))
+        np.testing.assert_array_equal(out.tile, _sql_ntile(n, tiles))
+        # duckdb cross-check
+        import duckdb
+        want = duckdb.sql(
+            "SELECT doc_id, ntile(%d) OVER (ORDER BY score, doc_id) AS t "
+            "FROM tbl ORDER BY score" % tiles).df()
+        got = out.sort_values("score")
+        np.testing.assert_array_equal(got.tile.to_numpy(),
+                                      want.t.to_numpy())
+
+    def test_ties_break_by_id(self, ray_session):
+        import ray.data as rd
+        from mircv_ray.ops import global_ntile
+        tbl = pa.table({"doc_id": pa.array([3, 1, 2, 0], type=pa.int64()),
+                        "score": pa.array([1.0, 1.0, 1.0, 1.0])})
+        out = (global_ntile(rd.from_arrow(tbl), ["score", "doc_id"], 2)
+               .to_pandas().sort_values("doc_id"))
+        assert list(out.tile) == [1, 1, 2, 2]
+
+    def test_validation(self, ray_session):
+        import ray.data as rd
+        from mircv_ray.ops import global_ntile
+        tbl = pa.table({"doc_id": pa.array([1], type=pa.int64())})
+        with pytest.raises(ValueError):
+            global_ntile(rd.from_arrow(tbl), ["doc_id"], 0)
