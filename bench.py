@@ -131,14 +131,18 @@ def run_bench() -> dict:
     # produce the same artifact
     # MIRCV_EXCHANGE A/Bs the postings exchange ("mr" = fused direct
     # map/reduce, the round-4 scaling fix; "groupby" = Ray sort shuffle)
-    # salt_buckets=8 (was 4): the hot term-hash key's build was the
-    # 32-cpu reduce-phase straggler (2.7 s task vs 0.15 s p50 on run 37's
-    # box; salt A/B: max task 6.7-7.3 s at salt=4 vs 0.45-1.7 s at
-    # salt=8). Finer salt splits a mega term's postings by docId range;
-    # the exchange's key->bin packing keeps the task/fetch count flat.
+    # salt_buckets tracks CORPUS SIZE, like any partition count: at the
+    # scaling corpus (mult=32, 1.6M docs) the hot term-hash key's build
+    # was the 32-cpu reduce-phase straggler (2.7 s task vs 0.15 s p50;
+    # salt A/B: max task 6.7-9.2 s at salt=4 vs 0.45-1.7 s at salt=8),
+    # so --scaling pins salt=8 and the key->bin packing keeps the
+    # task/fetch count flat. At the 1x bench corpus (49k docs) per-key
+    # work is already sub-task-sized and finer salt only adds per-term
+    # segment overhead (measured same-window: query p95 57->112 ms,
+    # batch-200 2.7->3.6 s, postings stage 0.56->0.93 s).
     cfg = IndexConfig(parse=True, codec="vbyte", num_shards=64,
                       salt_buckets=int(os.environ.get(
-                          "MIRCV_SALT_BUCKETS", "8")),
+                          "MIRCV_SALT_BUCKETS", "4")),
                       exchange=os.environ.get("MIRCV_EXCHANGE", "mr"))
     # Build twice, report the BEST run (min wall): steady-state
     # throughput (warm worker pool, warm page cache) is the quantity a
@@ -417,6 +421,9 @@ def run_scaling() -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    RAY_GRAFT_SCALE_MULT=mult, RAY_GRAFT_LITE="1",
                    RAY_GRAFT_REPS="2",
+                   # salt tracks the 32x corpus (see run_bench comment)
+                   MIRCV_SALT_BUCKETS=os.environ.get(
+                       "MIRCV_SALT_BUCKETS", "8"),
                    # identical physical plan at both levels (see
                    # run_bench): 4 splits per corpus file
                    RAY_GRAFT_BLOCKS=os.environ.get("RAY_GRAFT_BLOCKS",
