@@ -37,9 +37,13 @@ _CACHE_VERSION = 3  # bump when corpus mapping / index layout changes
 
 _TRIM = "e'" + "".join(f"\\x{c:02x}" for c in range(1, 0x21)) + "'"
 
-_TOKS_CTE = f"""
+def _toks_cte_over(docs_sql: str) -> str:
+    """The basic-tokenizer CTE pair (docs, tok) over an arbitrary
+    (doc_id, text) relation — the upsert oracle tokenizes a MODIFIED
+    documents view with the identical expression."""
+    return f"""
 docs AS (
-  SELECT doc_id, text FROM documents
+  SELECT doc_id, text FROM ({docs_sql})
   WHERE text IS NOT NULL AND trim(text, {_TRIM}) <> ''
 ),
 tok AS (
@@ -57,6 +61,9 @@ tok AS (
     FROM docs) d, UNNEST(d.toks) AS t(term)
 )
 """
+
+
+_TOKS_CTE = _toks_cte_over("SELECT doc_id, text FROM documents")
 
 _BM25_QUERIES: list[list[str]] = [
     ["hash", "join", "table"],
@@ -781,6 +788,44 @@ def _merged_index(sf_dir: str) -> str:
     return str(out)
 
 
+def _upserted_index(sf_dir: str) -> str:
+    """Upsert path: replace every doc with original doc_id % 10 == 3 by
+    a new version (text + ' upserted edition') via delta build +
+    tombstone-carrying merge + logical delete of the superseded base
+    rows (build/upsert.py). The dump view (tombstones applied) is
+    SQL-mirrorable: unchanged docs keep their docnos, upserted versions
+    take post-base docnos in doc_id order."""
+    import ray.data as rd
+    from mircv_ray.build import upsert_docs
+    from mircv_ray.config import IndexConfig
+    from mircv_ray.sources import documents_as_corpus
+    key = hashlib.sha1(f"{sf_dir}|upsert|v{_CACHE_VERSION}"
+                       .encode()).hexdigest()[:12]
+    out = _CACHE_ROOT / f"upserted_{key}"
+    if (out / "_UPSERTED").exists():
+        return str(out)
+    base = _basic_index(sf_dir)
+
+    def modified(batch: pa.Table) -> pa.Table:
+        did = pc.cast(pc.utf8_slice_codeunits(batch["path"], 4, 12),
+                      pa.int64()).to_numpy(zero_copy_only=False)
+        keep = pa.array(did % 10 == 3)
+        b = batch.filter(keep)
+        i = b.schema.get_field_index("content")
+        return b.set_column(
+            i, "content",
+            pc.binary_join_element_wise(
+                b["content"], " upserted edition", ""))
+
+    delta = documents_as_corpus(sf_dir).map_batches(
+        modified, batch_format="pyarrow")
+    cfg = IndexConfig(parse=False, squeeze=False, codec="vbyte",
+                      num_shards=4, salt_buckets=2)
+    upsert_docs(base, delta, str(out), cfg)
+    (out / "_UPSERTED").touch()
+    return str(out)
+
+
 def _deleted_index(sf_dir: str) -> str:
     """Copy of the basic index with every doc whose ORIGINAL doc_id is a
     multiple of 7 tombstoned (engine docId = original + 1, so the
@@ -950,6 +995,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from mircv_ray.query.dump import dump_postings
         idx = _merged_index(sf_dir)
         return dump_postings(idx, docno_offset=-1)
+
+    def upsert_postings(sf_dir: str):
+        # document replacement by key: delta build + tombstone-carrying
+        # merge + superseded-row delete; the tombstone-applied dump is
+        # the query-visible view
+        from mircv_ray.query.dump import dump_postings
+        idx = _upserted_index(sf_dir)
+        return dump_postings(idx, docno_offset=-1, apply_tombstones=True)
 
     def delete_postings(sf_dir: str):
         # tombstone deletion: the filtered dump view (docs with original
@@ -2303,6 +2356,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "postings": postings,
         "champion_lists": champion_lists,
         "merge_postings": merge_postings,
+        "upsert_postings": upsert_postings,
         "delete_postings": delete_postings,
         "vacuum_postings": vacuum_postings,
         "bm25_topk": bm25_topk,
@@ -2762,6 +2816,20 @@ SELECT term, doc_id, tf FROM r WHERE rn <= 3 ORDER BY term, doc_id
         # incremental merge must reproduce the full-corpus postings
         "merge_postings": f"""
 WITH {_TOKS_CTE}
+SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY term, doc_id
+""",
+        # upsert: unchanged docs at their docnos, each upserted key's new
+        # version (text + ' upserted edition') at a post-base docno in
+        # doc_id order; superseded old rows invisible
+        "upsert_postings": f"""
+WITH up AS (SELECT doc_id, text || ' upserted edition' AS text
+            FROM documents WHERE doc_id % 10 = 3),
+upn AS (SELECT (SELECT count(*) FROM documents)
+               + row_number() OVER (ORDER BY doc_id) - 1 AS doc_id, text
+        FROM up),
+allv AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 3
+         UNION ALL SELECT doc_id, text FROM upn),
+{_toks_cte_over("SELECT doc_id, text FROM allv")}
 SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY term, doc_id
 """,
         # tombstoned docs (doc_id % 7 = 0) drop out of the dump view

@@ -4,6 +4,7 @@ The reference engine has no post-build lifecycle (IndexingMain rebuilds
 from scratch); these subcommands drive the incremental machinery:
 
     python scripts/index_admin.py merge BASE DELTA OUT [--codec ...]
+    python scripts/index_admin.py upsert BASE NEW_CORPUS OUT
     python scripts/index_admin.py delete INDEX --ids 5,9,12
     python scripts/index_admin.py delete INDEX --ids-file ids.txt
     python scripts/index_admin.py vacuum INDEX OUT
@@ -41,6 +42,16 @@ def main() -> None:
     mp.add_argument("--codec", default=None,
                     choices=["vbyte", "ef", "none"],
                     help="output codec (default: the base index's)")
+
+    up = sub.add_parser("upsert", help="replace documents by (repo, "
+                        "path) key: delta build + tombstone-carrying "
+                        "merge + superseded-row delete (vacuum to make "
+                        "physical)")
+    up.add_argument("base")
+    up.add_argument("corpus", help="parquet dir of the NEW document "
+                    "versions in corpus shape (repo, path, lang, "
+                    "content)")
+    up.add_argument("out")
 
     dp = sub.add_parser("delete", help="tombstone engine docIds")
     dp.add_argument("index")
@@ -118,6 +129,16 @@ def main() -> None:
 
     from mircv_ray.build import (delete_docs, load_stats, load_tombstones,
                                  merge_indexes, vacuum_index)
+
+    if args.cmd == "upsert":
+        import ray.data as rd
+        from mircv_ray.build import upsert_docs
+        stats = upsert_docs(args.base, rd.read_parquet(args.corpus),
+                            args.out)
+        print(json.dumps({"n_docs": stats.get("n_docs"),
+                          "n_superseded": stats.get("n_superseded")},
+                         default=str))
+        return
 
     if args.cmd == "delete":
         if not args.ids and not args.ids_file:
