@@ -2098,6 +2098,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
                          "doc_id": pa.array(dids, type=pa.int64()),
                          "score": pa.array(scores, type=pa.float64())})
 
+    def bm25_topk_wand(sf_dir: str):
+        # WAND dynamic pruning (Broder CIKM'03; the engine's extension
+        # beyond the reference's MaxScore), same DuckDB top-k oracle
+        from mircv_ray.config import QueryConfig
+        from mircv_ray.query import QueryEngine
+        idx = _basic_index(sf_dir)
+        eng = QueryEngine(idx, QueryConfig(standard="BM25", k=10,
+                                           parse=False, squeeze=False,
+                                           algo="wand"))
+        qids, dids, scores = [], [], []
+        for qid, terms in enumerate(_BM25_QUERIES):
+            for doc_id, score in eng.score_terms(list(terms),
+                                                 conjunctive=False):
+                qids.append(qid)
+                dids.append(doc_id - 1)
+                scores.append(round(score, 6))
+        return pa.table({"qid": pa.array(qids, type=pa.int64()),
+                         "doc_id": pa.array(dids, type=pa.int64()),
+                         "score": pa.array(scores, type=pa.float64())})
+
     def props_json(sf_dir: str):
         from mircv_ray.ops import props_extract
         ev = rd.read_parquet(f"{sf_dir}/events.parquet",
@@ -2429,6 +2449,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessions": sessions,
         "sessions_salted": sessions_salted,
         "bm25_topk_maxscore": bm25_topk_maxscore,
+        "bm25_topk_wand": bm25_topk_wand,
         "props_json": props_json,
         "asof_purchases": asof_purchases,
         "event_sessions": event_sessions,
@@ -3103,6 +3124,7 @@ FROM documents d LEFT JOIN m USING (doc_id)
 ORDER BY doc_id
 """,
         "bm25_topk_maxscore": _topk_sql(_BM25_EXPR),
+        "bm25_topk_wand": _topk_sql(_BM25_EXPR),
         "bm25_conjunctive_strict": _topk_and_sql(_BM25_EXPR),
         "pii_redact": _PII_SQL,
         "repetition_stats": _REPETITION_SQL,

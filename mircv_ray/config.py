@@ -57,3 +57,5 @@ class QueryConfig:
     algo: str = "auto"              # "auto" (vectorized TAAT for disjunctive,
                                     # MaxScore for conjunctive) | "maxscore"
                                     # (always the faithful Scorer.java loop)
+                                    # | "wand" (Broder CIKM'03 pruning,
+                                    # disjunctive; this engine's extension)

@@ -117,3 +117,66 @@ def max_score(cursors: list[PostingCursor], k: int, conjunctive: bool,
     out = [(-neg, s) for s, neg in heap]
     out.sort(key=lambda t: (-t[1], t[0]))
     return out
+
+
+def wand(cursors: list[PostingCursor], k: int, score_fn,
+         alive=None) -> list[tuple[int, float]]:
+    """WAND disjunctive top-k (Broder et al., CIKM'03) — the classic
+    document-at-a-time dynamic-pruning sibling of MaxScore. The
+    reference implements only MaxScore (Scorer.java:85-162); WAND is
+    this engine's extension, sharing the cursors, upper bounds and
+    score formulas, and returning the IDENTICAL ranking (term upper
+    bounds are true bounds, so the pruning is lossless; ties score
+    desc, docId asc like :func:`max_score`).
+
+    Loop: sort live cursors by current docId; the pivot is the first
+    position where the running term-UB sum exceeds theta (heap min once
+    full) — no document below the pivot's docId can enter the top-k.
+    If the smallest current docId equals the pivot's, that document is
+    fully scored; otherwise one pre-pivot cursor (largest term UB, so
+    the sum shrinks fastest) jumps to the pivot docId via nextGEQ.
+    """
+    if not cursors:
+        return []
+    heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap
+    theta = 0.0
+    live = [c for c in cursors if c.doc_id() != EXHAUSTED]
+    while live:
+        live.sort(key=lambda c: c.doc_id())
+        acc = 0.0
+        pivot = -1
+        for i, c in enumerate(live):
+            acc += c.term_ub
+            if acc > theta:
+                pivot = i
+                break
+        if pivot < 0:
+            break  # even all UBs together cannot beat theta
+        pivot_doc = live[pivot].doc_id()
+        if live[0].doc_id() == pivot_doc:
+            if alive is None or alive(pivot_doc):
+                # sum in the ORIGINAL cursor order (not the docId sort),
+                # so float accumulation order is deterministic per query
+                score = 0.0
+                for c in cursors:
+                    if c.doc_id() == pivot_doc:
+                        score += score_fn(c)
+                heapq.heappush(heap, (score, -pivot_doc))
+                if len(heap) > k:
+                    heapq.heappop(heap)
+                if len(heap) == k:
+                    theta = heap[0][0]
+            for c in live:
+                if c.doc_id() == pivot_doc:
+                    c.next()
+        else:
+            # advance the largest-UB cursor strictly BELOW the pivot doc
+            # (a pre-pivot cursor can TIE the pivot's docId after the
+            # sort; nextGEQ would no-op on it and the loop would spin)
+            adv = max((c for c in live[:pivot] if c.doc_id() < pivot_doc),
+                      key=lambda c: c.term_ub)
+            adv.next_geq(pivot_doc)
+        live = [c for c in live if c.doc_id() != EXHAUSTED]
+    out = [(-neg, s) for s, neg in heap]
+    out.sort(key=lambda t: (-t[1], t[0]))
+    return out
