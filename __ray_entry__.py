@@ -2118,6 +2118,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
                          "doc_id": pa.array(dids, type=pa.int64()),
                          "score": pa.array(scores, type=pa.float64())})
 
+    def qld_topk(sf_dir: str):
+        # query-likelihood Dirichlet ranking (Zhai & Lafferty SIGIR'01;
+        # the engine's third standard beyond the reference's BM25/TFIDF)
+        from mircv_ray.config import QueryConfig
+        from mircv_ray.query import QueryEngine
+        idx = _basic_index(sf_dir)
+        eng = QueryEngine(idx, QueryConfig(standard="QLD", k=10,
+                                           parse=False, squeeze=False))
+        qids, dids, scores = [], [], []
+        for qid, terms in enumerate(_BM25_QUERIES):
+            for doc_id, score in eng.score_terms(list(terms)):
+                qids.append(qid)
+                dids.append(doc_id - 1)
+                scores.append(round(score, 6))
+        return pa.table({"qid": pa.array(qids, type=pa.int64()),
+                         "doc_id": pa.array(dids, type=pa.int64()),
+                         "score": pa.array(scores, type=pa.float64())})
+
     def props_json(sf_dir: str):
         from mircv_ray.ops import props_extract
         ev = rd.read_parquet(f"{sf_dir}/events.parquet",
@@ -2450,6 +2468,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessions_salted": sessions_salted,
         "bm25_topk_maxscore": bm25_topk_maxscore,
         "bm25_topk_wand": bm25_topk_wand,
+        "qld_topk": qld_topk,
         "props_json": props_json,
         "asof_purchases": asof_purchases,
         "event_sessions": event_sessions,
@@ -3125,6 +3144,38 @@ ORDER BY doc_id
 """,
         "bm25_topk_maxscore": _topk_sql(_BM25_EXPR),
         "bm25_topk_wand": _topk_sql(_BM25_EXPR),
+        # query-likelihood Dirichlet (mu=2000): per known query term
+        # occurrence ln(1 + tf/(mu*cf/T)), plus the per-doc length prior
+        # qn*ln(mu/(dl+mu)) — same association order as the engine
+        "qld_topk": f"""
+WITH {_TOKS_CTE},
+{_values_clause()},
+doclen AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+tot AS (SELECT count(*)::DOUBLE AS t FROM tok),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+cf AS (SELECT term, sum(tf)::DOUBLE AS cf FROM tf GROUP BY term),
+qn AS (SELECT q.qid, count(*) AS qn
+       FROM q JOIN cf ON cf.term = q.term GROUP BY q.qid),
+parts AS (
+  SELECT q.qid, tf.doc_id,
+         sum(ln(1 + tf.tf / (2000.0 * cf.cf / t.t))) AS part
+  FROM q
+  JOIN cf ON cf.term = q.term
+  JOIN tf ON tf.term = q.term
+  CROSS JOIN tot t
+  GROUP BY q.qid, tf.doc_id),
+qscores AS (
+  SELECT p.qid, p.doc_id,
+         p.part + qn.qn * ln(2000.0 / (dl.dl + 2000.0)) AS score
+  FROM parts p
+  JOIN doclen dl ON dl.doc_id = p.doc_id
+  JOIN qn ON qn.qid = p.qid)
+SELECT qid, doc_id, round(score, 6) AS score FROM (
+  SELECT qid, doc_id, score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score DESC, doc_id) AS rn
+  FROM qscores) WHERE rn <= 10
+""",
         "bm25_conjunctive_strict": _topk_and_sql(_BM25_EXPR),
         "pii_redact": _PII_SQL,
         "repetition_stats": _REPETITION_SQL,

@@ -50,6 +50,10 @@ class IndexConfig:
 class QueryConfig:
     standard: str = "BM25"          # "BM25" | "TFIDF" (Configuration.java:4, default TFIDF there;
                                     # BM25 is this engine's headline standard)
+                                    # | "QLD" (query-likelihood, Dirichlet
+                                    # smoothing — this engine's extension)
+    mu: float = 2000.0              # QLD Dirichlet smoothing parameter
+                                    # (Zhai & Lafferty SIGIR'01 default)
     k: int = 10                     # top-k heap size (MINHEAP_DIMENSION)
     conjunctive: bool = False
     parse: bool = True              # must match the index build's parse flag

@@ -142,3 +142,37 @@ class OracleIndex:
             scores[d] = s
         ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
         return ranked[:k]
+
+    def score_query_qld(self, query: str | list[str], mu: float = 2000.0,
+                        k: int = 10) -> list[tuple[int, float]]:
+        """Brute-force query-likelihood with Dirichlet smoothing (the
+        engine extension; see QueryEngine._score_terms_qld): over docs
+        containing >=1 known query term,
+
+            sum_t ln(1 + tf/(mu*cf_t/T)) + |q|*ln(mu/(len_d+mu))
+
+        with |q| the known-term count WITH multiplicity."""
+        if isinstance(query, str):
+            terms = tokenize_text(query, parse=self.parse,
+                                  squeeze=self.squeeze)
+        else:
+            terms = list(query)
+        terms = [t for t in terms if t in self.postings]
+        if not terms:
+            return []
+        T = self.total_doc_len
+        candidate: set[int] = set()
+        for t in terms:
+            candidate |= set(self.postings[t])
+        scores = {}
+        for d in candidate:
+            s = 0.0
+            for t in terms:
+                tf = self.postings[t].get(d)
+                if tf:
+                    cf = sum(self.postings[t].values())
+                    s += math.log(1.0 + tf / (mu * cf / T))
+            s += len(terms) * math.log(mu / (self.doc_len[d] + mu))
+            scores[d] = s
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        return ranked[:k]

@@ -528,6 +528,13 @@ class QueryEngine:
         # Conjunctive queries keep the faithful MaxScore loop — its
         # non-clean-AND quirks (SURVEY.md §7.4) are sequential semantics.
         algo = getattr(self.qcfg, "algo", "auto")
+        if self.qcfg.standard == "QLD":
+            if conjunctive:
+                raise ValueError("QLD is disjunctive-only (the Dirichlet "
+                                 "doc-length term applies to every matched "
+                                 "doc; use strict-AND BM25/TFIDF for "
+                                 "conjunctive semantics)")
+            return self._score_terms_qld(terms)
         # TAAT needs dense O(n_docs) score/touched accumulators per
         # engine — fine up to the dense-doclen ceiling, a non-starter
         # beyond it (the same 8-TB-per-actor problem as the doc-len
@@ -604,6 +611,58 @@ class QueryEngine:
             sc, cand = sc[keep], cand[keep]
         order = np.lexsort((cand, -sc))[:k]  # score desc, docId asc (O4 ties)
         return [(int(cand[i]), float(sc[i])) for i in order]
+
+    def _score_terms_qld(self, terms: list[str]) -> list[tuple[int, float]]:
+        """Query-likelihood ranking with Dirichlet smoothing (Zhai &
+        Lafferty, SIGIR'01) — this engine's third standard beyond the
+        reference's BM25/TFIDF (Scorer.java:26-43):
+
+            score(q,d) = sum_t ln(1 + tf_td / (mu * cf_t / T))
+                         + |q| * ln(mu / (len_d + mu))
+
+        over docs containing >=1 known query term, where cf_t is the
+        term's collection frequency (sum of tf over its posting list),
+        T the total token count (stats.json total_doc_len), and |q| the
+        known-term query length WITH multiplicity (duplicates score
+        twice, unknown terms are ignored — the engine's convention).
+
+        Scale: candidate-set-sized memory (the union of the query's
+        posting lists — what any disjunctive evaluation holds), no dense
+        O(n_docs) accumulator, doc lengths gathered per candidate from
+        the dense array or the >2^26-doc mmap sidecar. Expression shapes
+        ((mu*cf)/T association, ln(1+x) not log1p) mirror the SQL oracle
+        so round-6 values are hash-stable.
+        """
+        r = self.reader
+        mu = float(self.qcfg.mu)
+        r.prefetch(terms)
+        total = float(r.stats["total_doc_len"])
+        lists = []
+        for t in terms:
+            if r.lexicon_entry(t) is None:
+                continue
+            ids, tfs = r.decoded(t)
+            cf = float(tfs.sum())
+            lists.append((ids, np.log(1.0 + tfs / (mu * cf / total))))
+        if not lists:
+            return []
+        q_known = len(lists)
+        cand = np.unique(np.concatenate([ids for ids, _ in lists]))
+        acc = np.zeros(len(cand), dtype=np.float64)
+        for ids, contrib in lists:
+            acc[np.searchsorted(cand, ids)] += contrib
+        dl = np.asarray(r.doc_len[cand - 1], dtype=np.float64)
+        acc += q_known * np.log(mu / (dl + mu))
+        if len(r.tombstones):
+            keep = r.alive_mask(cand)
+            cand, acc = cand[keep], acc[keep]
+        k = self.qcfg.k
+        if len(cand) > k:
+            kth = -np.partition(-acc, k - 1)[k - 1]
+            keep = acc >= kth          # includes boundary ties
+            cand, acc = cand[keep], acc[keep]
+        order = np.lexsort((cand, -acc))[:k]  # score desc, docId asc
+        return [(int(cand[i]), float(acc[i])) for i in order]
 
     def score_terms_strict_and(self, terms: list[str],
                                exclude_terms: list[str] = (),

@@ -11,8 +11,9 @@ as QueryProcessorMain.evaluation:90-131 does), writes a TREC run file
 `qid Q0 docno rank score STANDARD` and prints the average latency.
 
 Usage:
-    python scripts/query_processor.py INDEX_DIR [--standard BM25|TFIDF]
-        [--k K] [--no-parse] [--eval QUERIES.tsv --run-out RUN.txt]
+    python scripts/query_processor.py INDEX_DIR [--standard BM25|TFIDF|QLD]
+        [--mu MU] [--algo auto|maxscore|wand] [--k K] [--no-parse]
+        [--eval QUERIES.tsv --run-out RUN.txt]
 """
 
 from __future__ import annotations
@@ -28,7 +29,13 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("index_dir")
-    ap.add_argument("--standard", default="BM25", choices=["BM25", "TFIDF"])
+    ap.add_argument("--standard", default="BM25",
+                    choices=["BM25", "TFIDF", "QLD"])
+    ap.add_argument("--mu", type=float, default=2000.0,
+                    help="QLD Dirichlet smoothing parameter")
+    ap.add_argument("--algo", default=None,
+                    choices=["auto", "maxscore", "wand"],
+                    help="disjunctive scoring algorithm (default auto)")
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--no-parse", action="store_true")
     ap.add_argument("--eval", dest="eval_tsv", default=None)
@@ -53,8 +60,9 @@ def main() -> None:
     from mircv_ray.query import QueryEngine
 
     qcfg = QueryConfig(standard=args.standard, k=args.k,
-                       parse=not args.no_parse,
-                       algo="maxscore" if args.maxscore else "auto")
+                       parse=not args.no_parse, mu=args.mu,
+                       algo=args.algo or ("maxscore" if args.maxscore
+                                          else "auto"))
     eng = QueryEngine(args.index_dir, qcfg)
 
     if args.eval_tsv:
