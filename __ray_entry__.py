@@ -1432,6 +1432,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 "clustered corpora sit far higher)")
         return approx
 
+    def mmr_diversified(sf_dir: str):
+        # MMR diversified rerank (Carbonell & Goldstein SIGIR'98):
+        # greedy lam*sim(q,d) - (1-lam)*max sim(d, selected) over the
+        # cosine top-20 candidates; oracle = the same greedy unrolled
+        # to 5 selection CTE stages
+        from mircv_ray.ops import mmr_rerank
+        emb = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+        qvecs = np.stack([np.asarray(emb["embedding"][i].as_py())
+                          for i in range(3)])
+        ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+        out = mmr_rerank(ds, qvecs, k=5, lam=0.7, n_cand=20)
+        return _round6(out, "score")
+
     def ann_cosine_topk(sf_dir: str):
         from mircv_ray.ops import cosine_topk
         emb = pq.read_table(f"{sf_dir}/embeddings.parquet",
@@ -2428,6 +2443,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_cosine_topk": ann_cosine_topk,
         "ann_cosine_topk_ivf": ann_cosine_topk_ivf,
         "ann_cosine_topk_pq": ann_cosine_topk_pq,
+        "mmr_diversified": mmr_diversified,
         "lang_id": lang_id,
         "fingerprint": fingerprint,
         "pii_redact": pii_redact,
@@ -2799,6 +2815,62 @@ FROM w WHERE cum_tokens <= 800 ORDER BY doc_id
 
 
 def oracle_sql() -> dict[str, str]:
+    # MMR greedy selection unrolled to 5 CTE stages (the SQL mirror of
+    # ops/similarity.py mmr_rerank's loop): cand = cosine top-20 per
+    # query; each stage picks argmax 0.7*rel - (1.0-0.7)*max(psim to
+    # the picked set), ties by vec_id; (1.0-0.7) is written out so the
+    # 1-lam double is bit-identical to the engine's
+    mmr_steps = []
+    for i in range(2, 6):
+        mmr_steps.append(f"""
+d{i} AS (SELECT c.query_id, c.vec_id, c.rel, max(p.psim) AS div
+       FROM cand c
+       JOIN pair p ON p.query_id = c.query_id AND p.va = c.vec_id
+       JOIN picked{i - 1} s ON s.query_id = p.query_id
+                           AND s.vec_id = p.vb
+       LEFT JOIN picked{i - 1} x ON x.query_id = c.query_id
+                                AND x.vec_id = c.vec_id
+       WHERE x.vec_id IS NULL
+       GROUP BY c.query_id, c.vec_id, c.rel),
+sel{i} AS (SELECT query_id, vec_id, mmr FROM (
+  SELECT query_id, vec_id, 0.7 * rel - (1.0 - 0.7) * div AS mmr,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY 0.7 * rel - (1.0 - 0.7) * div DESC,
+                                     vec_id) AS rn
+  FROM d{i}) WHERE rn = 1),
+picked{i} AS (SELECT query_id, vec_id FROM picked{i - 1}
+              UNION ALL SELECT query_id, vec_id FROM sel{i})""")
+    mmr_union = "\n  UNION ALL ".join(
+        f"SELECT query_id, {i} AS rank, vec_id, mmr FROM sel{i}"
+        for i in range(1, 6))
+    mmr_sql = f"""
+WITH q AS (SELECT vec_id AS qv, CAST(embedding AS DOUBLE[]) AS qe
+           FROM embeddings WHERE vec_id IN (0, 1, 2)),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+sims AS (SELECT q.qv AS query_id, e.vec_id,
+                list_cosine_similarity(q.qe, e.emb) AS rel
+         FROM q CROSS JOIN e),
+cand AS (SELECT query_id, vec_id, rel FROM (
+  SELECT query_id, vec_id, rel,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY rel DESC, vec_id) AS rn
+  FROM sims) WHERE rn <= 20),
+pair AS (SELECT a.query_id, a.vec_id AS va, b.vec_id AS vb,
+                list_cosine_similarity(ea.emb, eb.emb) AS psim
+         FROM cand a
+         JOIN cand b ON a.query_id = b.query_id AND a.vec_id <> b.vec_id
+         JOIN e ea ON ea.vec_id = a.vec_id
+         JOIN e eb ON eb.vec_id = b.vec_id),
+sel1 AS (SELECT query_id, vec_id, 0.7 * rel AS mmr FROM (
+  SELECT query_id, vec_id, rel,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY 0.7 * rel DESC, vec_id) AS rn
+  FROM cand) WHERE rn = 1),
+picked1 AS (SELECT query_id, vec_id FROM sel1),{",".join(mmr_steps)}
+SELECT query_id, rank, vec_id, round(mmr, 6) AS score FROM (
+  {mmr_union})
+ORDER BY query_id, rank
+"""
     ann_sql = """
 WITH q AS (SELECT vec_id AS qv, embedding AS qe FROM embeddings
            WHERE vec_id IN (0, 1, 2)),
@@ -3013,6 +3085,7 @@ FROM r WHERE rn <= 5 ORDER BY src, dst
 """,
         "ann_cosine_topk": ann_sql,
         "ann_cosine_topk_ivf": ann_sql,
+        "mmr_diversified": mmr_sql,
         "props_json": r"""
 SELECT event_id,
        CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT) AS k

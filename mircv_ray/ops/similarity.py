@@ -303,6 +303,81 @@ def pq_cosine_topk_rerank(emb_ds, codes_ds, codebooks: np.ndarray,
                                                  batch_format="pyarrow")
 
 
+def mmr_rerank(emb_ds, queries: np.ndarray, k: int = 5, lam: float = 0.7,
+               n_cand: int = 20, emb_col: str = "embedding",
+               id_col: str = "vec_id") -> pa.Table:
+    """Maximal Marginal Relevance diversified top-k (Carbonell &
+    Goldstein, SIGIR'98): greedily pick the candidate maximizing
+
+        lam * sim(q, d)  -  (1 - lam) * max_{s in selected} sim(d, s)
+
+    so later picks trade query relevance against redundancy with what
+    was already picked; ``lam=1`` degenerates to plain cosine top-k.
+    Ties break (mmr desc, vec_id asc); the first pick is the cosine
+    rank-1 candidate by construction.
+
+    Scale: the distributed work is the exact cosine top-``n_cand`` scan
+    (:func:`cosine_topk` — content never shuffles, only candidate
+    triples); the greedy loop runs on the (queries x n_cand)-sized
+    candidate set, so driver memory is candidates x dim and k x n_cand
+    dot products per query — NEVER corpus-sized. Returns a pa.Table
+    (query_id, rank, vec_id, score) with score = the mmr value at
+    selection time (rank 1 = lam * cosine).
+    """
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+    if k < 1 or n_cand < k:
+        raise ValueError(f"need 1 <= k <= n_cand, got k={k} n_cand={n_cand}")
+    cand = cosine_topk(emb_ds, queries, k=n_cand, emb_col=emb_col,
+                       id_col=id_col).to_pandas()     # queries x n_cand rows
+    cand_ids = np.unique(cand["vec_id"].to_numpy())
+
+    import ray
+    ids_ref = ray.put(cand_ids)
+
+    def keep_candidates(batch: pa.Table) -> pa.Table:
+        wanted = ray.get(ids_ref)
+        ids = batch[id_col].to_numpy()
+        pos = np.searchsorted(wanted, ids)
+        pos[pos >= len(wanted)] = 0
+        return batch.take(np.flatnonzero(wanted[pos] == ids))
+
+    emb_t = pa.concat_tables(
+        [t for t in ray.get(emb_ds.map_batches(
+            keep_candidates, batch_format="pyarrow").to_arrow_refs())
+         if t.num_rows])
+    all_ids = emb_t[id_col].to_numpy()
+    order = np.argsort(all_ids)
+    all_ids = all_ids[order]
+    E = _normalize(_emb_matrix(emb_t, emb_col))[order]
+
+    q_out, r_out, v_out, s_out = [], [], [], []
+    for qi in sorted(cand["query_id"].unique()):
+        part = cand[cand["query_id"] == qi]
+        ids = part["vec_id"].to_numpy()
+        rel = part["score"].to_numpy()
+        o = np.argsort(ids)                 # deterministic candidate order
+        ids, rel = ids[o], rel[o]
+        Eq = E[np.searchsorted(all_ids, ids)]
+        n = len(ids)
+        maxdiv = np.zeros(n)
+        picked = np.zeros(n, dtype=bool)
+        for rank in range(1, min(k, n) + 1):
+            mmr = lam * rel - (1.0 - lam) * maxdiv
+            mmr[picked] = -np.inf
+            best = int(np.lexsort((ids, -mmr))[0])
+            picked[best] = True
+            q_out.append(int(qi))
+            r_out.append(rank)
+            v_out.append(int(ids[best]))
+            s_out.append(float(mmr[best]))
+            maxdiv = np.maximum(maxdiv, Eq @ Eq[best])
+    return pa.table({"query_id": pa.array(q_out, type=pa.int64()),
+                     "rank": pa.array(r_out, type=pa.int64()),
+                     "vec_id": pa.array(v_out, type=pa.int64()),
+                     "score": pa.array(s_out, type=pa.float64())})
+
+
 def cosine_all_pairs(emb_ds, threshold: float = 0.9,
                      id_col: str = "vec_id", emb_col: str = "embedding",
                      block_rows: int = 8192):
