@@ -694,6 +694,71 @@ ORDER BY qid, doc_id
 """
 
 
+def _hybrid_combmnz_sql() -> str:
+    """CombMNZ fusion of the same two sides as hybrid_rrf, mirroring
+    ops/fusion.py comb_fuse: per (side, query) top-10 lists with scores
+    ROUNDED TO 6 (the engine sides round before normalizing), min-max
+    normalized ((s-mn)/(mx-mn), 1.0 on a uniform list), fused =
+    sum(norm) * count(sides)."""
+    nq = len(_BM25_QUERIES)
+    return f"""
+WITH {_TOKS_CTE},
+{_values_clause()},
+doclen AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM docs) AS n,
+                 (SELECT count(*) FROM tok)::DOUBLE
+                 / (SELECT count(*) FROM docs) AS avgdl),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+bm25 AS (
+  SELECT q.qid, tf.doc_id,
+         sum({_BM25_EXPR}) AS score
+  FROM q
+  JOIN df ON df.term = q.term
+  JOIN tf ON tf.term = q.term
+  JOIN doclen dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.qid, tf.doc_id),
+sparse AS (SELECT qid, doc_id, round(score, 6) AS score,
+                  row_number() OVER (PARTITION BY qid
+                                     ORDER BY score DESC, doc_id) AS rn
+           FROM bm25),
+qv AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS e
+       FROM embeddings WHERE vec_id < {nq}),
+cos AS (SELECT qv.qid, x.vec_id AS doc_id,
+               list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                                      qv.e) AS sim
+        FROM qv CROSS JOIN embeddings x),
+dense AS (SELECT qid, doc_id, round(sim, 6) AS score,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY sim DESC, doc_id) AS rn
+          FROM cos),
+-- min-max over each side's kept (query) top-10 list, then union
+normed AS (
+  SELECT qid, doc_id,
+         CASE WHEN mx > mn THEN (score - mn) / (mx - mn) ELSE 1.0 END AS nrm
+  FROM (SELECT qid, doc_id, score,
+               max(score) OVER (PARTITION BY qid) AS mx,
+               min(score) OVER (PARTITION BY qid) AS mn
+        FROM sparse WHERE rn <= 10)
+  UNION ALL
+  SELECT qid, doc_id,
+         CASE WHEN mx > mn THEN (score - mn) / (mx - mn) ELSE 1.0 END AS nrm
+  FROM (SELECT qid, doc_id, score,
+               max(score) OVER (PARTITION BY qid) AS mx,
+               min(score) OVER (PARTITION BY qid) AS mn
+        FROM dense WHERE rn <= 10)),
+fused AS (SELECT qid, doc_id, sum(nrm) * count(*) AS fused
+          FROM normed GROUP BY qid, doc_id)
+SELECT qid, doc_id, round(fused, 6) AS fused FROM (
+  SELECT qid, doc_id, fused,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY fused DESC, doc_id) AS rn2
+  FROM fused) WHERE rn2 <= 10
+ORDER BY qid, doc_id
+"""
+
+
 def _topk_and_sql(score_expr: str) -> str:
     """Clean-AND conjunctive top-k: a doc qualifies iff it matches every
     LISTED KNOWN query term occurrence (duplicate terms still score
@@ -1067,6 +1132,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
                               ["query_id", "vec_id"])
         dense = dense.rename_columns(["qid", "doc_id", "score"])
         fused = _round6(rrf_fuse([sparse, dense], k=10, k_rrf=60), "rrf")
+        return fused.take(pc.sort_indices(
+            fused, sort_keys=[("qid", "ascending"),
+                              ("doc_id", "ascending")]))
+
+    def hybrid_combmnz(sf_dir: str):
+        # CombMNZ score fusion (Fox & Shaw TREC-2, Lee SIGIR'97 min-max
+        # normalization): same two sides as hybrid_rrf, but fusing the
+        # SCORES — each side's top-10 min-max normalized per query, the
+        # sum scaled by how many sides returned the doc. Both sides'
+        # scores are rounded to 6 BEFORE normalization (and the oracle
+        # rounds identically) so engine and SQL normalize the same
+        # doubles.
+        from mircv_ray.ops import comb_fuse, cosine_topk
+        sparse = _topk_run(sf_dir, "BM25")           # scores round-6
+        nq = len(_BM25_QUERIES)
+        qtbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding"],
+                             filters=[("vec_id", "<", nq)])
+        qtbl = qtbl.take(pc.sort_indices(qtbl["vec_id"]))
+        qv = np.stack([np.asarray(v)
+                       for v in qtbl["embedding"].to_pylist()])
+        emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                              columns=["vec_id", "embedding"])
+        dense = _sorted_table(cosine_topk(emb, qv, k=10),
+                              ["query_id", "vec_id"])
+        dense = _round6(dense.rename_columns(["qid", "doc_id", "score"]),
+                        "score")
+        fused = _round6(comb_fuse([sparse, dense], k=10, method="mnz"),
+                        "fused")
         return fused.take(pc.sort_indices(
             fused, sort_keys=[("qid", "ascending"),
                               ("doc_id", "ascending")]))
@@ -2430,6 +2524,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "more_like_this": more_like_this,
         "wildcard_bm25": wildcard_bm25,
         "hybrid_rrf": hybrid_rrf,
+        "hybrid_combmnz": hybrid_combmnz,
         "bm25_conjunctive_strict": bm25_conjunctive_strict,
         "dedup_exact": dedup_exact,
         "token_count": token_count,
@@ -2994,6 +3089,7 @@ WHERE p.c_ab >= 5 ORDER BY term_a, term_b
         "more_like_this": _mlt_sql(),
         "wildcard_bm25": _wildcard_sql(),
         "hybrid_rrf": _hybrid_rrf_sql(),
+        "hybrid_combmnz": _hybrid_combmnz_sql(),
         "dedup_exact": """
 SELECT min(doc_id) AS keep_id, count(*) AS n_dups
 FROM documents GROUP BY text

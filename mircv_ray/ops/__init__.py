@@ -21,7 +21,7 @@ from .dedup import connected_components, contamination_fuzzy, exact_dedup_keep, 
 from .similarity import cosine_all_pairs, cosine_topk, mmr_rerank, ivf_build_centroids, ivf_cosine_topk, embedding_near_dup_pairs, knn_graph, knn_graph_lsh, pq_cosine_topk, pq_cosine_topk_rerank, pq_encode, pq_train
 from .clustering import kmeans_assign, kmeans_fit, semantic_dedup
 from .dsir import dsir_weights
-from .fusion import rrf_fuse
+from .fusion import comb_fuse, rrf_fuse
 from .packing import greedy_pack, pack_sequences
 from .collocations import pmi_collocations
 from .multimodal import DecodeImage, SampleFrames, make_media_table
@@ -56,7 +56,7 @@ __all__ = [
     "tumbling_window_agg", "hopping_window_agg", "sessionize", "props_extract", "top_users_by_type",
     "StreamingTumblingWindow", "stream_tumbling_window_agg",
     "kmeans_assign", "kmeans_fit", "semantic_dedup",
-    "rrf_fuse",
+    "comb_fuse", "rrf_fuse",
     "greedy_pack", "pack_sequences",
     "pmi_collocations",
     "mg_heavy_hitters",

@@ -88,3 +88,81 @@ def rrf_fuse(sides, k: int = 10, k_rrf: int = 60,
         id_col: pa.array(od[keep], type=pa.int64()),
         "rrf": pa.array(fused[order2][keep], type=pa.float64()),
     })
+
+
+def comb_fuse(sides, k: int = 10, method: str = "sum", weights=None,
+              qid_col: str = "qid", id_col: str = "doc_id",
+              score_col: str = "score") -> pa.Table:
+    """Score-based fusion: CombSUM / CombMNZ (Fox & Shaw, TREC-2) with
+    per-(side, query) min-max normalization (Lee, SIGIR'97) — the
+    score-aware siblings of :func:`rrf_fuse` (which uses ranks only).
+
+    Each side is rank-truncated to its top-``k`` per query (score DESC,
+    id ASC), then normalized over the kept list: ``(s - min) /
+    (max - min)``, or 1.0 when the list's scores are all equal (a
+    uniform list says nothing about order; every doc is "best").
+    ``method="sum"``: fused = sum of normalized scores (times
+    ``weights[i]`` per side if given — the standard dense/sparse
+    interpolation ``a*dense + (1-a)*sparse`` is ``weights=[a, 1-a]``);
+    ``method="mnz"``: CombSUM times the number of sides that returned
+    the doc. Ties (fused DESC, id ASC). Same scale shape as rrf_fuse:
+    inputs are (queries x k)-sized lists, one vectorized pass.
+    """
+    if method not in ("sum", "mnz"):
+        raise ValueError(f"method must be 'sum' or 'mnz', got {method!r}")
+    if weights is not None and len(weights) != len(sides):
+        raise ValueError("weights must match sides")
+    qs, ds, ns = [], [], []
+    for si, t in enumerate(sides):
+        if t.num_rows == 0:
+            continue
+        qid = t[qid_col].to_numpy().astype(np.int64)
+        doc = t[id_col].to_numpy().astype(np.int64)
+        sc = t[score_col].to_numpy().astype(np.float64)
+        order = np.lexsort((doc, -sc, qid))
+        q, d, s = qid[order], doc[order], sc[order]
+        starts = np.flatnonzero(np.append(True, q[1:] != q[:-1]))
+        lens = np.diff(np.append(starts, len(q)))
+        rank = np.arange(len(q)) - np.repeat(starts, lens) + 1
+        keep = rank <= k
+        q, d, s = q[keep], d[keep], s[keep]
+        starts = np.flatnonzero(np.append(True, q[1:] != q[:-1]))
+        lens = np.diff(np.append(starts, len(q)))
+        gid = np.repeat(np.arange(len(starts)), lens)
+        mx = np.full(len(starts), -np.inf)
+        mn = np.full(len(starts), np.inf)
+        np.maximum.at(mx, gid, s)
+        np.minimum.at(mn, gid, s)
+        span = (mx - mn)[gid]
+        norm = np.where(span > 0, (s - mn[gid]) / np.where(span > 0, span, 1.0),
+                        1.0)
+        if weights is not None:
+            norm = weights[si] * norm
+        qs.append(q)
+        ds.append(d)
+        ns.append(norm)
+    if not qs:
+        return pa.table({qid_col: pa.array([], pa.int64()),
+                         id_col: pa.array([], pa.int64()),
+                         "fused": pa.array([], pa.float64())})
+    q, d = np.concatenate(qs), np.concatenate(ds)
+    contrib = np.concatenate(ns)
+    order = np.lexsort((np.arange(len(q)), d, q))  # side order fixed ->
+    q, d, contrib = q[order], d[order], contrib[order]  # reproducible sums
+    new = np.append(True, (q[1:] != q[:-1]) | (d[1:] != d[:-1]))
+    gid = np.cumsum(new) - 1
+    fused = np.zeros(int(gid[-1]) + 1, dtype=np.float64)
+    np.add.at(fused, gid, contrib)
+    if method == "mnz":
+        cnt = np.zeros_like(fused)
+        np.add.at(cnt, gid, 1.0)
+        fused = fused * cnt
+    gq, gd = q[new], d[new]
+    oq, od, orank = _ranks(gq, gd, fused)
+    order2 = np.lexsort((gd, -fused, gq))
+    keep = orank <= k
+    return pa.table({
+        qid_col: pa.array(oq[keep], type=pa.int64()),
+        id_col: pa.array(od[keep], type=pa.int64()),
+        "fused": pa.array(fused[order2][keep], type=pa.float64()),
+    })
