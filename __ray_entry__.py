@@ -2227,6 +2227,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
                          "doc_id": pa.array(dids, type=pa.int64()),
                          "score": pa.array(scores, type=pa.float64())})
 
+    def bm25_topk_bmw(sf_dir: str):
+        # Block-Max WAND (Ding & Suel SIGIR'11): WAND + the index's
+        # per-block score bounds; lossless, same top-k SQL oracle
+        from mircv_ray.config import QueryConfig
+        from mircv_ray.query import QueryEngine
+        idx = _basic_index(sf_dir)
+        eng = QueryEngine(idx, QueryConfig(standard="BM25", k=10,
+                                           parse=False, squeeze=False,
+                                           algo="bmw"))
+        qids, dids, scores = [], [], []
+        for qid, terms in enumerate(_BM25_QUERIES):
+            for doc_id, score in eng.score_terms(list(terms),
+                                                 conjunctive=False):
+                qids.append(qid)
+                dids.append(doc_id - 1)
+                scores.append(round(score, 6))
+        return pa.table({"qid": pa.array(qids, type=pa.int64()),
+                         "doc_id": pa.array(dids, type=pa.int64()),
+                         "score": pa.array(scores, type=pa.float64())})
+
     def qld_topk(sf_dir: str):
         # query-likelihood Dirichlet ranking (Zhai & Lafferty SIGIR'01;
         # the engine's third standard beyond the reference's BM25/TFIDF)
@@ -2579,6 +2599,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessions_salted": sessions_salted,
         "bm25_topk_maxscore": bm25_topk_maxscore,
         "bm25_topk_wand": bm25_topk_wand,
+        "bm25_topk_bmw": bm25_topk_bmw,
         "qld_topk": qld_topk,
         "props_json": props_json,
         "asof_purchases": asof_purchases,
@@ -3313,6 +3334,7 @@ ORDER BY doc_id
 """,
         "bm25_topk_maxscore": _topk_sql(_BM25_EXPR),
         "bm25_topk_wand": _topk_sql(_BM25_EXPR),
+        "bm25_topk_bmw": _topk_sql(_BM25_EXPR),
         # query-likelihood Dirichlet (mu=2000): per known query term
         # occurrence ln(1 + tf/(mu*cf/T)), plus the per-doc length prior
         # qn*ln(mu/(dl+mu)) — same association order as the engine

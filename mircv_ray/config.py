@@ -63,3 +63,5 @@ class QueryConfig:
                                     # (always the faithful Scorer.java loop)
                                     # | "wand" (Broder CIKM'03 pruning,
                                     # disjunctive; this engine's extension)
+                                    # | "bmw" (Block-Max WAND, Ding & Suel
+                                    # SIGIR'11 — WAND + per-block bounds)

@@ -1,7 +1,7 @@
 """Query engine: posting cursors, MaxScore, scorer actors."""
 
 from .cursors import EXHAUSTED, PostingCursor
-from .scorer import max_score, wand
+from .scorer import block_max_wand, max_score, wand
 from .engine import IndexReader, QueryEngine, QueryScorer, run_queries, write_trec
 from .phrase import phrase_match, phrase_occurrence_counts
 

@@ -39,7 +39,8 @@ from ..config import QueryConfig
 from ..util import multi_arange
 from ..text import tokenize_text
 from .cursors import PostingCursor
-from .scorer import bm25_score, max_score, tfidf_score, wand
+from .scorer import (block_max_wand, bm25_score, max_score,
+                     tfidf_score, wand)
 
 
 def _terms_to_s64(arr) -> np.ndarray:
@@ -539,7 +540,7 @@ class QueryEngine:
         # engine — fine up to the dense-doclen ceiling, a non-starter
         # beyond it (the same 8-TB-per-actor problem as the doc-len
         # array); huge indexes take the accumulator-free MaxScore walk
-        if (algo not in ("maxscore", "wand") and not conjunctive
+        if (algo not in ("maxscore", "wand", "bmw") and not conjunctive
                 and self.reader.n_docs <= DENSE_DOCLEN_MAX_DOCS):
             return self._score_terms_taat(terms)
         self.reader.prefetch(terms)
@@ -551,11 +552,12 @@ class QueryEngine:
         alive = (self.reader.is_alive if len(self.reader.tombstones)
                  else None)
         cursors.sort(key=lambda c: c.term_ub)  # O5 (stable, like Arrays.sort)
-        if algo == "wand" and not conjunctive:
-            # WAND re-sorts by current docId internally; the UB presort
-            # fixes the float accumulation order (scorer.wand scores in
+        if algo in ("wand", "bmw") and not conjunctive:
+            # WAND/BMW re-sort by current docId internally; the UB
+            # presort fixes the float accumulation order (both score in
             # input-list order, matching MaxScore's canonical order)
-            return wand(cursors, self.qcfg.k, self._score_fn, alive=alive)
+            fn = block_max_wand if algo == "bmw" else wand
+            return fn(cursors, self.qcfg.k, self._score_fn, alive=alive)
         return max_score(cursors, self.qcfg.k, conjunctive, self._score_fn,
                          alive=alive)
 

@@ -119,6 +119,94 @@ def max_score(cursors: list[PostingCursor], k: int, conjunctive: bool,
     return out
 
 
+def block_max_wand(cursors: list[PostingCursor], k: int, score_fn,
+                   alive=None) -> list[tuple[int, float]]:
+    """Block-Max WAND (Ding & Suel, SIGIR'11): WAND's pivot selection
+    refined with the per-block score upper bounds the index already
+    stores for block-max MaxScore. After the term-UB prefix sum picks a
+    pivot, a SHALLOW check sums each pre-pivot cursor's CURRENT-block
+    bound at the pivot docId (``ub_at`` — no block decode); if even that
+    cannot beat theta, the whole window up to the smallest current block
+    boundary is pruned in one jump. Lossless: block bounds are true
+    bounds and are CONSTANT over [pivot_doc, min boundary], so every doc
+    in the skipped window is individually prunable. Ranking is identical
+    to :func:`wand` / :func:`max_score` / exhaustive TAAT. On an index
+    without per-block cores ``ub_at`` falls back to the term UB, the
+    shallow sum equals the pivot sum (> theta), and this degrades to
+    exactly WAND.
+    """
+    if not cursors:
+        return []
+    heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap
+    theta = 0.0
+    live = [c for c in cursors if c.doc_id() != EXHAUSTED]
+    while live:
+        live.sort(key=lambda c: c.doc_id())
+        acc = 0.0
+        pivot = -1
+        for i, c in enumerate(live):
+            acc += c.term_ub
+            if acc > theta:
+                pivot = i
+                break
+        if pivot < 0:
+            break
+        pivot_doc = live[pivot].doc_id()
+        # the shallow window must include EVERY cursor sitting at the
+        # pivot doc — post-pivot cursors can tie its docId after the
+        # sort, and their mass counts toward the doc's true bound
+        upto = pivot
+        while upto + 1 < len(live) and live[upto + 1].doc_id() == pivot_doc:
+            upto += 1
+        shallow = 0.0
+        for c in live[:upto + 1]:
+            shallow += c.ub_at(pivot_doc)
+        if shallow <= theta:
+            # pivot doc (and everything up to the first block boundary)
+            # cannot enter the top-k: jump every window cursor to
+            # d' = min current-block last-doc + 1, capped by the next
+            # cursor's docId (beyond it other lists join in); block
+            # bounds are constant over [pivot_doc, d'), so every doc in
+            # the window is individually prunable
+            nxt = pivot_doc + 1
+            bound = None
+            for c in live[:upto + 1]:
+                bm = c.block_max
+                bi = int(np.searchsorted(bm, pivot_doc))
+                if bi < len(bm):
+                    b = int(bm[bi])
+                    bound = b if bound is None else min(bound, b)
+            d_new = max(nxt, (bound + 1) if bound is not None else nxt)
+            if upto + 1 < len(live):
+                d_new = min(d_new, live[upto + 1].doc_id())
+            d_new = max(d_new, nxt)
+            for c in live[:upto + 1]:
+                if c.doc_id() < d_new:
+                    c.next_geq(d_new)
+        elif live[0].doc_id() == pivot_doc:
+            if alive is None or alive(pivot_doc):
+                score = 0.0
+                for c in cursors:
+                    if c.doc_id() == pivot_doc:
+                        score += score_fn(c)
+                heapq.heappush(heap, (score, -pivot_doc))
+                if len(heap) > k:
+                    heapq.heappop(heap)
+                if len(heap) == k:
+                    theta = heap[0][0]
+            for c in live:
+                if c.doc_id() == pivot_doc:
+                    c.next()
+        else:
+            adv = max((c for c in live[:pivot] if c.doc_id() < pivot_doc),
+                      key=lambda c: c.term_ub)
+            adv.next_geq(pivot_doc)
+        live = [c for c in live if c.doc_id() != EXHAUSTED]
+    out = [(-neg, s) for s, neg in heap]
+    out.sort(key=lambda t: (-t[1], t[0]))
+    return out
+
+
 def wand(cursors: list[PostingCursor], k: int, score_fn,
          alive=None) -> list[tuple[int, float]]:
     """WAND disjunctive top-k (Broder et al., CIKM'03) — the classic

@@ -12,7 +12,7 @@ as QueryProcessorMain.evaluation:90-131 does), writes a TREC run file
 
 Usage:
     python scripts/query_processor.py INDEX_DIR [--standard BM25|TFIDF|QLD]
-        [--mu MU] [--algo auto|maxscore|wand] [--k K] [--no-parse]
+        [--mu MU] [--algo auto|maxscore|wand|bmw] [--k K] [--no-parse]
         [--eval QUERIES.tsv --run-out RUN.txt]
 """
 
@@ -34,7 +34,7 @@ def main() -> None:
     ap.add_argument("--mu", type=float, default=2000.0,
                     help="QLD Dirichlet smoothing parameter")
     ap.add_argument("--algo", default=None,
-                    choices=["auto", "maxscore", "wand"],
+                    choices=["auto", "maxscore", "wand", "bmw"],
                     help="disjunctive scoring algorithm (default auto)")
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--no-parse", action="store_true")
