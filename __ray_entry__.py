@@ -694,6 +694,89 @@ ORDER BY qid, doc_id
 """
 
 
+def _ltr_sql() -> str:
+    """LETOR-style feature table: candidates = BM25 top-10 UNION dense
+    cosine top-10 per query; features mirror the engine's scorers
+    (bm25/tfidf with the reference formulas, qld with the engine's
+    association order, cosine, doc length, distinct matched terms).
+    Unmatched-side features COALESCE to 0 like the engine's sentinel."""
+    nq = len(_BM25_QUERIES)
+    return f"""
+WITH {_TOKS_CTE},
+{_values_clause()},
+doclen AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM docs) AS n,
+                 (SELECT count(*) FROM tok)::DOUBLE
+                 / (SELECT count(*) FROM docs) AS avgdl),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+bm25s AS (
+  SELECT q.qid, tf.doc_id, sum({_BM25_EXPR}) AS bm25
+  FROM q JOIN df ON df.term = q.term JOIN tf ON tf.term = q.term
+  JOIN doclen dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s
+  GROUP BY q.qid, tf.doc_id),
+tfidfs AS (
+  SELECT q.qid, tf.doc_id, sum({_TFIDF_EXPR}) AS tfidf
+  FROM q JOIN df ON df.term = q.term JOIN tf ON tf.term = q.term
+  CROSS JOIN stats s
+  GROUP BY q.qid, tf.doc_id),
+tot AS (SELECT count(*)::DOUBLE AS t FROM tok),
+cf AS (SELECT term, sum(tf)::DOUBLE AS cf FROM tf GROUP BY term),
+qcnt AS (SELECT q.qid, count(*) AS qn
+         FROM q JOIN cf ON cf.term = q.term GROUP BY q.qid),
+qparts AS (
+  SELECT q.qid, tf.doc_id,
+         sum(ln(1 + tf.tf / (2000.0 * cf.cf / t.t))) AS part
+  FROM q JOIN cf ON cf.term = q.term JOIN tf ON tf.term = q.term
+  CROSS JOIN tot t
+  GROUP BY q.qid, tf.doc_id),
+qlds AS (
+  SELECT p.qid, p.doc_id,
+         p.part + qc.qn * ln(2000.0 / (dl.dl + 2000.0)) AS qld
+  FROM qparts p
+  JOIN doclen dl ON dl.doc_id = p.doc_id
+  JOIN qcnt qc ON qc.qid = p.qid),
+qv AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS e
+       FROM embeddings WHERE vec_id < {nq}),
+cos AS (SELECT qv.qid, x.vec_id AS doc_id,
+               list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                                      qv.e) AS cosine
+        FROM qv CROSS JOIN embeddings x),
+sparse_top AS (SELECT qid, doc_id FROM (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY bm25 DESC, doc_id) AS rn
+  FROM bm25s) WHERE rn <= 10),
+dense_top AS (SELECT qid, doc_id FROM (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cosine DESC, doc_id) AS rn
+  FROM cos) WHERE rn <= 10),
+cand AS (SELECT DISTINCT qid, doc_id FROM (
+  SELECT * FROM sparse_top UNION ALL SELECT * FROM dense_top)),
+nmatch AS (
+  SELECT q2.qid, tf.doc_id, count(DISTINCT q2.term) AS n_match
+  FROM (SELECT DISTINCT qid, term FROM q) q2
+  JOIN tf ON tf.term = q2.term
+  GROUP BY q2.qid, tf.doc_id)
+SELECT c.qid, c.doc_id,
+       round(COALESCE(b.bm25, 0), 6) AS bm25,
+       round(COALESCE(tt.tfidf, 0), 6) AS tfidf,
+       round(COALESCE(ql.qld, 0), 6) AS qld,
+       round(cs.cosine, 6) AS cosine,
+       dl.dl AS dl,
+       COALESCE(nm.n_match, 0) AS n_match
+FROM cand c
+LEFT JOIN bm25s b ON b.qid = c.qid AND b.doc_id = c.doc_id
+LEFT JOIN tfidfs tt ON tt.qid = c.qid AND tt.doc_id = c.doc_id
+LEFT JOIN qlds ql ON ql.qid = c.qid AND ql.doc_id = c.doc_id
+JOIN cos cs ON cs.qid = c.qid AND cs.doc_id = c.doc_id
+JOIN doclen dl ON dl.doc_id = c.doc_id
+LEFT JOIN nmatch nm ON nm.qid = c.qid AND nm.doc_id = c.doc_id
+ORDER BY c.qid, c.doc_id
+"""
+
+
 def _hybrid_combmnz_sql() -> str:
     """CombMNZ fusion of the same two sides as hybrid_rrf, mirroring
     ops/fusion.py comb_fuse: per (side, query) top-10 lists with scores
@@ -1135,6 +1218,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return fused.take(pc.sort_indices(
             fused, sort_keys=[("qid", "ascending"),
                               ("doc_id", "ascending")]))
+
+    def ltr_features_export(sf_dir: str):
+        # learning-to-rank feature table (LETOR-style export): one row
+        # per (query, candidate) with bm25/tfidf/qld/cosine/dl/n_match;
+        # candidates = sparse BM25 top-10 UNION dense cosine top-10
+        from mircv_ray.ops import ltr_features
+        idx = _basic_index(sf_dir)
+        nq = len(_BM25_QUERIES)
+        qtbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding"],
+                             filters=[("vec_id", "<", nq)])
+        qtbl = qtbl.take(pc.sort_indices(qtbl["vec_id"]))
+        qv = np.stack([np.asarray(v)
+                       for v in qtbl["embedding"].to_pylist()])
+        emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                              columns=["vec_id", "embedding"])
+        t = ltr_features(idx, emb, [list(q) for q in _BM25_QUERIES], qv,
+                         k=10)
+        for c in ("bm25", "tfidf", "qld", "cosine"):
+            t = _round6(t, c)
+        return t.take(pc.sort_indices(
+            t, sort_keys=[("qid", "ascending"), ("doc_id", "ascending")]))
 
     def hybrid_combmnz(sf_dir: str):
         # CombMNZ score fusion (Fox & Shaw TREC-2, Lee SIGIR'97 min-max
@@ -2545,6 +2650,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wildcard_bm25": wildcard_bm25,
         "hybrid_rrf": hybrid_rrf,
         "hybrid_combmnz": hybrid_combmnz,
+        "ltr_features": ltr_features_export,
         "bm25_conjunctive_strict": bm25_conjunctive_strict,
         "dedup_exact": dedup_exact,
         "token_count": token_count,
@@ -3111,6 +3217,7 @@ WHERE p.c_ab >= 5 ORDER BY term_a, term_b
         "wildcard_bm25": _wildcard_sql(),
         "hybrid_rrf": _hybrid_rrf_sql(),
         "hybrid_combmnz": _hybrid_combmnz_sql(),
+        "ltr_features": _ltr_sql(),
         "dedup_exact": """
 SELECT min(doc_id) AS keep_id, count(*) AS n_dups
 FROM documents GROUP BY text
