@@ -1219,6 +1219,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             fused, sort_keys=[("qid", "ascending"),
                               ("doc_id", "ascending")]))
 
+    def doc_chunks(sf_dir: str):
+        # sliding token-window chunking for RAG (size 40, stride 25 so
+        # overlap + short tails are both exercised)
+        from mircv_ray.ops import chunk_documents
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text"])
+        out = chunk_documents(ds, size=40, stride=25)
+        return _sorted_table(out, ["doc_id", "chunk_id"])
+
     def ltr_features_export(sf_dir: str):
         # learning-to-rank feature table (LETOR-style export): one row
         # per (query, candidate) with bm25/tfidf/qld/cosine/dl/n_match;
@@ -2651,6 +2660,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hybrid_rrf": hybrid_rrf,
         "hybrid_combmnz": hybrid_combmnz,
         "ltr_features": ltr_features_export,
+        "doc_chunks": doc_chunks,
         "bm25_conjunctive_strict": bm25_conjunctive_strict,
         "dedup_exact": dedup_exact,
         "token_count": token_count,
@@ -3218,6 +3228,21 @@ WHERE p.c_ab >= 5 ORDER BY term_a, term_b
         "hybrid_rrf": _hybrid_rrf_sql(),
         "hybrid_combmnz": _hybrid_combmnz_sql(),
         "ltr_features": _ltr_sql(),
+        "doc_chunks": r"""
+WITH d AS (SELECT doc_id,
+                  list_filter(regexp_split_to_array(coalesce(text, ''), '\s+'),
+                              w -> w <> '') AS toks
+           FROM documents),
+c AS (SELECT doc_id, toks, v.s AS start
+      FROM d, LATERAL (SELECT unnest(generate_series(
+               0, len(toks) - 1, 25)) AS s) v
+      WHERE len(toks) > 0)
+SELECT doc_id, start // 25 AS chunk_id, start,
+       least(40, len(toks) - start) AS n_tokens,
+       array_to_string(toks[start + 1 : least(start + 40, len(toks))],
+                       ' ') AS text
+FROM c ORDER BY doc_id, chunk_id
+""",
         "dedup_exact": """
 SELECT min(doc_id) AS keep_id, count(*) AS n_dups
 FROM documents GROUP BY text

@@ -22,6 +22,7 @@ from .similarity import cosine_all_pairs, cosine_topk, mmr_rerank, ivf_build_cen
 from .clustering import kmeans_assign, kmeans_fit, semantic_dedup
 from .dsir import dsir_weights
 from .fusion import comb_fuse, rrf_fuse
+from .chunking import chunk_documents
 from .ltr import ltr_features
 from .packing import greedy_pack, pack_sequences
 from .collocations import pmi_collocations
@@ -57,7 +58,7 @@ __all__ = [
     "tumbling_window_agg", "hopping_window_agg", "sessionize", "props_extract", "top_users_by_type",
     "StreamingTumblingWindow", "stream_tumbling_window_agg",
     "kmeans_assign", "kmeans_fit", "semantic_dedup",
-    "comb_fuse", "rrf_fuse", "ltr_features",
+    "chunk_documents", "comb_fuse", "rrf_fuse", "ltr_features",
     "greedy_pack", "pack_sequences",
     "pmi_collocations",
     "mg_heavy_hitters",
