@@ -777,6 +777,50 @@ ORDER BY c.qid, c.doc_id
 """
 
 
+def _passage_maxp_sql() -> str:
+    """MaxP over the chunk index: the doc_chunks derivation feeds the
+    standard tokenizer CTE under a composite chunk key (doc*10^6 +
+    chunk — chunk stats, not doc stats: N/avgdl/df are CHUNK-level,
+    exactly what the engine's index over the chunk corpus computes),
+    BM25 per chunk, max per source doc, top-10 (score desc, doc asc)."""
+    toks = _toks_cte_over(
+        "SELECT doc_id * 1000000 + chunk_id AS doc_id, text FROM ch")
+    return f"""
+WITH cd AS (SELECT doc_id,
+                   list_filter(regexp_split_to_array(coalesce(text, ''),
+                                                     '\\s+'),
+                               w -> w <> '') AS toks
+            FROM documents),
+ch AS (SELECT doc_id, v.s // 25 AS chunk_id,
+              array_to_string(toks[v.s + 1 : least(v.s + 40, len(toks))],
+                              ' ') AS text
+       FROM cd, LATERAL (SELECT unnest(generate_series(
+                0, len(toks) - 1, 25)) AS s) v
+       WHERE len(toks) > 0),
+{toks},
+{_values_clause()},
+doclen AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM docs) AS n,
+                 (SELECT count(*) FROM tok)::DOUBLE
+                 / (SELECT count(*) FROM docs) AS avgdl),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+cscores AS (
+  SELECT q.qid, tf.doc_id, sum({_BM25_EXPR}) AS score
+  FROM q JOIN df ON df.term = q.term JOIN tf ON tf.term = q.term
+  JOIN doclen dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s
+  GROUP BY q.qid, tf.doc_id),
+docsc AS (SELECT qid, doc_id // 1000000 AS doc_id, max(score) AS score
+          FROM cscores GROUP BY qid, doc_id // 1000000)
+SELECT qid, doc_id, round(score, 6) AS score FROM (
+  SELECT qid, doc_id, score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score DESC, doc_id) AS rn
+  FROM docsc) WHERE rn <= 10
+ORDER BY qid, doc_id
+"""
+
+
 def _hybrid_combmnz_sql() -> str:
     """CombMNZ fusion of the same two sides as hybrid_rrf, mirroring
     ops/fusion.py comb_fuse: per (side, query) top-10 lists with scores
@@ -1218,6 +1262,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return fused.take(pc.sort_indices(
             fused, sort_keys=[("qid", "ascending"),
                               ("doc_id", "ascending")]))
+
+    def passage_maxp(sf_dir: str):
+        # MaxP passage retrieval (Dai & Callan SIGIR'19): BM25 over the
+        # chunk-level index, document score = max over its chunks
+        from mircv_ray.ops import build_passage_index, passage_topk_maxp
+        key = hashlib.sha1(
+            f"{sf_dir}|passage|v{_CACHE_VERSION}".encode()).hexdigest()[:12]
+        out = str(_CACHE_ROOT / f"passage_{key}")
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text"])
+        build_passage_index(ds, out, size=40, stride=25)
+        t = _round6(passage_topk_maxp(out, [list(q) for q in _BM25_QUERIES],
+                                      k=10), "score")
+        return t.take(pc.sort_indices(
+            t, sort_keys=[("qid", "ascending"), ("doc_id", "ascending")]))
 
     def doc_chunks(sf_dir: str):
         # sliding token-window chunking for RAG (size 40, stride 25 so
@@ -2661,6 +2720,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hybrid_combmnz": hybrid_combmnz,
         "ltr_features": ltr_features_export,
         "doc_chunks": doc_chunks,
+        "passage_maxp": passage_maxp,
         "bm25_conjunctive_strict": bm25_conjunctive_strict,
         "dedup_exact": dedup_exact,
         "token_count": token_count,
@@ -3243,6 +3303,7 @@ SELECT doc_id, start // 25 AS chunk_id, start,
                        ' ') AS text
 FROM c ORDER BY doc_id, chunk_id
 """,
+        "passage_maxp": _passage_maxp_sql(),
         "dedup_exact": """
 SELECT min(doc_id) AS keep_id, count(*) AS n_dups
 FROM documents GROUP BY text

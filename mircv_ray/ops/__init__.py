@@ -24,6 +24,7 @@ from .dsir import dsir_weights
 from .fusion import comb_fuse, rrf_fuse
 from .chunking import chunk_documents
 from .ltr import ltr_features
+from .passage import build_passage_index, passage_topk_maxp
 from .packing import greedy_pack, pack_sequences
 from .collocations import pmi_collocations
 from .multimodal import DecodeImage, SampleFrames, make_media_table
@@ -59,6 +60,7 @@ __all__ = [
     "StreamingTumblingWindow", "stream_tumbling_window_agg",
     "kmeans_assign", "kmeans_fit", "semantic_dedup",
     "chunk_documents", "comb_fuse", "rrf_fuse", "ltr_features",
+    "build_passage_index", "passage_topk_maxp",
     "greedy_pack", "pack_sequences",
     "pmi_collocations",
     "mg_heavy_hitters",
