@@ -1714,6 +1714,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = mmr_rerank(ds, qvecs, k=5, lam=0.7, n_cand=20)
         return _round6(out, "score")
 
+    def dense_prf(sf_dir: str):
+        # Rocchio pseudo-relevance feedback in embedding space: q' =
+        # q + 0.75 * centroid(cosine top-5), rerank by cosine(q', d) —
+        # the dense sibling of the sparse bm25_prf entry
+        from mircv_ray.ops import rocchio_dense
+        emb = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+        qvecs = np.stack([np.asarray(emb["embedding"][i].as_py())
+                          for i in range(3)])
+        ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+        out = rocchio_dense(ds, qvecs, k=10, alpha=1.0, beta=0.75,
+                            n_fb=5)
+        t = _round6(_sorted_table(out, ["query_id", "vec_id"]), "score")
+        return t
+
     def ann_cosine_topk(sf_dir: str):
         from mircv_ray.ops import cosine_topk
         emb = pq.read_table(f"{sf_dir}/embeddings.parquet",
@@ -2735,6 +2751,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_cosine_topk_ivf": ann_cosine_topk_ivf,
         "ann_cosine_topk_pq": ann_cosine_topk_pq,
         "mmr_diversified": mmr_diversified,
+        "dense_prf": dense_prf,
         "lang_id": lang_id,
         "fingerprint": fingerprint,
         "pii_redact": pii_redact,
@@ -3396,6 +3413,36 @@ FROM r WHERE rn <= 5 ORDER BY src, dst
         "ann_cosine_topk": ann_sql,
         "ann_cosine_topk_ivf": ann_sql,
         "mmr_diversified": mmr_sql,
+        "dense_prf": """
+WITH qv AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+            FROM embeddings WHERE vec_id IN (0, 1, 2)),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+s0 AS (SELECT qv.qid, e.vec_id,
+              list_cosine_similarity(e.emb, qv.qe) AS sim
+       FROM qv CROSS JOIN e),
+fb AS (SELECT qid, vec_id FROM (
+  SELECT qid, vec_id,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY sim DESC, vec_id) AS rn
+  FROM s0) WHERE rn <= 5),
+cent AS (SELECT f.qid, d.i, avg(e.emb[d.i]) AS c
+         FROM fb f
+         JOIN e ON e.vec_id = f.vec_id,
+         LATERAL (SELECT unnest(generate_series(1, len(e.emb))) AS i) d
+         GROUP BY f.qid, d.i),
+q2 AS (SELECT c.qid, list(1.0 * qv.qe[c.i] + 0.75 * c.c ORDER BY c.i)
+              AS qe2
+       FROM cent c JOIN qv ON qv.qid = c.qid GROUP BY c.qid),
+s1 AS (SELECT q2.qid, e.vec_id,
+              list_cosine_similarity(e.emb, q2.qe2) AS sim
+       FROM q2 CROSS JOIN e)
+SELECT qid AS query_id, vec_id, round(sim, 6) AS score FROM (
+  SELECT qid, vec_id, sim,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY sim DESC, vec_id) AS rn
+  FROM s1) WHERE rn <= 10
+ORDER BY query_id, vec_id
+""",
         "props_json": r"""
 SELECT event_id,
        CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT) AS k

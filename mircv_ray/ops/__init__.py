@@ -18,7 +18,7 @@ from .cooccur import cooccurrence_counts
 from .graph import pagerank
 from .keywords import tfidf_keywords
 from .dedup import connected_components, contamination_fuzzy, exact_dedup_keep, jaccard_simjoin_exact, minhash_signatures, minhash_candidate_pairs, simhash64, near_dup_pairs, ngram_jaccard_pairs, shingle_sets
-from .similarity import cosine_all_pairs, cosine_topk, mmr_rerank, ivf_build_centroids, ivf_cosine_topk, embedding_near_dup_pairs, knn_graph, knn_graph_lsh, pq_cosine_topk, pq_cosine_topk_rerank, pq_encode, pq_train
+from .similarity import cosine_all_pairs, cosine_topk, mmr_rerank, rocchio_dense, ivf_build_centroids, ivf_cosine_topk, embedding_near_dup_pairs, knn_graph, knn_graph_lsh, pq_cosine_topk, pq_cosine_topk_rerank, pq_encode, pq_train
 from .clustering import kmeans_assign, kmeans_fit, semantic_dedup
 from .dsir import dsir_weights
 from .fusion import comb_fuse, rrf_fuse
@@ -45,7 +45,7 @@ __all__ = [
     "basic_token_stats", "token_count", "quality_stats", "lang_id",
     "fingerprint", "exact_dedup_keep", "minhash_signatures",
     "minhash_candidate_pairs", "simhash64", "near_dup_pairs",
-    "cosine_topk", "mmr_rerank", "ivf_build_centroids", "ivf_cosine_topk",
+    "cosine_topk", "mmr_rerank", "rocchio_dense", "ivf_build_centroids", "ivf_cosine_topk",
     "ngram_jaccard_pairs", "shingle_sets", "embedding_near_dup_pairs",
     "jaccard_simjoin_exact", "cosine_all_pairs", "pii_redact",
     "repetition_stats", "connected_components", "source_quota_sample",

@@ -378,6 +378,57 @@ def mmr_rerank(emb_ds, queries: np.ndarray, k: int = 5, lam: float = 0.7,
                      "score": pa.array(s_out, type=pa.float64())})
 
 
+def rocchio_dense(emb_ds, queries: np.ndarray, k: int = 10,
+                  alpha: float = 1.0, beta: float = 0.75, n_fb: int = 5,
+                  emb_col: str = "embedding", id_col: str = "vec_id"):
+    """Dense pseudo-relevance feedback (Rocchio, 1971, in embedding
+    space — the dense sibling of the sparse ``bm25_prf``): refine each
+    query vector toward the centroid of its cosine top-``n_fb`` hits,
+
+        q' = alpha * q + beta * mean(raw feedback embeddings)
+
+    then rank by cosine(q', d). Rocchio runs in RAW vector space (the
+    classic formulation); only the cosine rankings normalize.
+
+    Scale: two :func:`cosine_topk` scans (feedback + final — each
+    content-stationary, candidates only shuffle) plus ONE broadcast-id
+    filtered gather of the (queries x n_fb) feedback embeddings; the
+    centroid math is queries x dim on the driver. Returns (query_id,
+    vec_id, score).
+    """
+    if n_fb < 1 or k < 1:
+        raise ValueError(f"need n_fb >= 1 and k >= 1, got {n_fb}, {k}")
+    q = np.asarray(queries, dtype=np.float64)
+    fb = cosine_topk(emb_ds, q, k=n_fb, emb_col=emb_col,
+                     id_col=id_col).to_pandas()
+    fb_ids = np.unique(fb["vec_id"].to_numpy())
+
+    import ray
+    ids_ref = ray.put(fb_ids)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        wanted = ray.get(ids_ref)
+        ids = batch[id_col].to_numpy()
+        pos = np.searchsorted(wanted, ids)
+        pos[pos >= len(wanted)] = 0
+        return batch.take(np.flatnonzero(wanted[pos] == ids))
+
+    emb_t = pa.concat_tables(
+        [t for t in ray.get(emb_ds.map_batches(
+            keep, batch_format="pyarrow").to_arrow_refs()) if t.num_rows])
+    got_ids = emb_t[id_col].to_numpy()
+    order = np.argsort(got_ids)
+    got_ids = got_ids[order]
+    E = _emb_matrix(emb_t, emb_col)[order]          # RAW vectors
+
+    q2 = np.empty_like(q)
+    for qi in range(len(q)):
+        ids = np.sort(fb[fb["query_id"] == qi]["vec_id"].to_numpy())
+        cent = E[np.searchsorted(got_ids, ids)].mean(axis=0)
+        q2[qi] = alpha * q[qi] + beta * cent
+    return cosine_topk(emb_ds, q2, k=k, emb_col=emb_col, id_col=id_col)
+
+
 def cosine_all_pairs(emb_ds, threshold: float = 0.9,
                      id_col: str = "vec_id", emb_col: str = "embedding",
                      block_rows: int = 8192):

@@ -103,3 +103,62 @@ def test_mmr_validation(ray_session):
         mmr_rerank(ds, m[:1], lam=1.5)
     with pytest.raises(ValueError, match="n_cand"):
         mmr_rerank(ds, m[:1], k=30, n_cand=10)
+
+
+# ------------------------ Rocchio dense PRF (embedding-space feedback)
+
+def _brute_rocchio(m, qvecs, k, alpha, beta, n_fb):
+    def norm(x):
+        return x / np.linalg.norm(x, axis=-1, keepdims=True)
+    raw = m.astype(np.float32).astype(np.float64)
+    mn = norm(raw)
+    out = []
+    for qi, q in enumerate(np.asarray(qvecs, dtype=np.float64)):
+        sims = mn @ (q / np.linalg.norm(q))
+        fb = np.lexsort((np.arange(len(mn)), -sims))[:n_fb]
+        q2 = alpha * q + beta * raw[np.sort(fb)].mean(axis=0)
+        sims2 = mn @ (q2 / np.linalg.norm(q2))
+        top = np.lexsort((np.arange(len(mn)), -sims2))[:k]
+        out += [(qi, int(d), float(sims2[d])) for d in top]
+    return out
+
+
+@pytest.mark.parametrize("alpha,beta,n_fb", [(1.0, 0.75, 5), (0.5, 1.0, 3),
+                                             (1.0, 0.0, 2)])
+def test_rocchio_vs_brute_force(ray_session, alpha, beta, n_fb):
+    import ray.data as rd
+
+    from mircv_ray.ops import rocchio_dense
+    tbl, m = _emb_table()
+    qv = m[:3]
+    got = rocchio_dense(rd.from_arrow(tbl), qv, k=8, alpha=alpha,
+                        beta=beta, n_fb=n_fb).to_pandas()
+    got = got.sort_values(["query_id", "score", "vec_id"],
+                          ascending=[True, False, True])
+    exp = _brute_rocchio(m, qv, 8, alpha, beta, n_fb)
+    rows = list(zip(got["query_id"], got["vec_id"], got["score"]))
+    assert [(q, d) for q, d, _ in rows] == [(q, d) for q, d, _ in exp]
+    for (_, _, gs), (_, _, es) in zip(rows, exp):
+        assert gs == pytest.approx(es, rel=1e-9)
+
+
+def test_rocchio_beta_zero_is_plain_topk(ray_session):
+    import ray.data as rd
+
+    from mircv_ray.ops import cosine_topk, rocchio_dense
+    tbl, m = _emb_table()
+    ds = rd.from_arrow(tbl)
+    qv = m[:2]
+    a = rocchio_dense(ds, qv, k=5, alpha=2.0, beta=0.0).to_pandas()
+    b = cosine_topk(ds, qv, k=5).to_pandas()
+    # scaling q never changes cosine ranking
+    assert a["vec_id"].tolist() == b["vec_id"].tolist()
+
+
+def test_rocchio_validation(ray_session):
+    import ray.data as rd
+
+    from mircv_ray.ops import rocchio_dense
+    tbl, m = _emb_table(n=10)
+    with pytest.raises(ValueError, match="n_fb"):
+        rocchio_dense(rd.from_arrow(tbl), m[:1], n_fb=0)
