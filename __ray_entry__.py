@@ -2703,6 +2703,97 @@ def queries() -> dict[str, Callable[[str], Any]]:
         feats = out.select_columns(["media_id", "kind"])
         return feats
 
+    def bpe_merges(sf_dir: str):
+        # distributed BPE vocabulary training (Sennrich ACL'16): the
+        # word vocab stays a sharded Dataset, each merge round is one
+        # streaming pass + one pair-count groupby, the driver sees one
+        # row per block per round. Iterative argmax is not
+        # SQL-expressible -> rows-only, but SELF-VALIDATING in-entry:
+        # the merge list must EXACTLY equal a pure-Python Sennrich
+        # reference run over the same texts (counts included).
+        from mircv_ray.ops.bpe import EOW, bpe_train
+        got = bpe_train(_docs_ds(sf_dir), n_merges=25, min_count=2)
+        import re as _re
+        from collections import Counter
+        texts = pq.read_table(f"{sf_dir}/documents.parquet",
+                              columns=["text"])["text"].to_pylist()
+        words = Counter(w for t in texts if t
+                        for w in _re.findall(r"[a-z0-9]+", t.lower()))
+        vocab = {w: (list(w[:-1]) + [w[-1] + EOW], c)
+                 for w, c in words.items()}
+        ref = []
+        for _ in range(25):
+            pairs: Counter = Counter()
+            for syms, c in vocab.values():
+                for i in range(len(syms) - 1):
+                    pairs[(syms[i], syms[i + 1])] += c
+            if not pairs or max(pairs.values()) < 2:
+                break
+            mx = max(pairs.values())
+            a, b = min(p for p, c in pairs.items() if c == mx)
+            ref.append((a, b, mx))
+            nv = {}
+            for w, (syms, c) in vocab.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if (i < len(syms) - 1 and syms[i] == a
+                            and syms[i + 1] == b):
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                nv[w] = (out, c)
+            vocab = nv
+        mine = list(zip(got["left"].to_pylist(), got["right"].to_pylist(),
+                        got["count"].to_pylist()))
+        if mine != ref:
+            raise AssertionError(
+                f"BPE merge list diverges from the Sennrich reference: "
+                f"{mine[:3]}... vs {ref[:3]}...")
+        return got
+
+    def bpe_token_counts(sf_dir: str):
+        # per-doc BPE token counts under the trained merges (map-only
+        # encode; batch-distinct words through the vectorized merge
+        # kernel). Rows-only but SELF-VALIDATING: every count must
+        # equal the pure-Python encode of the same text.
+        from mircv_ray.ops.bpe import EOW, bpe_encode_counts, bpe_train
+        merges = bpe_train(_docs_ds(sf_dir), n_merges=25, min_count=2)
+        out = _sorted_table(
+            bpe_encode_counts(_docs_ds(sf_dir), merges), ["doc_id"])
+        import re as _re
+        pairs = list(zip(merges["left"].to_pylist(),
+                         merges["right"].to_pylist()))
+        docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text"])
+        ref = {}
+        for did, t in zip(docs["doc_id"].to_pylist(),
+                          docs["text"].to_pylist()):
+            n = 0
+            for w in _re.findall(r"[a-z0-9]+", (t or "").lower()):
+                syms = list(w[:-1]) + [w[-1] + EOW]
+                for a, b in pairs:
+                    o, i = [], 0
+                    while i < len(syms):
+                        if (i < len(syms) - 1 and syms[i] == a
+                                and syms[i + 1] == b):
+                            o.append(a + b)
+                            i += 2
+                        else:
+                            o.append(syms[i])
+                            i += 1
+                    syms = o
+                n += len(syms)
+            ref[did] = n
+        for did, n in zip(out["doc_id"].to_pylist(),
+                          out["n_bpe_tokens"].to_pylist()):
+            if ref.get(did) != n:
+                raise AssertionError(
+                    f"BPE encode count mismatch doc {did}: {n} != "
+                    f"{ref.get(did)}")
+        return out
+
     return {
         "doc_stats": doc_stats,
         "doc_lengths": doc_lengths,
@@ -2745,6 +2836,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_deciles": quality_deciles,
         "dsir_weights_exact": dsir_weights_exact,
         "dsir_weights_hashed": dsir_weights_hashed,
+        "bpe_merges": bpe_merges,
+        "bpe_token_counts": bpe_token_counts,
         "knn_graph_exact": knn_graph_exact,
         "knn_graph_approx": knn_graph_approx,
         "ann_cosine_topk": ann_cosine_topk,

@@ -21,6 +21,7 @@ from .dedup import connected_components, contamination_fuzzy, exact_dedup_keep, 
 from .similarity import cosine_all_pairs, cosine_topk, mmr_rerank, rocchio_dense, ivf_build_centroids, ivf_cosine_topk, embedding_near_dup_pairs, knn_graph, knn_graph_lsh, pq_cosine_topk, pq_cosine_topk_rerank, pq_encode, pq_train
 from .clustering import kmeans_assign, kmeans_fit, semantic_dedup
 from .dsir import dsir_weights
+from .bpe import bpe_encode_counts, bpe_train
 from .fusion import comb_fuse, rrf_fuse
 from .chunking import chunk_documents
 from .ltr import ltr_features
@@ -51,6 +52,7 @@ __all__ = [
     "repetition_stats", "connected_components", "source_quota_sample",
     "hash_split", "stratified_sample", "alpha_mix_weights",
     "knn_graph", "knn_graph_lsh", "global_ntile", "dsir_weights", "unigram_logprob", "char_entropy",
+    "bpe_train", "bpe_encode_counts",
     "ngram_window_rows", "shared_ngram_pairs",
     "exact_distinct_per_group", "hll_distinct_per_group",
     "asof_join_backward", "asof_join_backward_salted", "interval_join",

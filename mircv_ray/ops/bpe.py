@@ -1,0 +1,279 @@
+"""Distributed BPE vocabulary training + subword encoding.
+
+Byte-pair encoding (Sennrich, Haddow & Birch, ACL 2016 — ``learn_bpe``)
+over the corpus's lowercase-alnum token stream (the engine's shared
+token definition, ``textops._alnum_flat_terms``): each distinct word is
+a symbol sequence (its characters, last one suffixed ``</w>``); every
+round merges the globally most frequent adjacent symbol pair
+(leftmost-non-overlapping within a word, the reference algorithm's
+``re.sub`` semantics) until ``n_merges`` merges or the best pair drops
+below ``min_count``.
+
+The reference implementation is a single-process dict loop; this one is
+Ray-Data-native and scales by keeping the WORD VOCABULARY a distributed
+Dataset end to end:
+
+- pass 1 (the only content-sized exchange): per-batch combined word
+  counts -> one ``groupby(word)`` — identical shape to the index
+  build's df stage.
+- each merge round is ONE streaming pass over the (word, count, syms)
+  Dataset: per-batch weighted pair counts (arrow ``group_by`` combine,
+  so only distinct-per-batch pairs enter the exchange), one
+  ``groupby(a, b)`` pair-count sum, per-block argmax partials — the
+  driver sees exactly one (a, b, count) row per block per round, never
+  a vocabulary- or pair-vocabulary-sized table (the kmeans_fit /
+  pagerank iteration contract).
+- the merge applies map-only (dictionary-coded integer compares +
+  a vectorized leftmost-non-overlap parity rule — no per-word Python),
+  and the vocab re-materializes with its block count pinned so round
+  N's lineage does not replay rounds 0..N-1.
+
+At 100 TB the word vocab is large (Heaps' law does not flatten on
+code), but it is *distinct-word*-sized, stays sharded on workers, and
+each of the M rounds moves only (pair, partial-count) rows — the same
+budget the collocation/LM counters already spend once.
+
+``bpe_encode`` applies a learned merge list to documents map-only:
+each batch dictionary-encodes its tokens and runs the SAME vectorized
+merge kernel over the batch-distinct words for each merge in rank
+order — n_merges flat-array passes per batch, no per-word Python.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .textops import _alnum_flat_terms
+
+EOW = "</w>"
+
+
+# --------------------------------------------------------------- kernels
+
+def _flat_syms(words: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """Initial symbol sequences for a batch of distinct words ->
+    (flat symbol object array, parent word index per symbol).
+
+    Words are lowercase alnum ([a-z0-9]+), i.e. 1 byte == 1 char, so the
+    split is one pass over the words' contiguous value buffer; the last
+    character of each word carries the ``</w>`` suffix.
+    """
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    n = len(words)
+    if n == 0:
+        return (np.empty(0, dtype=object), np.zeros(0, dtype=np.int64))
+    arr = words.cast(pa.binary())
+    # offsets into the value buffer (account for array slice offset)
+    off = np.frombuffer(arr.buffers()[1], dtype=np.int32,
+                        count=n + 1 + arr.offset)[arr.offset:]
+    buf = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    lens = (off[1:] - off[:-1]).astype(np.int64)
+    total = int(lens.sum())
+    # flat char positions: for word i, bytes off[i]..off[i+1]
+    pos = np.repeat(off[:-1].astype(np.int64), lens) + \
+        (np.arange(total) - np.repeat(np.cumsum(lens) - lens, lens))
+    chars = buf[pos]
+    parent = np.repeat(np.arange(n, dtype=np.int64), lens)
+    # last symbol of each word gets the EOW suffix
+    ends = np.cumsum(lens) - 1
+    syms = np.empty(total, dtype=object)
+    # 256 possible single chars -> build via small lookup (vectorized take)
+    lut = np.array([chr(c) for c in range(256)], dtype=object)
+    syms[:] = lut[chars]
+    lut_e = np.array([chr(c) + EOW for c in range(256)], dtype=object)
+    syms[ends] = lut_e[chars[ends]]
+    return syms, parent
+
+
+def _pair_partial(syms: np.ndarray, parent: np.ndarray,
+                  weights: np.ndarray) -> pa.Table:
+    """Weighted adjacent-pair counts for one batch (combined per batch:
+    only distinct pairs leave the task)."""
+    if len(syms) < 2:
+        return pa.table({"a": pa.array([], type=pa.string()),
+                         "b": pa.array([], type=pa.string()),
+                         "c": pa.array([], type=pa.int64())})
+    same = parent[:-1] == parent[1:]
+    a = syms[:-1][same]
+    b = syms[1:][same]
+    w = weights[parent[:-1][same]]
+    t = pa.table({"a": pa.array(a, type=pa.string()),
+                  "b": pa.array(b, type=pa.string()),
+                  "c": pa.array(w, type=pa.int64())})
+    return t.group_by(["a", "b"]).aggregate([("c", "sum")]) \
+        .rename_columns(["a", "b", "c"])
+
+
+def _apply_merge(syms: np.ndarray, parent: np.ndarray, a: str, b: str
+                 ) -> tuple[np.ndarray, np.ndarray]:
+    """Merge (a, b) -> a+b leftmost-non-overlapping within each word.
+
+    Consecutive candidate positions only arise when a == b (runs like
+    'aaaa'); the parity rule (keep candidates at even offset from their
+    run start) reproduces ``re.sub``'s leftmost-non-overlapping scan.
+    """
+    n = len(syms)
+    if n < 2:
+        return syms, parent
+    cand = np.logical_and(syms[:-1] == a, syms[1:] == b)
+    cand &= parent[:-1] == parent[1:]
+    if not cand.any():
+        return syms, parent
+    idx = np.arange(n - 1)
+    prev = np.concatenate([[False], cand[:-1]])
+    run_start = cand & ~prev
+    last_start = np.maximum.accumulate(np.where(run_start, idx, -1))
+    keep = cand & (((idx - last_start) % 2) == 0)
+    kp = np.flatnonzero(keep)
+    out = syms.copy()
+    out[kp] = a + b
+    drop = np.zeros(n, dtype=bool)
+    drop[kp + 1] = True
+    return out[~drop], parent[~drop]
+
+
+def _syms_list_array(syms: np.ndarray, parent: np.ndarray,
+                     n_words: int) -> pa.Array:
+    counts = np.bincount(parent, minlength=n_words)
+    offsets = np.zeros(n_words + 1, dtype=np.int32)
+    np.cumsum(counts, out=offsets[1:])
+    return pa.ListArray.from_arrays(pa.array(offsets),
+                                    pa.array(syms, type=pa.string()))
+
+
+def _syms_flat(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    lists = batch["syms"]
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    flat = pc.list_flatten(lists).to_numpy(zero_copy_only=False)
+    parent = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+    return flat, parent
+
+
+# --------------------------------------------------------------- training
+
+def _word_count_partial(batch: pa.Table, text_col: str) -> pa.Table:
+    flat, _, _ = _alnum_flat_terms(batch, text_col)
+    t = pa.table({"word": flat})
+    return t.group_by("word").aggregate([([], "count_all")]) \
+        .rename_columns(["word", "count"])
+
+
+def bpe_train(ds, text_col: str = "text", n_merges: int = 50,
+              min_count: int = 2) -> pa.Table:
+    """Learn ``n_merges`` BPE merges over ``ds[text_col]``.
+
+    Returns a table (rank, left, right, count) — the merge list in
+    learned order with each merge's global pair count. Ties break
+    (count desc, left asc, right asc), making the result deterministic
+    and partition-count-independent.
+    """
+    if n_merges < 0 or min_count < 1:
+        raise ValueError("n_merges must be >= 0 and min_count >= 1")
+
+    def wc(batch: pa.Table) -> pa.Table:
+        return _word_count_partial(batch, text_col)
+
+    words = (ds.map_batches(wc, batch_format="pyarrow")
+             .groupby("word").sum("count"))
+
+    def init_syms(batch: pa.Table) -> pa.Table:
+        w = batch["word"]
+        if isinstance(w, pa.ChunkedArray):
+            w = w.combine_chunks()
+        syms, parent = _flat_syms(w)
+        return pa.table({
+            "word": w,
+            "count": batch["sum(count)"].cast(pa.int64()),
+            "syms": _syms_list_array(syms, parent, len(w))})
+
+    vocab = words.map_batches(init_syms, batch_format="pyarrow") \
+        .materialize()
+    n_blocks = max(vocab.num_blocks(), 1)
+
+    ranks, lefts, rights, counts = [], [], [], []
+    for r in range(n_merges):
+        def pair_partial(batch: pa.Table) -> pa.Table:
+            syms, parent = _syms_flat(batch)
+            w = batch["count"].to_numpy()
+            return _pair_partial(syms, parent, w)
+
+        def block_best(batch: pa.Table) -> pa.Table:
+            # one (a, b, c) row per block: best by (c desc, a, b)
+            if batch.num_rows == 0:
+                return batch
+            i = pc.sort_indices(batch, sort_keys=[
+                ("c", "descending"), ("a", "ascending"),
+                ("b", "ascending")])[0].as_py()
+            return batch.slice(i, 1)
+
+        partials = (vocab.map_batches(pair_partial, batch_format="pyarrow")
+                    .groupby(["a", "b"]).sum("c")
+                    .map_batches(lambda b: b.rename_columns(["a", "b", "c"]),
+                                 batch_format="pyarrow")
+                    .map_batches(block_best, batch_format="pyarrow"))
+        top = partials.take_all()          # <= one row per block
+        if not top:
+            break
+        best = min(top, key=lambda row: (-row["c"], row["a"], row["b"]))
+        if best["c"] < min_count:
+            break
+        a, b = best["a"], best["b"]
+        ranks.append(r)
+        lefts.append(a)
+        rights.append(b)
+        counts.append(int(best["c"]))
+
+        def apply(batch: pa.Table, _a=a, _b=b) -> pa.Table:
+            syms, parent = _syms_flat(batch)
+            syms, parent = _apply_merge(syms, parent, _a, _b)
+            return batch.set_column(
+                batch.schema.get_field_index("syms"), "syms",
+                _syms_list_array(syms, parent, batch.num_rows))
+
+        vocab = vocab.map_batches(apply, batch_format="pyarrow") \
+            .repartition(n_blocks).materialize()
+
+    return pa.table({"rank": pa.array(ranks, type=pa.int64()),
+                     "left": pa.array(lefts, type=pa.string()),
+                     "right": pa.array(rights, type=pa.string()),
+                     "count": pa.array(counts, type=pa.int64())})
+
+
+# --------------------------------------------------------------- encoding
+
+def bpe_encode_counts(ds, merges: pa.Table, text_col: str = "text",
+                      id_col: str = "doc_id"):
+    """Apply a learned merge list; per-doc BPE token counts.
+
+    Map-only: each batch dictionary-encodes its token stream, the
+    merge kernel runs once per merge over the batch-DISTINCT words
+    (flat arrays, no per-word Python), and per-doc counts come from one
+    bincount over the token->word codes. Null/blank docs count 0.
+    """
+    pairs = list(zip(merges["left"].to_pylist(),
+                     merges["right"].to_pylist()))
+
+    def enc(batch: pa.Table) -> pa.Table:
+        flat, parent, _ = _alnum_flat_terms(batch, text_col)
+        n_docs = batch.num_rows
+        if len(flat) == 0:
+            return pa.table({
+                id_col: batch[id_col],
+                "n_bpe_tokens": pa.array(np.zeros(n_docs, dtype=np.int64))})
+        d = flat.dictionary_encode()
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq = d.dictionary
+        syms, sparent = _flat_syms(uniq)
+        for a, b in pairs:
+            syms, sparent = _apply_merge(syms, sparent, a, b)
+        per_word = np.bincount(sparent, minlength=len(uniq))
+        per_doc = np.bincount(parent, weights=per_word[codes].astype(
+            np.float64), minlength=n_docs).astype(np.int64)
+        return pa.table({id_col: batch[id_col],
+                         "n_bpe_tokens": pa.array(per_doc)})
+
+    return ds.map_batches(enc, batch_format="pyarrow")

@@ -1,0 +1,149 @@
+"""BPE training/encoding vs a pure-Python Sennrich-style reference."""
+
+import random
+import re
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from mircv_ray.ops.bpe import (EOW, _apply_merge, bpe_encode_counts,
+                               bpe_train)
+
+# ----------------------------------------------------------- reference
+
+
+def _ref_merge_word(syms, a, b):
+    out, i = [], 0
+    while i < len(syms):
+        if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _ref_bpe(texts, n_merges, min_count=2):
+    from collections import Counter
+    words = Counter()
+    for t in texts:
+        if t:
+            words.update(re.findall(r"[a-z0-9]+", t.lower()))
+    vocab = {w: (list(w[:-1]) + [w[-1] + EOW], c) for w, c in words.items()}
+    merges = []
+    for _ in range(n_merges):
+        pairs = Counter()
+        for syms, c in vocab.values():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += c
+        if not pairs:
+            break
+        mx = max(pairs.values())
+        if mx < min_count:
+            break
+        a, b = min(p for p, c in pairs.items() if c == mx)
+        merges.append((a, b, mx))
+        vocab = {w: (_ref_merge_word(syms, a, b), c)
+                 for w, (syms, c) in vocab.items()}
+    return merges
+
+
+def _ref_encode(text, merge_list):
+    total = 0
+    for w in re.findall(r"[a-z0-9]+", (text or "").lower()):
+        syms = list(w[:-1]) + [w[-1] + EOW]
+        for a, b in merge_list:
+            syms = _ref_merge_word(syms, a, b)
+        total += len(syms)
+    return total
+
+
+def _ds(texts, npart=3):
+    import ray.data as rd
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                    "text": pa.array(texts, type=pa.string())})
+    return rd.from_arrow(tbl).repartition(npart)
+
+
+FIXTURE = [
+    "low lower lowest low low",
+    "new newer newest new",
+    "wide wider widest wide new",
+    "low new lowest widest",
+    None,
+    "   ",
+]
+
+
+def _merges_rows(t: pa.Table):
+    return list(zip(t["left"].to_pylist(), t["right"].to_pylist(),
+                    t["count"].to_pylist()))
+
+
+# ----------------------------------------------------------- tests
+
+def test_fixture_vs_reference(ray_session):
+    got = bpe_train(_ds(FIXTURE), n_merges=12, min_count=2)
+    assert _merges_rows(got) == _ref_bpe(FIXTURE, 12, 2)
+    assert got["rank"].to_pylist() == list(range(got.num_rows))
+
+
+@pytest.mark.parametrize("seed,min_count", [(0, 1), (1, 2), (2, 1)])
+def test_random_vs_reference(ray_session, seed, min_count):
+    rng = random.Random(seed)
+    texts = [" ".join("".join(rng.choice("ab0") for _ in
+                              range(rng.randint(1, 6)))
+                      for _ in range(rng.randint(1, 12)))
+             for _ in range(40)]
+    got = bpe_train(_ds(texts), n_merges=15, min_count=min_count)
+    assert _merges_rows(got) == _ref_bpe(texts, 15, min_count)
+
+
+def test_partition_invariance(ray_session):
+    a = bpe_train(_ds(FIXTURE, npart=1), n_merges=8)
+    b = bpe_train(_ds(FIXTURE, npart=7), n_merges=8)
+    assert _merges_rows(a) == _merges_rows(b)
+
+
+def test_min_count_stop(ray_session):
+    # every word unique once -> all pair counts 1 -> no merges at
+    # min_count=2, full run at min_count=1
+    texts = ["qw er ty"]
+    assert bpe_train(_ds(texts), n_merges=5, min_count=2).num_rows == 0
+    got = bpe_train(_ds(texts), n_merges=5, min_count=1)
+    assert _merges_rows(got) == _ref_bpe(texts, 5, 1)
+
+
+def test_tie_breaks_lexicographic(ray_session):
+    # 'xy' and 'ab' pairs both appear exactly 3 times -> ('a','b') first
+    texts = ["xyq xyw xyz abq abw abz"]
+    got = bpe_train(_ds(texts), n_merges=1, min_count=1)
+    assert _merges_rows(got)[0][:2] == ("a", "b")
+
+
+def test_apply_merge_run_parity():
+    syms = np.array(["a", "a", "a", "a" + EOW], dtype=object)
+    parent = np.zeros(4, dtype=np.int64)
+    out, par = _apply_merge(syms, parent, "a", "a")
+    assert out.tolist() == ["aa", "a", "a" + EOW]
+    assert _ref_merge_word(list(syms), "a", "a") == out.tolist()
+
+
+def test_encode_vs_reference(ray_session):
+    merges = bpe_train(_ds(FIXTURE), n_merges=10, min_count=1)
+    pairs = list(zip(merges["left"].to_pylist(),
+                     merges["right"].to_pylist()))
+    got = bpe_encode_counts(_ds(FIXTURE), merges).take_all()
+    by_id = {r["doc_id"]: r["n_bpe_tokens"] for r in got}
+    assert len(by_id) == len(FIXTURE)
+    for i, t in enumerate(FIXTURE):
+        assert by_id[i] == _ref_encode(t, pairs), i
+
+
+def test_validation():
+    with pytest.raises(ValueError):
+        bpe_train(None, n_merges=-1)
+    with pytest.raises(ValueError):
+        bpe_train(None, min_count=0)
