@@ -37,16 +37,18 @@ _CACHE_VERSION = 3  # bump when corpus mapping / index layout changes
 
 _TRIM = "e'" + "".join(f"\\x{c:02x}" for c in range(1, 0x21)) + "'"
 
-def _toks_cte_over(docs_sql: str) -> str:
+def _toks_cte_over(docs_sql: str, suffix: str = "") -> str:
     """The basic-tokenizer CTE pair (docs, tok) over an arbitrary
     (doc_id, text) relation — the upsert oracle tokenizes a MODIFIED
-    documents view with the identical expression."""
+    documents view with the identical expression; ``suffix`` renames
+    the pair (docs_t/tok_t) so one query can tokenize several FIELD
+    views (the BM25F oracle)."""
     return f"""
-docs AS (
+docs{suffix} AS (
   SELECT doc_id, text FROM ({docs_sql})
   WHERE text IS NOT NULL AND trim(text, {_TRIM}) <> ''
 ),
-tok AS (
+tok{suffix} AS (
   SELECT d.doc_id, t.term FROM (
     SELECT doc_id,
       list_filter(
@@ -58,7 +60,7 @@ tok AS (
                  AND NOT regexp_matches(x, '[^\\x00-\\x7F]')),
           x -> trim(x, {_TRIM})),
         x -> x <> '') AS toks
-    FROM docs) d, UNNEST(d.toks) AS t(term)
+    FROM docs{suffix}) d, UNNEST(d.toks) AS t(term)
 )
 """
 
@@ -941,6 +943,34 @@ def _basic_index(sf_dir: str) -> str:
                       num_shards=4, salt_buckets=2)
     build_index(documents_as_corpus(sf_dir), str(out), cfg,
                 lineage={"source": f"{sf_dir}/documents.parquet"})
+    return str(out)
+
+
+def _title_index(sf_dir: str) -> str:
+    """Build (once, resumable) the TITLE-field index: the standard
+    builder over the corpus view whose content is each doc's first 40
+    characters — the second field of the BM25F entry. A doc whose
+    title slice trims blank is simply absent from this index (BM25F
+    joins fields by path key, immune to per-field drops)."""
+    import ray.data as rd
+    from mircv_ray.build import build_index
+    from mircv_ray.config import IndexConfig
+    from mircv_ray.sources import documents_as_corpus
+    key = hashlib.sha1(f"{sf_dir}|title|v{_CACHE_VERSION}"
+                       .encode()).hexdigest()[:12]
+    out = _CACHE_ROOT / f"title_{key}"
+
+    def to_title(batch: pa.Table) -> pa.Table:
+        i = batch.schema.get_field_index("content")
+        return batch.set_column(
+            i, "content", pc.utf8_slice_codeunits(batch["content"], 0, 40))
+
+    cfg = IndexConfig(parse=False, squeeze=False, codec="vbyte",
+                      num_shards=4, salt_buckets=2)
+    build_index(documents_as_corpus(sf_dir)
+                .map_batches(to_title, batch_format="pyarrow"),
+                str(out), cfg,
+                lineage={"source": f"{sf_dir}/documents.parquet#title40"})
     return str(out)
 
 
@@ -2703,6 +2733,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         feats = out.select_columns(["media_id", "kind"])
         return feats
 
+    def bm25f_topk_entry(sf_dir: str):
+        # BM25F (Robertson et al. CIKM'04): body field = text, title
+        # field = first-40-chars view, each a STANDARD index; per-field
+        # tf/length-normalization combined before saturation, df = docs
+        # containing the term in ANY field. weights body 1.0 / title
+        # 2.0, b 0.75 / 0.5, k1 1.5.
+        from mircv_ray.query.bm25f import bm25f_topk
+        body, title = _basic_index(sf_dir), _title_index(sf_dir)
+        res = bm25f_topk([(body, 1.0, 0.75), (title, 2.0, 0.5)],
+                         list(enumerate(_BM25_QUERIES)), k1=1.5, k=10)
+        return pa.table({
+            "qid": pa.array([q for q, _, _ in res], type=pa.int64()),
+            "doc_id": pa.array([int(p[4:12]) for _, p, _ in res],
+                               type=pa.int64()),
+            "score": pa.array([round(s, 6) for _, _, s in res],
+                              type=pa.float64())})
+
     def bpe_merges(sf_dir: str):
         # distributed BPE vocabulary training (Sennrich ACL'16): the
         # word vocab stays a sharded Dataset, each merge round is one
@@ -2838,6 +2885,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_weights_hashed": dsir_weights_hashed,
         "bpe_merges": bpe_merges,
         "bpe_token_counts": bpe_token_counts,
+        "bm25f_topk": bm25f_topk_entry,
         "knn_graph_exact": knn_graph_exact,
         "knn_graph_approx": knn_graph_approx,
         "ann_cosine_topk": ann_cosine_topk,
@@ -3363,6 +3411,57 @@ GROUP BY t.term, s.new_id
 """,
         "bm25_topk": _topk_sql(_BM25_EXPR),
         "tfidf_topk": _topk_sql(_TFIDF_EXPR),
+        # BM25F: body + title(=substr 40) fields, each through the
+        # identical tokenizer CTE pair; tfx combines per-field
+        # normalized tf BEFORE saturation (body first — the engine's
+        # accumulation order), df = docs with the term in ANY field;
+        # constants written so 1.0-0.75 / 1.0-0.5 are the engine's
+        # exact doubles
+        "bm25f_topk": f"""
+WITH {_TOKS_CTE},
+{_toks_cte_over("SELECT doc_id, substr(text, 1, 40) AS text "
+                "FROM documents", "_t")},
+{_values_clause()},
+dlb AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+dlt AS (SELECT doc_id, count(*) AS dl FROM tok_t GROUP BY doc_id),
+sb AS (SELECT (SELECT count(*) FROM docs) AS n,
+              (SELECT count(*) FROM tok)::DOUBLE
+              / (SELECT count(*) FROM docs) AS avgdl),
+st AS (SELECT (SELECT count(*) FROM tok_t)::DOUBLE
+              / (SELECT count(*) FROM docs_t) AS avgdl),
+tfb AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+tft AS (SELECT doc_id, term, count(*) AS tf FROM tok_t
+        GROUP BY doc_id, term),
+pres AS (SELECT term, doc_id FROM tfb
+         UNION SELECT term, doc_id FROM tft),
+df AS (SELECT term, count(*) AS df FROM pres GROUP BY term),
+cand AS (SELECT q.qid, q.term, p.doc_id
+         FROM q JOIN pres p ON p.term = q.term),
+contrib AS (
+  SELECT c.qid, c.doc_id,
+         1.0 * COALESCE(tb.tf, 0)::DOUBLE
+             / ((1.0 - 0.75) + 0.75 * (db.dl::DOUBLE / sb.avgdl))
+         + 2.0 * COALESCE(tt.tf, 0)::DOUBLE
+             / ((1.0 - 0.5) + 0.5 * (COALESCE(dt.dl, 0)::DOUBLE
+                                     / st.avgdl)) AS tfx,
+         df.df AS df, sb.n AS n
+  FROM cand c
+  JOIN df ON df.term = c.term
+  LEFT JOIN tfb tb ON tb.term = c.term AND tb.doc_id = c.doc_id
+  LEFT JOIN tft tt ON tt.term = c.term AND tt.doc_id = c.doc_id
+  JOIN dlb db ON db.doc_id = c.doc_id
+  LEFT JOIN dlt dt ON dt.doc_id = c.doc_id
+  CROSS JOIN sb CROSS JOIN st),
+scores AS (
+  SELECT qid, doc_id,
+         sum(tfx / (1.5 + tfx) * log10(n::DOUBLE / df)) AS score
+  FROM contrib GROUP BY qid, doc_id)
+SELECT qid, doc_id, round(score, 6) AS score FROM (
+  SELECT qid, doc_id, score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score DESC, doc_id) AS rn
+  FROM scores) WHERE rn <= 10
+""",
         "phrase_search": _phrase_sql(),
         "phrase_search_positional": _phrase_sql(),
         "proximity_search": _proximity_sql(),
