@@ -1678,6 +1678,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
                     "vs the exact feature space")
         return hashed
 
+    def dsir_resample(sf_dir: str):
+        # the RESAMPLE step of DSIR (arXiv:2302.03169 §2): draw 100 docs
+        # without replacement with probability ∝ 10**log_weight via the
+        # Efraimidis-Spirakis exponential race with knuth-hash uniforms
+        # — deterministic end to end, so the weight CTE + the exact key
+        # expression replay in SQL (keys round 6 before ranking on both
+        # sides)
+        from mircv_ray.ops import dsir_weights, importance_resample
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "lang", "text"])
+        w = dsir_weights(ds, "lang", "en").select_columns(
+            ["doc_id", "log_weight"])
+        return _sorted_table(importance_resample(w, 100), ["sample_rank"])
+
     def quality_deciles(sf_dir: str):
         # entropy-ranked decile bucketing (the CCNet perplexity-bucket
         # shape with the n=0 score): exact global ntile via range-
@@ -2883,6 +2897,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_deciles": quality_deciles,
         "dsir_weights_exact": dsir_weights_exact,
         "dsir_weights_hashed": dsir_weights_hashed,
+        "dsir_resample": dsir_resample,
         "bpe_merges": bpe_merges,
         "bpe_token_counts": bpe_token_counts,
         "bm25f_topk": bm25f_topk_entry,
@@ -3571,6 +3586,41 @@ SELECT d.doc_id, coalesce(s.n_tokens, 0)::BIGINT AS n_tokens,
        round(coalesce(s.w, 0.0), 4) AS log_weight
 FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
 ORDER BY d.doc_id
+""",
+        # the dsir_weights_exact CTEs + the Efraimidis-Spirakis key:
+        # u from the knuth32 hash of doc_id, key = log10(-ln(u)) -
+        # log_weight, rounded 6 BEFORE ranking on both sides (the engine
+        # ranks the identical rounded doubles); ties by doc_id
+        "dsir_resample": f"""
+WITH tk AS (
+  SELECT d.doc_id, d.lang, t.term FROM (
+    SELECT doc_id, lang, {_ALNUM_TOKS} AS toks FROM documents) d,
+  UNNEST(d.toks) AS t(term)),
+f AS (SELECT term, count(*)::BIGINT AS c_all,
+             sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS c_tgt
+      FROM tk GROUP BY term),
+g AS (SELECT (SELECT count(*) FROM f)::DOUBLE AS v,
+             (SELECT sum(c_all) FROM f)::DOUBLE AS n_all,
+             (SELECT sum(c_tgt) FROM f)::DOUBLE AS n_tgt),
+r AS (SELECT term,
+             log10(c_tgt + 1.0) - log10(n_tgt + v)
+           - log10(c_all + 1.0) + log10(n_all + v) AS lr
+      FROM f, g),
+s AS (SELECT tk.doc_id, sum(r.lr) AS w
+      FROM tk JOIN r USING (term) GROUP BY tk.doc_id),
+lw AS (SELECT d.doc_id, round(coalesce(s.w, 0.0), 4) AS log_weight
+       FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id),
+k AS (SELECT doc_id, log_weight,
+             round(log10(-ln((((doc_id * 2654435761) % 4294967296)::DOUBLE
+                              + 0.5) / 4294967296.0))
+                   - log_weight, 6) AS sample_key
+      FROM lw),
+rk AS (SELECT doc_id, log_weight, sample_key,
+              row_number() OVER (ORDER BY sample_key, doc_id)
+                  AS sample_rank
+       FROM k)
+SELECT doc_id, log_weight, sample_key, sample_rank
+FROM rk WHERE sample_rank <= 100 ORDER BY sample_rank
 """,
         # same entropy expression, then SQL ntile over (score, doc_id) —
         # the Ray side stamps the closed-form ntile of the exact global

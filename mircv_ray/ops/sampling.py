@@ -331,3 +331,84 @@ def alpha_mix_weights(ds, alpha: float = 0.3, source_col: str = "source",
 
     return (sums.map_batches(tag_all, batch_format="pyarrow")
             .groupby("__all").map_groups(normalize, batch_format="pyarrow"))
+
+
+def importance_resample(ds, n: int, log10_weight_col: str = "log_weight",
+                        id_col: str = "doc_id", salt: int = 0):
+    """Deterministic importance resampling — the RESAMPLE step of DSIR
+    (Xie et al. 2023 arXiv:2302.03169 §2: after scoring, draw examples
+    with probability proportional to their importance weight). Draws
+    ``n`` rows WITHOUT replacement with probability proportional to
+    ``10**log10_weight`` via the Efraimidis-Spirakis exponential race
+    (Efraimidis & Spirakis IPL 2006): each row gets an Exp(1) variate
+    scaled by 1/w, the ``n`` smallest win. Equivalently (one monotone
+    log10) the ranking key is
+
+        sample_key = log10(-ln(u)) - log10_weight,
+        u = (((id + salt) * 2654435761) % 2**32 + 0.5) / 2**32
+
+    — a pure function of the row id (the hash_split/stratified_sample
+    knuth32 hash), so there is no RNG state: resume, backfill, or any
+    repartitioning re-derives the identical sample, and the whole
+    expression is ANSI-SQL-mirrorable (ln/log10 over exact doubles).
+    Keys round to 6 decimals half-away-from-zero BEFORE ranking on both
+    the engine and the oracle side (absorbing any libm ULP skew between
+    engines); ties break by id ascending. ``salt`` re-draws.
+
+    Shape: map-only key stamp + per-batch LOSSLESS bottom-n (the global
+    bottom-n by key is a subset of the union of per-batch bottom-ns),
+    then ONE constant-key group task merges the <= n·blocks surviving
+    rows — content never shuffles and nothing corpus-sized exists
+    anywhere. Returns (id_col, log10_weight_col, sample_key,
+    sample_rank) sorted by rank within the single output group.
+    """
+    if n <= 0:
+        raise ValueError("n must be positive")
+
+    def key_of(tbl: pa.Table) -> np.ndarray:
+        ids = tbl[id_col]
+        v = ids.to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = ((v + np.uint64(salt)) * np.uint64(2654435761)) \
+            % np.uint64(2 ** 32)
+        u = (h.astype(np.float64) + 0.5) / float(2 ** 32)
+        lw = tbl[log10_weight_col].to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        key = np.log10(-np.log(u)) - lw
+        return np.trunc(key * 1e6 + np.copysign(0.5, key)) / 1e6
+
+    def bottom_n(tbl: pa.Table, with_rank: bool) -> pa.Table:
+        if tbl.num_rows == 0 or id_col not in tbl.column_names:
+            out = {id_col: pa.array([], type=pa.int64()),
+                   log10_weight_col: pa.array([], type=pa.float64()),
+                   "sample_key": pa.array([], type=pa.float64())}
+            if with_rank:
+                out["sample_rank"] = pa.array([], type=pa.int64())
+            return pa.table(out)
+        key = key_of(tbl)
+        idv = tbl[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((idv, key))[:n]
+        take = pa.array(order)
+        out = pa.table({
+            id_col: tbl[id_col].take(take),
+            log10_weight_col: tbl[log10_weight_col].take(take),
+            "sample_key": pa.array(key[order], type=pa.float64()),
+        })
+        if with_rank:
+            out = out.append_column(
+                "sample_rank", pa.array(np.arange(1, len(order) + 1),
+                                        type=pa.int64()))
+        return out
+
+    pre = ds.map_batches(lambda b: bottom_n(b, False),
+                         batch_format="pyarrow")
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__all", pa.array(np.zeros(batch.num_rows, np.int8)))
+
+    def merge(group: pa.Table) -> pa.Table:
+        cols = [c for c in group.column_names if c != "__all"]
+        return bottom_n(group.select(cols) if cols else group, True)
+
+    return (pre.map_batches(tag, batch_format="pyarrow")
+            .groupby("__all").map_groups(merge, batch_format="pyarrow"))

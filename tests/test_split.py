@@ -186,3 +186,72 @@ class TestAlphaMixWeights:
         np.testing.assert_allclose(out.share, out.weight, atol=2e-6)
         with pytest.raises(ValueError):
             alpha_mix_weights(rd.from_arrow(tbl), alpha=0)
+
+
+class TestImportanceResample:
+    """Efraimidis-Spirakis weighted sampling with hash-derived uniforms
+    — the DSIR resample step (ops/sampling.py: importance_resample)."""
+
+    def _tbl(self, n=3000, seed=3):
+        rng = np.random.default_rng(seed)
+        return pa.table({
+            "doc_id": pa.array(np.arange(n), type=pa.int64()),
+            "log_weight": pa.array(
+                np.round(rng.normal(0, 1.5, n), 4), type=pa.float64()),
+        })
+
+    @staticmethod
+    def _brute(tbl, n, salt=0):
+        ids = tbl["doc_id"].to_numpy().astype(np.uint64)
+        h = ((ids + np.uint64(salt)) * np.uint64(2654435761)) \
+            % np.uint64(2**32)
+        u = (h.astype(np.float64) + 0.5) / 2**32
+        lw = tbl["log_weight"].to_numpy()
+        key = np.log10(-np.log(u)) - lw
+        key = np.trunc(key * 1e6 + np.copysign(0.5, key)) / 1e6
+        order = np.lexsort((tbl["doc_id"].to_numpy(), key))[:n]
+        return tbl["doc_id"].to_numpy()[order], key[order]
+
+    @pytest.mark.parametrize("parts", [1, 7])
+    def test_matches_brute_force_any_partitioning(self, ray_session, parts):
+        import ray.data as rd
+        from mircv_ray.ops import importance_resample
+        tbl = self._tbl()
+        out = (importance_resample(rd.from_arrow(tbl).repartition(parts),
+                                   50).to_pandas()
+               .sort_values("sample_rank").reset_index(drop=True))
+        exp_ids, exp_keys = self._brute(tbl, 50)
+        assert list(out.doc_id) == list(exp_ids)
+        np.testing.assert_array_equal(out.sample_key, exp_keys)
+        assert list(out.sample_rank) == list(range(1, 51))
+
+    def test_high_weights_overrepresented(self, ray_session):
+        import ray.data as rd
+        from mircv_ray.ops import importance_resample
+        n = 4000
+        lw = np.where(np.arange(n) < n // 2, 2.0, -2.0)  # w ratio 10^4
+        tbl = pa.table({"doc_id": pa.array(np.arange(n), type=pa.int64()),
+                        "log_weight": pa.array(lw, type=pa.float64())})
+        out = importance_resample(rd.from_arrow(tbl), 200).to_pandas()
+        high = (out.doc_id < n // 2).sum()
+        assert high >= 195         # P(low wins a slot) ~ 1e-4 each
+
+    def test_n_exceeding_rows_keeps_all(self, ray_session):
+        import ray.data as rd
+        from mircv_ray.ops import importance_resample
+        tbl = self._tbl(17)
+        out = (importance_resample(rd.from_arrow(tbl), 100).to_pandas()
+               .sort_values("sample_rank"))
+        assert len(out) == 17
+        assert list(out.sample_rank) == list(range(1, 18))
+        assert set(out.doc_id) == set(range(17))
+
+    def test_salt_redraws_and_validation(self, ray_session):
+        import ray.data as rd
+        from mircv_ray.ops import importance_resample
+        tbl = self._tbl(1000)
+        a = importance_resample(rd.from_arrow(tbl), 30, salt=0).to_pandas()
+        b = importance_resample(rd.from_arrow(tbl), 30, salt=5).to_pandas()
+        assert set(a.doc_id) != set(b.doc_id)
+        with pytest.raises(ValueError):
+            importance_resample(rd.from_arrow(tbl), 0)
