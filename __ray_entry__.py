@@ -2111,6 +2111,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                            batch_format="pyarrow")
         return _sorted_table(out, ["doc_id"])
 
+    def top_ngrams_corpus(sf_dir: str):
+        # corpus-wide top-50 trigrams — the decontamination/boilerplate
+        # blocklist building step; one content scan, one gram-distinct
+        # exchange, lossless per-block pre-top-k
+        from mircv_ray.ops import top_ngrams
+        return _sorted_table(top_ngrams(_docs_ds(sf_dir), n=3, k=50),
+                             ["ngram_rank"])
+
     def c4_clean(sf_dir: str):
         # C4 cleaning rules (Raffel et al. 2020 §2.2) over a view that
         # exercises every rule: ' merge ' -> '.\n' (terminal-punct
@@ -2921,6 +2929,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_dedup": line_dedup_corpus,
         "dup_line_stats": dup_line_stats,
         "ngram_repetition": ngram_repetition,
+        "top_ngrams": top_ngrams_corpus,
         "c4_clean": c4_clean,
         "cooccurrence": cooccurrence,
         "pagerank_docs": pagerank_docs,
@@ -3938,6 +3947,23 @@ ORDER BY d.doc_id
         # Gopher rules 5-8 over the shared alnum token stream; gram
         # equality by joined token bytes (engine: 64-bit window hash)
         "ngram_repetition": _ngram_rep_sql(),
+        # corpus-wide top-50 trigrams: list-slice grams + lateral
+        # position series (the _ngram_rep_sql idiom), count, row_number
+        # over (count desc, gram asc) — the engine's exact tie rule
+        "top_ngrams": f"""
+WITH d AS (SELECT doc_id, {_ALNUM_TOKS} AS toks FROM documents),
+g AS (SELECT array_to_string(d.toks[u.s : u.s + 2], ' ') AS ngram
+      FROM d, LATERAL (SELECT unnest(generate_series(
+          1, len(d.toks) - 2)) AS s) u),
+c AS (SELECT ngram, count(*)::BIGINT AS ngram_count FROM g
+      GROUP BY ngram),
+r AS (SELECT ngram, ngram_count,
+             row_number() OVER (ORDER BY ngram_count DESC, ngram)
+                 AS ngram_rank
+      FROM c)
+SELECT ngram, ngram_count, ngram_rank FROM r
+WHERE ngram_rank <= 50 ORDER BY ngram_rank
+""",
         # C4 line+doc cleaning rules over the ' dup '->lorem,
         # ' merge '->'.\n' view; word count = maximal non-space/tab runs
         "c4_clean": """

@@ -15,6 +15,7 @@ from .linededup import duplicate_line_stats, line_dedup
 from .ngramrep import ngram_repetition_stats
 from .c4filter import c4_line_filter
 from .cooccur import cooccurrence_counts
+from .topngrams import top_ngrams
 from .graph import pagerank
 from .keywords import tfidf_keywords
 from .dedup import connected_components, contamination_fuzzy, exact_dedup_keep, jaccard_simjoin_exact, minhash_signatures, minhash_candidate_pairs, simhash64, near_dup_pairs, ngram_jaccard_pairs, shingle_sets
@@ -74,7 +75,7 @@ __all__ = [
     "duplicate_line_stats", "line_dedup",
     "ngram_repetition_stats",
     "c4_line_filter",
-    "cooccurrence_counts",
+    "cooccurrence_counts", "top_ngrams",
     "pagerank",
     "tfidf_keywords",
 ]
