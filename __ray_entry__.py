@@ -2184,6 +2184,47 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _sorted_table(out.map_batches(r8, batch_format="pyarrow"),
                              ["doc_id"])
 
+    def hits_docs(sf_dir: str):
+        # HITS hubs & authorities over the SAME synthetic doc graph as
+        # pagerank_docs; 5 rounds, each half-step max-normalized (max is
+        # order-independent, so the normalizer replays exactly in SQL);
+        # scores round 8
+        import ray.data as rd
+        from mircv_ray.ops import hits
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id"])
+        n = ds.count()
+
+        def mk_edges(b: pa.Table) -> pa.Table:
+            did = b["doc_id"].to_numpy().astype(np.int64)
+            src = did[did % 10 != 0]
+            d1 = (src * 2654435761 + 7) % n
+            d2 = (src * 40503 + 13) % n
+            return pa.table({
+                "src": pa.array(np.concatenate([src, src]),
+                                type=pa.int64()),
+                "dst": pa.array(np.concatenate([d1, d2]),
+                                type=pa.int64())})
+
+        edges = ds.map_batches(mk_edges, batch_format="pyarrow")
+        nodes = ds.map_batches(
+            lambda b: pa.table({"node": b["doc_id"]}),
+            batch_format="pyarrow")
+        out = hits(edges, nodes, n_iter=5)
+
+        def r8(b: pa.Table) -> pa.Table:
+            h = b["hub"].to_numpy()
+            a = b["authority"].to_numpy()
+            return pa.table({
+                "doc_id": b["node"],
+                "hub": pa.array(np.trunc(h * 1e8 + 0.5) / 1e8,
+                                type=pa.float64()),
+                "authority": pa.array(np.trunc(a * 1e8 + 0.5) / 1e8,
+                                      type=pa.float64())})
+
+        return _sorted_table(out.map_batches(r8, batch_format="pyarrow"),
+                             ["doc_id"])
+
     def keywords_tfidf(sf_dir: str):
         # per-doc top-5 TF-IDF keywords, ties by term asc; scores
         # round 6 for the hash (ordering uses the unrounded doubles on
@@ -2934,6 +2975,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cooccurrence": cooccurrence,
         "pagerank_docs": pagerank_docs,
         "keywords_tfidf": keywords_tfidf,
+        "hits_docs": hits_docs,
         "dataset_split": dataset_split,
         "stratified_sample": stratified_sample,
         "alpha_mix_weights": alpha_mix_weights,
@@ -3067,6 +3109,55 @@ def _pagerank_sql(n_iter: int = 10) -> str:
     return ("WITH " + ",\n".join(parts)
             + f"\nSELECT node AS doc_id, round(r, 8) AS rank"
               f" FROM r{n_iter} ORDER BY node")
+
+
+def _hits_sql(n_iter: int = 5) -> str:
+    """HITS oracle: per round one (authority-raw, max, normalize,
+    hub-raw, max, normalize) CTE family over the same derived edges as
+    _pagerank_sql; each raw score LEFT-JOINs the all-nodes view so the
+    max runs over the identical zero-padded set as the engine's
+    baseline union."""
+    parts = [
+        "n AS (SELECT count(*)::BIGINT AS cnt FROM documents)",
+        "v AS (SELECT doc_id AS node FROM documents)",
+        """e AS MATERIALIZED (
+  SELECT doc_id AS src,
+         (doc_id * 2654435761 + 7) % (SELECT cnt FROM n) AS dst
+  FROM documents WHERE doc_id % 10 <> 0
+  UNION ALL
+  SELECT doc_id, (doc_id * 40503 + 13) % (SELECT cnt FROM n)
+  FROM documents WHERE doc_id % 10 <> 0)""",
+        "h0 AS MATERIALIZED (SELECT node, 1.0 AS s FROM v)"]
+    for k in range(n_iter):
+        parts.append(
+            f"ar{k} AS MATERIALIZED (SELECT v.node, coalesce(x.s, 0) AS s\n"
+            f" FROM v LEFT JOIN (SELECT e.dst AS node, sum(h{k}.s) AS s\n"
+            f"   FROM e JOIN h{k} ON h{k}.node = e.src GROUP BY e.dst) x\n"
+            f" USING (node))")
+        parts.append(f"am{k} AS (SELECT max(s) AS m FROM ar{k})")
+        parts.append(
+            f"a{k + 1} AS MATERIALIZED (SELECT node,\n"
+            f" CASE WHEN (SELECT m FROM am{k}) > 0\n"
+            f"      THEN s / (SELECT m FROM am{k}) ELSE s END AS s\n"
+            f" FROM ar{k})")
+        parts.append(
+            f"hr{k} AS MATERIALIZED (SELECT v.node, coalesce(x.s, 0) AS s\n"
+            f" FROM v LEFT JOIN (SELECT e.src AS node, sum(a{k + 1}.s) AS s\n"
+            f"   FROM e JOIN a{k + 1} ON a{k + 1}.node = e.dst"
+            f" GROUP BY e.src) x\n"
+            f" USING (node))")
+        parts.append(f"hm{k} AS (SELECT max(s) AS m FROM hr{k})")
+        parts.append(
+            f"h{k + 1} AS MATERIALIZED (SELECT node,\n"
+            f" CASE WHEN (SELECT m FROM hm{k}) > 0\n"
+            f"      THEN s / (SELECT m FROM hm{k}) ELSE s END AS s\n"
+            f" FROM hr{k})")
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT h{n_iter}.node AS doc_id,"
+              f" round(h{n_iter}.s, 8) AS hub,"
+              f" round(a{n_iter}.s, 8) AS authority"
+              f"\nFROM h{n_iter} JOIN a{n_iter} USING (node)"
+              f" ORDER BY doc_id")
 
 
 def _ngram_rep_sql(top_ns=(2, 3, 4), dup_ns=(5, 6, 7, 8, 9, 10)) -> str:
@@ -4018,6 +4109,7 @@ ORDER BY term_a, term_b
         # mass + damping formula in the engine's evaluation order;
         # ranks round 8 (float sum-order skew ~1e-16 vs a 1e-8 grid)
         "pagerank_docs": _pagerank_sql(),
+        "hits_docs": _hits_sql(),
         # per-doc top-5 TF-IDF keywords: identical tf*log10(N/df)
         # doubles order both sides; ties by term asc; scores round 6
         "keywords_tfidf": f"""

@@ -169,3 +169,171 @@ def pagerank(edges, nodes, n_iter: int = 10, damping: float = 0.85):
             gather, batch_format="pyarrow") \
             .repartition(n_blocks).materialize()
     return ranks
+
+
+_SCORE = pa.schema([("node", pa.int64()), ("s", pa.float64())])
+_HITS = pa.schema([("node", pa.int64()), ("hub", pa.float64()),
+                   ("authority", pa.float64())])
+
+
+def hits(edges, nodes, n_iter: int = 5):
+    """HITS hubs & authorities (Kleinberg JACM 1999) — the query-
+    independent power iteration:
+
+        a_k(v) = sum_{(u,v) in E} h_{k-1}(u),
+        h_k(u) = sum_{(u,v) in E} a_k(v),
+
+    each half-step renormalized by its GLOBAL MAX (the eigenvector's
+    scale is arbitrary; max — unlike an L2 sum — is order-independent,
+    so the normalizer is bit-identical on any partitioning and in the
+    SQL oracle). Multi-edges contribute once each.
+
+    Scale shape mirrors :func:`pagerank`: scores and edges stay node-/
+    edge-sized Datasets; each half-step is exactly two partitioned
+    exchanges (scatter: score rows + edge rows co-partitioned by the
+    score-holding endpoint's hash, one emitted contribution per edge;
+    gather: contributions ∪ the all-nodes zero baseline co-partitioned
+    by node hash) plus one driver SCALAR (the max). Fixed ``n_iter``,
+    block count pinned per round, partition-count-independent.
+
+    Returns (node, hub, authority), unnormalized beyond the max rule.
+    ``edges``/``nodes`` as in :func:`pagerank`.
+    """
+    import ray
+    from .dedup import _add_pkey
+
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    nodes = nodes.materialize()
+    if nodes.count() == 0:
+        return ray.data.from_arrow(_HITS.empty_table())
+
+    def tag_edges(key_col: str, emit_col: str):
+        def f(batch: pa.Table) -> pa.Table:
+            if batch.num_columns == 0 or batch.num_rows == 0:
+                return _TAG.empty_table()
+            m = batch.num_rows
+            return pa.table({"key": batch[key_col].cast(pa.int64()),
+                             "side": pa.array(np.ones(m, dtype=np.int8)),
+                             "dst": batch[emit_col].cast(pa.int64()),
+                             "r": pa.nulls(m, pa.float64())}).cast(_TAG)
+        return f
+
+    e_by_src = edges.map_batches(tag_edges("src", "dst"),
+                                 batch_format="pyarrow").materialize()
+    e_by_dst = edges.map_batches(tag_edges("dst", "src"),
+                                 batch_format="pyarrow").materialize()
+
+    def init_score(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": batch["node"].cast(pa.int64()),
+                         "s": pa.array(np.ones(batch.num_rows),
+                                       type=pa.float64())})
+
+    def tag_score(batch: pa.Table) -> pa.Table:
+        m = batch.num_rows
+        return pa.table({"key": batch["node"],
+                         "side": pa.array(np.zeros(m, dtype=np.int8)),
+                         "dst": pa.nulls(m, pa.int64()),
+                         "r": batch["s"]}).cast(_TAG)
+
+    def scatter(group: pa.Table) -> pa.Table:
+        if group.num_columns == 0 or group.num_rows == 0:
+            return _CONTRIB.empty_table()
+        side = group["side"].to_numpy(zero_copy_only=False)
+        sc = group.filter(pa.array(side == 0))
+        ed = group.filter(pa.array(side == 1))
+        if sc.num_rows == 0 or ed.num_rows == 0:
+            return _CONTRIB.empty_table()
+        keys = sc["key"].to_numpy()
+        order = np.argsort(keys, kind="stable")
+        keys_s, s_s = keys[order], sc["r"].to_numpy()[order]
+        ek = ed["key"].to_numpy()
+        pos = np.searchsorted(keys_s, ek)
+        ok = pos < len(keys_s)
+        ok[ok] &= keys_s[np.minimum(pos, len(keys_s) - 1)][ok] == ek[ok]
+        return pa.table({
+            "node": ed["dst"].to_numpy()[ok],
+            "c": pa.array(s_s[pos[ok]], type=pa.float64())}).cast(_CONTRIB)
+
+    def base_rows(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": batch["node"].cast(pa.int64()),
+            "c": pa.array(np.zeros(batch.num_rows), type=pa.float64())})
+
+    def gather(group: pa.Table) -> pa.Table:
+        if group.num_columns == 0 or group.num_rows == 0:
+            return _SCORE.empty_table()
+        node = group["node"].to_numpy()
+        c = group["c"].to_numpy()
+        order = np.argsort(node, kind="stable")
+        n_s, c_s = node[order], c[order]
+        starts = np.flatnonzero(np.append(True, n_s[1:] != n_s[:-1]))
+        return pa.table({"node": pa.array(n_s[starts]),
+                         "s": pa.array(np.add.reduceat(c_s, starts),
+                                       type=pa.float64())})
+
+    scores = nodes.map_batches(init_score,
+                               batch_format="pyarrow").materialize()
+    n_blocks = max(scores.num_blocks(), 1)
+
+    def matvec(sc, tagged_edges):
+        tagged = (sc.map_batches(tag_score, batch_format="pyarrow")
+                  .union(tagged_edges)
+                  .map_batches(lambda b: _add_pkey(b, ["key"]),
+                               batch_format="pyarrow"))
+        contribs = tagged.groupby("pkey").map_groups(
+            scatter, batch_format="pyarrow")
+        unioned = (contribs
+                   .union(nodes.map_batches(base_rows,
+                                            batch_format="pyarrow"))
+                   .map_batches(lambda b: _add_pkey(b, ["node"]),
+                                batch_format="pyarrow"))
+        out = unioned.groupby("pkey").map_groups(
+            gather, batch_format="pyarrow") \
+            .repartition(n_blocks).materialize()
+        mx = out.max("s") or 0.0
+        if mx > 0:
+            out = out.map_batches(
+                lambda b, _m=mx: pa.table(
+                    {"node": b["node"],
+                     "s": pc.divide(b["s"], pa.scalar(_m, pa.float64()))}),
+                batch_format="pyarrow").materialize()
+        return out
+
+    h, a = scores, scores
+    for _ in range(n_iter):
+        a = matvec(h, e_by_src)     # authorities gather from hubs
+        h = matvec(a, e_by_dst)     # hubs gather from authorities
+
+    def tag_side(side: int):
+        def f(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "node": batch["node"],
+                "which": pa.array(np.full(batch.num_rows, side, np.int8)),
+                "s": batch["s"]})
+        return f
+
+    def pivot(group: pa.Table) -> pa.Table:
+        if group.num_columns == 0 or group.num_rows == 0:
+            return _HITS.empty_table()
+        which = group["which"].to_numpy(zero_copy_only=False)
+        hrows = group.filter(pa.array(which == 0))
+        arows = group.filter(pa.array(which == 1))
+        hn = hrows["node"].to_numpy()
+        order = np.argsort(hn, kind="stable")
+        an = arows["node"].to_numpy()
+        aorder = np.argsort(an, kind="stable")
+        # both sides are node-complete (the gather unions the all-nodes
+        # baseline), so the sorted node vectors are identical
+        return pa.table({
+            "node": pa.array(hn[order]),
+            "hub": pa.array(hrows["s"].to_numpy()[order],
+                            type=pa.float64()),
+            "authority": pa.array(arows["s"].to_numpy()[aorder],
+                                  type=pa.float64())})
+
+    pair = (h.map_batches(tag_side(0), batch_format="pyarrow")
+            .union(a.map_batches(tag_side(1), batch_format="pyarrow"))
+            .map_batches(lambda b: _add_pkey(b, ["node"]),
+                         batch_format="pyarrow"))
+    return pair.groupby("pkey").map_groups(pivot, batch_format="pyarrow")

@@ -85,3 +85,86 @@ def test_pagerank_validation(ray_session):
         pagerank(e, v, damping=1.0)
     with pytest.raises(ValueError):
         pagerank(e, v, n_iter=0)
+
+
+# ---------------------------------------------------------------- HITS
+
+def _hits_brute(edges, nodes, n_iter=5):
+    nodes = sorted(nodes)
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    h = np.ones(n)
+    a = np.ones(n)
+
+    def maxnorm(x):
+        m = x.max() if len(x) else 0.0
+        return x / m if m > 0 else x
+
+    for _ in range(n_iter):
+        a = np.zeros(n)
+        for u, v in edges:
+            a[idx[v]] += h[idx[u]]
+        a = maxnorm(a)
+        h = np.zeros(n)
+        for u, v in edges:
+            h[idx[u]] += a[idx[v]]
+        h = maxnorm(h)
+    return ({v: h[idx[v]] for v in nodes},
+            {v: a[idx[v]] for v in nodes})
+
+
+def _hits_run(edges, nodes, parts=3, **kw):
+    import ray
+    import ray.data as rd
+    from mircv_ray.ops import hits
+    e = rd.from_arrow(pa.table({
+        "src": pa.array([s for s, _ in edges], type=pa.int64()),
+        "dst": pa.array([t for _, t in edges], type=pa.int64()),
+    })).repartition(parts)
+    v = rd.from_arrow(pa.table({
+        "node": pa.array(nodes, type=pa.int64())})).repartition(parts)
+    out = hits(e, v, **kw)
+    t = pa.concat_tables(ray.get(out.to_arrow_refs()),
+                         promote_options="default").combine_chunks()
+    return {t["node"][i].as_py(): (t["hub"][i].as_py(),
+                                   t["authority"][i].as_py())
+            for i in range(t.num_rows)}
+
+
+def test_hits_equals_power_iteration(ray_session):
+    exp_h, exp_a = _hits_brute(EDGES, NODES)
+    got = _hits_run(EDGES, NODES)
+    assert set(got) == set(NODES)
+    for v in NODES:
+        assert abs(got[v][0] - exp_h[v]) < 1e-9, ("hub", v)
+        assert abs(got[v][1] - exp_a[v]) < 1e-9, ("auth", v)
+    # the argmaxes agree with the reference (node 3's double edge into
+    # the top authority makes it the top hub; node 2 is top authority);
+    # the isolated node 8 is 0/0
+    assert max(got, key=lambda v: got[v][0]) == \
+        max(exp_h, key=exp_h.__getitem__) == 3
+    assert max(got, key=lambda v: got[v][1]) == \
+        max(exp_a, key=exp_a.__getitem__) == 2
+    assert got[8] == (0.0, 0.0)
+
+
+def test_hits_partition_invariance(ray_session):
+    a = _hits_run(EDGES, NODES, parts=1)
+    b = _hits_run(EDGES, NODES, parts=7)
+    for v in NODES:
+        assert abs(a[v][0] - b[v][0]) < 1e-12
+        assert abs(a[v][1] - b[v][1]) < 1e-12
+
+
+def test_hits_edgeless_and_validation(ray_session):
+    import ray.data as rd
+    from mircv_ray.ops import hits
+    got = _hits_run([], [0, 1, 2])
+    assert got == {0: (0.0, 0.0), 1: (0.0, 0.0), 2: (0.0, 0.0)}
+    e = rd.from_arrow(pa.table({"src": pa.array([0], type=pa.int64()),
+                                "dst": pa.array([1], type=pa.int64())}))
+    v = rd.from_arrow(pa.table({"node": pa.array([0, 1],
+                                                 type=pa.int64())}))
+    import pytest
+    with pytest.raises(ValueError):
+        hits(e, v, n_iter=0)
