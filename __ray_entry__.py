@@ -2111,6 +2111,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                            batch_format="pyarrow")
         return _sorted_table(out, ["doc_id"])
 
+    def shard_shuffle(sf_dir: str):
+        # deterministic global corpus shuffle into 8 round-robin
+        # training shards: one range-partitioning sort by (knuth hash,
+        # id), ranks from block metadata offsets
+        from mircv_ray.ops import shuffle_shards
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "source"])
+        return _sorted_table(shuffle_shards(ds, 8), ["doc_id"])
+
     def top_ngrams_corpus(sf_dir: str):
         # corpus-wide top-50 trigrams — the decontamination/boilerplate
         # blocklist building step; one content scan, one gram-distinct
@@ -2971,6 +2980,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_line_stats": dup_line_stats,
         "ngram_repetition": ngram_repetition,
         "top_ngrams": top_ngrams_corpus,
+        "shard_shuffle": shard_shuffle,
         "c4_clean": c4_clean,
         "cooccurrence": cooccurrence,
         "pagerank_docs": pagerank_docs,
@@ -4128,6 +4138,19 @@ s AS (SELECT p.doc_id, p.term,
       FROM p JOIN f USING (term))
 SELECT doc_id, rnk::BIGINT AS rank, term, round(score, 6) AS tfidf
 FROM s WHERE rnk <= 5 ORDER BY doc_id, rank
+""",
+        # the knuth-hash global permutation + round-robin shards: exact
+        # BIGINT arithmetic both sides
+        "shard_shuffle": """
+WITH h AS (SELECT doc_id, source,
+                  (doc_id * 2654435761) % 4294967296 AS hv
+           FROM documents),
+r AS (SELECT doc_id, source,
+             row_number() OVER (ORDER BY hv, doc_id) AS shuffle_rank
+      FROM h)
+SELECT doc_id, source, shuffle_rank,
+       (shuffle_rank - 1) % 8 AS shard
+FROM r ORDER BY doc_id
 """,
         # knuth multiplicative hash: exact BIGINT arithmetic both sides
         "dataset_split": """

@@ -30,7 +30,7 @@ from .passage import build_passage_index, passage_topk_maxp
 from .packing import greedy_pack, pack_sequences
 from .collocations import pmi_collocations
 from .multimodal import DecodeImage, SampleFrames, make_media_table
-from .sampling import alpha_mix_weights, hash_split, importance_resample, source_quota_sample, stratified_sample
+from .sampling import alpha_mix_weights, hash_split, importance_resample, shuffle_shards, source_quota_sample, stratified_sample
 from .sketches import (bloom_build, bloom_params, bloom_probe, bloom_test,
                        cm_build, cm_query, exact_distinct_per_group,
                        hll_distinct_per_group, mg_heavy_hitters)
@@ -52,7 +52,7 @@ __all__ = [
     "jaccard_simjoin_exact", "cosine_all_pairs", "pii_redact",
     "repetition_stats", "connected_components", "source_quota_sample",
     "hash_split", "stratified_sample", "alpha_mix_weights",
-    "importance_resample",
+    "importance_resample", "shuffle_shards",
     "knn_graph", "knn_graph_lsh", "global_ntile", "dsir_weights", "unigram_logprob", "char_entropy",
     "bpe_train", "bpe_encode_counts",
     "ngram_window_rows", "shared_ngram_pairs",

@@ -412,3 +412,57 @@ def importance_resample(ds, n: int, log10_weight_col: str = "log_weight",
 
     return (pre.map_batches(tag, batch_format="pyarrow")
             .groupby("__all").map_groups(merge, batch_format="pyarrow"))
+
+
+def shuffle_shards(ds, n_shards: int, id_col: str = "doc_id",
+                   salt: int = 0):
+    """Deterministic global corpus shuffle into training shards — the
+    "shuffle the corpus, split into N files" step every LLM training
+    run needs. Each row gets its global position in the pseudo-random
+    permutation ordered by (knuth32(id, salt), id) and a round-robin
+    shard = (rank-1) % n_shards, so shards are balanced to ±1 row and
+    each shard is a stride sample of the permutation (reading shards
+    in order replays the full shuffle). A pure function of the ids —
+    no RNG state, any partitioning / resume re-derives it bit-
+    identically; ``salt`` re-shuffles.
+
+    Scale shape (the global_ntile machinery, ops/quantiles.py:190):
+    map-only hash stamp, ONE ``Dataset.sort`` by (hash, id) — the
+    range-partitioning exchange is the shuffle itself — then per-block
+    ranks from block-METADATA prefix offsets (one int per block on the
+    driver, never rows) and a map-only closed-form shard stamp.
+
+    Returns the input columns + (shuffle_rank 1-based, shard 0-based).
+    """
+    import ray
+    import ray.data as rd
+
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+
+    def stamp_hash(batch: pa.Table) -> pa.Table:
+        v = batch[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = ((v + np.uint64(salt)) * np.uint64(2654435761)) \
+            % np.uint64(2 ** 32)
+        return batch.append_column("__hv", pa.array(h.astype(np.int64)))
+
+    sorted_ds = ds.map_batches(stamp_hash, batch_format="pyarrow") \
+        .sort(["__hv", id_col])
+
+    refs, rows = [], []
+    for bundle in sorted_ds.iter_internal_ref_bundles():
+        for ref, meta in bundle.blocks:
+            refs.append(ref)
+            rows.append(meta.num_rows)
+    offsets = np.concatenate([[0], np.cumsum(rows[:-1])]).astype(np.int64) \
+        if rows else np.zeros(0, dtype=np.int64)
+
+    @ray.remote
+    def stamp(tbl: pa.Table, off: int) -> pa.Table:
+        rank0 = off + np.arange(tbl.num_rows, dtype=np.int64)
+        out = tbl.drop_columns(["__hv"])
+        out = out.append_column("shuffle_rank", pa.array(rank0 + 1))
+        return out.append_column("shard", pa.array(rank0 % n_shards))
+
+    out_refs = [stamp.remote(r, int(o)) for r, o in zip(refs, offsets)]
+    return rd.from_arrow_refs(out_refs)

@@ -255,3 +255,56 @@ class TestImportanceResample:
         assert set(a.doc_id) != set(b.doc_id)
         with pytest.raises(ValueError):
             importance_resample(rd.from_arrow(tbl), 0)
+
+
+class TestShuffleShards:
+    """shuffle_shards: deterministic global permutation + round-robin
+    shard assignment (ops/sampling.py: shuffle_shards)."""
+
+    def _tbl(self, n=2500):
+        return pa.table({"doc_id": pa.array(np.arange(n), type=pa.int64()),
+                         "payload": pa.array(np.arange(n) * 2)})
+
+    @staticmethod
+    def _brute(tbl, n_shards, salt=0):
+        ids = tbl["doc_id"].to_numpy().astype(np.uint64)
+        h = ((ids + np.uint64(salt)) * np.uint64(2654435761)) \
+            % np.uint64(2**32)
+        order = np.lexsort((tbl["doc_id"].to_numpy(), h.astype(np.int64)))
+        rank = np.empty(len(ids), dtype=np.int64)
+        rank[order] = np.arange(1, len(ids) + 1)
+        return rank, (rank - 1) % n_shards
+
+    @pytest.mark.parametrize("parts", [1, 9])
+    def test_matches_brute_force(self, ray_session, parts):
+        import ray.data as rd
+        from mircv_ray.ops import shuffle_shards
+        tbl = self._tbl()
+        out = (shuffle_shards(rd.from_arrow(tbl).repartition(parts), 8)
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        rank, shard = self._brute(tbl, 8)
+        assert list(out.shuffle_rank) == list(rank)
+        assert list(out.shard) == list(shard)
+        # payload rides along untouched
+        assert list(out.payload) == list(tbl["payload"].to_numpy())
+
+    def test_shards_balanced_and_cover(self, ray_session):
+        import ray.data as rd
+        from mircv_ray.ops import shuffle_shards
+        out = shuffle_shards(rd.from_arrow(self._tbl(1001)), 4).to_pandas()
+        counts = out.shard.value_counts()
+        assert set(counts.index) == {0, 1, 2, 3}
+        assert counts.max() - counts.min() <= 1
+        assert sorted(out.shuffle_rank) == list(range(1, 1002))
+
+    def test_salt_reshuffles_and_validation(self, ray_session):
+        import ray.data as rd
+        from mircv_ray.ops import shuffle_shards
+        tbl = self._tbl(600)
+        a = (shuffle_shards(rd.from_arrow(tbl), 4, salt=0).to_pandas()
+             .sort_values("doc_id"))
+        b = (shuffle_shards(rd.from_arrow(tbl), 4, salt=3).to_pandas()
+             .sort_values("doc_id"))
+        assert list(a.shuffle_rank) != list(b.shuffle_rank)
+        with pytest.raises(ValueError):
+            shuffle_shards(rd.from_arrow(tbl), 0)
