@@ -2111,6 +2111,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                            batch_format="pyarrow")
         return _sorted_table(out, ["doc_id"])
 
+    def corpus_diff_new(sf_dir: str):
+        # incremental-crawl anti-join: current crawl = documents,
+        # previous crawl = the doc_id % 3 != 0 view; new docs = rows
+        # whose exact text bytes the previous crawl did not have
+        # (a dropped doc whose text survives at another id is NOT new)
+        from mircv_ray.ops import corpus_diff
+        cur = _docs_ds(sf_dir)
+
+        def prev_view(b: pa.Table) -> pa.Table:
+            keep = b["doc_id"].to_numpy(zero_copy_only=False) % 3 != 0
+            return b.filter(pa.array(keep))
+
+        prev = _docs_ds(sf_dir).map_batches(prev_view,
+                                            batch_format="pyarrow")
+        # project inside a map (not select_columns: a Project op after a
+        # map_groups was observed to be dropped once under plan
+        # optimization; an explicit batch projection cannot be elided)
+        out = corpus_diff(cur, prev).map_batches(
+            lambda b: b.select(["doc_id"]) if b.num_columns else b,
+            batch_format="pyarrow")
+        return _sorted_table(out, ["doc_id"])
+
+    def zipf_corpus(sf_dir: str):
+        # Zipf-law fit over the corpus term-frequency distribution:
+        # slope/intercept of log10(count) vs log10(rank); regression
+        # sums as per-block partials, one 5-number row per block
+        from mircv_ray.ops import zipf_fit
+        return zipf_fit(_docs_ds(sf_dir))
+
     def shard_shuffle(sf_dir: str):
         # deterministic global corpus shuffle into 8 round-robin
         # training shards: one range-partitioning sort by (knuth hash,
@@ -2981,6 +3010,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_repetition": ngram_repetition,
         "top_ngrams": top_ngrams_corpus,
         "shard_shuffle": shard_shuffle,
+        "zipf_corpus": zipf_corpus,
+        "corpus_diff": corpus_diff_new,
         "c4_clean": c4_clean,
         "cooccurrence": cooccurrence,
         "pagerank_docs": pagerank_docs,
@@ -4138,6 +4169,32 @@ s AS (SELECT p.doc_id, p.term,
       FROM p JOIN f USING (term))
 SELECT doc_id, rnk::BIGINT AS rank, term, round(score, 6) AS tfidf
 FROM s WHERE rnk <= 5 ORDER BY doc_id, rank
+""",
+        # incremental-crawl anti-join on exact text bytes; IS NOT
+        # DISTINCT FROM mirrors the engine's NULL-matches-NULL sentinel
+        "corpus_diff": """
+WITH r AS (SELECT text FROM documents WHERE doc_id % 3 <> 0)
+SELECT l.doc_id FROM documents l
+WHERE NOT EXISTS (SELECT 1 FROM r
+                  WHERE r.text IS NOT DISTINCT FROM l.text)
+ORDER BY l.doc_id
+""",
+        # Zipf fit: DuckDB's regr_slope/regr_intercept over the same
+        # log10(count)/log10(rank) pairs — the normal-equation algebra
+        # is identical in reals, round 6 absorbs float association
+        "zipf_corpus": f"""
+WITH tk AS (
+  SELECT t.term FROM (
+    SELECT {_ALNUM_TOKS} AS toks FROM documents) d,
+  UNNEST(d.toks) AS t(term)),
+c AS (SELECT term, count(*)::BIGINT AS c FROM tk GROUP BY term),
+r AS (SELECT c, row_number() OVER (ORDER BY c DESC, term) AS rnk FROM c)
+SELECT count(*)::BIGINT AS n_terms,
+       round(regr_slope(log10(c::DOUBLE), log10(rnk::DOUBLE)), 6)
+           AS zipf_slope,
+       round(regr_intercept(log10(c::DOUBLE), log10(rnk::DOUBLE)), 6)
+           AS zipf_intercept
+FROM r
 """,
         # the knuth-hash global permutation + round-robin shards: exact
         # BIGINT arithmetic both sides

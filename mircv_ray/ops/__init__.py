@@ -8,7 +8,7 @@ from .textops import (
     ContaminationCheck, basic_token_stats, char_entropy,
     contamination_check, contamination_ngram, fingerprint,
     gopher_filter, lang_id, pii_redact, quality_stats,
-    repetition_stats, token_count, unigram_logprob,
+    repetition_stats, token_count, unigram_logprob, zipf_fit,
 )
 from .lm import bigram_logprob
 from .linededup import duplicate_line_stats, line_dedup
@@ -18,7 +18,7 @@ from .cooccur import cooccurrence_counts
 from .topngrams import top_ngrams
 from .graph import hits, pagerank
 from .keywords import tfidf_keywords
-from .dedup import connected_components, contamination_fuzzy, exact_dedup_keep, jaccard_simjoin_exact, minhash_signatures, minhash_candidate_pairs, simhash64, near_dup_pairs, ngram_jaccard_pairs, shingle_sets
+from .dedup import connected_components, contamination_fuzzy, corpus_diff, exact_dedup_keep, jaccard_simjoin_exact, minhash_signatures, minhash_candidate_pairs, simhash64, near_dup_pairs, ngram_jaccard_pairs, shingle_sets
 from .similarity import cosine_all_pairs, cosine_topk, mmr_rerank, rocchio_dense, ivf_build_centroids, ivf_cosine_topk, embedding_near_dup_pairs, knn_graph, knn_graph_lsh, pq_cosine_topk, pq_cosine_topk_rerank, pq_encode, pq_train
 from .clustering import kmeans_assign, kmeans_fit, semantic_dedup
 from .dsir import dsir_weights
@@ -45,7 +45,7 @@ __all__ = [
     "DecodeImage", "SampleFrames", "make_media_table",
     "ContaminationCheck", "contamination_check", "contamination_fuzzy",
     "basic_token_stats", "token_count", "quality_stats", "lang_id",
-    "fingerprint", "exact_dedup_keep", "minhash_signatures",
+    "fingerprint", "exact_dedup_keep", "corpus_diff", "minhash_signatures",
     "minhash_candidate_pairs", "simhash64", "near_dup_pairs",
     "cosine_topk", "mmr_rerank", "rocchio_dense", "ivf_build_centroids", "ivf_cosine_topk",
     "ngram_jaccard_pairs", "shingle_sets", "embedding_near_dup_pairs",
@@ -53,7 +53,7 @@ __all__ = [
     "repetition_stats", "connected_components", "source_quota_sample",
     "hash_split", "stratified_sample", "alpha_mix_weights",
     "importance_resample", "shuffle_shards",
-    "knn_graph", "knn_graph_lsh", "global_ntile", "dsir_weights", "unigram_logprob", "char_entropy",
+    "knn_graph", "knn_graph_lsh", "global_ntile", "dsir_weights", "unigram_logprob", "char_entropy", "zipf_fit",
     "bpe_train", "bpe_encode_counts",
     "ngram_window_rows", "shared_ngram_pairs",
     "exact_distinct_per_group", "hll_distinct_per_group",

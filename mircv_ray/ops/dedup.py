@@ -1094,3 +1094,75 @@ def contamination_fuzzy(ds, probe_texts, threshold: float = 0.5,
         })
 
     return pairs.map_batches(cross_only, batch_format="pyarrow")
+
+
+def corpus_diff(left_ds, right_ds, id_col: str = "doc_id",
+                text_col: str = "text"):
+    """New-content anti-join between two corpus snapshots — the
+    incremental-crawl ingestion step ("which documents of crawl N carry
+    content crawl N-1 did not have?"). A left row survives iff its
+    EXACT text bytes (the sha256 identity of :func:`exact_hash_batch`,
+    NULL text = a sentinel so NULL matches NULL, mirroring SQL's
+    IS NOT DISTINCT FROM) appear nowhere in ``right_ds``.
+
+    Scale shape: both corpora reduce to slim hash rows map-side — the
+    left to (content_hash, id), the right to its batch-DISTINCT
+    content hashes only (ids and text never travel); ONE
+    content-hash-partitioned exchange co-locates equal hashes; each
+    group emits its left ids when no right row shares the hash (one
+    vectorized ``is_in`` per group). Content never shuffles; the
+    exchange is bounded by (left rows + right batch-distinct hashes).
+
+    Returns (id_col, content_hash) of the new documents.
+    """
+    from ..util import crc32_column
+    from .. import use_push_shuffle
+    use_push_shuffle(left_ds)
+
+    def pkeyed(batch: pa.Table) -> pa.Table:
+        return batch.append_column("pkey", pa.array(
+            (crc32_column(batch["content_hash"])
+             % np.uint32(_PAIR_PARTITIONS)).astype(np.int64)))
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        h = exact_hash_batch(batch, text_col, id_col)
+        return pkeyed(pa.table({
+            "content_hash": h["content_hash"],
+            id_col: h[id_col],
+            "side": pa.array(np.zeros(batch.num_rows, np.int8))}))
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        h = exact_hash_batch(batch, text_col, id_col)
+        uniq = pc.unique(h["content_hash"].combine_chunks()
+                         if isinstance(h["content_hash"], pa.ChunkedArray)
+                         else h["content_hash"])
+        m = len(uniq)
+        return pkeyed(pa.table({
+            "content_hash": uniq,
+            id_col: pa.nulls(m, pa.int64()),
+            "side": pa.array(np.ones(m, np.int8))}))
+
+    _EMPTY = pa.schema([(id_col, pa.int64()),
+                        ("content_hash", pa.string())])
+
+    def anti(group: pa.Table) -> pa.Table:
+        if group.num_columns == 0 or group.num_rows == 0:
+            return _EMPTY.empty_table()
+        side = group["side"].to_numpy(zero_copy_only=False)
+        lrows = group.filter(pa.array(side == 0))
+        if lrows.num_rows == 0:
+            return _EMPTY.empty_table()
+        rrows = group.filter(pa.array(side == 1))
+        lh = lrows["content_hash"]
+        if rrows.num_rows:
+            hit = pc.is_in(lh, value_set=rrows["content_hash"]
+                           .combine_chunks())
+            keep = pc.invert(hit)
+            lrows = lrows.filter(keep)
+        return pa.table({id_col: lrows[id_col],
+                         "content_hash": lrows["content_hash"]})
+
+    tagged = (left_ds.map_batches(tag_left, batch_format="pyarrow")
+              .union(right_ds.map_batches(tag_right,
+                                          batch_format="pyarrow")))
+    return tagged.groupby("pkey").map_groups(anti, batch_format="pyarrow")

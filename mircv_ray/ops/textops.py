@@ -858,3 +858,83 @@ def char_entropy(batch: pa.Table, text_col: str = "text",
         "n_chars": pa.array(lens, type=pa.int64()),
         "char_entropy": pa.array(ent, type=pa.float64()),
     })
+
+
+def zipf_fit(ds, text_col: str = "text"):
+    """Least-squares Zipf-law fit over the corpus's term-frequency
+    distribution: slope/intercept of log10(count) vs log10(rank) with
+    terms ranked by (count desc, term asc). The classic corpus-health
+    diagnostic (a natural-language corpus fits slope ≈ −1, Zipf 1949;
+    boilerplate floods and template spam bend the curve) and the n=1
+    reading of the lexicon's collectionFrequency
+    (`m/model/LexiconEntry.java`).
+
+    Scale shape: term counts via map-side-combined partials + ONE
+    (term) groupby (the term_df machinery — only batch-distinct terms
+    enter the exchange); ranks from a range-partitioned sort by
+    (count desc, term asc) + block-METADATA prefix offsets (the
+    global_ntile machinery); regression sums as per-block partials —
+    the driver sees ONE 5-number row per block, never a vocab-sized
+    table. Returns a single-row pyarrow Table (n_terms, zipf_slope,
+    zipf_intercept), slope/intercept rounded 6 (float sums associate
+    differently across engines; the normal-equation algebra equals
+    SQL's regr_slope/regr_intercept exactly in reals).
+    """
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def count_pass(batch: pa.Table) -> pa.Table:
+        flat, _, _ = _alnum_flat_terms(batch, text_col)
+        if len(flat) == 0:
+            return pa.table({"term": pa.array([], type=pa.string()),
+                             "c": pa.array([], type=pa.int64())})
+        g = (pa.table({"term": flat}).group_by("term")
+             .aggregate([([], "count_all")]))
+        return pa.table({"term": g["term"],
+                         "c": g["count_all"].cast(pa.int64())})
+
+    counts = (ds.map_batches(count_pass, batch_format="pyarrow")
+              .groupby("term")
+              .aggregate(Sum("c", alias_name="c")))
+    sorted_ds = counts.sort(["c", "term"], descending=[True, False])
+
+    refs, rows = [], []
+    for bundle in sorted_ds.iter_internal_ref_bundles():
+        for ref, meta in bundle.blocks:
+            refs.append(ref)
+            rows.append(meta.num_rows)
+    offsets = np.concatenate([[0], np.cumsum(rows[:-1])]).astype(np.int64) \
+        if rows else np.zeros(0, dtype=np.int64)
+    n_terms = int(sum(rows))
+    if n_terms == 0:
+        return pa.table({"n_terms": pa.array([], type=pa.int64()),
+                         "zipf_slope": pa.array([], type=pa.float64()),
+                         "zipf_intercept": pa.array([], type=pa.float64())})
+
+    @ray.remote
+    def partial(tbl: pa.Table, off: int):
+        x = np.log10(off + np.arange(tbl.num_rows, dtype=np.float64) + 1.0)
+        y = np.log10(tbl["c"].to_numpy().astype(np.float64))
+        return (float(x.sum()), float(y.sum()), float((x * y).sum()),
+                float((x * x).sum()), tbl.num_rows)
+
+    parts = ray.get([partial.remote(r, int(o))
+                     for r, o in zip(refs, offsets)])
+    sx = sum(p[0] for p in parts)
+    sy = sum(p[1] for p in parts)
+    sxy = sum(p[2] for p in parts)
+    sxx = sum(p[3] for p in parts)
+    n = float(sum(p[4] for p in parts))
+    denom = n * sxx - sx * sx
+    if denom == 0.0:           # a single term: the fit is degenerate
+        slope, intercept = 0.0, sy / n
+    else:
+        slope = (n * sxy - sx * sy) / denom
+        intercept = (sy - slope * sx) / n
+    r6 = lambda v: float(np.trunc(v * 1e6 + np.copysign(0.5, v)) / 1e6)
+    return pa.table({"n_terms": pa.array([n_terms], type=pa.int64()),
+                     "zipf_slope": pa.array([r6(slope)],
+                                            type=pa.float64()),
+                     "zipf_intercept": pa.array([r6(intercept)],
+                                                type=pa.float64())})

@@ -79,3 +79,113 @@ class TestTopNgrams:
             top_ngrams(rd.from_arrow(tbl), k=0)
         with pytest.raises(ValueError):
             top_ngrams(rd.from_arrow(tbl), min_count=0)
+
+
+class TestZipfFit:
+    """zipf_fit: distributed log-log regression over term counts
+    (ops/textops.py: zipf_fit) vs a numpy polyfit reference."""
+
+    @staticmethod
+    def _brute(texts):
+        cnt = Counter()
+        for t in texts:
+            for w in RX.split((t or "").lower()):
+                if w:
+                    cnt[w] += 1
+        ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        x = np.log10(np.arange(1, len(ranked) + 1, dtype=np.float64))
+        y = np.log10(np.array([c for _, c in ranked], dtype=np.float64))
+        n = float(len(x))
+        denom = n * (x * x).sum() - x.sum() ** 2
+        slope = (n * (x * y).sum() - x.sum() * y.sum()) / denom
+        intercept = (y.sum() - slope * x.sum()) / n
+        return len(ranked), slope, intercept
+
+    @pytest.mark.parametrize("parts", [1, 7])
+    def test_matches_brute_force(self, ray_session, parts):
+        import ray.data as rd
+        from mircv_ray.ops import zipf_fit
+        rng = np.random.default_rng(5)
+        # zipf-ish corpus: term w_i with weight 1/(i+1)
+        vocab = [f"w{i}" for i in range(200)]
+        p = 1.0 / np.arange(1, 201)
+        p /= p.sum()
+        texts = [" ".join(rng.choice(vocab, 80, p=p)) for _ in range(150)]
+        tbl = pa.table({"doc_id": pa.array(range(150), type=pa.int64()),
+                        "text": pa.array(texts)})
+        out = zipf_fit(rd.from_arrow(tbl).repartition(parts))
+        n, slope, intercept = self._brute(texts)
+        assert out["n_terms"][0].as_py() == n
+        assert abs(out["zipf_slope"][0].as_py() - slope) < 2e-6
+        assert abs(out["zipf_intercept"][0].as_py() - intercept) < 2e-6
+        assert out["zipf_slope"][0].as_py() < -0.4   # zipf-ish decay
+
+    def test_single_term_degenerate_and_empty(self, ray_session):
+        import ray.data as rd
+        from mircv_ray.ops import zipf_fit
+        tbl = pa.table({"doc_id": pa.array([0], type=pa.int64()),
+                        "text": pa.array(["aaa aaa aaa"])})
+        out = zipf_fit(rd.from_arrow(tbl))
+        assert out["n_terms"][0].as_py() == 1
+        assert out["zipf_slope"][0].as_py() == 0.0
+        empty = pa.table({"doc_id": pa.array([0], type=pa.int64()),
+                          "text": pa.array([""], type=pa.string())})
+        assert zipf_fit(rd.from_arrow(empty)).num_rows == 0
+
+
+class TestCorpusDiff:
+    """corpus_diff: exact-content anti-join of two corpus snapshots
+    (ops/dedup.py: corpus_diff)."""
+
+    def _snapshots(self):
+        texts_old = [f"document number {i} body" for i in range(40)]
+        # new crawl: keeps 0..29, drops 30..39, adds 40..49, and adds
+        # two docs whose text DUPLICATES old content (not new), plus a
+        # None and an empty doc on both sides
+        texts_new = ([f"document number {i} body" for i in range(30)]
+                     + [f"fresh page {i}" for i in range(40, 50)]
+                     + [texts_old[35], texts_old[5], None, ""])
+        old = pa.table({
+            "doc_id": pa.array(range(40), type=pa.int64()),
+            "text": pa.array(texts_old + [], type=pa.string())})
+        old = pa.table({
+            "doc_id": pa.array(range(42), type=pa.int64()),
+            "text": pa.array(texts_old + [None, ""], type=pa.string())})
+        new = pa.table({
+            "doc_id": pa.array(range(100, 100 + len(texts_new)),
+                               type=pa.int64()),
+            "text": pa.array(texts_new, type=pa.string())})
+        return old, new
+
+    @pytest.mark.parametrize("parts", [1, 6])
+    def test_matches_brute_force(self, ray_session, parts):
+        import ray.data as rd
+        from mircv_ray.ops import corpus_diff
+        old, new = self._snapshots()
+        out = (corpus_diff(rd.from_arrow(new).repartition(parts),
+                           rd.from_arrow(old).repartition(parts))
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        old_set = set(old["text"].to_pylist())
+        exp = sorted(i for i, t in zip(new["doc_id"].to_pylist(),
+                                       new["text"].to_pylist())
+                     if t not in old_set)
+        assert list(out.doc_id) == exp
+        # the ten fresh pages are new; dup-of-old, None and '' are not
+        assert len(out) == 10
+
+    def test_null_matches_null_and_disjoint(self, ray_session):
+        import ray.data as rd
+        from mircv_ray.ops import corpus_diff
+        left = pa.table({"doc_id": pa.array([1, 2], type=pa.int64()),
+                         "text": pa.array([None, "only here"],
+                                          type=pa.string())})
+        right = pa.table({"doc_id": pa.array([9], type=pa.int64()),
+                          "text": pa.array([None], type=pa.string())})
+        out = corpus_diff(rd.from_arrow(left),
+                          rd.from_arrow(right)).to_pandas()
+        assert list(out.doc_id) == [2]     # NULL text matched NULL
+        empty_right = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                                "text": pa.array([], type=pa.string())})
+        out2 = corpus_diff(rd.from_arrow(left),
+                           rd.from_arrow(empty_right)).to_pandas()
+        assert sorted(out2.doc_id) == [1, 2]
