@@ -2111,6 +2111,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                            batch_format="pyarrow")
         return _sorted_table(out, ["doc_id"])
 
+    def orders_customers(sf_dir: str):
+        # the generic distributed equi-join over the TPC-H pair:
+        # orders (fact) x customer (dim) — the adaptive rule picks the
+        # broadcast path for the small dim side; the partitioned MR
+        # path is pytest-pinned value-identical
+        from mircv_ray.ops import equi_join
+        orders = rd.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_totalprice"])
+        cust = rd.read_parquet(
+            f"{sf_dir}/customer.parquet",
+            columns=["c_custkey", "c_name", "c_mktsegment"])
+        out = equi_join(orders, cust, "o_custkey", right_on="c_custkey")
+        return _sorted_table(out, ["o_orderkey"])
+
     def corpus_diff_new(sf_dir: str):
         # incremental-crawl anti-join: current crawl = documents,
         # previous crawl = the doc_id % 3 != 0 view; new docs = rows
@@ -3012,6 +3027,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shard_shuffle": shard_shuffle,
         "zipf_corpus": zipf_corpus,
         "corpus_diff": corpus_diff_new,
+        "orders_customers": orders_customers,
         "c4_clean": c4_clean,
         "cooccurrence": cooccurrence,
         "pagerank_docs": pagerank_docs,
@@ -4169,6 +4185,13 @@ s AS (SELECT p.doc_id, p.term,
       FROM p JOIN f USING (term))
 SELECT doc_id, rnk::BIGINT AS rank, term, round(score, 6) AS tfidf
 FROM s WHERE rnk <= 5 ORDER BY doc_id, rank
+""",
+        # the generic equi-join: INNER join, right key dropped (USING)
+        "orders_customers": """
+SELECT o.o_orderkey, o.o_custkey, o.o_totalprice,
+       c.c_name, c.c_mktsegment
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+ORDER BY o.o_orderkey
 """,
         # incremental-crawl anti-join on exact text bytes; IS NOT
         # DISTINCT FROM mirrors the engine's NULL-matches-NULL sentinel

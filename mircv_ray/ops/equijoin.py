@@ -1,0 +1,145 @@
+"""General distributed equi-join — the one relational primitive Ray
+Data (2.49) does not ship. Every sided operator in this repo
+(dedup verify, LM count attach, as-of carry, line-dedup rebuild)
+hand-rolls its own tagged-union join tuned to its row shapes; this
+module is the GENERIC pair: SQL ``INNER`` / ``LEFT OUTER`` join of two
+Datasets on one key column, any column sets, exact SQL NULL semantics
+(NULL keys match nothing — pyarrow's acero hash join implements this
+natively, and every per-partition or per-batch join below delegates to
+that battle-tested C++ kernel; the operator's contribution is the
+DISTRIBUTED orchestration).
+
+Two paths, chosen by measured right-side size (the dedup
+``_join_pair_state`` adaptive rule):
+
+- **broadcast** (right <= ``broadcast_max_bytes``): the right table is
+  packed once, ``ray.put`` once, read once per worker, and every left
+  batch joins against it map-side — the left side streams, nothing
+  shuffles. This is the "small dimension table" path.
+- **partitioned** (above): the classic MR repartition join as raw Ray
+  tasks (the index build's mr2-exchange shape, `build/index_build.py`):
+  one split task per input block hash-partitions its rows by key
+  (``num_returns=N`` so each partition is an independently fetchable
+  object — a reduce fetches exactly its shard, never a block's other
+  partitions), one reduce task per partition concatenates its shards
+  from both sides and runs the arrow join. Only (row) bytes move,
+  each exactly once; no driver materialization at any size.
+
+A LEFT join's null-key left rows match nothing and are emitted padded
+by the per-partition arrow join itself (nulls hash to partition 0 —
+where they land is irrelevant since they match nothing).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+BROADCAST_RIGHT_MAX_BYTES = 256 * 1024 * 1024
+
+_JOIN_TYPE = {"inner": "inner", "left": "left outer"}
+
+
+def _key_partition(batch: pa.Table, on: str, n: int) -> np.ndarray:
+    from ..util import crc32_column
+    k = batch[on]
+    if isinstance(k, pa.ChunkedArray):
+        k = k.combine_chunks()
+    s = pc.fill_null(pc.cast(k, pa.string()), "")
+    h = crc32_column(s) % np.uint32(n)
+    # NULL keys match nothing; send them all to partition 0
+    valid = k.is_valid().to_numpy(zero_copy_only=False)
+    return np.where(valid, h.astype(np.int64), 0)
+
+
+def equi_join(left_ds, right_ds, on: str, how: str = "inner",
+              right_on: str | None = None, right_suffix: str = "_r",
+              broadcast_max_bytes: int | None = None,
+              num_partitions: int | None = None):
+    """SQL equi-join of two Datasets on column ``on`` (one-to-many and
+    many-to-many emit the full cross product per key, like SQL).
+    ``how``: "inner" or "left". ``right_on`` names the right side's key
+    when it differs (SQL's ``l.on = r.right_on``; the right key column
+    is dropped from the output like SQL USING). Right columns clashing
+    with left names get ``right_suffix``. Returns a Dataset; output row
+    order is not defined (sort it if the consumer needs determinism)."""
+    import ray
+    import ray.data as rd
+
+    if how not in _JOIN_TYPE:
+        raise ValueError(f"how must be one of {sorted(_JOIN_TYPE)}, "
+                         f"got {how!r}")
+    join_type = _JOIN_TYPE[how]
+    if right_on is None:
+        right_on = on
+    if broadcast_max_bytes is None:
+        broadcast_max_bytes = BROADCAST_RIGHT_MAX_BYTES
+
+    right_schema = right_ds.schema().base_schema
+    size = right_ds.size_bytes()
+    if size is not None and size <= broadcast_max_bytes:
+        tbls = [t for t in ray.get(right_ds.to_arrow_refs())
+                if t.num_rows]
+        right_tbl = (pa.concat_tables(tbls, promote_options="default")
+                     .combine_chunks() if tbls
+                     else right_schema.empty_table())
+        ref = ray.put(right_tbl)
+        cache: dict = {}
+
+        def attach(batch: pa.Table) -> pa.Table:
+            key = ref.hex() if hasattr(ref, "hex") else id(ref)
+            if key not in cache:
+                cache[key] = ray.get(ref)
+                while len(cache) > 4:
+                    cache.pop(next(iter(cache)))
+            # empty right joins fine: acero pads a LEFT join and empties
+            # an INNER one, keeping the output schema exact
+            return batch.join(cache[key], keys=[on],
+                              right_keys=[right_on], join_type=join_type,
+                              right_suffix=right_suffix)
+
+        return left_ds.map_batches(attach, batch_format="pyarrow")
+
+    if num_partitions is None:
+        from ..util import default_join_partitions
+        num_partitions = default_join_partitions()
+    n = int(num_partitions)
+
+    def _split(tbl: pa.Table, _on: str, _n=n):
+        p = _key_partition(tbl, _on, _n)
+        return tuple(tbl.filter(pa.array(p == i)) for i in range(_n))
+
+    split = ray.remote(_split)
+
+    def _shards(ds, key):
+        per_block = []
+        for bundle in ds.iter_internal_ref_bundles():
+            for ref, meta in bundle.blocks:
+                if meta.num_rows:
+                    per_block.append(
+                        split.options(num_returns=n).remote(ref, key))
+        # transpose: shard lists per partition
+        return [[blk[i] for blk in per_block] for i in range(n)] \
+            if per_block else [[] for _ in range(n)]
+
+    left_schema = left_ds.schema().base_schema
+    lshards = _shards(left_ds, on)
+    rshards = _shards(right_ds, right_on)
+
+    @ray.remote
+    def reduce(n_left: int, *parts: pa.Table) -> pa.Table:
+        lefts = [t for t in parts[:n_left] if t.num_rows]
+        rights = [t for t in parts[n_left:] if t.num_rows]
+        # empty sides join as schema-true empty tables so every
+        # partition emits the exact joined schema (acero pads/empties)
+        lt = (pa.concat_tables(lefts, promote_options="default")
+              .combine_chunks() if lefts else left_schema.empty_table())
+        rt = (pa.concat_tables(rights, promote_options="default")
+              .combine_chunks() if rights else right_schema.empty_table())
+        return lt.join(rt, keys=[on], right_keys=[right_on],
+                       join_type=join_type, right_suffix=right_suffix)
+
+    out = [reduce.remote(len(lshards[i]), *(lshards[i] + rshards[i]))
+           for i in range(n)]
+    return rd.from_arrow_refs(out)

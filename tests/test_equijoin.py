@@ -1,0 +1,126 @@
+"""equi_join: generic distributed SQL equi-join (ops/equijoin.py)
+vs pandas merge, on both the broadcast and the partitioned path."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from mircv_ray.ops import equi_join
+
+
+def _tables(seed=7, n_left=900, n_right=250):
+    rng = np.random.default_rng(seed)
+    left = pa.table({
+        "k": pa.array(rng.integers(0, 120, n_left), type=pa.int64()),
+        "lv": pa.array(rng.integers(0, 10**6, n_left)),
+        "name": pa.array([f"l{i}" for i in range(n_left)]),
+    })
+    # many-to-many: right repeats keys; some keys never occur on left
+    right = pa.table({
+        "k": pa.array(rng.integers(0, 150, n_right), type=pa.int64()),
+        "rv": pa.array(rng.normal(size=n_right)),
+        "name": pa.array([f"r{i}" for i in range(n_right)]),  # clash
+    })
+    return left, right
+
+
+def _expected(left, right, how):
+    lf, rf = left.to_pandas(), right.to_pandas()
+    m = lf.merge(rf, on="k", how=how, suffixes=("", "_r"))
+    return m.sort_values(["k", "lv", "name", "name_r"],
+                         na_position="last").reset_index(drop=True)
+
+
+def _got(out, how):
+    df = out.to_pandas()
+    return df.sort_values(["k", "lv", "name", "name_r"],
+                          na_position="last").reset_index(drop=True)
+
+
+class TestEquiJoin:
+    @pytest.mark.parametrize("how", ["inner", "left"])
+    @pytest.mark.parametrize("bcast", [None, 0])   # None=broadcast, 0=mr
+    def test_matches_pandas(self, ray_session, how, bcast):
+        import ray.data as rd
+        left, right = _tables()
+        kw = {} if bcast is None else {"broadcast_max_bytes": 0,
+                                       "num_partitions": 5}
+        out = equi_join(rd.from_arrow(left).repartition(4),
+                        rd.from_arrow(right).repartition(3),
+                        "k", how=how, **kw)
+        got = _got(out, how)
+        exp = _expected(left, right, how)
+        assert list(got.columns) == list(exp.columns)
+        assert len(got) == len(exp)
+        for c in ["k", "lv", "name", "name_r"]:
+            assert list(got[c].fillna("~")) == list(exp[c].fillna("~")), c
+        np.testing.assert_allclose(got.rv.fillna(0.0), exp.rv.fillna(0.0))
+
+    @pytest.mark.parametrize("bcast", [None, 0])
+    def test_null_keys_sql_semantics(self, ray_session, bcast):
+        import ray.data as rd
+        left = pa.table({"k": pa.array([1, None, 2], type=pa.int64()),
+                         "lv": pa.array([10, 20, 30])})
+        right = pa.table({"k": pa.array([1, None], type=pa.int64()),
+                          "rv": pa.array(["x", "y"])})
+        kw = {} if bcast is None else {"broadcast_max_bytes": 0,
+                                       "num_partitions": 3}
+        inner = equi_join(rd.from_arrow(left), rd.from_arrow(right),
+                          "k", how="inner", **kw).to_pandas()
+        assert list(inner.k) == [1] and list(inner.rv) == ["x"]
+        lj = (equi_join(rd.from_arrow(left), rd.from_arrow(right),
+                        "k", how="left", **kw)
+              .to_pandas().sort_values("lv").reset_index(drop=True))
+        assert list(lj.lv) == [10, 20, 30]
+        assert list(lj.rv.fillna("~")) == ["x", "~", "~"]
+
+    @pytest.mark.parametrize("bcast", [None, 0])
+    def test_empty_right_and_string_keys(self, ray_session, bcast):
+        import ray.data as rd
+        left = pa.table({"k": pa.array(["a", "b"]),
+                         "lv": pa.array([1, 2])})
+        right_empty = pa.table({"k": pa.array([], type=pa.string()),
+                                "rv": pa.array([], type=pa.int64())})
+        kw = {} if bcast is None else {"broadcast_max_bytes": 0,
+                                       "num_partitions": 2}
+        inner = equi_join(rd.from_arrow(left), rd.from_arrow(right_empty),
+                          "k", how="inner", **kw).to_pandas()
+        assert len(inner) == 0
+        if len(inner.columns):   # Ray may drop all-empty blocks' schema
+            assert "rv" in inner.columns
+        lj = (equi_join(rd.from_arrow(left), rd.from_arrow(right_empty),
+                        "k", how="left", **kw)
+              .to_pandas().sort_values("lv"))
+        assert list(lj.lv) == [1, 2]
+        assert lj.rv.isna().all()
+        right = pa.table({"k": pa.array(["b", "c"]),
+                          "rv": pa.array([7, 8], type=pa.int64())})
+        inner2 = equi_join(rd.from_arrow(left), rd.from_arrow(right),
+                           "k", **kw).to_pandas()
+        assert list(inner2.k) == ["b"] and list(inner2.rv) == [7]
+
+    def test_validation(self, ray_session):
+        import ray.data as rd
+        left = pa.table({"k": pa.array([1], type=pa.int64())})
+        with pytest.raises(ValueError, match="how"):
+            equi_join(rd.from_arrow(left), rd.from_arrow(left),
+                      "k", how="outer")
+
+    @pytest.mark.parametrize("bcast", [None, 0])
+    def test_right_on_different_key_names(self, ray_session, bcast):
+        import ray.data as rd
+        left = pa.table({"o_custkey": pa.array([1, 2, 2, 9],
+                                               type=pa.int64()),
+                         "total": pa.array([10.0, 20.0, 30.0, 40.0])})
+        right = pa.table({"c_custkey": pa.array([1, 2], type=pa.int64()),
+                          "c_name": pa.array(["alice", "bo"])})
+        kw = {} if bcast is None else {"broadcast_max_bytes": 0,
+                                       "num_partitions": 3}
+        out = (equi_join(rd.from_arrow(left), rd.from_arrow(right),
+                         "o_custkey", right_on="c_custkey", **kw)
+               .to_pandas().sort_values(["o_custkey", "total"])
+               .reset_index(drop=True))
+        assert list(out.columns) == ["o_custkey", "total", "c_name"]
+        assert list(out.o_custkey) == [1, 2, 2]
+        assert list(out.c_name) == ["alice", "bo", "bo"]
