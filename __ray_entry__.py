@@ -2111,6 +2111,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                            batch_format="pyarrow")
         return _sorted_table(out, ["doc_id"])
 
+    def running_totals(sf_dir: str):
+        # per-user running window functions over events: row_number,
+        # inclusive running sum and lag in exact int64 cents under the
+        # (ts, event_id) order — bit-identical at any partitioning; the
+        # salted mega-key variant is pytest-pinned identical
+        from mircv_ray.ops import running_agg
+        ev = rd.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "ts", "user_id", "value"])
+        return _sorted_table(running_agg(ev), ["event_id"])
+
     def orders_customers(sf_dir: str):
         # the generic distributed equi-join over the TPC-H pair:
         # orders (fact) x customer (dim) — the adaptive rule picks the
@@ -3028,6 +3039,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zipf_corpus": zipf_corpus,
         "corpus_diff": corpus_diff_new,
         "orders_customers": orders_customers,
+        "running_totals": running_totals,
         "c4_clean": c4_clean,
         "cooccurrence": cooccurrence,
         "pagerank_docs": pagerank_docs,
@@ -4185,6 +4197,22 @@ s AS (SELECT p.doc_id, p.term,
       FROM p JOIN f USING (term))
 SELECT doc_id, rnk::BIGINT AS rank, term, round(score, 6) AS tfidf
 FROM s WHERE rnk <= 5 ORDER BY doc_id, rank
+""",
+        # running windows in exact int64 cents: identical rounding
+        # (half away from zero) and (ts, event_id) order on both sides
+        "running_totals": """
+WITH c AS (SELECT event_id, user_id, ts,
+                  CAST(round(value * 100.0, 0) AS BIGINT) AS cents
+           FROM events)
+SELECT event_id, user_id,
+       row_number() OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS row_number,
+       sum(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS running_sum_cents,
+       lag(cents) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id) AS lag_value_cents
+FROM c ORDER BY event_id
 """,
         # the generic equi-join: INNER join, right key dropped (USING)
         "orders_customers": """

@@ -40,7 +40,7 @@ from .joins import (asof_join_backward, asof_join_backward_salted,
 from .quantiles import global_ntile, grouped_quantiles, grouped_quantiles_tdigest
 from .streaming import StreamingTumblingWindow, stream_tumbling_window_agg
 from .substring import ngram_window_rows, shared_ngram_pairs
-from .windows import hopping_window_agg, props_extract, sessionize, top_users_by_type, tumbling_window_agg
+from .windows import hopping_window_agg, props_extract, running_agg, sessionize, top_users_by_type, tumbling_window_agg
 
 __all__ = [
     "DecodeImage", "SampleFrames", "make_media_table",
@@ -62,7 +62,7 @@ __all__ = [
     "equi_join",
     "grouped_quantiles", "grouped_quantiles_tdigest",
     "pq_train", "pq_encode", "pq_cosine_topk", "pq_cosine_topk_rerank",
-    "tumbling_window_agg", "hopping_window_agg", "sessionize", "props_extract", "top_users_by_type",
+    "tumbling_window_agg", "hopping_window_agg", "sessionize", "props_extract", "top_users_by_type", "running_agg",
     "StreamingTumblingWindow", "stream_tumbling_window_agg",
     "kmeans_assign", "kmeans_fit", "semantic_dedup",
     "chunk_documents", "comb_fuse", "rrf_fuse", "ltr_features",

@@ -324,3 +324,252 @@ def top_users_by_type(events_ds, k: int = 5):
     return (sums.map_batches(pre_topk, batch_format="pyarrow")
                 .groupby("event_type")
                 .map_groups(topk, batch_format="pyarrow"))
+
+
+def _running_prep(batch: pa.Table, key_col: str, order_col: str,
+                  value_col: str, id_col: str,
+                  frag_width_us: int | None) -> pa.Table:
+    ts = batch[order_col]
+    if isinstance(ts, pa.ChunkedArray):
+        ts = ts.combine_chunks()
+    us = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+    cents = _round_half_away(
+        batch[value_col].to_numpy(zero_copy_only=False) * 100.0)
+    out = pa.table({id_col: batch[id_col],
+                    key_col: batch[key_col],
+                    "__us": pa.array(us),
+                    "__cents": pa.array(cents)})
+    if frag_width_us is not None:
+        out = out.append_column(
+            "__frag", pa.array(us // frag_width_us, type=pa.int64()))
+    return out
+
+
+_RUNNING_EMPTY = {"row_number": pa.int64(),
+                  "running_sum_cents": pa.int64(),
+                  "lag_value_cents": pa.int64()}
+
+
+def _running_rank(group: pa.Table, key_col: str, id_col: str,
+                  rn_off: int = 0, sum_off: int = 0,
+                  lag_carry=None) -> pa.Table:
+    """Sort one (key[, fragment]) group by (__us, id) and stamp
+    row_number / inclusive running sum / lag, all exact int64 cents."""
+    order = pc.sort_indices(group, sort_keys=[("__us", "ascending"),
+                                              (id_col, "ascending")])
+    g = group.take(order)
+    cents = g["__cents"].to_numpy()
+    rn = rn_off + np.arange(1, len(cents) + 1, dtype=np.int64)
+    run = sum_off + np.cumsum(cents)
+    lag = np.empty(len(cents), dtype=np.int64)
+    lag[1:] = cents[:-1]
+    lag_mask = np.zeros(len(cents), dtype=bool)
+    if len(cents):
+        if lag_carry is None:
+            lag[0] = 0
+            lag_mask[0] = True          # NULL: no previous row
+        else:
+            lag[0] = lag_carry
+    return pa.table({
+        id_col: g[id_col], key_col: g[key_col],
+        "row_number": pa.array(rn),
+        "running_sum_cents": pa.array(run.astype(np.int64)),
+        "lag_value_cents": pa.array(
+            np.ma.masked_array(lag, mask=lag_mask)),
+    })
+
+
+def running_agg(events_ds, key_col: str = "user_id",
+                order_col: str = "ts", value_col: str = "value",
+                id_col: str = "event_id",
+                salt_bucket_us: int | None = None):
+    """Per-key running window functions — SQL's row_number(),
+    sum(cents) OVER (PARTITION BY key ORDER BY order, id ROWS UNBOUNDED
+    PRECEDING) and lag(cents): the per-event cumulative-spend /
+    session-progress features of a behavioral pipeline. Values convert
+    to int64 CENTS before accumulating, so every running sum is exact
+    integer arithmetic — bit-identical at any partitioning and in SQL
+    (float cumsums would associate differently).
+
+    Returns (id, key, row_number, running_sum_cents, lag_value_cents
+    [null on each key's first row]); total order per key is
+    (order_col, id_col) — deterministic for unique ids.
+
+    Unsalted: slim (id, key, us, cents) rows only enter ONE key
+    groupby; each group sorts + cumsums. A key whose rows dwarf a
+    worker (the mega-user) passes ``salt_bucket_us``: rows fragment
+    into (key, order // width) groups, ONE metadata-sized fragment
+    exchange turns per-fragment (count, sum, last-value) partials into
+    exclusive prefix offsets + the lag carry for each fragment's first
+    row, and every fragment finishes locally — pytest pins salted ≡
+    unsalted. (The source_quota_sample salting shape, sampling.py:65.)
+    """
+    if salt_bucket_us is not None:
+        return _running_salted(events_ds, key_col, order_col, value_col,
+                               id_col, salt_bucket_us)
+
+    prep = events_ds.map_batches(
+        lambda b: _running_prep(b, key_col, order_col, value_col,
+                                id_col, None),
+        batch_format="pyarrow")
+
+    def rank(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or group.num_columns == 0:
+            return pa.table(
+                {id_col: pa.array([], type=pa.int64()),
+                 key_col: pa.array([], type=pa.int64()),
+                 **{k: pa.array([], type=t)
+                    for k, t in _RUNNING_EMPTY.items()}})
+        return _running_rank(group, key_col, id_col)
+
+    return prep.groupby(key_col).map_groups(rank, batch_format="pyarrow")
+
+
+def _running_salted(events_ds, key_col: str, order_col: str,
+                    value_col: str, id_col: str, bucket_us: int):
+    if bucket_us <= 0:
+        raise ValueError("salt_bucket_us must be positive")
+
+    prep = events_ds.map_batches(
+        lambda b: _running_prep(b, key_col, order_col, value_col,
+                                id_col, bucket_us),
+        batch_format="pyarrow").materialize()
+
+    # per-(key, frag) partials, map-side combined: count, cents sum and
+    # the LAST row's cents under the (us, id) order
+    def partials(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({key_col: pa.array([], type=pa.int64()),
+                             "__frag": pa.array([], type=pa.int64()),
+                             "cnt": pa.array([], type=pa.int64()),
+                             "s": pa.array([], type=pa.int64()),
+                             "last_us": pa.array([], type=pa.int64()),
+                             "last_id": pa.array([], type=pa.int64()),
+                             "last_cents": pa.array([], type=pa.int64())})
+        order = pc.sort_indices(
+            batch, sort_keys=[(key_col, "ascending"),
+                              ("__frag", "ascending"),
+                              ("__us", "ascending"),
+                              (id_col, "ascending")])
+        g = batch.take(order)
+        key = g[key_col].to_numpy()
+        frag = g["__frag"].to_numpy()
+        new = np.concatenate(
+            [[True], (key[1:] != key[:-1]) | (frag[1:] != frag[:-1])])
+        starts = np.flatnonzero(new)
+        ends = np.concatenate([starts[1:], [len(key)]]) - 1
+        cents = g["__cents"].to_numpy()
+        sums = np.add.reduceat(cents, starts)
+        return pa.table({
+            key_col: pa.array(key[starts]),
+            "__frag": pa.array(frag[starts]),
+            "cnt": pa.array((ends - starts + 1).astype(np.int64)),
+            "s": pa.array(sums.astype(np.int64)),
+            "last_us": pa.array(g["__us"].to_numpy()[ends]),
+            "last_id": pa.array(g[id_col].to_numpy()[ends]),
+            "last_cents": pa.array(cents[ends])})
+
+    def combine(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or group.num_columns == 0:
+            return pa.table({key_col: pa.array([], type=pa.int64()),
+                             "__frag": pa.array([], type=pa.int64()),
+                             "cnt": pa.array([], type=pa.int64()),
+                             "s": pa.array([], type=pa.int64()),
+                             "last_cents": pa.array([], type=pa.int64())})
+        order = pc.sort_indices(group,
+                                sort_keys=[("last_us", "ascending"),
+                                           ("last_id", "ascending")])
+        g = group.take(order)
+        return pa.table({
+            key_col: g[key_col].slice(0, 1),
+            "__frag": g["__frag"].slice(0, 1),
+            "cnt": pa.array([int(g["cnt"].to_numpy().sum())]),
+            "s": pa.array([int(g["s"].to_numpy().sum())]),
+            "last_cents": g["last_cents"].slice(g.num_rows - 1, 1)})
+
+    frag_stats = (prep.map_batches(partials, batch_format="pyarrow")
+                  .groupby([key_col, "__frag"])
+                  .map_groups(combine, batch_format="pyarrow"))
+
+    # per-key exclusive prefix offsets + the previous fragment's last
+    # value (the lag carry) — fragment rows only, metadata-sized
+    def offsets(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or group.num_columns == 0:
+            return pa.table({key_col: pa.array([], type=pa.int64()),
+                             "__frag": pa.array([], type=pa.int64()),
+                             "rn_off": pa.array([], type=pa.int64()),
+                             "sum_off": pa.array([], type=pa.int64()),
+                             "carry": pa.array([], type=pa.int64())})
+        order = pc.sort_indices(group["__frag"])
+        g = group.take(order)
+        cnt = g["cnt"].to_numpy()
+        s = g["s"].to_numpy()
+        last = g["last_cents"].to_numpy()
+        rn_off = np.concatenate([[0], np.cumsum(cnt[:-1])])
+        sum_off = np.concatenate([[0], np.cumsum(s[:-1])])
+        carry = np.empty(len(last), dtype=np.int64)
+        carry[1:] = last[:-1]
+        mask = np.zeros(len(last), dtype=bool)
+        if len(last):
+            carry[0] = 0
+            mask[0] = True
+        return pa.table({
+            key_col: g[key_col], "__frag": g["__frag"],
+            "rn_off": pa.array(rn_off.astype(np.int64)),
+            "sum_off": pa.array(sum_off.astype(np.int64)),
+            "carry": pa.array(np.ma.masked_array(carry, mask=mask))})
+
+    frag_offsets = frag_stats.groupby(key_col).map_groups(
+        offsets, batch_format="pyarrow")
+
+    schema = pa.schema([(id_col, pa.int64()), (key_col, pa.int64()),
+                        ("__us", pa.int64()), ("__cents", pa.int64()),
+                        ("__frag", pa.int64()),
+                        ("rn_off", pa.int64()), ("sum_off", pa.int64()),
+                        ("carry", pa.int64()), ("__side", pa.int8())])
+
+    def tag_rows(batch: pa.Table) -> pa.Table:
+        m = batch.num_rows
+        return pa.table({
+            id_col: batch[id_col], key_col: batch[key_col],
+            "__us": batch["__us"], "__cents": batch["__cents"],
+            "__frag": batch["__frag"],
+            "rn_off": pa.nulls(m, pa.int64()),
+            "sum_off": pa.nulls(m, pa.int64()),
+            "carry": pa.nulls(m, pa.int64()),
+            "__side": pa.array(np.zeros(m, np.int8))}, schema=schema)
+
+    def tag_offsets(batch: pa.Table) -> pa.Table:
+        m = batch.num_rows
+        return pa.table({
+            id_col: pa.nulls(m, pa.int64()),
+            key_col: batch[key_col],
+            "__us": pa.nulls(m, pa.int64()),
+            "__cents": pa.nulls(m, pa.int64()),
+            "__frag": batch["__frag"],
+            "rn_off": batch["rn_off"], "sum_off": batch["sum_off"],
+            "carry": batch["carry"],
+            "__side": pa.array(np.ones(m, np.int8))}, schema=schema)
+
+    def rank_frag(group: pa.Table) -> pa.Table:
+        empty = pa.table({id_col: pa.array([], type=pa.int64()),
+                          key_col: pa.array([], type=pa.int64()),
+                          **{k: pa.array([], type=t)
+                             for k, t in _RUNNING_EMPTY.items()}})
+        if group.num_rows == 0 or group.num_columns == 0:
+            return empty
+        side = group["__side"].to_numpy(zero_copy_only=False)
+        rows = group.filter(pa.array(side == 0))
+        offs = group.filter(pa.array(side == 1))
+        if rows.num_rows == 0:
+            return empty
+        rn_off = int(offs["rn_off"][0].as_py()) if offs.num_rows else 0
+        sum_off = int(offs["sum_off"][0].as_py()) if offs.num_rows else 0
+        carry = offs["carry"][0].as_py() if offs.num_rows else None
+        return _running_rank(rows, key_col, id_col, rn_off, sum_off,
+                             carry)
+
+    tagged = prep.map_batches(tag_rows, batch_format="pyarrow").union(
+        frag_offsets.map_batches(tag_offsets, batch_format="pyarrow"))
+    return tagged.groupby([key_col, "__frag"]).map_groups(
+        rank_frag, batch_format="pyarrow")

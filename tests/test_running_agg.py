@@ -1,0 +1,89 @@
+"""running_agg: per-key running window functions
+(ops/windows.py: running_agg) vs pandas, salted ≡ unsalted."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from mircv_ray.ops import running_agg
+
+
+def _events(seed=13, n=4000, n_users=40, mega_user=None):
+    rng = np.random.default_rng(seed)
+    users = rng.integers(0, n_users, n)
+    if mega_user is not None:
+        users[: n // 2] = mega_user          # one key holds half the rows
+    ts = rng.integers(0, 3_600_000_000 * 48, n)  # 48h of us
+    return pa.table({
+        "event_id": pa.array(np.arange(n), type=pa.int64()),
+        "ts": pa.array(ts, type=pa.timestamp("us")),
+        "user_id": pa.array(users, type=pa.int64()),
+        "value": pa.array(np.round(rng.normal(50, 20, n), 4)),
+    })
+
+
+def _brute(tbl):
+    df = tbl.to_pandas()
+    df["us"] = df.ts.astype("int64")
+    c = df.value.to_numpy() * 100.0
+    df["cents"] = np.trunc(c + np.copysign(0.5, c)).astype(np.int64)
+    df = df.sort_values(["user_id", "us", "event_id"])
+    g = df.groupby("user_id")
+    df["row_number"] = g.cumcount() + 1
+    df["running_sum_cents"] = g.cents.cumsum()
+    df["lag_value_cents"] = g.cents.shift(1)
+    return (df.sort_values("event_id").reset_index(drop=True)
+            [["event_id", "user_id", "row_number", "running_sum_cents",
+              "lag_value_cents"]])
+
+
+def _got(out):
+    df = out.to_pandas().sort_values("event_id").reset_index(drop=True)
+    return df[["event_id", "user_id", "row_number", "running_sum_cents",
+               "lag_value_cents"]]
+
+
+def _assert_equal(got, exp):
+    assert list(got.event_id) == list(exp.event_id)
+    assert list(got.row_number) == list(exp.row_number)
+    assert list(got.running_sum_cents) == list(exp.running_sum_cents)
+    assert list(got.lag_value_cents.fillna(-1).astype(np.int64)) == \
+        list(exp.lag_value_cents.fillna(-1).astype(np.int64))
+
+
+class TestRunningAgg:
+    @pytest.mark.parametrize("parts", [1, 7])
+    def test_matches_pandas(self, ray_session, parts):
+        import ray.data as rd
+        tbl = _events()
+        out = running_agg(rd.from_arrow(tbl).repartition(parts))
+        _assert_equal(_got(out), _brute(tbl))
+
+    def test_salted_equals_unsalted_with_mega_key(self, ray_session):
+        import ray.data as rd
+        tbl = _events(seed=17, mega_user=7)
+        plain = _got(running_agg(rd.from_arrow(tbl).repartition(5)))
+        salted = _got(running_agg(rd.from_arrow(tbl).repartition(5),
+                                  salt_bucket_us=3_600_000_000))
+        _assert_equal(salted, plain)
+        _assert_equal(salted, _brute(tbl))
+
+    def test_single_user_lag_and_validation(self, ray_session):
+        import ray.data as rd
+        tbl = pa.table({
+            "event_id": pa.array([3, 1, 2], type=pa.int64()),
+            "ts": pa.array([30, 10, 20], type=pa.timestamp("us")),
+            "user_id": pa.array([5, 5, 5], type=pa.int64()),
+            "value": pa.array([1.0, 2.0, 3.0]),
+        })
+        out = _got(running_agg(rd.from_arrow(tbl)))
+        # (ts,event_id) order: e1(2.0) -> e2(3.0) -> e3(1.0);
+        # _got sorts rows by event_id, so index i holds event i+1
+        assert list(out.row_number) == [1, 2, 3]
+        assert list(out.running_sum_cents) == [200, 500, 600]
+        assert pd.isna(out.lag_value_cents[0])           # e1 is first
+        assert out.lag_value_cents[1] == 200
+        assert out.lag_value_cents[2] == 300
+        with pytest.raises(ValueError):
+            running_agg(rd.from_arrow(tbl), salt_bucket_us=0)
