@@ -2513,6 +2513,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # arbitrary block order at high parallelism
         return _sorted_table(sessionize(ev), ["user_id", "session_id"])
 
+    def sessions_streaming(sf_dir: str):
+        # the STREAMING sessionizer driven over the same events in time
+        # order: watermark-finalized sessions must equal the batch
+        # operator's answer exactly, so it shares _SESSIONS_SQL
+        from mircv_ray.ops import stream_sessionize
+        ev = rd.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["user_id", "ts", "event_id", "value"])
+        out = stream_sessionize(ev)
+        return out.take(pc.sort_indices(
+            out, sort_keys=[("user_id", "ascending"),
+                            ("session_id", "ascending")]))
+
     def window_hopping(sf_dir: str):
         from mircv_ray.ops import hopping_window_agg
         ev = rd.read_parquet(f"{sf_dir}/events.parquet",
@@ -3066,6 +3079,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_hopping": window_hopping,
         "sessions": sessions,
         "sessions_salted": sessions_salted,
+        "sessions_streaming": sessions_streaming,
         "bm25_topk_maxscore": bm25_topk_maxscore,
         "bm25_topk_wand": bm25_topk_wand,
         "bm25_topk_bmw": bm25_topk_bmw,
@@ -3949,6 +3963,7 @@ ORDER BY 1, 2
 """,
         "sessions": _SESSIONS_SQL,
         "sessions_salted": _SESSIONS_SQL,
+        "sessions_streaming": _SESSIONS_SQL,
         "lang_id": _lang_id_sql(),
         "fingerprint": _FINGERPRINT_SQL,
         "contamination": (

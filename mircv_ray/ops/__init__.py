@@ -38,7 +38,8 @@ from .equijoin import equi_join
 from .joins import (asof_join_backward, asof_join_backward_salted,
                     interval_join, interval_join_salted)
 from .quantiles import global_ntile, grouped_quantiles, grouped_quantiles_tdigest
-from .streaming import StreamingTumblingWindow, stream_tumbling_window_agg
+from .streaming import (StreamingSessionizer, StreamingTumblingWindow,
+                        stream_sessionize, stream_tumbling_window_agg)
 from .substring import ngram_window_rows, shared_ngram_pairs
 from .windows import hopping_window_agg, props_extract, running_agg, sessionize, top_users_by_type, tumbling_window_agg
 
@@ -64,6 +65,7 @@ __all__ = [
     "pq_train", "pq_encode", "pq_cosine_topk", "pq_cosine_topk_rerank",
     "tumbling_window_agg", "hopping_window_agg", "sessionize", "props_extract", "top_users_by_type", "running_agg",
     "StreamingTumblingWindow", "stream_tumbling_window_agg",
+    "StreamingSessionizer", "stream_sessionize",
     "kmeans_assign", "kmeans_fit", "semantic_dedup",
     "chunk_documents", "comb_fuse", "rrf_fuse", "ltr_features",
     "build_passage_index", "passage_topk_maxp",

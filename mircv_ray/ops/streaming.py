@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .windows import US_PER_HOUR, _round_half_away
 
@@ -147,6 +148,167 @@ def stream_tumbling_window_agg(events_ds, width_us: int = US_PER_HOUR,
     semantics against the batch oracle."""
     ordered = events_ds.sort("ts")
     agg = StreamingTumblingWindow(width_us, allowed_lateness_us)
+    parts = []
+    for batch in ordered.iter_batches(batch_format="pyarrow",
+                                      batch_size=batch_size):
+        parts.append(agg.ingest(batch))
+    parts.append(agg.flush())
+    out = pa.concat_tables([p for p in parts if p.num_rows])
+    assert agg.late_rows == 0       # time-ordered input is never late
+    return out
+
+
+_SESS_EMPTY = pa.table({
+    "user_id": pa.array([], pa.int64()),
+    "session_id": pa.array([], pa.int64()),
+    "n_events": pa.array([], pa.int64()),
+    "start_us": pa.array([], pa.int64()),
+    "end_us": pa.array([], pa.int64()),
+    "sum_value_cents": pa.array([], pa.int64()),
+})
+
+
+class StreamingSessionizer:
+    """Stateful event-time sessionization with watermarks — the
+    streaming twin of the batch ``ops.windows.sessionize`` (same gap
+    rule, same output schema), consuming an unbounded stream
+    batch-by-batch per shard (one instance per stream shard / actor).
+
+    - watermark = max event time seen − ``allowed_lateness_us``;
+    - a user's open session FINALIZES when the watermark passes
+      last_event_ts + gap (no event can legally extend it any more);
+      sessions emit exactly once, session_id 0-based per user in close
+      order (== the batch operator's time order);
+    - a batch-segment whose events could only form an
+      already-finalizable session (seg_end + gap <= watermark) is LATE:
+      dropped and counted in ``late_rows`` (the tumbling operator's
+      default).
+
+    If stream disorder is bounded by ``allowed_lateness_us``, the union
+    of emitted sessions equals the batch answer exactly (pytest-pinned;
+    the driver entry shares the batch SQL oracle). Per-batch work is
+    vectorized to one sort + run-length segment extraction; the Python
+    loop is per SEGMENT (contiguous same-session events), never per
+    row. State = one open session per recently-active user (bounded by
+    users active within gap+lateness of the stream head) plus one
+    session counter per user seen (emit a (user, start_us) key instead
+    if user cardinality is unbounded).
+    """
+
+    def __init__(self, gap_us: int = 30 * 60 * 1_000_000,
+                 allowed_lateness_us: int = 0):
+        if gap_us <= 0:
+            raise ValueError("gap_us must be positive")
+        if allowed_lateness_us < 0:
+            raise ValueError("allowed_lateness_us must be >= 0")
+        self.gap = gap_us
+        self.lateness = allowed_lateness_us
+        self.watermark = None
+        self._open: dict[int, list] = {}   # user -> [start, last, n, sum]
+        self._pending: list = []           # closed-by-successor, awaiting
+        self._next_sid: dict[int, int] = {}
+        self.late_rows = 0
+
+    def _segments(self, batch: pa.Table):
+        order = pc.sort_indices(
+            batch, sort_keys=[("user_id", "ascending"),
+                              ("ts", "ascending"),
+                              ("event_id", "ascending")])
+        g = batch.take(order)
+        user = g["user_id"].to_numpy()
+        ts = g["ts"].cast(pa.int64()).to_numpy()
+        val = g["value"].to_numpy()
+        new_seg = np.empty(len(ts), dtype=bool)
+        new_seg[0] = True
+        if len(ts) > 1:
+            new_seg[1:] = (user[1:] != user[:-1]) | \
+                (np.diff(ts) > self.gap)
+        starts = np.flatnonzero(new_seg)
+        ends = np.append(starts[1:], len(ts))
+        return (user[starts], ts[starts], ts[ends - 1],
+                (ends - starts).astype(np.int64),
+                np.add.reduceat(val, starts))
+
+    def ingest(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows:
+            u, s0, s1, n, v = self._segments(batch)
+            for user, seg_start, seg_end, cnt, sm in zip(
+                    u.tolist(), s0.tolist(), s1.tolist(),
+                    n.tolist(), v.tolist()):
+                slot = self._open.get(user)
+                if slot is not None and seg_start - slot[1] <= self.gap:
+                    slot[0] = min(slot[0], seg_start)
+                    slot[1] = max(slot[1], seg_end)
+                    slot[2] += cnt
+                    slot[3] += sm
+                    continue
+                if (self.watermark is not None
+                        and seg_end + self.gap <= self.watermark):
+                    self.late_rows += cnt      # could never stay open
+                    continue
+                if slot is not None:
+                    # a later segment with gap > gap_us supersedes the
+                    # open session; it PENDS until its own finalization
+                    # rule (last + gap <= watermark) allows the emit
+                    self._pending.append([user, *slot])
+                self._open[user] = [seg_start, seg_end, cnt, sm]
+            ts_max = batch["ts"].cast(pa.int64()).to_numpy().max()
+            wm = int(ts_max) - self.lateness
+            if self.watermark is None or wm > self.watermark:
+                self.watermark = wm
+        return self._emit_closed(flush=False)
+
+    def _emit_closed(self, flush: bool) -> pa.Table:
+        rows = [p for p in self._pending
+                if flush or (self.watermark is not None
+                             and p[2] + self.gap <= self.watermark)]
+        if rows:
+            emitted = {id(p) for p in rows}
+            self._pending = [p for p in self._pending
+                             if id(p) not in emitted]
+        if self.watermark is not None or flush:
+            for user in sorted(self._open):
+                st = self._open[user]
+                if flush or st[1] + self.gap <= self.watermark:
+                    rows.append([user, *st])
+                    del self._open[user]
+        if not rows:
+            return _SESS_EMPTY
+        rows.sort(key=lambda r: (r[0], r[1]))   # (user, start)
+        sids = []
+        for r in rows:
+            sid = self._next_sid.get(r[0], 0)
+            self._next_sid[r[0]] = sid + 1
+            sids.append(sid)
+        sums = np.array([r[4] for r in rows])
+        return pa.table({
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "session_id": pa.array(sids, pa.int64()),
+            "n_events": pa.array([r[3] for r in rows], pa.int64()),
+            "start_us": pa.array([r[1] for r in rows], pa.int64()),
+            "end_us": pa.array([r[2] for r in rows], pa.int64()),
+            "sum_value_cents": pa.array(
+                _round_half_away(sums * 100.0), pa.int64()),
+        })
+
+    def flush(self) -> pa.Table:
+        return self._emit_closed(flush=True)
+
+    @property
+    def n_open_sessions(self) -> int:
+        return len(self._open)
+
+
+def stream_sessionize(events_ds, gap_us: int = 30 * 60 * 1_000_000,
+                      allowed_lateness_us: int = 0,
+                      batch_size: int = 4096) -> pa.Table:
+    """Drive a time-ordered Dataset through StreamingSessionizer and
+    return all finalized sessions (the bounded-input harness; at real
+    scale each USER-HASH shard owns an instance — sessions are per-user
+    state, so sharding by user hash is the natural stream partition)."""
+    ordered = events_ds.select_columns(
+        ["user_id", "ts", "event_id", "value"]).sort("ts")
+    agg = StreamingSessionizer(gap_us, allowed_lateness_us)
     parts = []
     for batch in ordered.iter_batches(batch_format="pyarrow",
                                       batch_size=batch_size):

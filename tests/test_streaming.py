@@ -93,3 +93,111 @@ class TestStreamingWindow:
             StreamingTumblingWindow(0)
         with pytest.raises(ValueError, match="lateness"):
             StreamingTumblingWindow(10, allowed_lateness_us=-1)
+
+
+# ------------------------------------------------------- sessionizer
+
+from mircv_ray.ops import StreamingSessionizer
+
+GAP = 5_000
+
+
+def _sess_events(n=4000, seed=9, n_users=25, horizon=2_000_000):
+    rng = np.random.default_rng(seed)
+    ts = np.sort(rng.integers(0, horizon, n))
+    return pa.table({
+        "event_id": pa.array(np.arange(n), type=pa.int64()),
+        "ts": pa.array(ts, type=pa.int64()),
+        "user_id": pa.array(rng.integers(0, n_users, n),
+                            type=pa.int64()),
+        "value": pa.array(np.round(rng.uniform(0, 10, n), 2)),
+    })
+
+
+def _batch_sessions(tbl: pa.Table) -> set:
+    df = (tbl.to_pandas()
+          .sort_values(["user_id", "ts", "event_id"]))
+    out = set()
+    for user, g in df.groupby("user_id"):
+        ts = g.ts.to_numpy()
+        val = g.value.to_numpy()
+        new = np.empty(len(ts), dtype=bool)
+        new[0] = True
+        new[1:] = np.diff(ts) > GAP
+        sess = np.cumsum(new) - 1
+        for sid in range(sess.max() + 1):
+            m = sess == sid
+            s = val[m].sum()
+            out.add((int(user), sid, int(m.sum()), int(ts[m].min()),
+                     int(ts[m].max()),
+                     int(np.trunc(s * 100 + np.copysign(0.5, s)))))
+    return out
+
+
+def _drive_sessions(tbl: pa.Table, lateness: int,
+                    batch_size: int = 193) -> tuple:
+    agg = StreamingSessionizer(GAP, allowed_lateness_us=lateness)
+    parts = []
+    for i in range(0, tbl.num_rows, batch_size):
+        parts.append(agg.ingest(tbl.slice(i, batch_size)))
+    parts.append(agg.flush())
+    out = pa.concat_tables([p for p in parts if p.num_rows])
+    cols = [out[c].to_pylist() for c in
+            ["user_id", "session_id", "n_events", "start_us",
+             "end_us", "sum_value_cents"]]
+    got = set(zip(*cols)) if out.num_rows else set()
+    return got, agg
+
+
+class TestStreamingSessionizer:
+    def test_ordered_stream_equals_batch(self, ray_session):
+        tbl = _sess_events()
+        got, agg = _drive_sessions(tbl, lateness=0)
+        assert agg.late_rows == 0
+        assert got == _batch_sessions(tbl)
+
+    def test_disordered_within_lateness_equals_batch(self, ray_session):
+        tbl = _sess_events()
+        rng = np.random.default_rng(1)
+        jit = tbl["ts"].to_numpy() + rng.integers(0, 800, tbl.num_rows)
+        order = np.argsort(jit, kind="stable")
+        shuffled = tbl.take(pa.array(order))   # disorder bounded by 800
+        got, agg = _drive_sessions(shuffled, lateness=800)
+        assert agg.late_rows == 0
+        assert got == _batch_sessions(tbl)
+
+    def test_state_bounded_and_flush(self, ray_session):
+        tbl = _sess_events(horizon=50_000_000)  # sparse: many sessions
+        agg = StreamingSessionizer(GAP, 0)
+        max_open = 0
+        for i in range(0, tbl.num_rows, 193):
+            agg.ingest(tbl.slice(i, 193))
+            max_open = max(max_open, agg.n_open_sessions)
+        assert max_open <= 25                   # <= active users
+        tail = agg.flush()
+        assert agg.n_open_sessions == 0
+        assert tail.num_rows >= 0
+
+    def test_late_segment_dropped_and_counted(self, ray_session):
+        agg = StreamingSessionizer(GAP, allowed_lateness_us=0)
+        t1 = pa.table({"event_id": pa.array([0, 1], type=pa.int64()),
+                       "ts": pa.array([0, 100_000], type=pa.int64()),
+                       "user_id": pa.array([1, 2], type=pa.int64()),
+                       "value": pa.array([1.0, 1.0])})
+        first = agg.ingest(t1)   # watermark 100000 closes user 1 already
+        # user 3's whole would-be session sits below the watermark
+        t2 = pa.table({"event_id": pa.array([2], type=pa.int64()),
+                       "ts": pa.array([10], type=pa.int64()),
+                       "user_id": pa.array([3], type=pa.int64()),
+                       "value": pa.array([1.0])})
+        second = agg.ingest(t2)
+        assert agg.late_rows == 1
+        out = pa.concat_tables([t for t in (first, second, agg.flush())
+                                if t.num_rows])
+        assert set(out["user_id"].to_pylist()) == {1, 2}
+
+    def test_validation(self, ray_session):
+        with pytest.raises(ValueError):
+            StreamingSessionizer(0)
+        with pytest.raises(ValueError):
+            StreamingSessionizer(10, -1)
