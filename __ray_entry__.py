@@ -2159,6 +2159,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow")
         return _sorted_table(out, ["doc_id"])
 
+    def nfc_normalized(sf_dir: str):
+        # Unicode NFC over a view that injects DECOMPOSED sequences
+        # (' the ' -> ' the'+U+0301+' ', i.e. e + combining acute):
+        # normalization must compose them; ~all docs change at sf0.01.
+        # DuckDB's nfc_normalize is the same Unicode standard.
+        from mircv_ray.ops import nfc_normalize
+
+        def inject(b: pa.Table) -> pa.Table:
+            t = pc.fill_null(b["text"], "")
+            t = pc.replace_substring(t, " the ", " the\u0301 ")
+            return pa.table({"doc_id": b["doc_id"], "text": t})
+
+        ds = _docs_ds(sf_dir).map_batches(inject, batch_format="pyarrow")
+        return _sorted_table(nfc_normalize(ds), ["doc_id"])
+
     def zipf_corpus(sf_dir: str):
         # Zipf-law fit over the corpus term-frequency distribution:
         # slope/intercept of log10(count) vs log10(rank); regression
@@ -3050,6 +3065,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_ngrams": top_ngrams_corpus,
         "shard_shuffle": shard_shuffle,
         "zipf_corpus": zipf_corpus,
+        "nfc_normalized": nfc_normalized,
         "corpus_diff": corpus_diff_new,
         "orders_customers": orders_customers,
         "running_totals": running_totals,
@@ -4244,6 +4260,16 @@ SELECT l.doc_id FROM documents l
 WHERE NOT EXISTS (SELECT 1 FROM r
                   WHERE r.text IS NOT DISTINCT FROM l.text)
 ORDER BY l.doc_id
+""",
+        # NFC over the decomposed-injected view; chr(769) = U+0301
+        "nfc_normalized": """
+WITH v AS (SELECT doc_id,
+                  replace(coalesce(text, ''), ' the ',
+                          ' the' || chr(769) || ' ') AS t
+           FROM documents)
+SELECT doc_id, nfc_normalize(t) AS text,
+       nfc_normalize(t) <> t AS changed
+FROM v ORDER BY doc_id
 """,
         # Zipf fit: DuckDB's regr_slope/regr_intercept over the same
         # log10(count)/log10(rank) pairs — the normal-equation algebra

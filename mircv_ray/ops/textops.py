@@ -938,3 +938,53 @@ def zipf_fit(ds, text_col: str = "text"):
                                             type=pa.float64()),
                      "zipf_intercept": pa.array([r6(intercept)],
                                                 type=pa.float64())})
+
+
+def nfc_normalize(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Unicode NFC normalization — the canonical text-cleaning step
+    before hashing/dedup (the same logical text arrives from the web as
+    either composed 'á' or decomposed 'a'+U+0301; every exact-dedup,
+    fingerprint and shingle operator upstream keys on BYTES, so corpora
+    must normalize first or near-identical docs silently miss).
+
+    Map-only, no shuffle. Scale shape: a batch whose values buffer is
+    pure ASCII (one vectorized max over the raw bytes) is ALREADY
+    normalized — zero per-string work, which is the overwhelmingly
+    common case for web/code corpora; non-ASCII batches normalize each
+    batch-DISTINCT value once (dictionary-encode, one
+    unicodedata.normalize C call per unique string — the same memoized
+    per-unique shape as the tokenizer's stemmer) and fan results back
+    out through the codes. Returns (id_col, text [normalized],
+    changed bool).
+    """
+    import unicodedata
+
+    def norm(batch: pa.Table) -> pa.Table:
+        t = batch[text_col]
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        t = pc.fill_null(t, "")
+        from ..util import binary_column_values
+        raw = binary_column_values(t, np.uint8)
+        n = batch.num_rows
+        if len(raw) == 0 or raw.max() < 0x80:    # pure ASCII: identity
+            return pa.table({
+                id_col: batch[id_col],
+                "text": t,
+                "changed": pa.array(np.zeros(n, dtype=bool))})
+        denc = pc.dictionary_encode(t)
+        if isinstance(denc, pa.ChunkedArray):
+            denc = denc.combine_chunks()
+        uniq = denc.dictionary.to_pylist()
+        fixed = [unicodedata.normalize("NFC", u) for u in uniq]
+        codes = denc.indices.to_numpy(zero_copy_only=False)
+        out = pa.DictionaryArray.from_arrays(
+            pa.array(codes, type=pa.int32()),
+            pa.array(fixed, type=pa.string())).cast(pa.string())
+        changed = np.array([f != u for f, u in zip(fixed, uniq)])
+        return pa.table({
+            id_col: batch[id_col],
+            "text": out,
+            "changed": pa.array(changed[codes])})
+
+    return ds.map_batches(norm, batch_format="pyarrow")

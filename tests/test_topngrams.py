@@ -189,3 +189,40 @@ class TestCorpusDiff:
         out2 = corpus_diff(rd.from_arrow(left),
                            rd.from_arrow(empty_right)).to_pandas()
         assert sorted(out2.doc_id) == [1, 2]
+
+
+class TestNfcNormalize:
+    """nfc_normalize: Unicode NFC with the ASCII fast path
+    (ops/textops.py: nfc_normalize)."""
+
+    def test_matches_unicodedata(self, ray_session):
+        import unicodedata
+        import ray.data as rd
+        from mircv_ray.ops import nfc_normalize
+        texts = ["plain ascii stays",
+                 "café decomposed",          # e + combining acute
+                 "é already composed",
+                 "mixed å ring and ö umlaut",
+                 None, ""]
+        tbl = pa.table({"doc_id": pa.array(range(len(texts)),
+                                           type=pa.int64()),
+                        "text": pa.array(texts, type=pa.string())})
+        out = (nfc_normalize(rd.from_arrow(tbl).repartition(3))
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        exp = [unicodedata.normalize("NFC", t or "") for t in texts]
+        assert list(out.text) == exp
+        assert list(out.changed) == [False, True, False, True,
+                                     False, False]
+        assert "́" not in out.text[1]     # composed, no combining
+        assert out.text[1].startswith("café ")
+
+    def test_ascii_fast_path_identity(self, ray_session):
+        import ray.data as rd
+        from mircv_ray.ops import nfc_normalize
+        tbl = pa.table({"doc_id": pa.array(range(500), type=pa.int64()),
+                        "text": pa.array([f"doc {i} body" for i in
+                                          range(500)])})
+        out = nfc_normalize(rd.from_arrow(tbl)).to_pandas()
+        assert not out.changed.any()
+        assert sorted(out.text) == sorted(f"doc {i} body"
+                                          for i in range(500))
