@@ -2137,6 +2137,46 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = equi_join(orders, cust, "o_custkey", right_on="c_custkey")
         return _sorted_table(out, ["o_orderkey"])
 
+    def building_orders(sf_dir: str):
+        # SEMI join: orders of BUILDING-segment customers — only the
+        # right side's distinct keys travel, output never multiplies
+        from mircv_ray.ops import semi_join
+        orders = rd.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_totalprice"])
+        cust = rd.read_parquet(
+            f"{sf_dir}/customer.parquet",
+            columns=["c_custkey", "c_mktsegment"])
+
+        def bld(b: pa.Table) -> pa.Table:
+            return b.filter(pc.equal(b["c_mktsegment"], "BUILDING"))
+
+        out = semi_join(orders,
+                        cust.map_batches(bld, batch_format="pyarrow"),
+                        "o_custkey", right_on="c_custkey")
+        return _sorted_table(out, ["o_orderkey"])
+
+    def never_purchased(sf_dir: str):
+        # ANTI join: events by users with NO purchase over 90 (the
+        # churn/funnel cut — ~15-21% of events at these SFs, so the
+        # gate is non-trivial); corpus_diff is this op's content-hash
+        # special case
+        from mircv_ray.ops import semi_join
+        ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_id", "user_id",
+                                      "event_type", "value"])
+
+        def purch(b: pa.Table) -> pa.Table:
+            keep = pc.and_(pc.equal(b["event_type"], "purchase"),
+                           pc.greater(b["value"], 90.0))
+            return b.filter(keep)
+
+        out = semi_join(
+            ev.select_columns(["event_id", "user_id", "event_type"]),
+            ev.map_batches(purch, batch_format="pyarrow"),
+            "user_id", anti=True)
+        return _sorted_table(out, ["event_id"])
+
     def corpus_diff_new(sf_dir: str):
         # incremental-crawl anti-join: current crawl = documents,
         # previous crawl = the doc_id % 3 != 0 view; new docs = rows
@@ -3068,6 +3108,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nfc_normalized": nfc_normalized,
         "corpus_diff": corpus_diff_new,
         "orders_customers": orders_customers,
+        "building_orders": building_orders,
+        "never_purchased": never_purchased,
         "running_totals": running_totals,
         "c4_clean": c4_clean,
         "cooccurrence": cooccurrence,
@@ -4244,6 +4286,25 @@ SELECT event_id, user_id,
        lag(cents) OVER (PARTITION BY user_id
                         ORDER BY ts, event_id) AS lag_value_cents
 FROM c ORDER BY event_id
+""",
+        # SEMI join via EXISTS
+        "building_orders": """
+SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM customer c
+              WHERE c.c_custkey = o.o_custkey
+                AND c.c_mktsegment = 'BUILDING')
+ORDER BY o.o_orderkey
+""",
+        # ANTI join via NOT EXISTS
+        "never_purchased": """
+SELECT e.event_id, e.user_id, e.event_type
+FROM events e
+WHERE NOT EXISTS (SELECT 1 FROM events p
+                  WHERE p.user_id = e.user_id
+                    AND p.event_type = 'purchase'
+                    AND p.value > 90.0)
+ORDER BY e.event_id
 """,
         # the generic equi-join: INNER join, right key dropped (USING)
         "orders_customers": """

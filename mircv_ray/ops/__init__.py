@@ -35,7 +35,7 @@ from .sampling import alpha_mix_weights, hash_split, importance_resample, shuffl
 from .sketches import (bloom_build, bloom_params, bloom_probe, bloom_test,
                        cm_build, cm_query, exact_distinct_per_group,
                        hll_distinct_per_group, mg_heavy_hitters)
-from .equijoin import equi_join
+from .equijoin import equi_join, semi_join
 from .joins import (asof_join_backward, asof_join_backward_salted,
                     interval_join, interval_join_salted)
 from .quantiles import global_ntile, grouped_quantiles, grouped_quantiles_tdigest
@@ -61,7 +61,7 @@ __all__ = [
     "ngram_window_rows", "shared_ngram_pairs",
     "exact_distinct_per_group", "hll_distinct_per_group",
     "asof_join_backward", "asof_join_backward_salted", "interval_join",
-    "equi_join",
+    "equi_join", "semi_join",
     "grouped_quantiles", "grouped_quantiles_tdigest",
     "pq_train", "pq_encode", "pq_cosine_topk", "pq_cosine_topk_rerank",
     "tumbling_window_agg", "hopping_window_agg", "sessionize", "props_extract", "top_users_by_type", "running_agg",

@@ -143,3 +143,109 @@ def equi_join(left_ds, right_ds, on: str, how: str = "inner",
     out = [reduce.remote(len(lshards[i]), *(lshards[i] + rshards[i]))
            for i in range(n)]
     return rd.from_arrow_refs(out)
+
+
+def semi_join(left_ds, right_ds, on: str, right_on: str | None = None,
+              anti: bool = False,
+              broadcast_max_bytes: int | None = None,
+              num_partitions: int | None = None):
+    """SQL SEMI / ANTI join: left rows WHERE [NOT] EXISTS a right row
+    with an equal key — the "filter the huge fact table by a key set"
+    primitive (semi) and its complement (anti; ``ops.dedup.corpus_diff``
+    is the content-hash special case). Left rows emit AT MOST ONCE
+    regardless of right-side duplicates, and NULL keys match nothing
+    (SQL EXISTS semantics: a NULL-key left row is dropped by semi,
+    kept by anti).
+
+    Cheaper than :func:`equi_join` everywhere it applies: only the
+    right side's DISTINCT KEYS travel (per-block distinct first), never
+    its payload, and the output never multiplies. Broadcast path for a
+    small key set (left streams map-side, zero shuffle); above the
+    threshold the same MR repartition machinery, with reduces doing one
+    vectorized ``is_in`` per partition.
+    """
+    import ray
+    import ray.data as rd
+
+    if right_on is None:
+        right_on = on
+    if broadcast_max_bytes is None:
+        broadcast_max_bytes = BROADCAST_RIGHT_MAX_BYTES
+
+    def rkeys(batch: pa.Table) -> pa.Table:
+        k = batch[right_on]
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        uniq = pc.unique(k.drop_null())
+        return pa.table({right_on: uniq})
+
+    keys_ds = right_ds.map_batches(rkeys, batch_format="pyarrow")
+
+    def filter_with(batch: pa.Table, keyset) -> pa.Table:
+        k = batch[on]
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        if keyset is None or len(keyset) == 0:
+            hit = pa.array(np.zeros(batch.num_rows, dtype=bool))
+        else:
+            hit = pc.fill_null(pc.is_in(k, value_set=keyset), False)
+        return batch.filter(pc.invert(hit) if anti else hit)
+
+    size = keys_ds.size_bytes()
+    if size is not None and size <= broadcast_max_bytes:
+        tbls = [t for t in ray.get(keys_ds.to_arrow_refs())
+                if t.num_rows]
+        keyset = (pc.unique(pa.concat_tables(tbls)
+                            .combine_chunks()[right_on])
+                  if tbls else None)
+        ref = ray.put(keyset)
+        cache: dict = {}
+
+        def attach(batch: pa.Table) -> pa.Table:
+            key = ref.hex() if hasattr(ref, "hex") else id(ref)
+            if key not in cache:
+                cache[key] = ray.get(ref)
+                while len(cache) > 4:
+                    cache.pop(next(iter(cache)))
+            return filter_with(batch, cache[key])
+
+        return left_ds.map_batches(attach, batch_format="pyarrow")
+
+    if num_partitions is None:
+        from ..util import default_join_partitions
+        num_partitions = default_join_partitions()
+    n = int(num_partitions)
+
+    def _split(tbl: pa.Table, _on: str, _n=n):
+        p = _key_partition(tbl, _on, _n)
+        return tuple(tbl.filter(pa.array(p == i)) for i in range(_n))
+
+    split = ray.remote(_split)
+
+    def _shards(ds, key):
+        per_block = []
+        for bundle in ds.iter_internal_ref_bundles():
+            for ref, meta in bundle.blocks:
+                if meta.num_rows:
+                    per_block.append(
+                        split.options(num_returns=n).remote(ref, key))
+        return [[blk[i] for blk in per_block] for i in range(n)] \
+            if per_block else [[] for _ in range(n)]
+
+    left_schema = left_ds.schema().base_schema
+    lshards = _shards(left_ds, on)
+    rshards = _shards(keys_ds, right_on)
+
+    @ray.remote
+    def reduce(n_left: int, *parts: pa.Table) -> pa.Table:
+        lefts = [t for t in parts[:n_left] if t.num_rows]
+        rights = [t for t in parts[n_left:] if t.num_rows]
+        lt = (pa.concat_tables(lefts, promote_options="default")
+              .combine_chunks() if lefts else left_schema.empty_table())
+        ks = (pc.unique(pa.concat_tables(rights)
+                        .combine_chunks()[right_on]) if rights else None)
+        return filter_with(lt, ks)
+
+    out = [reduce.remote(len(lshards[i]), *(lshards[i] + rshards[i]))
+           for i in range(n)]
+    return rd.from_arrow_refs(out)

@@ -124,3 +124,67 @@ class TestEquiJoin:
         assert list(out.columns) == ["o_custkey", "total", "c_name"]
         assert list(out.o_custkey) == [1, 2, 2]
         assert list(out.c_name) == ["alice", "bo", "bo"]
+
+
+class TestSemiAntiJoin:
+    @pytest.mark.parametrize("anti", [False, True])
+    @pytest.mark.parametrize("bcast", [None, 0])
+    def test_matches_pandas(self, ray_session, anti, bcast):
+        import ray.data as rd
+        from mircv_ray.ops import semi_join
+        left, right = _tables()
+        kw = {} if bcast is None else {"broadcast_max_bytes": 0,
+                                       "num_partitions": 4}
+        out = (semi_join(rd.from_arrow(left).repartition(4),
+                         rd.from_arrow(right).repartition(3),
+                         "k", anti=anti, **kw)
+               .to_pandas().sort_values(["k", "lv"])
+               .reset_index(drop=True))
+        lf = left.to_pandas()
+        rset = set(right["k"].to_pylist())
+        mask = lf.k.isin(rset)
+        exp = (lf[~mask] if anti else lf[mask]) \
+            .sort_values(["k", "lv"]).reset_index(drop=True)
+        assert list(out.columns) == list(exp.columns)   # left cols only
+        assert list(out.lv) == list(exp.lv)
+        # left rows never multiply on duplicate right keys
+        assert len(out) == len(exp)
+
+    @pytest.mark.parametrize("bcast", [None, 0])
+    def test_null_keys(self, ray_session, bcast):
+        import ray.data as rd
+        from mircv_ray.ops import semi_join
+        left = pa.table({"k": pa.array([1, None, 2], type=pa.int64()),
+                         "lv": pa.array([10, 20, 30])})
+        right = pa.table({"k": pa.array([1, None], type=pa.int64())})
+        kw = {} if bcast is None else {"broadcast_max_bytes": 0,
+                                       "num_partitions": 3}
+        semi = semi_join(rd.from_arrow(left), rd.from_arrow(right),
+                         "k", **kw).to_pandas()
+        assert list(semi.lv) == [10]        # NULL matches nothing
+        anti = (semi_join(rd.from_arrow(left), rd.from_arrow(right),
+                          "k", anti=True, **kw)
+                .to_pandas().sort_values("lv"))
+        assert list(anti.lv) == [20, 30]    # NULL-key row kept by anti
+
+    @pytest.mark.parametrize("bcast", [None, 0])
+    def test_right_on_and_empty_right(self, ray_session, bcast):
+        import ray.data as rd
+        from mircv_ray.ops import semi_join
+        left = pa.table({"o_ck": pa.array([1, 2, 3], type=pa.int64()),
+                         "lv": pa.array([10, 20, 30])})
+        right = pa.table({"c_ck": pa.array([2], type=pa.int64()),
+                          "junk": pa.array(["z"])})
+        kw = {} if bcast is None else {"broadcast_max_bytes": 0,
+                                       "num_partitions": 2}
+        out = semi_join(rd.from_arrow(left), rd.from_arrow(right),
+                        "o_ck", right_on="c_ck", **kw).to_pandas()
+        assert list(out.lv) == [20]
+        empty = pa.table({"c_ck": pa.array([], type=pa.int64())})
+        s = semi_join(rd.from_arrow(left), rd.from_arrow(empty),
+                      "o_ck", right_on="c_ck", **kw).to_pandas()
+        assert len(s) == 0
+        a = (semi_join(rd.from_arrow(left), rd.from_arrow(empty),
+                       "o_ck", right_on="c_ck", anti=True, **kw)
+             .to_pandas().sort_values("lv"))
+        assert list(a.lv) == [10, 20, 30]
