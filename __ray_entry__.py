@@ -2137,6 +2137,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = equi_join(orders, cust, "o_custkey", right_on="c_custkey")
         return _sorted_table(out, ["o_orderkey"])
 
+    def funnel_signup(sf_dir: str):
+        # ordered signup -> click -> purchase funnel per user; stage i
+        # counts only strictly after stage i-1's first qualifying event
+        from mircv_ray.ops import funnel
+        ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["user_id", "ts", "event_type"])
+        return _sorted_table(
+            funnel(ev, ["signup", "click", "purchase"]), ["user_id"])
+
     def building_orders(sf_dir: str):
         # SEMI join: orders of BUILDING-segment customers — only the
         # right side's distinct keys travel, output never multiplies
@@ -3109,6 +3118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_diff": corpus_diff_new,
         "orders_customers": orders_customers,
         "building_orders": building_orders,
+        "funnel_signup": funnel_signup,
         "never_purchased": never_purchased,
         "running_totals": running_totals,
         "c4_clean": c4_clean,
@@ -4286,6 +4296,30 @@ SELECT event_id, user_id,
        lag(cents) OVER (PARTITION BY user_id
                         ORDER BY ts, event_id) AS lag_value_cents
 FROM c ORDER BY event_id
+""",
+        # one min-CTE per stage, each strictly after the previous
+        "funnel_signup": """
+WITH u AS (SELECT DISTINCT user_id FROM events
+           WHERE event_type IN ('signup', 'click', 'purchase')),
+s1 AS (SELECT user_id, min(ts) AS t FROM events
+       WHERE event_type = 'signup' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+       JOIN s1 ON s1.user_id = e.user_id
+       WHERE e.event_type = 'click' AND e.ts > s1.t
+       GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+       JOIN s2 ON s2.user_id = e.user_id
+       WHERE e.event_type = 'purchase' AND e.ts > s2.t
+       GROUP BY e.user_id)
+SELECT u.user_id,
+       ((s1.t IS NOT NULL)::INT + (s2.t IS NOT NULL)::INT
+        + (s3.t IS NOT NULL)::INT)::BIGINT AS n_stages,
+       epoch_us(s1.t) AS stage1_us,
+       epoch_us(s2.t) AS stage2_us,
+       epoch_us(s3.t) AS stage3_us
+FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+       LEFT JOIN s3 USING (user_id)
+ORDER BY u.user_id
 """,
         # SEMI join via EXISTS
         "building_orders": """

@@ -573,3 +573,81 @@ def _running_salted(events_ds, key_col: str, order_col: str,
         frag_offsets.map_batches(tag_offsets, batch_format="pyarrow"))
     return tagged.groupby([key_col, "__frag"]).map_groups(
         rank_frag, batch_format="pyarrow")
+
+
+def funnel(events_ds, stages: list[str], key_col: str = "user_id",
+           order_col: str = "ts", type_col: str = "event_type"):
+    """Ordered-funnel analysis — for each key, how far through the
+    ``stages`` sequence it progressed: stage i counts only with an
+    event of that type STRICTLY AFTER the first qualifying event of
+    stage i-1 (the standard product-analytics funnel; strict ordering
+    keeps equal-timestamp ties deterministic and SQL-mirrorable).
+
+    Returns one row per key: (key, n_stages, stage1_us .. stageK_us)
+    with each stage's first qualifying event time in int64 micros
+    (NULL once the funnel broke).
+
+    Scale shape: only (key, us, stage-index) rows for events whose type
+    IS a funnel stage enter the single key groupby (map-side filter —
+    off-funnel events never move); each group walks the K stages with
+    one searchsorted per stage over its sorted times. K is a constant;
+    per-key work is linear in that key's on-funnel events.
+    """
+    if not stages:
+        raise ValueError("stages must be non-empty")
+    if len(set(stages)) != len(stages):
+        raise ValueError("stages must be distinct")
+    k = len(stages)
+    stage_of = {s: i for i, s in enumerate(stages)}
+
+    def prep(batch: pa.Table) -> pa.Table:
+        t = batch[type_col]
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        keep = pc.is_in(t, value_set=pa.array(stages))
+        b = batch.filter(keep)
+        tt = b[type_col]
+        if isinstance(tt, pa.ChunkedArray):
+            tt = tt.combine_chunks()
+        idx = pc.index_in(tt, value_set=pa.array(stages)) \
+            .to_numpy(zero_copy_only=False).astype(np.int8) \
+            if b.num_rows else np.zeros(0, dtype=np.int8)
+        ts = b[order_col]
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        return pa.table({
+            key_col: b[key_col],
+            "__us": pa.array(ts.cast(pa.int64()).to_numpy(
+                zero_copy_only=False)),
+            "__stage": pa.array(idx)})
+
+    out_fields = {f"stage{i + 1}_us": pa.int64() for i in range(k)}
+
+    def walk(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or group.num_columns == 0:
+            return pa.table({key_col: pa.array([], type=pa.int64()),
+                             "n_stages": pa.array([], type=pa.int64()),
+                             **{n: pa.array([], type=t)
+                                for n, t in out_fields.items()}})
+        us = group["__us"].to_numpy()
+        st = group["__stage"].to_numpy(zero_copy_only=False)
+        times: list = []
+        prev = None
+        for i in range(k):
+            cand = us[st == i]
+            if prev is not None:
+                cand = cand[cand > prev]
+            if len(cand) == 0:
+                break
+            prev = int(cand.min())
+            times.append(prev)
+        n = len(times)
+        cols = {key_col: group[key_col].slice(0, 1),
+                "n_stages": pa.array([n], type=pa.int64())}
+        for i in range(k):
+            cols[f"stage{i + 1}_us"] = pa.array(
+                [times[i]] if i < n else [None], type=pa.int64())
+        return pa.table(cols)
+
+    return (events_ds.map_batches(prep, batch_format="pyarrow")
+            .groupby(key_col).map_groups(walk, batch_format="pyarrow"))

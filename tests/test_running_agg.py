@@ -87,3 +87,85 @@ class TestRunningAgg:
         assert out.lag_value_cents[2] == 300
         with pytest.raises(ValueError):
             running_agg(rd.from_arrow(tbl), salt_bucket_us=0)
+
+
+class TestFunnel:
+    """funnel: ordered stage completion per user
+    (ops/windows.py: funnel) vs a python brute force."""
+
+    STAGES = ["signup", "click", "purchase"]
+
+    def _events(self, seed=23, n=3000, n_users=30):
+        rng = np.random.default_rng(seed)
+        types = rng.choice(self.STAGES + ["view", "error"], n)
+        return pa.table({
+            "event_id": pa.array(np.arange(n), type=pa.int64()),
+            "ts": pa.array(rng.integers(0, 10**9, n),
+                           type=pa.timestamp("us")),
+            "user_id": pa.array(rng.integers(0, n_users, n),
+                                type=pa.int64()),
+            "event_type": pa.array(types.tolist()),
+            "value": pa.array(rng.uniform(0, 10, n)),
+        })
+
+    def _brute(self, tbl):
+        df = tbl.to_pandas()
+        df["us"] = df.ts.astype("int64")
+        out = {}
+        for user, g in df.groupby("user_id"):
+            prev, times = None, []
+            for s in self.STAGES:
+                c = g[g.event_type == s].us
+                if prev is not None:
+                    c = c[c > prev]
+                if len(c) == 0:
+                    break
+                prev = int(c.min())
+                times.append(prev)
+            out[int(user)] = times
+        return out
+
+    @pytest.mark.parametrize("parts", [1, 6])
+    def test_matches_brute_force(self, ray_session, parts):
+        import ray.data as rd
+        from mircv_ray.ops import funnel
+        tbl = self._events()
+        got = (funnel(rd.from_arrow(tbl).repartition(parts), self.STAGES)
+               .to_pandas().sort_values("user_id")
+               .reset_index(drop=True))
+        exp = self._brute(tbl)
+        assert list(got.user_id) == sorted(exp)
+        for _, r in got.iterrows():
+            t = exp[r.user_id]
+            assert r.n_stages == len(t)
+            for i in range(3):
+                v = r[f"stage{i+1}_us"]
+                if i < len(t):
+                    assert v == t[i]
+                else:
+                    assert pd.isna(v)
+
+    def test_strict_ordering_and_validation(self, ray_session):
+        import ray.data as rd
+        from mircv_ray.ops import funnel
+        # click BEFORE signup does not count; click AT the same ts as
+        # signup does not count (strict >)
+        tbl = pa.table({
+            "event_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+            "ts": pa.array([100, 50, 100, 200], type=pa.timestamp("us")),
+            "user_id": pa.array([1, 1, 2, 2], type=pa.int64()),
+            "event_type": pa.array(["signup", "click",
+                                    "signup", "click"]),
+            "value": pa.array([0.0] * 4),
+        })
+        # give user 2 a same-ts click too -> still counts only the 200
+        out = (funnel(rd.from_arrow(tbl), ["signup", "click"])
+               .to_pandas().sort_values("user_id")
+               .reset_index(drop=True))
+        assert list(out.n_stages) == [1, 2]
+        assert out.stage2_us[1] == 200
+        assert pd.isna(out.stage2_us[0])
+        with pytest.raises(ValueError):
+            funnel(rd.from_arrow(tbl), [])
+        with pytest.raises(ValueError):
+            funnel(rd.from_arrow(tbl), ["a", "a"])
