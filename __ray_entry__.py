@@ -2137,6 +2137,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = equi_join(orders, cust, "o_custkey", right_on="c_custkey")
         return _sorted_table(out, ["o_orderkey"])
 
+    def moving_spend(sf_dir: str):
+        # trailing-5-events window sum/count per user in exact int64
+        # cents; the salted mega-key variant is pytest-pinned identical
+        from mircv_ray.ops import moving_agg
+        ev = rd.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "ts", "user_id", "value"])
+        return _sorted_table(moving_agg(ev, 5), ["event_id"])
+
     def funnel_signup(sf_dir: str):
         # ordered signup -> click -> purchase funnel per user; stage i
         # counts only strictly after stage i-1's first qualifying event
@@ -3119,6 +3128,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_customers": orders_customers,
         "building_orders": building_orders,
         "funnel_signup": funnel_signup,
+        "moving_spend": moving_spend,
         "never_purchased": never_purchased,
         "running_totals": running_totals,
         "c4_clean": c4_clean,
@@ -4295,6 +4305,20 @@ SELECT event_id, user_id,
                         AND CURRENT ROW) AS running_sum_cents,
        lag(cents) OVER (PARTITION BY user_id
                         ORDER BY ts, event_id) AS lag_value_cents
+FROM c ORDER BY event_id
+""",
+        # trailing-N window in exact cents: same rounding + frame
+        "moving_spend": """
+WITH c AS (SELECT event_id, user_id, ts,
+                  CAST(round(value * 100.0, 0) AS BIGINT) AS cents
+           FROM events)
+SELECT event_id, user_id,
+       sum(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+           AS moving_sum_cents,
+       count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+           AS moving_count
 FROM c ORDER BY event_id
 """,
         # one min-CTE per stage, each strictly after the previous

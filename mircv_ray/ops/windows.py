@@ -651,3 +651,216 @@ def funnel(events_ds, stages: list[str], key_col: str = "user_id",
 
     return (events_ds.map_batches(prep, batch_format="pyarrow")
             .groupby(key_col).map_groups(walk, batch_format="pyarrow"))
+
+
+def moving_agg(events_ds, window_rows: int, key_col: str = "user_id",
+               order_col: str = "ts", value_col: str = "value",
+               id_col: str = "event_id",
+               salt_bucket_us: int | None = None):
+    """Per-key MOVING window aggregate over the last ``window_rows``
+    rows — SQL's sum/count OVER (PARTITION BY key ORDER BY order, id
+    ROWS BETWEEN N-1 PRECEDING AND CURRENT ROW): the trailing-spend /
+    rolling-activity feature. Exact int64-cents arithmetic like
+    :func:`running_agg` (moving sum = cumsum difference — associative,
+    bit-identical at any partitioning and in SQL).
+
+    Returns (id, key, moving_sum_cents, moving_count) with
+    moving_count = min(row_number, N).
+
+    Unsalted: one key groupby, per-group sort + cumsum-difference.
+    Mega-key: ``salt_bucket_us`` fragments by (key, order // width); the
+    per-key offsets task additionally threads each fragment the TAIL of
+    the previous fragments' last min(N, count) cents (an N-int list per
+    fragment — metadata-sized for the small N a rolling feature uses),
+    so every fragment computes its windows locally over
+    concat(tail, own cents). pytest pins salted ≡ unsalted.
+    """
+    if window_rows <= 0:
+        raise ValueError("window_rows must be positive")
+    n_win = int(window_rows)
+
+    def win_from(cents: np.ndarray, tail: np.ndarray):
+        """Moving sums/counts for the rows AFTER the tail prefix."""
+        full = np.concatenate([tail, cents]) if len(tail) else cents
+        cum = np.cumsum(full)
+        lo = np.arange(len(tail), len(full)) - n_win
+        sums = cum[len(tail):] - np.where(lo >= 0, cum[np.maximum(lo, 0)],
+                                          0)
+        cnt = np.minimum(np.arange(len(tail) + 1, len(full) + 1), n_win)
+        return sums.astype(np.int64), cnt.astype(np.int64)
+
+    empty = {id_col: pa.array([], type=pa.int64()),
+             key_col: pa.array([], type=pa.int64()),
+             "moving_sum_cents": pa.array([], type=pa.int64()),
+             "moving_count": pa.array([], type=pa.int64())}
+
+    if salt_bucket_us is None:
+        prep = events_ds.map_batches(
+            lambda b: _running_prep(b, key_col, order_col, value_col,
+                                    id_col, None),
+            batch_format="pyarrow")
+
+        def rank(group: pa.Table) -> pa.Table:
+            if group.num_rows == 0 or group.num_columns == 0:
+                return pa.table(empty)
+            order = pc.sort_indices(group,
+                                    sort_keys=[("__us", "ascending"),
+                                               (id_col, "ascending")])
+            g = group.take(order)
+            sums, cnt = win_from(g["__cents"].to_numpy(),
+                                 np.zeros(0, np.int64))
+            return pa.table({id_col: g[id_col], key_col: g[key_col],
+                             "moving_sum_cents": pa.array(sums),
+                             "moving_count": pa.array(cnt)})
+
+        return prep.groupby(key_col).map_groups(rank,
+                                                batch_format="pyarrow")
+
+    if salt_bucket_us <= 0:
+        raise ValueError("salt_bucket_us must be positive")
+    prep = events_ds.map_batches(
+        lambda b: _running_prep(b, key_col, order_col, value_col,
+                                id_col, salt_bucket_us),
+        batch_format="pyarrow").materialize()
+
+    # per-(key, frag) partials: count + the LAST min(N, count) cents in
+    # (us, id) order, packed little-endian (metadata-sized carry)
+    def partials(batch: pa.Table) -> pa.Table:
+        cols = {key_col: pa.array([], type=pa.int64()),
+                "__frag": pa.array([], type=pa.int64()),
+                "cnt": pa.array([], type=pa.int64()),
+                "tail": pa.array([], type=pa.binary())}
+        if batch.num_rows == 0:
+            return pa.table(cols)
+        order = pc.sort_indices(
+            batch, sort_keys=[(key_col, "ascending"),
+                              ("__frag", "ascending"),
+                              ("__us", "ascending"),
+                              (id_col, "ascending")])
+        g = batch.take(order)
+        key = g[key_col].to_numpy()
+        frag = g["__frag"].to_numpy()
+        cents = g["__cents"].to_numpy()
+        new = np.concatenate(
+            [[True], (key[1:] != key[:-1]) | (frag[1:] != frag[:-1])])
+        starts = np.flatnonzero(new)
+        ends = np.concatenate([starts[1:], [len(key)]])
+        us_np = g["__us"].to_numpy()
+        id_np = g[id_col].to_numpy()
+        tails = [np.stack([us_np[max(e - n_win, s):e],
+                           id_np[max(e - n_win, s):e],
+                           cents[max(e - n_win, s):e]], axis=1)
+                 .astype("<i8").tobytes()
+                 for s, e in zip(starts, ends)]
+        return pa.table({
+            key_col: pa.array(key[starts]),
+            "__frag": pa.array(frag[starts]),
+            "cnt": pa.array((ends - starts).astype(np.int64)),
+            "tail": pa.array(tails, type=pa.binary())})
+
+    def offsets(group: pa.Table) -> pa.Table:
+        out = {key_col: pa.array([], type=pa.int64()),
+               "__frag": pa.array([], type=pa.int64()),
+               "tail": pa.array([], type=pa.binary())}
+        if group.num_rows == 0 or group.num_columns == 0:
+            return pa.table(out)
+        order = pc.sort_indices(group["__frag"])
+        g = group.take(order)
+        frags = g["__frag"].to_numpy()
+        tails = g["tail"].to_pylist()
+        rows_frag, rows_tail = [], []
+        roll = np.zeros(0, dtype=np.int64)
+        for f, t in zip(frags.tolist(), tails):
+            rows_frag.append(f)
+            rows_tail.append(roll.astype("<i8").tobytes())
+            tc = np.frombuffer(t, dtype="<i8").reshape(-1, 3)[:, 2]
+            roll = np.concatenate([roll, tc])[-n_win:]
+        return pa.table({
+            key_col: pa.array([int(g[key_col][0].as_py())] *
+                              len(rows_frag), type=pa.int64()),
+            "__frag": pa.array(rows_frag, type=pa.int64()),
+            "tail": pa.array(rows_tail, type=pa.binary())})
+
+    frag_tails = (prep.map_batches(partials, batch_format="pyarrow")
+                  .groupby([key_col, "__frag"])
+                  .map_groups(lambda g: _merge_frag_partials(
+                      g, key_col, n_win), batch_format="pyarrow")
+                  .groupby(key_col)
+                  .map_groups(offsets, batch_format="pyarrow"))
+
+    schema = pa.schema([(id_col, pa.int64()), (key_col, pa.int64()),
+                        ("__us", pa.int64()), ("__cents", pa.int64()),
+                        ("__frag", pa.int64()), ("tail", pa.binary()),
+                        ("__side", pa.int8())])
+
+    def tag_rows(batch: pa.Table) -> pa.Table:
+        m = batch.num_rows
+        return pa.table({
+            id_col: batch[id_col], key_col: batch[key_col],
+            "__us": batch["__us"], "__cents": batch["__cents"],
+            "__frag": batch["__frag"],
+            "tail": pa.nulls(m, pa.binary()),
+            "__side": pa.array(np.zeros(m, np.int8))}, schema=schema)
+
+    def tag_tails(batch: pa.Table) -> pa.Table:
+        m = batch.num_rows
+        return pa.table({
+            id_col: pa.nulls(m, pa.int64()),
+            key_col: batch[key_col],
+            "__us": pa.nulls(m, pa.int64()),
+            "__cents": pa.nulls(m, pa.int64()),
+            "__frag": batch["__frag"], "tail": batch["tail"],
+            "__side": pa.array(np.ones(m, np.int8))}, schema=schema)
+
+    def rank_frag(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or group.num_columns == 0:
+            return pa.table(empty)
+        side = group["__side"].to_numpy(zero_copy_only=False)
+        rows = group.filter(pa.array(side == 0))
+        tails = group.filter(pa.array(side == 1))
+        if rows.num_rows == 0:
+            return pa.table(empty)
+        tail = np.frombuffer(tails["tail"][0].as_py() or b"",
+                             dtype="<i8") if tails.num_rows else \
+            np.zeros(0, dtype=np.int64)
+        order = pc.sort_indices(rows, sort_keys=[("__us", "ascending"),
+                                                 (id_col, "ascending")])
+        g = rows.take(order)
+        sums, cnt = win_from(g["__cents"].to_numpy(),
+                             tail.astype(np.int64))
+        return pa.table({id_col: g[id_col], key_col: g[key_col],
+                         "moving_sum_cents": pa.array(sums),
+                         "moving_count": pa.array(cnt)})
+
+    tagged = prep.map_batches(tag_rows, batch_format="pyarrow").union(
+        frag_tails.map_batches(tag_tails, batch_format="pyarrow"))
+    return tagged.groupby([key_col, "__frag"]).map_groups(
+        rank_frag, batch_format="pyarrow")
+
+
+def _merge_frag_partials(group: pa.Table, key_col: str,
+                         n_win: int) -> pa.Table:
+    """Merge one (key, frag)'s per-batch partials into a single row:
+    total count and the fragment's TRUE last-N tail. Tails carry
+    (us, id, cents) triples, because batch slices of a fragment can
+    INTERLEAVE in time — a cents-only concatenation could keep the
+    wrong elements. Exactness: every element of the fragment's global
+    last-N is, within its own batch, followed by fewer than N fragment
+    rows, hence inside that batch's last-N — so the global last-N is a
+    subset of the union of batch tails, and sorting the union by
+    (us, id) and keeping the last N reproduces it exactly, in order."""
+    if group.num_rows == 0 or group.num_columns == 0:
+        return pa.table({key_col: pa.array([], type=pa.int64()),
+                         "__frag": pa.array([], type=pa.int64()),
+                         "cnt": pa.array([], type=pa.int64()),
+                         "tail": pa.array([], type=pa.binary())})
+    cat = np.concatenate([np.frombuffer(t, dtype="<i8").reshape(-1, 3)
+                          for t in group["tail"].to_pylist()])
+    order = np.lexsort((cat[:, 1], cat[:, 0]))
+    cat = cat[order][-n_win:]
+    return pa.table({
+        key_col: group[key_col].slice(0, 1),
+        "__frag": group["__frag"].slice(0, 1),
+        "cnt": pa.array([int(group["cnt"].to_numpy().sum())]),
+        "tail": pa.array([cat.astype("<i8").tobytes()],
+                         type=pa.binary())})

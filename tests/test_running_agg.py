@@ -169,3 +169,70 @@ class TestFunnel:
             funnel(rd.from_arrow(tbl), [])
         with pytest.raises(ValueError):
             funnel(rd.from_arrow(tbl), ["a", "a"])
+
+
+class TestMovingAgg:
+    """moving_agg: last-N-rows window sum/count per key
+    (ops/windows.py: moving_agg) vs pandas rolling."""
+
+    @staticmethod
+    def _brute(tbl, n_win):
+        df = tbl.to_pandas()
+        df["us"] = df.ts.astype("int64")
+        c = df.value.to_numpy() * 100.0
+        df["cents"] = np.trunc(c + np.copysign(0.5, c)).astype(np.int64)
+        df = df.sort_values(["user_id", "us", "event_id"])
+        g = df.groupby("user_id")
+        df["moving_sum_cents"] = g.cents.transform(
+            lambda s: s.rolling(n_win, min_periods=1).sum()).astype(
+            np.int64)
+        df["moving_count"] = g.cents.transform(
+            lambda s: s.rolling(n_win, min_periods=1).count()).astype(
+            np.int64)
+        return (df.sort_values("event_id").reset_index(drop=True)
+                [["event_id", "moving_sum_cents", "moving_count"]])
+
+    @staticmethod
+    def _got(out):
+        return (out.to_pandas().sort_values("event_id")
+                .reset_index(drop=True)
+                [["event_id", "moving_sum_cents", "moving_count"]])
+
+    @pytest.mark.parametrize("n_win,parts", [(1, 3), (5, 1), (5, 7),
+                                             (100, 3)])
+    def test_matches_pandas(self, ray_session, n_win, parts):
+        import ray.data as rd
+        from mircv_ray.ops import moving_agg
+        tbl = _events(seed=29)
+        got = self._got(moving_agg(
+            rd.from_arrow(tbl).repartition(parts), n_win))
+        exp = self._brute(tbl, n_win)
+        assert list(got.moving_sum_cents) == list(exp.moving_sum_cents)
+        assert list(got.moving_count) == list(exp.moving_count)
+
+    @pytest.mark.parametrize("n_win", [3, 7])
+    def test_salted_equals_unsalted_with_mega_key(self, ray_session,
+                                                  n_win):
+        import ray.data as rd
+        from mircv_ray.ops import moving_agg
+        tbl = _events(seed=31, mega_user=4)
+        plain = self._got(moving_agg(
+            rd.from_arrow(tbl).repartition(6), n_win))
+        salted = self._got(moving_agg(
+            rd.from_arrow(tbl).repartition(6), n_win,
+            salt_bucket_us=3_600_000_000))
+        assert list(salted.moving_sum_cents) == \
+            list(plain.moving_sum_cents)
+        assert list(salted.moving_count) == list(plain.moving_count)
+        exp = self._brute(tbl, n_win)
+        assert list(salted.moving_sum_cents) == \
+            list(exp.moving_sum_cents)
+
+    def test_validation(self, ray_session):
+        import ray.data as rd
+        from mircv_ray.ops import moving_agg
+        tbl = _events(seed=1, n=50)
+        with pytest.raises(ValueError):
+            moving_agg(rd.from_arrow(tbl), 0)
+        with pytest.raises(ValueError):
+            moving_agg(rd.from_arrow(tbl), 3, salt_bucket_us=-1)
