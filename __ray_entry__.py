@@ -2137,6 +2137,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = equi_join(orders, cust, "o_custkey", right_on="c_custkey")
         return _sorted_table(out, ["o_orderkey"])
 
+    def events_rollup(sf_dir: str):
+        # GROUP BY ROLLUP(event_type, hour window): leaf + per-type
+        # subtotals + grand total, every level an exact integer-cents
+        # sum (values round to cents at the leaf)
+        from mircv_ray.ops import rollup_agg
+        ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["ts", "event_type", "value"])
+        t = _sorted_table(rollup_agg(ev), ["event_type",
+                                           "window_start_us"])
+        return t
+
+    def user_pivot(sf_dir: str):
+        # SQL PIVOT: per-user count + exact-cents sum per event type
+        from mircv_ray.ops import pivot_counts
+        ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["user_id", "event_type", "value"])
+        vals = ["click", "error", "purchase", "signup", "view"]
+        return _sorted_table(pivot_counts(ev, vals), ["user_id"])
+
     def moving_spend(sf_dir: str):
         # trailing-5-events window sum/count per user in exact int64
         # cents; the salted mega-key variant is pytest-pinned identical
@@ -3129,6 +3148,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "building_orders": building_orders,
         "funnel_signup": funnel_signup,
         "moving_spend": moving_spend,
+        "events_rollup": events_rollup,
+        "user_pivot": user_pivot,
         "never_purchased": never_purchased,
         "running_totals": running_totals,
         "c4_clean": c4_clean,
@@ -4306,6 +4327,42 @@ SELECT event_id, user_id,
        lag(cents) OVER (PARTITION BY user_id
                         ORDER BY ts, event_id) AS lag_value_cents
 FROM c ORDER BY event_id
+""",
+        # ROLLUP over the same leaf-cents rounding: every level is an
+        # exact integer sum on both sides
+        "events_rollup": """
+WITH c AS (SELECT event_type,
+                  (epoch_us(ts) // 3600000000) * 3600000000 AS w,
+                  CAST(round(value * 100.0, 0) AS BIGINT) AS cents
+           FROM events)
+SELECT event_type, w AS window_start_us,
+       count(*)::BIGINT AS n_events,
+       sum(cents) AS sum_value_cents
+FROM c GROUP BY ROLLUP (event_type, w)
+ORDER BY event_type, window_start_us
+""",
+        # PIVOT as conditional integer-cents sums
+        "user_pivot": """
+WITH c AS (SELECT user_id, event_type,
+                  CAST(round(value * 100.0, 0) AS BIGINT) AS cents
+           FROM events)
+SELECT user_id,
+       sum((event_type = 'click')::INT)::BIGINT AS n_click,
+       sum(CASE WHEN event_type = 'click' THEN cents ELSE 0 END)
+           AS cents_click,
+       sum((event_type = 'error')::INT)::BIGINT AS n_error,
+       sum(CASE WHEN event_type = 'error' THEN cents ELSE 0 END)
+           AS cents_error,
+       sum((event_type = 'purchase')::INT)::BIGINT AS n_purchase,
+       sum(CASE WHEN event_type = 'purchase' THEN cents ELSE 0 END)
+           AS cents_purchase,
+       sum((event_type = 'signup')::INT)::BIGINT AS n_signup,
+       sum(CASE WHEN event_type = 'signup' THEN cents ELSE 0 END)
+           AS cents_signup,
+       sum((event_type = 'view')::INT)::BIGINT AS n_view,
+       sum(CASE WHEN event_type = 'view' THEN cents ELSE 0 END)
+           AS cents_view
+FROM c GROUP BY user_id ORDER BY user_id
 """,
         # trailing-N window in exact cents: same rounding + frame
         "moving_spend": """

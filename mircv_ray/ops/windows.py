@@ -864,3 +864,183 @@ def _merge_frag_partials(group: pa.Table, key_col: str,
         "cnt": pa.array([int(group["cnt"].to_numpy().sum())]),
         "tail": pa.array([cat.astype("<i8").tobytes()],
                          type=pa.binary())})
+
+
+def rollup_agg(events_ds, width_us: int = US_PER_HOUR):
+    """SQL GROUP BY ROLLUP(event_type, window): the (type, window)
+    aggregate plus per-type subtotals plus the grand total in one
+    result — the standard reporting cube slice. Values convert to
+    int64 cents at the LEAF (one round per event), so every rollup
+    level is an exact integer sum — no float re-association anywhere.
+
+    Scale shape: the leaf level is the tumbling_window_agg exchange
+    (map-side (window, type) combine, events never shuffle); both
+    subtotal levels re-aggregate the LEAF AGGREGATE (aggregate-sized,
+    never content-sized) with arrow group_bys inside one task per
+    block + one tiny groupby each. NULL window/type mark subtotal rows
+    exactly like SQL ROLLUP.
+    """
+    from ray.data.aggregate import Sum
+    from .. import use_push_shuffle
+    use_push_shuffle(events_ds)
+    if width_us <= 0:
+        raise ValueError("width_us must be positive")
+
+    def leaf_partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64()).to_numpy()
+        win = (ts // width_us) * width_us
+        cents = _round_half_away(batch["value"].to_numpy() * 100.0)
+        t = pa.table({"window_start_us": pa.array(win, type=pa.int64()),
+                      "event_type": batch["event_type"],
+                      "cents": pa.array(cents)})
+        a = t.group_by(["window_start_us", "event_type"]).aggregate(
+            [([], "count_all"), ("cents", "sum")])
+        return pa.table({"window_start_us": a["window_start_us"],
+                         "event_type": a["event_type"],
+                         "n": a["count_all"].cast(pa.int64()),
+                         "c": a["cents_sum"].cast(pa.int64())})
+
+    leaf = (events_ds.map_batches(leaf_partial, batch_format="pyarrow")
+            .groupby(["window_start_us", "event_type"])
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("c", alias_name="c"))
+            .materialize())
+
+    def out_rows(b: pa.Table, null_window: bool,
+                 null_type: bool) -> pa.Table:
+        m = b.num_rows
+        return pa.table({
+            "event_type": (pa.nulls(m, pa.string()) if null_type
+                           else b["event_type"]),
+            "window_start_us": (pa.nulls(m, pa.int64()) if null_window
+                                else b["window_start_us"]),
+            "n_events": b["n"].cast(pa.int64()),
+            "sum_value_cents": b["c"].cast(pa.int64())})
+
+    leaf_rows = leaf.map_batches(
+        lambda b: out_rows(b, False, False), batch_format="pyarrow")
+
+    def type_partial(b: pa.Table) -> pa.Table:
+        a = b.group_by("event_type").aggregate([("n", "sum"),
+                                                ("c", "sum")])
+        return pa.table({"event_type": a["event_type"],
+                         "n": a["n_sum"], "c": a["c_sum"]})
+
+    type_rows = (leaf.map_batches(type_partial, batch_format="pyarrow")
+                 .groupby("event_type")
+                 .aggregate(Sum("n", alias_name="n"),
+                            Sum("c", alias_name="c"))
+                 .map_batches(lambda b: out_rows(b, True, False),
+                              batch_format="pyarrow"))
+
+    def total_partial(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "k": pa.array([0], type=pa.int8()),
+            "n": pa.array([int(b["n"].to_numpy().sum())]),
+            "c": pa.array([int(b["c"].to_numpy().sum())])})
+
+    total_rows = (leaf.map_batches(total_partial, batch_format="pyarrow")
+                  .groupby("k")
+                  .aggregate(Sum("n", alias_name="n"),
+                             Sum("c", alias_name="c"))
+                  .map_batches(lambda b: out_rows(b, True, True),
+                               batch_format="pyarrow"))
+
+    return leaf_rows.union(type_rows).union(total_rows)
+
+
+def pivot_counts(events_ds, pivot_values: list[str],
+                 key_col: str = "user_id", pivot_col: str = "event_type",
+                 value_col: str = "value"):
+    """SQL PIVOT: one row per key with a count and an exact-cents sum
+    column per pivot value (n_<v>, cents_<v>) — the wide per-user
+    activity-feature table. ``pivot_values`` is the explicit column
+    list (like SQL PIVOT's IN clause; values outside it are ignored).
+
+    Scale shape: per-batch arrow group_by over (key, pivot) means only
+    batch-distinct pairs enter the ONE key groupby; the wide columns
+    materialize per output block (key-sized), vectorized scatter by
+    index_in — never a Python loop over rows.
+    """
+    from ray.data.aggregate import Sum
+    from .. import use_push_shuffle
+    use_push_shuffle(events_ds)
+    if not pivot_values:
+        raise ValueError("pivot_values must be non-empty")
+    if len(set(pivot_values)) != len(pivot_values):
+        raise ValueError("pivot_values must be distinct")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch[pivot_col]
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        keep = pc.is_in(t, value_set=pa.array(pivot_values))
+        b = batch.filter(keep)
+        cents = _round_half_away(b[value_col].to_numpy() * 100.0)
+        t2 = pa.table({key_col: b[key_col],
+                       pivot_col: b[pivot_col],
+                       "cents": pa.array(cents)})
+        a = t2.group_by([key_col, pivot_col]).aggregate(
+            [([], "count_all"), ("cents", "sum")])
+        return pa.table({key_col: a[key_col],
+                         pivot_col: a[pivot_col],
+                         "n": a["count_all"].cast(pa.int64()),
+                         "c": a["cents_sum"].cast(pa.int64())})
+
+    pairs = (events_ds.map_batches(partial, batch_format="pyarrow")
+             .groupby([key_col, pivot_col])
+             .aggregate(Sum("n", alias_name="n"),
+                        Sum("c", alias_name="c")))
+
+    def widen(b: pa.Table) -> pa.Table:
+        cols = {key_col: pa.array([], type=pa.int64())}
+        for v in pivot_values:
+            cols[f"n_{v}"] = pa.array([], type=pa.int64())
+            cols[f"cents_{v}"] = pa.array([], type=pa.int64())
+        if b.num_rows == 0 or key_col not in b.column_names:
+            return pa.table(cols)
+        keys = b[key_col].to_numpy()
+        order = np.argsort(keys, kind="stable")
+        keys_s = keys[order]
+        starts = np.flatnonzero(
+            np.append(True, keys_s[1:] != keys_s[:-1]))
+        uniq = keys_s[starts]
+        pos = np.searchsorted(uniq, keys)
+        pv = b[pivot_col]
+        if isinstance(pv, pa.ChunkedArray):
+            pv = pv.combine_chunks()
+        vidx = pc.index_in(pv, value_set=pa.array(pivot_values)) \
+            .to_numpy(zero_copy_only=False)
+        n = b["n"].to_numpy()
+        c = b["c"].to_numpy()
+        wide_n = np.zeros((len(uniq), len(pivot_values)), np.int64)
+        wide_c = np.zeros((len(uniq), len(pivot_values)), np.int64)
+        wide_n[pos, vidx] = n
+        wide_c[pos, vidx] = c
+        out = {key_col: pa.array(uniq, type=pa.int64())}
+        for j, v in enumerate(pivot_values):
+            out[f"n_{v}"] = pa.array(wide_n[:, j])
+            out[f"cents_{v}"] = pa.array(wide_c[:, j])
+        return pa.table(out)
+
+    # the groupby already co-located each key's pairs in one block, so
+    # widening is map-only — but a key's rows could straddle two output
+    # blocks at a block boundary; group once more by key hash to pin it
+    def tag(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or key_col not in b.column_names:
+            return pa.table({key_col: pa.array([], type=pa.int64()),
+                             pivot_col: pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64()),
+                             "c": pa.array([], type=pa.int64()),
+                             "pk": pa.array([], type=pa.int64())})
+        h = (b[key_col].to_numpy().astype(np.uint64)
+             * np.uint64(2654435761)) % np.uint64(509)
+        return b.append_column("pk", pa.array(h.astype(np.int64)))
+
+    def widen_group(g: pa.Table) -> pa.Table:
+        cols = [cn for cn in g.column_names if cn != "pk"]
+        return widen(g.select(cols) if cols else g)
+
+    return (pairs.map_batches(tag, batch_format="pyarrow")
+            .groupby("pk").map_groups(widen_group,
+                                      batch_format="pyarrow"))

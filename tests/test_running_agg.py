@@ -236,3 +236,92 @@ class TestMovingAgg:
             moving_agg(rd.from_arrow(tbl), 0)
         with pytest.raises(ValueError):
             moving_agg(rd.from_arrow(tbl), 3, salt_bucket_us=-1)
+
+
+class TestRollupPivot:
+    """rollup_agg / pivot_counts (ops/windows.py) vs pandas."""
+
+    @pytest.mark.parametrize("parts", [1, 6])
+    def test_rollup_matches_pandas(self, ray_session, parts):
+        import ray.data as rd
+        from mircv_ray.ops import rollup_agg
+        rng = np.random.default_rng(41)
+        n = 3000
+        tbl = pa.table({
+            "ts": pa.array(rng.integers(0, 3_600_000_000 * 6, n),
+                           type=pa.timestamp("us")),
+            "event_type": pa.array(
+                rng.choice(["a", "b", "c"], n).tolist()),
+            "value": pa.array(np.round(rng.uniform(0, 9, n), 2)),
+        })
+        out = rollup_agg(rd.from_arrow(tbl).repartition(parts),
+                         width_us=3_600_000_000).to_pandas()
+        df = tbl.to_pandas()
+        df["w"] = (df.ts.astype("int64") // 3_600_000_000) \
+            * 3_600_000_000
+        c = df.value.to_numpy() * 100.0
+        df["cents"] = np.trunc(c + np.copysign(0.5, c)).astype(np.int64)
+        leaf = df.groupby(["event_type", "w"]).agg(
+            n=("cents", "size"), s=("cents", "sum")).reset_index()
+        # leaf level
+        got_leaf = out[out.window_start_us.notna()
+                       & out.event_type.notna()]
+        assert len(got_leaf) == len(leaf)
+        gl = got_leaf.sort_values(["event_type", "window_start_us"]) \
+            .reset_index(drop=True)
+        assert list(gl.n_events) == list(leaf.n)
+        assert list(gl.sum_value_cents) == list(leaf.s)
+        # type subtotals
+        ty = df.groupby("event_type").cents.agg(["size", "sum"])
+        gt = out[out.window_start_us.isna() & out.event_type.notna()] \
+            .sort_values("event_type")
+        assert list(gt.n_events) == list(ty["size"])
+        assert list(gt.sum_value_cents) == list(ty["sum"])
+        # grand total
+        g0 = out[out.event_type.isna()]
+        assert len(g0) == 1
+        assert g0.n_events.iloc[0] == n
+        assert g0.sum_value_cents.iloc[0] == df.cents.sum()
+
+    @pytest.mark.parametrize("parts", [1, 6])
+    def test_pivot_matches_pandas(self, ray_session, parts):
+        import ray.data as rd
+        from mircv_ray.ops import pivot_counts
+        rng = np.random.default_rng(43)
+        n = 2500
+        tbl = pa.table({
+            "user_id": pa.array(rng.integers(0, 40, n),
+                                type=pa.int64()),
+            "event_type": pa.array(
+                rng.choice(["x", "y", "z", "skipme"], n).tolist()),
+            "value": pa.array(np.round(rng.uniform(0, 9, n), 2)),
+        })
+        out = (pivot_counts(rd.from_arrow(tbl).repartition(parts),
+                            ["x", "y", "z"])
+               .to_pandas().sort_values("user_id")
+               .reset_index(drop=True))
+        df = tbl.to_pandas()
+        c = df.value.to_numpy() * 100.0
+        df["cents"] = np.trunc(c + np.copysign(0.5, c)).astype(np.int64)
+        df = df[df.event_type != "skipme"]
+        assert list(out.user_id) == sorted(df.user_id.unique())
+        for v in ["x", "y", "z"]:
+            sub = df[df.event_type == v].groupby("user_id").cents
+            exp_n = sub.size().reindex(out.user_id, fill_value=0)
+            exp_c = sub.sum().reindex(out.user_id, fill_value=0)
+            assert list(out[f"n_{v}"]) == list(exp_n), v
+            assert list(out[f"cents_{v}"]) == list(exp_c), v
+
+    def test_validation(self, ray_session):
+        import ray.data as rd
+        from mircv_ray.ops import pivot_counts, rollup_agg
+        tbl = pa.table({"user_id": pa.array([1], type=pa.int64()),
+                        "ts": pa.array([0], type=pa.timestamp("us")),
+                        "event_type": pa.array(["a"]),
+                        "value": pa.array([1.0])})
+        with pytest.raises(ValueError):
+            rollup_agg(rd.from_arrow(tbl), width_us=0)
+        with pytest.raises(ValueError):
+            pivot_counts(rd.from_arrow(tbl), [])
+        with pytest.raises(ValueError):
+            pivot_counts(rd.from_arrow(tbl), ["a", "a"])
