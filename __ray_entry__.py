@@ -2137,6 +2137,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = equi_join(orders, cust, "o_custkey", right_on="c_custkey")
         return _sorted_table(out, ["o_orderkey"])
 
+    def hourly_spend(sf_dir: str):
+        # trailing-1h RANGE window per user (equal-ts peers included,
+        # SQL RANGE semantics); exact int64 cents
+        from mircv_ray.ops import time_window_agg
+        ev = rd.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "ts", "user_id", "value"])
+        return _sorted_table(time_window_agg(ev, 3_600_000_000),
+                             ["event_id"])
+
     def events_rollup(sf_dir: str):
         # GROUP BY ROLLUP(event_type, hour window): leaf + per-type
         # subtotals + grand total, every level an exact integer-cents
@@ -3149,6 +3159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_signup": funnel_signup,
         "moving_spend": moving_spend,
         "events_rollup": events_rollup,
+        "hourly_spend": hourly_spend,
         "user_pivot": user_pivot,
         "never_purchased": never_purchased,
         "running_totals": running_totals,
@@ -4326,6 +4337,20 @@ SELECT event_id, user_id,
                         AND CURRENT ROW) AS running_sum_cents,
        lag(cents) OVER (PARTITION BY user_id
                         ORDER BY ts, event_id) AS lag_value_cents
+FROM c ORDER BY event_id
+""",
+        # RANGE frame over the integer microsecond order key
+        "hourly_spend": """
+WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS us,
+                  CAST(round(value * 100.0, 0) AS BIGINT) AS cents
+           FROM events)
+SELECT event_id, user_id,
+       sum(cents) OVER (PARTITION BY user_id ORDER BY us
+                        RANGE BETWEEN 3600000000 PRECEDING
+                        AND CURRENT ROW) AS win_sum_cents,
+       count(*) OVER (PARTITION BY user_id ORDER BY us
+                      RANGE BETWEEN 3600000000 PRECEDING
+                      AND CURRENT ROW) AS win_count
 FROM c ORDER BY event_id
 """,
         # ROLLUP over the same leaf-cents rounding: every level is an

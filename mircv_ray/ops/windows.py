@@ -1044,3 +1044,206 @@ def pivot_counts(events_ds, pivot_values: list[str],
     return (pairs.map_batches(tag, batch_format="pyarrow")
             .groupby("pk").map_groups(widen_group,
                                       batch_format="pyarrow"))
+
+
+def time_window_agg(events_ds, width_us: int, key_col: str = "user_id",
+                    order_col: str = "ts", value_col: str = "value",
+                    id_col: str = "event_id",
+                    salt_bucket_us: int | None = None):
+    """Per-key trailing TIME window — SQL's sum/count OVER (PARTITION
+    BY key ORDER BY us RANGE BETWEEN width PRECEDING AND CURRENT ROW):
+    the "activity in the last hour" feature. RANGE semantics exactly:
+    the window holds every row with us in [us_i − width, us_i]
+    INCLUDING equal-timestamp peers that sort after the current row.
+    Exact int64-cents sums (cumsum differences over the sorted key
+    group — associative, engine-identical).
+
+    Returns (id, key, win_sum_cents, win_count).
+
+    Mega-key ``salt_bucket_us`` (must be > width): fragments by
+    (key, us // bucket); each fragment needs only the previous
+    fragment's rows within ``width`` of its boundary — a TIME-bounded
+    carry of (us, cents) pairs assembled by the per-key metadata walk
+    (carry size is the key's event count in one trailing width; pick
+    bucket >> width so it stays small). pytest pins salted ≡ unsalted.
+    """
+    if width_us <= 0:
+        raise ValueError("width_us must be positive")
+
+    def win_from(us: np.ndarray, cents: np.ndarray, n_tail: int):
+        """RANGE sums/counts for rows after the n_tail carry prefix;
+        (us, cents) must be sorted by us."""
+        cum = np.concatenate([[0], np.cumsum(cents)])
+        q = us[n_tail:]
+        hi = np.searchsorted(us, q, side="right")
+        lo = np.searchsorted(us, q - width_us, side="left")
+        return ((cum[hi] - cum[lo]).astype(np.int64),
+                (hi - lo).astype(np.int64))
+
+    empty = {id_col: pa.array([], type=pa.int64()),
+             key_col: pa.array([], type=pa.int64()),
+             "win_sum_cents": pa.array([], type=pa.int64()),
+             "win_count": pa.array([], type=pa.int64())}
+
+    if salt_bucket_us is None:
+        prep = events_ds.map_batches(
+            lambda b: _running_prep(b, key_col, order_col, value_col,
+                                    id_col, None),
+            batch_format="pyarrow")
+
+        def rank(group: pa.Table) -> pa.Table:
+            if group.num_rows == 0 or group.num_columns == 0:
+                return pa.table(empty)
+            order = pc.sort_indices(group,
+                                    sort_keys=[("__us", "ascending"),
+                                               (id_col, "ascending")])
+            g = group.take(order)
+            sums, cnt = win_from(g["__us"].to_numpy(),
+                                 g["__cents"].to_numpy(), 0)
+            return pa.table({id_col: g[id_col], key_col: g[key_col],
+                             "win_sum_cents": pa.array(sums),
+                             "win_count": pa.array(cnt)})
+
+        return prep.groupby(key_col).map_groups(rank,
+                                                batch_format="pyarrow")
+
+    if salt_bucket_us <= width_us:
+        raise ValueError("salt_bucket_us must exceed width_us")
+    bucket = int(salt_bucket_us)
+    prep = events_ds.map_batches(
+        lambda b: _running_prep(b, key_col, order_col, value_col,
+                                id_col, bucket),
+        batch_format="pyarrow").materialize()
+
+    # per-(key, frag) partials: the rows within `width` of the
+    # fragment's END boundary, as (us, cents) pairs (only those can be
+    # visible to the NEXT fragment — RANGE looks back at most width)
+    def partials(batch: pa.Table) -> pa.Table:
+        cols = {key_col: pa.array([], type=pa.int64()),
+                "__frag": pa.array([], type=pa.int64()),
+                "tail": pa.array([], type=pa.binary())}
+        if batch.num_rows == 0:
+            return pa.table(cols)
+        order = pc.sort_indices(
+            batch, sort_keys=[(key_col, "ascending"),
+                              ("__frag", "ascending"),
+                              ("__us", "ascending")])
+        g = batch.take(order)
+        key = g[key_col].to_numpy()
+        frag = g["__frag"].to_numpy()
+        us = g["__us"].to_numpy()
+        cents = g["__cents"].to_numpy()
+        new = np.concatenate(
+            [[True], (key[1:] != key[:-1]) | (frag[1:] != frag[:-1])])
+        starts = np.flatnonzero(new)
+        ends = np.concatenate([starts[1:], [len(key)]])
+        tails = []
+        for s, e in zip(starts, ends):
+            boundary = (frag[s] + 1) * bucket   # fragment end (excl.)
+            k = np.searchsorted(us[s:e], boundary - width_us,
+                                side="left")
+            tails.append(np.stack([us[s + k:e], cents[s + k:e]],
+                                  axis=1).astype("<i8").tobytes())
+        return pa.table({
+            key_col: pa.array(key[starts]),
+            "__frag": pa.array(frag[starts]),
+            "tail": pa.array(tails, type=pa.binary())})
+
+    def merge_partials(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or group.num_columns == 0:
+            return pa.table({key_col: pa.array([], type=pa.int64()),
+                             "__frag": pa.array([], type=pa.int64()),
+                             "tail": pa.array([], type=pa.binary())})
+        cat = np.concatenate(
+            [np.frombuffer(t, dtype="<i8").reshape(-1, 2)
+             for t in group["tail"].to_pylist()])
+        cat = cat[np.argsort(cat[:, 0], kind="stable")]
+        return pa.table({
+            key_col: group[key_col].slice(0, 1),
+            "__frag": group["__frag"].slice(0, 1),
+            "tail": pa.array([cat.astype("<i8").tobytes()],
+                             type=pa.binary())})
+
+    # per-key walk: fragment i's carry = the PREVIOUS fragment's tail
+    # rows still within width of any row fragment i can hold (only the
+    # immediately preceding fragment can reach, since bucket > width)
+    def offsets(group: pa.Table) -> pa.Table:
+        out = {key_col: pa.array([], type=pa.int64()),
+               "__frag": pa.array([], type=pa.int64()),
+               "tail": pa.array([], type=pa.binary())}
+        if group.num_rows == 0 or group.num_columns == 0:
+            return pa.table(out)
+        order = pc.sort_indices(group["__frag"])
+        g = group.take(order)
+        frags = g["__frag"].to_numpy()
+        tails = g["tail"].to_pylist()
+        rows_frag, rows_tail = [], []
+        for i, f in enumerate(frags.tolist()):
+            if i > 0 and frags[i - 1] == f - 1:
+                rows_tail.append(tails[i - 1])
+            else:
+                rows_tail.append(b"")
+            rows_frag.append(f)
+        return pa.table({
+            key_col: pa.array([int(g[key_col][0].as_py())] *
+                              len(rows_frag), type=pa.int64()),
+            "__frag": pa.array(rows_frag, type=pa.int64()),
+            "tail": pa.array(rows_tail, type=pa.binary())})
+
+    frag_tails = (prep.map_batches(partials, batch_format="pyarrow")
+                  .groupby([key_col, "__frag"])
+                  .map_groups(merge_partials, batch_format="pyarrow")
+                  .groupby(key_col)
+                  .map_groups(offsets, batch_format="pyarrow"))
+
+    schema = pa.schema([(id_col, pa.int64()), (key_col, pa.int64()),
+                        ("__us", pa.int64()), ("__cents", pa.int64()),
+                        ("__frag", pa.int64()), ("tail", pa.binary()),
+                        ("__side", pa.int8())])
+
+    def tag_rows(batch: pa.Table) -> pa.Table:
+        m = batch.num_rows
+        return pa.table({
+            id_col: batch[id_col], key_col: batch[key_col],
+            "__us": batch["__us"], "__cents": batch["__cents"],
+            "__frag": batch["__frag"],
+            "tail": pa.nulls(m, pa.binary()),
+            "__side": pa.array(np.zeros(m, np.int8))}, schema=schema)
+
+    def tag_tails(batch: pa.Table) -> pa.Table:
+        m = batch.num_rows
+        return pa.table({
+            id_col: pa.nulls(m, pa.int64()),
+            key_col: batch[key_col],
+            "__us": pa.nulls(m, pa.int64()),
+            "__cents": pa.nulls(m, pa.int64()),
+            "__frag": batch["__frag"], "tail": batch["tail"],
+            "__side": pa.array(np.ones(m, np.int8))}, schema=schema)
+
+    def rank_frag(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or group.num_columns == 0:
+            return pa.table(empty)
+        side = group["__side"].to_numpy(zero_copy_only=False)
+        rows = group.filter(pa.array(side == 0))
+        tails = group.filter(pa.array(side == 1))
+        if rows.num_rows == 0:
+            return pa.table(empty)
+        carry = np.zeros((0, 2), dtype=np.int64)
+        if tails.num_rows:
+            raw = tails["tail"][0].as_py() or b""
+            carry = np.frombuffer(raw, dtype="<i8").reshape(-1, 2) \
+                .astype(np.int64)
+        order = pc.sort_indices(rows, sort_keys=[("__us", "ascending"),
+                                                 (id_col, "ascending")])
+        g = rows.take(order)
+        us = np.concatenate([carry[:, 0], g["__us"].to_numpy()])
+        cents = np.concatenate([carry[:, 1], g["__cents"].to_numpy()])
+        sums, cnt = win_from(us, cents, len(carry))
+        return pa.table({id_col: g[id_col], key_col: g[key_col],
+                         "win_sum_cents": pa.array(sums),
+                         "win_count": pa.array(cnt)})
+
+    tagged = prep.map_batches(tag_rows, batch_format="pyarrow").union(
+        frag_tails.map_batches(tag_tails, batch_format="pyarrow"))
+    return tagged.groupby([key_col, "__frag"]).map_groups(
+        rank_frag, batch_format="pyarrow")

@@ -325,3 +325,73 @@ class TestRollupPivot:
             pivot_counts(rd.from_arrow(tbl), [])
         with pytest.raises(ValueError):
             pivot_counts(rd.from_arrow(tbl), ["a", "a"])
+
+
+class TestTimeWindowAgg:
+    """time_window_agg: RANGE-frame trailing time window per key
+    (ops/windows.py: time_window_agg) vs a brute force with exact SQL
+    RANGE semantics (equal-ts peers included)."""
+
+    W = 3_600_000_000  # 1h
+
+    def _brute(self, tbl):
+        df = tbl.to_pandas()
+        df["us"] = df.ts.astype("int64")
+        c = df.value.to_numpy() * 100.0
+        df["cents"] = np.trunc(c + np.copysign(0.5, c)).astype(np.int64)
+        sums, cnts = {}, {}
+        for user, g in df.groupby("user_id"):
+            g = g.sort_values(["us", "event_id"])
+            us = g.us.to_numpy()
+            ce = g.cents.to_numpy()
+            for i, eid in enumerate(g.event_id):
+                m = (us >= us[i] - self.W) & (us <= us[i])
+                sums[eid] = int(ce[m].sum())
+                cnts[eid] = int(m.sum())
+        return sums, cnts
+
+    @staticmethod
+    def _got(out):
+        df = out.to_pandas()
+        return (dict(zip(df.event_id, df.win_sum_cents)),
+                dict(zip(df.event_id, df.win_count)))
+
+    @pytest.mark.parametrize("parts", [1, 7])
+    def test_matches_brute_force(self, ray_session, parts):
+        import ray.data as rd
+        from mircv_ray.ops import time_window_agg
+        tbl = _events(seed=37, n=1500, n_users=10)
+        gs, gc = self._got(time_window_agg(
+            rd.from_arrow(tbl).repartition(parts), self.W))
+        es, ec = self._brute(tbl)
+        assert gs == es and gc == ec
+
+    def test_peers_at_equal_ts_included(self, ray_session):
+        import ray.data as rd
+        from mircv_ray.ops import time_window_agg
+        tbl = pa.table({
+            "event_id": pa.array([0, 1, 2], type=pa.int64()),
+            "ts": pa.array([100, 100, 100], type=pa.timestamp("us")),
+            "user_id": pa.array([1, 1, 1], type=pa.int64()),
+            "value": pa.array([1.0, 2.0, 3.0]),
+        })
+        out = time_window_agg(rd.from_arrow(tbl), 50).to_pandas()
+        # RANGE CURRENT ROW includes all three peers for every row
+        assert list(out.win_count) == [3, 3, 3]
+        assert list(out.win_sum_cents) == [600, 600, 600]
+
+    def test_salted_equals_unsalted_with_mega_key(self, ray_session):
+        import ray.data as rd
+        from mircv_ray.ops import time_window_agg
+        tbl = _events(seed=39, mega_user=2)
+        plain = self._got(time_window_agg(
+            rd.from_arrow(tbl).repartition(6), self.W))
+        salted = self._got(time_window_agg(
+            rd.from_arrow(tbl).repartition(6), self.W,
+            salt_bucket_us=4 * self.W))
+        assert salted == plain
+        with pytest.raises(ValueError):
+            time_window_agg(rd.from_arrow(tbl), self.W,
+                            salt_bucket_us=self.W)
+        with pytest.raises(ValueError):
+            time_window_agg(rd.from_arrow(tbl), 0)
