@@ -41,27 +41,37 @@ BROADCAST_RIGHT_MAX_BYTES = 256 * 1024 * 1024
 _JOIN_TYPE = {"inner": "inner", "left": "left outer"}
 
 
-def _key_partition(batch: pa.Table, on: str, n: int) -> np.ndarray:
+def _as_keys(on) -> list:
+    return list(on) if isinstance(on, (list, tuple)) else [on]
+
+
+def _key_partition(batch: pa.Table, on, n: int) -> np.ndarray:
     from ..util import crc32_column
-    k = batch[on]
-    if isinstance(k, pa.ChunkedArray):
-        k = k.combine_chunks()
-    s = pc.fill_null(pc.cast(k, pa.string()), "")
-    h = crc32_column(s) % np.uint32(n)
+    h = np.zeros(batch.num_rows, dtype=np.uint64)
+    valid = np.ones(batch.num_rows, dtype=bool)
+    with np.errstate(over="ignore"):
+        for col in _as_keys(on):
+            k = batch[col]
+            if isinstance(k, pa.ChunkedArray):
+                k = k.combine_chunks()
+            sc = pc.fill_null(pc.cast(k, pa.string()), "")
+            h = h * np.uint64(1099511628211) \
+                ^ crc32_column(sc).astype(np.uint64)
+            valid &= k.is_valid().to_numpy(zero_copy_only=False)
     # NULL keys match nothing; send them all to partition 0
-    valid = k.is_valid().to_numpy(zero_copy_only=False)
-    return np.where(valid, h.astype(np.int64), 0)
+    return np.where(valid, (h % np.uint64(n)).astype(np.int64), 0)
 
 
-def equi_join(left_ds, right_ds, on: str, how: str = "inner",
-              right_on: str | None = None, right_suffix: str = "_r",
+def equi_join(left_ds, right_ds, on, how: str = "inner",
+              right_on=None, right_suffix: str = "_r",
               broadcast_max_bytes: int | None = None,
               num_partitions: int | None = None):
     """SQL equi-join of two Datasets on column ``on`` (one-to-many and
     many-to-many emit the full cross product per key, like SQL).
-    ``how``: "inner" or "left". ``right_on`` names the right side's key
-    when it differs (SQL's ``l.on = r.right_on``; the right key column
-    is dropped from the output like SQL USING). Right columns clashing
+    ``how``: "inner" or "left". ``on``/``right_on`` take a column name
+    or a LIST of names (composite keys); ``right_on`` names the right
+    side's key(s) when they differ (SQL's ``l.on = r.right_on``; right
+    key columns drop from the output like SQL USING). Right columns clashing
     with left names get ``right_suffix``. Returns a Dataset; output row
     order is not defined (sort it if the consumer needs determinism)."""
     import ray
@@ -71,8 +81,10 @@ def equi_join(left_ds, right_ds, on: str, how: str = "inner",
         raise ValueError(f"how must be one of {sorted(_JOIN_TYPE)}, "
                          f"got {how!r}")
     join_type = _JOIN_TYPE[how]
-    if right_on is None:
-        right_on = on
+    on = _as_keys(on)
+    right_on = on if right_on is None else _as_keys(right_on)
+    if len(on) != len(right_on):
+        raise ValueError("on and right_on must have the same length")
     if broadcast_max_bytes is None:
         broadcast_max_bytes = BROADCAST_RIGHT_MAX_BYTES
 
@@ -95,8 +107,8 @@ def equi_join(left_ds, right_ds, on: str, how: str = "inner",
                     cache.pop(next(iter(cache)))
             # empty right joins fine: acero pads a LEFT join and empties
             # an INNER one, keeping the output schema exact
-            return batch.join(cache[key], keys=[on],
-                              right_keys=[right_on], join_type=join_type,
+            return batch.join(cache[key], keys=on,
+                              right_keys=right_on, join_type=join_type,
                               right_suffix=right_suffix)
 
         return left_ds.map_batches(attach, batch_format="pyarrow")
@@ -137,7 +149,7 @@ def equi_join(left_ds, right_ds, on: str, how: str = "inner",
               .combine_chunks() if lefts else left_schema.empty_table())
         rt = (pa.concat_tables(rights, promote_options="default")
               .combine_chunks() if rights else right_schema.empty_table())
-        return lt.join(rt, keys=[on], right_keys=[right_on],
+        return lt.join(rt, keys=on, right_keys=right_on,
                        join_type=join_type, right_suffix=right_suffix)
 
     out = [reduce.remote(len(lshards[i]), *(lshards[i] + rshards[i]))

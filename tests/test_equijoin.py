@@ -188,3 +188,37 @@ class TestSemiAntiJoin:
                        "o_ck", right_on="c_ck", anti=True, **kw)
              .to_pandas().sort_values("lv"))
         assert list(a.lv) == [10, 20, 30]
+
+
+class TestCompositeKeys:
+    @pytest.mark.parametrize("bcast", [None, 0])
+    def test_composite_key_join(self, ray_session, bcast):
+        import ray.data as rd
+        from mircv_ray.ops import equi_join
+        rng = np.random.default_rng(3)
+        left = pa.table({
+            "a": pa.array(rng.integers(0, 9, 400), type=pa.int64()),
+            "b": pa.array(rng.choice(["p", "q", "r"], 400).tolist()),
+            "lv": pa.array(np.arange(400)),
+        })
+        right = pa.table({
+            "a": pa.array(rng.integers(0, 9, 60), type=pa.int64()),
+            "b": pa.array(rng.choice(["p", "q", "r"], 60).tolist()),
+            "rv": pa.array(np.arange(60) * 7),
+        })
+        kw = {} if bcast is None else {"broadcast_max_bytes": 0,
+                                       "num_partitions": 4}
+        out = (equi_join(rd.from_arrow(left).repartition(3),
+                         rd.from_arrow(right).repartition(2),
+                         ["a", "b"], **kw)
+               .to_pandas().sort_values(["a", "b", "lv", "rv"])
+               .reset_index(drop=True))
+        exp = (left.to_pandas().merge(right.to_pandas(), on=["a", "b"])
+               .sort_values(["a", "b", "lv", "rv"])
+               .reset_index(drop=True))
+        assert len(out) == len(exp)
+        for c in ["a", "b", "lv", "rv"]:
+            assert list(out[c]) == list(exp[c]), c
+        with pytest.raises(ValueError, match="length"):
+            equi_join(rd.from_arrow(left), rd.from_arrow(right),
+                      ["a", "b"], right_on=["a"])
