@@ -2268,6 +2268,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from mircv_ray.ops import zipf_fit
         return zipf_fit(_docs_ds(sf_dir))
 
+    def heaps_corpus(sf_dir: str):
+        # Heaps'-law vocabulary-growth fit (log V vs log n over the
+        # corpus in doc-id order) — the zipf_fit companion
+        from mircv_ray.ops import heaps_fit
+        return heaps_fit(_docs_ds(sf_dir))
+
     def shard_shuffle(sf_dir: str):
         # deterministic global corpus shuffle into 8 round-robin
         # training shards: one range-partitioning sort by (knuth hash,
@@ -3153,6 +3159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shard_shuffle": shard_shuffle,
         "zipf_corpus": zipf_corpus,
         "nfc_normalized": nfc_normalized,
+        "heaps_corpus": heaps_corpus,
         "corpus_diff": corpus_diff_new,
         "orders_customers": orders_customers,
         "building_orders": building_orders,
@@ -4488,6 +4495,36 @@ SELECT count(*)::BIGINT AS n_terms,
        round(regr_intercept(log10(c::DOUBLE), log10(rnk::DOUBLE)), 6)
            AS zipf_intercept
 FROM r
+""",
+        # Heaps fit: cumulative window sums over doc order, then the
+        # same regr_slope/regr_intercept algebra as zipf_corpus
+        "heaps_corpus": f"""
+WITH tk AS (
+  SELECT d.doc_id, t.term FROM (
+    SELECT doc_id, {_ALNUM_TOKS} AS toks FROM documents) d,
+  UNNEST(d.toks) AS t(term)),
+f AS (SELECT term, min(doc_id) AS first_doc FROM tk GROUP BY term),
+nv AS (SELECT first_doc AS doc_id, count(*)::BIGINT AS n_new
+       FROM f GROUP BY first_doc),
+ntk AS (SELECT doc_id, count(*)::BIGINT AS n_tok FROM tk
+        GROUP BY doc_id),
+p AS (SELECT d.doc_id, coalesce(ntk.n_tok, 0) AS n_tok,
+             coalesce(nv.n_new, 0) AS n_new
+      FROM documents d LEFT JOIN ntk USING (doc_id)
+      LEFT JOIN nv USING (doc_id)),
+c AS (SELECT n_tok,
+             sum(n_tok) OVER (ORDER BY doc_id) AS n_cum,
+             sum(n_new) OVER (ORDER BY doc_id) AS v_cum
+      FROM p),
+s AS (SELECT log10(n_cum::DOUBLE) AS x,
+             log10(greatest(v_cum, 1)::DOUBLE) AS y
+      FROM c WHERE n_tok > 0)
+SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+       (SELECT sum(n_tok) FROM p)::BIGINT AS n_tokens,
+       (SELECT count(*) FROM f)::BIGINT AS n_terms,
+       round(regr_slope(y, x), 6) AS heaps_beta,
+       round(regr_intercept(y, x), 6) AS heaps_log10_k
+FROM s
 """,
         # the knuth-hash global permutation + round-robin shards: exact
         # BIGINT arithmetic both sides

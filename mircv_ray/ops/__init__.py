@@ -8,7 +8,7 @@ from .textops import (
     ContaminationCheck, basic_token_stats, char_entropy,
     contamination_check, contamination_ngram, fingerprint,
     gopher_filter, lang_id, pii_redact, quality_stats,
-    nfc_normalize, repetition_stats, token_count, unigram_logprob,
+    heaps_fit, nfc_normalize, repetition_stats, token_count, unigram_logprob,
     zipf_fit,
 )
 from .lm import bigram_logprob
@@ -56,7 +56,7 @@ __all__ = [
     "repetition_stats", "connected_components", "source_quota_sample",
     "hash_split", "stratified_sample", "alpha_mix_weights",
     "importance_resample", "shuffle_shards",
-    "knn_graph", "knn_graph_lsh", "global_ntile", "dsir_weights", "unigram_logprob", "char_entropy", "zipf_fit", "nfc_normalize",
+    "knn_graph", "knn_graph_lsh", "global_ntile", "dsir_weights", "unigram_logprob", "char_entropy", "zipf_fit", "nfc_normalize", "heaps_fit",
     "bpe_train", "bpe_encode_counts",
     "ngram_window_rows", "shared_ngram_pairs",
     "exact_distinct_per_group", "hll_distinct_per_group",

@@ -988,3 +988,154 @@ def nfc_normalize(ds, id_col: str = "doc_id", text_col: str = "text"):
             "changed": pa.array(changed[codes])})
 
     return ds.map_batches(norm, batch_format="pyarrow")
+
+
+def heaps_fit(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Heaps'-law fit of vocabulary growth: V(n) ≈ K·n^beta, fit as the
+    least-squares slope/intercept of log10 V against log10 n over the
+    corpus consumed in ascending ``id_col`` order (one sample per doc
+    with ≥1 token) — the companion corpus-health diagnostic to
+    :func:`zipf_fit` (natural text: beta ≈ 0.4-0.6; runaway vocabulary
+    — every identifier a new term — pushes beta toward 1 and flags a
+    code/template flood).
+
+    Scale shape: ONE content scan emits (term, first_doc) per
+    batch-distinct term plus per-doc token counts; one term groupby
+    takes min(first_doc) (the only vocab-sized exchange — slim pairs);
+    new-term counts per doc and token counts per doc then reduce to
+    per-BLOCK regression partials through the global_ntile
+    sort+metadata-offset machinery, exactly the zipf_fit shape: the
+    driver sees a 5-number row per block. Returns a single-row table
+    (n_docs, n_tokens, n_terms, heaps_beta, heaps_log10_k), rounded 6.
+    """
+    import ray
+    from ray.data.aggregate import Min, Sum
+
+    def scan(batch: pa.Table) -> pa.Table:
+        flat, parent, counts = _alnum_flat_terms(batch, text_col)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        if len(flat):
+            t = pa.table({"term": flat,
+                          "first_doc": pa.array(ids[parent],
+                                                type=pa.int64())})
+            firsts = t.group_by("term").aggregate([("first_doc", "min")])
+            terms = pa.table({"term": firsts["term"],
+                              "first_doc": firsts["first_doc_min"]})
+        else:
+            terms = pa.table({"term": pa.array([], type=pa.string()),
+                              "first_doc": pa.array([],
+                                                    type=pa.int64())})
+        docs = pa.table({id_col: batch[id_col],
+                         "n_tok": pa.array(counts, type=pa.int64())})
+        return terms, docs
+
+    # two derived streams from one scan: run it twice rather than cache
+    # blocks driver-side (each pass is map-only and column-pruned; the
+    # alternative — materializing a tagged union — costs a full copy)
+    firsts = (ds.map_batches(lambda b: scan(b)[0],
+                             batch_format="pyarrow")
+              .groupby("term")
+              .aggregate(Min("first_doc", alias_name="first_doc")))
+    def count_new(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "first_doc" not in b.column_names:
+            return pa.table({id_col: pa.array([], type=pa.int64()),
+                             "n_new": pa.array([], type=pa.int64())})
+        g = (pa.table({id_col: b["first_doc"]})
+             .group_by(id_col).aggregate([([], "count_all")]))
+        return pa.table({id_col: g[id_col],
+                         "n_new": g["count_all"].cast(pa.int64())})
+
+    new_per_doc = (firsts.map_batches(count_new, batch_format="pyarrow")
+                   .groupby(id_col)
+                   .aggregate(Sum("n_new", alias_name="n_new")))
+
+    toks_per_doc = (ds.map_batches(lambda b: scan(b)[1],
+                                   batch_format="pyarrow"))
+
+    # tagged union -> per-doc (n_tok, n_new) -> sort by doc id ->
+    # block-offset prefix sums -> per-block regression partials
+    schema = pa.schema([(id_col, pa.int64()), ("n_tok", pa.int64()),
+                        ("n_new", pa.int64())])
+
+    def tag_tok(b: pa.Table) -> pa.Table:
+        return pa.table({id_col: b[id_col], "n_tok": b["n_tok"],
+                         "n_new": pa.array(np.zeros(b.num_rows,
+                                                    np.int64))},
+                        schema=schema)
+
+    def tag_new(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or id_col not in b.column_names:
+            return schema.empty_table()
+        return pa.table({id_col: b[id_col],
+                         "n_tok": pa.array(np.zeros(b.num_rows,
+                                                    np.int64)),
+                         "n_new": b["n_new"]}, schema=schema)
+
+    from ray.data.aggregate import Sum as _Sum
+    per_doc = (toks_per_doc.map_batches(tag_tok, batch_format="pyarrow")
+               .union(new_per_doc.map_batches(tag_new,
+                                              batch_format="pyarrow"))
+               .groupby(id_col)
+               .aggregate(_Sum("n_tok", alias_name="n_tok"),
+                          _Sum("n_new", alias_name="n_new")))
+    sorted_ds = per_doc.sort(id_col)
+
+    refs, rows = [], []
+    for bundle in sorted_ds.iter_internal_ref_bundles():
+        for ref, meta in bundle.blocks:
+            refs.append(ref)
+            rows.append(meta.num_rows)
+    if not rows:
+        return pa.table({"n_docs": pa.array([], type=pa.int64()),
+                         "n_tokens": pa.array([], type=pa.int64()),
+                         "n_terms": pa.array([], type=pa.int64()),
+                         "heaps_beta": pa.array([], type=pa.float64()),
+                         "heaps_log10_k": pa.array([],
+                                                   type=pa.float64())})
+
+    @ray.remote
+    def block_sums(tbl: pa.Table):
+        return (int(tbl["n_tok"].to_numpy().sum()),
+                int(tbl["n_new"].to_numpy().sum()), tbl.num_rows)
+
+    sums = ray.get([block_sums.remote(r) for r in refs])
+    tok_off = np.concatenate(
+        [[0], np.cumsum([s[0] for s in sums][:-1])]).astype(np.int64)
+    new_off = np.concatenate(
+        [[0], np.cumsum([s[1] for s in sums][:-1])]).astype(np.int64)
+
+    @ray.remote
+    def partial(tbl: pa.Table, t_off: int, v_off: int):
+        nt = tbl["n_tok"].to_numpy()
+        nv = tbl["n_new"].to_numpy()
+        n_cum = t_off + np.cumsum(nt)
+        v_cum = v_off + np.cumsum(nv)
+        keep = nt > 0          # sample per doc with >= 1 token
+        x = np.log10(n_cum[keep].astype(np.float64))
+        y = np.log10(np.maximum(v_cum[keep], 1).astype(np.float64))
+        return (float(x.sum()), float(y.sum()), float((x * y).sum()),
+                float((x * x).sum()), int(keep.sum()))
+
+    parts = ray.get([partial.remote(r, int(t), int(v))
+                     for r, t, v in zip(refs, tok_off, new_off)])
+    sx = sum(p[0] for p in parts)
+    sy = sum(p[1] for p in parts)
+    sxy = sum(p[2] for p in parts)
+    sxx = sum(p[3] for p in parts)
+    n = float(sum(p[4] for p in parts))
+    n_tokens = sum(s[0] for s in sums)
+    n_terms = sum(s[1] for s in sums)
+    denom = n * sxx - sx * sx
+    if n == 0 or denom == 0.0:
+        beta, logk = 0.0, (sy / n if n else 0.0)
+    else:
+        beta = (n * sxy - sx * sy) / denom
+        logk = (sy - beta * sx) / n
+    r6 = lambda v: float(np.trunc(v * 1e6 + np.copysign(0.5, v)) / 1e6)
+    return pa.table({
+        "n_docs": pa.array([int(sum(s[2] for s in sums))],
+                           type=pa.int64()),
+        "n_tokens": pa.array([int(n_tokens)], type=pa.int64()),
+        "n_terms": pa.array([int(n_terms)], type=pa.int64()),
+        "heaps_beta": pa.array([r6(beta)], type=pa.float64()),
+        "heaps_log10_k": pa.array([r6(logk)], type=pa.float64())})

@@ -226,3 +226,51 @@ class TestNfcNormalize:
         assert not out.changed.any()
         assert sorted(out.text) == sorted(f"doc {i} body"
                                           for i in range(500))
+
+
+class TestHeapsFit:
+    """heaps_fit: vocabulary-growth regression (ops/textops.py)."""
+
+    @staticmethod
+    def _brute(texts):
+        seen = set()
+        n_cum = v_cum = 0
+        xs, ys = [], []
+        for t in texts:
+            toks = [w for w in RX.split((t or "").lower()) if w]
+            if not toks:
+                continue
+            n_cum += len(toks)
+            seen.update(toks)
+            v_cum = len(seen)
+            xs.append(np.log10(n_cum))
+            ys.append(np.log10(max(v_cum, 1)))
+        x = np.array(xs)
+        y = np.array(ys)
+        n = float(len(x))
+        denom = n * (x * x).sum() - x.sum() ** 2
+        beta = (n * (x * y).sum() - x.sum() * y.sum()) / denom
+        logk = (y.sum() - beta * x.sum()) / n
+        return n_cum, len(seen), beta, logk
+
+    @pytest.mark.parametrize("parts", [1, 7])
+    def test_matches_brute_force(self, ray_session, parts):
+        import ray.data as rd
+        from mircv_ray.ops import heaps_fit
+        rng = np.random.default_rng(19)
+        vocab = [f"w{i}" for i in range(400)]
+        p = 1.0 / np.arange(1, 401)
+        p /= p.sum()
+        texts = [" ".join(rng.choice(vocab, 40, p=p))
+                 for _ in range(200)] + [None, "   "]
+        tbl = pa.table({"doc_id": pa.array(range(len(texts)),
+                                           type=pa.int64()),
+                        "text": pa.array(texts, type=pa.string())})
+        out = heaps_fit(rd.from_arrow(tbl).repartition(parts))
+        n_tok, n_terms, beta, logk = self._brute(texts)
+        assert out["n_docs"][0].as_py() == len(texts)
+        assert out["n_tokens"][0].as_py() == n_tok
+        assert out["n_terms"][0].as_py() == n_terms
+        assert abs(out["heaps_beta"][0].as_py() - beta) < 2e-6
+        assert abs(out["heaps_log10_k"][0].as_py() - logk) < 2e-6
+        assert 0.1 < out["heaps_beta"][0].as_py() < 1.0
