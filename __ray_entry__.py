@@ -2268,6 +2268,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from mircv_ray.ops import zipf_fit
         return zipf_fit(_docs_ds(sf_dir))
 
+    def entropy_ranks(sf_dir: str):
+        # global rank / percent_rank / cume_dist over the entropy score
+        # (the "keep the best X%" cut reads percent_rank directly)
+        from mircv_ray.ops import char_entropy as ce
+        from mircv_ray.ops import global_rank
+        scored = _docs_ds(sf_dir).map_batches(ce, batch_format="pyarrow") \
+            .select_columns(["doc_id", "char_entropy"])
+        return _sorted_table(
+            global_rank(scored, ["char_entropy", "doc_id"]), ["doc_id"])
+
     def heaps_corpus(sf_dir: str):
         # Heaps'-law vocabulary-growth fit (log V vs log n over the
         # corpus in doc-id order) — the zipf_fit companion
@@ -3160,6 +3170,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zipf_corpus": zipf_corpus,
         "nfc_normalized": nfc_normalized,
         "heaps_corpus": heaps_corpus,
+        "entropy_ranks": entropy_ranks,
         "corpus_diff": corpus_diff_new,
         "orders_customers": orders_customers,
         "building_orders": building_orders,
@@ -4495,6 +4506,24 @@ SELECT count(*)::BIGINT AS n_terms,
        round(regr_intercept(log10(c::DOUBLE), log10(rnk::DOUBLE)), 6)
            AS zipf_intercept
 FROM r
+""",
+        # the entropy CTE of quality_deciles + the three SQL rank fns
+        "entropy_ranks": """
+WITH ch AS (
+  SELECT d.doc_id, t.c
+  FROM (SELECT doc_id, regexp_split_to_array(coalesce(text,''), '') AS cs
+        FROM documents) d, UNNEST(d.cs) AS t(c)
+  WHERE t.c <> ''),
+e AS (SELECT doc_id, entropy(c) AS ent FROM ch GROUP BY doc_id),
+s AS (SELECT d.doc_id,
+             round(coalesce(e.ent, 0.0), 4) AS char_entropy
+      FROM documents d LEFT JOIN e USING (doc_id))
+SELECT doc_id, char_entropy,
+       rank() OVER w AS rank,
+       round(percent_rank() OVER w, 6) AS percent_rank,
+       round(cume_dist() OVER w, 6) AS cume_dist
+FROM s WINDOW w AS (ORDER BY char_entropy, doc_id)
+ORDER BY doc_id
 """,
         # Heaps fit: cumulative window sums over doc order, then the
         # same regr_slope/regr_intercept algebra as zipf_corpus

@@ -233,3 +233,48 @@ def global_ntile(ds, sort_cols: list, n_tiles: int,
 
     out_refs = [stamp.remote(r, int(o)) for r, o in zip(refs, offsets)]
     return rd.from_arrow_refs(out_refs)
+
+
+def global_rank(ds, sort_cols: list, out_prefix: str = ""):
+    """Exact SQL rank() / percent_rank() / cume_dist() over the global
+    ``sort_cols`` order — the normalized-score step of corpus filtering
+    (CCNet-style "keep the best X%" cuts read percent_rank directly).
+    ``sort_cols`` should end in a unique tiebreaker (e.g. the id): with
+    a total order every row is its own peer group, so rank is dense,
+    percent_rank = (rank-1)/(n-1) and cume_dist = rank/n, both exactly
+    the SQL definitions (doubles round 6 for the oracle hash).
+
+    Scale shape = :func:`global_ntile`: one range-partitioning sort,
+    per-block ranks from block-METADATA prefix offsets, map-only
+    stamping; the only driver state is one int per block.
+    """
+    import ray
+    import ray.data as rd
+
+    sorted_ds = ds.sort(sort_cols)
+    refs, rows = [], []
+    for bundle in sorted_ds.iter_internal_ref_bundles():
+        for ref, meta in bundle.blocks:
+            refs.append(ref)
+            rows.append(meta.num_rows)
+    offsets = np.concatenate([[0], np.cumsum(rows[:-1])]).astype(np.int64) \
+        if rows else np.zeros(0, dtype=np.int64)
+    n_rows = int(sum(rows))
+
+    @ray.remote
+    def stamp(tbl: pa.Table, off: int) -> pa.Table:
+        rank = off + np.arange(1, tbl.num_rows + 1, dtype=np.int64)
+        if n_rows > 1:
+            pr = (rank - 1).astype(np.float64) / (n_rows - 1)
+        else:
+            pr = np.zeros(tbl.num_rows)
+        cd = rank.astype(np.float64) / max(n_rows, 1)
+        rnd = lambda x: np.trunc(x * 1e6 + np.copysign(0.5, x)) / 1e6
+        out = tbl.append_column(f"{out_prefix}rank", pa.array(rank))
+        out = out.append_column(f"{out_prefix}percent_rank",
+                                pa.array(rnd(pr), type=pa.float64()))
+        return out.append_column(f"{out_prefix}cume_dist",
+                                 pa.array(rnd(cd), type=pa.float64()))
+
+    out_refs = [stamp.remote(r, int(o)) for r, o in zip(refs, offsets)]
+    return rd.from_arrow_refs(out_refs)

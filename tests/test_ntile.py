@@ -51,3 +51,45 @@ class TestGlobalNtile:
         tbl = pa.table({"doc_id": pa.array([1], type=pa.int64())})
         with pytest.raises(ValueError):
             global_ntile(rd.from_arrow(tbl), ["doc_id"], 0)
+
+
+class TestGlobalRank:
+    """global_rank: rank / percent_rank / cume_dist over a total order
+    (ops/quantiles.py: global_rank) vs DuckDB."""
+
+    @pytest.mark.parametrize("parts", [1, 7])
+    def test_matches_duckdb(self, ray_session, parts):
+        import duckdb
+        import ray.data as rd
+        from mircv_ray.ops import global_rank
+        rng = np.random.default_rng(8)
+        tbl = pa.table({
+            "doc_id": pa.array(np.arange(900), type=pa.int64()),
+            "score": pa.array(np.round(rng.normal(0, 1, 900), 3)),
+        })
+        out = (global_rank(rd.from_arrow(tbl).repartition(parts),
+                           ["score", "doc_id"])
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        exp = duckdb.sql("""
+            SELECT doc_id,
+                   rank() OVER w AS rank,
+                   round(percent_rank() OVER w, 6) AS percent_rank,
+                   round(cume_dist() OVER w, 6) AS cume_dist
+            FROM tbl WINDOW w AS (ORDER BY score, doc_id)
+            ORDER BY doc_id""").fetchdf()
+        assert list(out["rank"]) == list(exp["rank"])
+        np.testing.assert_allclose(out.percent_rank, exp.percent_rank,
+                                   atol=1.1e-6)
+        np.testing.assert_allclose(out.cume_dist, exp.cume_dist,
+                                   atol=1.1e-6)
+
+    def test_single_row(self, ray_session):
+        import ray.data as rd
+        from mircv_ray.ops import global_rank
+        tbl = pa.table({"doc_id": pa.array([5], type=pa.int64()),
+                        "score": pa.array([1.0])})
+        out = global_rank(rd.from_arrow(tbl),
+                          ["score", "doc_id"]).to_pandas()
+        assert list(out["rank"]) == [1]
+        assert list(out.percent_rank) == [0.0]
+        assert list(out.cume_dist) == [1.0]
