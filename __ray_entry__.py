@@ -2268,6 +2268,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from mircv_ray.ops import zipf_fit
         return zipf_fit(_docs_ds(sf_dir))
 
+    def winsorized_values(sf_dir: str):
+        # clip event values at the exact global [p05, p95] quantiles
+        # (quantile_cont interpolation on both sides; clipped round 4)
+        from mircv_ray.ops import winsorize
+        ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_id", "value"])
+        return _sorted_table(winsorize(ev, "value", 0.05, 0.95),
+                             ["event_id"])
+
     def entropy_ranks(sf_dir: str):
         # global rank / percent_rank / cume_dist over the entropy score
         # (the "keep the best X%" cut reads percent_rank directly)
@@ -3171,6 +3180,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nfc_normalized": nfc_normalized,
         "heaps_corpus": heaps_corpus,
         "entropy_ranks": entropy_ranks,
+        "winsorized_values": winsorized_values,
         "corpus_diff": corpus_diff_new,
         "orders_customers": orders_customers,
         "building_orders": building_orders,
@@ -4506,6 +4516,16 @@ SELECT count(*)::BIGINT AS n_terms,
        round(regr_intercept(log10(c::DOUBLE), log10(rnk::DOUBLE)), 6)
            AS zipf_intercept
 FROM r
+""",
+        # exact-quantile clip; quantile_cont is the same linear
+        # interpolation as the engine's order-statistic fetch
+        "winsorized_values": """
+WITH q AS (SELECT quantile_cont(value, 0.05) AS qlo,
+                  quantile_cont(value, 0.95) AS qhi
+           FROM events)
+SELECT e.event_id, e.value,
+       round(least(greatest(e.value, q.qlo), q.qhi), 4) AS value_w
+FROM events e, q ORDER BY e.event_id
 """,
         # the entropy CTE of quality_deciles + the three SQL rank fns
         "entropy_ranks": """

@@ -278,3 +278,79 @@ def global_rank(ds, sort_cols: list, out_prefix: str = ""):
 
     out_refs = [stamp.remote(r, int(o)) for r, o in zip(refs, offsets)]
     return rd.from_arrow_refs(out_refs)
+
+
+def winsorize(ds, value_col: str, lo: float = 0.01, hi: float = 0.99,
+              out_col: str | None = None):
+    """Winsorization at exact GLOBAL quantiles — the outlier-clipping
+    step before scaling/featurizing (clip ``value_col`` into the
+    [q_lo, q_hi] exact linear-interpolation quantiles, SQL
+    ``quantile_cont``). NULL values pass through NULL and are excluded
+    from the quantile computation (SQL aggregate semantics).
+
+    Scale shape: one range-partitioning sort of the value column ONLY
+    (column-pruned; the data never moves twice), the two order
+    statistics each quantile needs come from block-METADATA prefix
+    offsets + one remote scalar pick per needed position (the driver
+    never holds a block), then a map-only clip over the original
+    dataset. Adds ``out_col`` (default ``<value_col>_w``) rounded 4.
+    """
+    import ray
+
+    if not 0.0 <= lo <= hi <= 1.0:
+        raise ValueError("need 0 <= lo <= hi <= 1")
+    out_col = out_col or f"{value_col}_w"
+
+    def vals_only(b: pa.Table) -> pa.Table:
+        v = b[value_col]
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        return pa.table({value_col: v.drop_null()})
+
+    sorted_ds = ds.map_batches(vals_only, batch_format="pyarrow") \
+        .sort(value_col)
+    refs, rows = [], []
+    for bundle in sorted_ds.iter_internal_ref_bundles():
+        for ref, meta in bundle.blocks:
+            if meta.num_rows:
+                refs.append(ref)
+                rows.append(meta.num_rows)
+    n = int(sum(rows))
+    if n == 0:
+        raise ValueError("winsorize needs at least one non-null value")
+    offsets = np.concatenate([[0], np.cumsum(rows)]).astype(np.int64)
+
+    @ray.remote
+    def pick(tbl: pa.Table, local_idx: int) -> float:
+        return float(tbl[value_col][int(local_idx)].as_py())
+
+    def order_stat_refs(q: float):
+        h = (n - 1) * q
+        lo_i, hi_i = int(np.floor(h)), min(int(np.floor(h)) + 1, n - 1)
+        picks = []
+        for pos in (lo_i, hi_i):
+            b = int(np.searchsorted(offsets, pos, side="right") - 1)
+            picks.append(pick.remote(refs[b], pos - offsets[b]))
+        return h - np.floor(h), picks
+
+    f_lo, p_lo = order_stat_refs(lo)
+    f_hi, p_hi = order_stat_refs(hi)
+    (lo_a, lo_b), (hi_a, hi_b) = ray.get(p_lo), ray.get(p_hi)
+    q_lo = lo_a + f_lo * (lo_b - lo_a)
+    q_hi = hi_a + f_hi * (hi_b - hi_a)
+
+    def clip(batch: pa.Table) -> pa.Table:
+        v = batch[value_col]
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        x = v.to_numpy(zero_copy_only=False).astype(np.float64)
+        c = np.clip(x, q_lo, q_hi)
+        c = np.trunc(c * 1e4 + np.copysign(0.5, c)) / 1e4
+        arr = pa.array(c, type=pa.float64())
+        if v.null_count:
+            import pyarrow.compute as pc
+            arr = pc.if_else(v.is_valid(), arr,
+                             pa.scalar(None, pa.float64()))
+        return batch.append_column(out_col, arr)
+
+    return ds.map_batches(clip, batch_format="pyarrow")

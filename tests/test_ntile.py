@@ -93,3 +93,46 @@ class TestGlobalRank:
         assert list(out["rank"]) == [1]
         assert list(out.percent_rank) == [0.0]
         assert list(out.cume_dist) == [1.0]
+
+
+class TestWinsorize:
+    """winsorize: clip at exact global quantiles
+    (ops/quantiles.py: winsorize) vs numpy/duckdb."""
+
+    @pytest.mark.parametrize("parts", [1, 7])
+    def test_matches_numpy(self, ray_session, parts):
+        import ray.data as rd
+        from mircv_ray.ops import winsorize
+        rng = np.random.default_rng(21)
+        vals = np.round(rng.normal(50, 30, 2000), 3)
+        tbl = pa.table({"event_id": pa.array(np.arange(2000),
+                                             type=pa.int64()),
+                        "value": pa.array(vals)})
+        out = (winsorize(rd.from_arrow(tbl).repartition(parts),
+                         "value", 0.05, 0.95)
+               .to_pandas().sort_values("event_id")
+               .reset_index(drop=True))
+        qlo, qhi = np.quantile(vals, [0.05, 0.95], method="linear")
+        exp = np.clip(vals, qlo, qhi)
+        exp = np.trunc(exp * 1e4 + np.copysign(0.5, exp)) / 1e4
+        np.testing.assert_array_equal(out.value_w.to_numpy(), exp)
+        # originals untouched, clip boundaries hit
+        np.testing.assert_array_equal(out.value.to_numpy(), vals)
+        assert (out.value_w.min() >= round(qlo, 4) - 1e-9)
+        assert (out.value_w.max() <= round(qhi, 4) + 1e-9)
+
+    def test_nulls_pass_through_and_validation(self, ray_session):
+        import ray.data as rd
+        from mircv_ray.ops import winsorize
+        tbl = pa.table({"event_id": pa.array([0, 1, 2], type=pa.int64()),
+                        "value": pa.array([1.0, None, 100.0])})
+        out = (winsorize(rd.from_arrow(tbl), "value", 0.0, 1.0)
+               .to_pandas().sort_values("event_id"))
+        assert out.value_w.isna().tolist() == [False, True, False]
+        import pytest as _pt
+        with _pt.raises(ValueError):
+            winsorize(rd.from_arrow(tbl), "value", 0.9, 0.1)
+        empty = pa.table({"event_id": pa.array([0], type=pa.int64()),
+                          "value": pa.array([None], type=pa.float64())})
+        with _pt.raises(ValueError):
+            winsorize(rd.from_arrow(empty), "value")
