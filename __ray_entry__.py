@@ -2268,6 +2268,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from mircv_ray.ops import zipf_fit
         return zipf_fit(_docs_ds(sf_dir))
 
+    def transition_matrix(sf_dir: str):
+        # per-user first-order Markov transitions between event types,
+        # row-normalized (round 6)
+        from mircv_ray.ops import event_transitions
+        ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_id", "ts", "user_id",
+                                      "event_type"])
+        return _sorted_table(event_transitions(ev),
+                             ["from_type", "to_type"])
+
+    def normalized_values(sf_dir: str):
+        # per-event-type z-score + min-max feature scaling (round 4)
+        from mircv_ray.ops import zscore_normalize
+        ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_id", "event_type",
+                                      "value"])
+        return _sorted_table(
+            zscore_normalize(ev, "event_type", "value"), ["event_id"])
+
     def winsorized_values(sf_dir: str):
         # clip event values at the exact global [p05, p95] quantiles
         # (quantile_cont interpolation on both sides; clipped round 4)
@@ -3181,6 +3200,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heaps_corpus": heaps_corpus,
         "entropy_ranks": entropy_ranks,
         "winsorized_values": winsorized_values,
+        "normalized_values": normalized_values,
+        "transition_matrix": transition_matrix,
         "corpus_diff": corpus_diff_new,
         "orders_customers": orders_customers,
         "building_orders": building_orders,
@@ -4516,6 +4537,39 @@ SELECT count(*)::BIGINT AS n_terms,
        round(regr_intercept(log10(c::DOUBLE), log10(rnk::DOUBLE)), 6)
            AS zipf_intercept
 FROM r
+""",
+        # lead() over the same (ts, event_id) per-user order; integer
+        # counts hash-exact, probs the same n/tot doubles round 6
+        "transition_matrix": """
+WITH o AS (SELECT user_id, event_type AS from_type,
+                  lead(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id)
+                      AS to_type
+           FROM events),
+c AS (SELECT from_type, to_type, count(*)::BIGINT AS n_transitions
+      FROM o WHERE to_type IS NOT NULL GROUP BY 1, 2),
+t AS (SELECT from_type, sum(n_transitions)::DOUBLE AS tot
+      FROM c GROUP BY from_type)
+SELECT c.from_type, c.to_type, c.n_transitions,
+       round(c.n_transitions / t.tot, 6) AS prob
+FROM c JOIN t USING (from_type)
+ORDER BY c.from_type, c.to_type
+""",
+        # population stddev + min/max per type; round 4 absorbs float
+        # association between the engines' sufficient-statistic sums
+        "normalized_values": """
+WITH s AS (SELECT event_type, avg(value) AS m,
+                  stddev_pop(value) AS sd,
+                  min(value) AS lo, max(value) AS hi
+           FROM events GROUP BY event_type)
+SELECT e.event_id, e.event_type, e.value,
+       round(CASE WHEN s.sd > 0 THEN (e.value - s.m) / s.sd
+                  ELSE 0 END, 4) AS zscore,
+       round(CASE WHEN s.hi > s.lo
+                  THEN (e.value - s.lo) / (s.hi - s.lo)
+                  ELSE 0 END, 4) AS minmax
+FROM events e JOIN s USING (event_type)
+ORDER BY e.event_id
 """,
         # exact-quantile clip; quantile_cont is the same linear
         # interpolation as the engine's order-statistic fetch

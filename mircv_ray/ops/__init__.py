@@ -38,11 +38,11 @@ from .sketches import (bloom_build, bloom_params, bloom_probe, bloom_test,
 from .equijoin import equi_join, semi_join
 from .joins import (asof_join_backward, asof_join_backward_salted,
                     interval_join, interval_join_salted)
-from .quantiles import global_ntile, global_rank, grouped_quantiles, grouped_quantiles_tdigest, winsorize
+from .quantiles import global_ntile, global_rank, grouped_quantiles, grouped_quantiles_tdigest, winsorize, zscore_normalize
 from .streaming import (StreamingSessionizer, StreamingTumblingWindow,
                         stream_sessionize, stream_tumbling_window_agg)
 from .substring import ngram_window_rows, shared_ngram_pairs
-from .windows import funnel, hopping_window_agg, moving_agg, pivot_counts, props_extract, rollup_agg, running_agg, time_window_agg, sessionize, top_users_by_type, tumbling_window_agg
+from .windows import event_transitions, funnel, hopping_window_agg, moving_agg, pivot_counts, props_extract, rollup_agg, running_agg, time_window_agg, sessionize, top_users_by_type, tumbling_window_agg
 
 __all__ = [
     "DecodeImage", "SampleFrames", "make_media_table",
@@ -62,9 +62,9 @@ __all__ = [
     "exact_distinct_per_group", "hll_distinct_per_group",
     "asof_join_backward", "asof_join_backward_salted", "interval_join",
     "equi_join", "semi_join",
-    "grouped_quantiles", "grouped_quantiles_tdigest", "global_rank", "winsorize",
+    "grouped_quantiles", "grouped_quantiles_tdigest", "global_rank", "winsorize", "zscore_normalize",
     "pq_train", "pq_encode", "pq_cosine_topk", "pq_cosine_topk_rerank",
-    "tumbling_window_agg", "hopping_window_agg", "sessionize", "props_extract", "top_users_by_type", "running_agg", "funnel", "moving_agg", "rollup_agg", "pivot_counts", "time_window_agg",
+    "tumbling_window_agg", "hopping_window_agg", "sessionize", "props_extract", "top_users_by_type", "running_agg", "funnel", "moving_agg", "rollup_agg", "pivot_counts", "time_window_agg", "event_transitions",
     "StreamingTumblingWindow", "stream_tumbling_window_agg",
     "StreamingSessionizer", "stream_sessionize",
     "kmeans_assign", "kmeans_fit", "semantic_dedup",

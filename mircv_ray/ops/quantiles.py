@@ -354,3 +354,109 @@ def winsorize(ds, value_col: str, lo: float = 0.01, hi: float = 0.99,
         return batch.append_column(out_col, arr)
 
     return ds.map_batches(clip, batch_format="pyarrow")
+
+
+def zscore_normalize(ds, group_col: str, value_col: str,
+                     id_col: str = "event_id"):
+    """Per-group feature scaling — z-score ((x − mean)/stddev_pop) and
+    min-max ((x − min)/(max − min)) of ``value_col`` within each
+    ``group_col``: the standardization step before training on tabular
+    features. Returns (id, group, value, zscore, minmax), both scaled
+    columns rounded 4 (mean/std are float sums whose association
+    differs across engines; 1e-12 relative noise vs a 1e-4 grid).
+
+    Scale shape: ONE pass emits per-batch map-side sufficient
+    statistics (count, sum, sum-of-squares, min, max) per group; one
+    group-sized groupby merges them; the tiny stats table broadcasts
+    (ray.put once) and a map-only pass scales — content never
+    shuffles. Degenerate groups (one value / zero variance) emit 0.
+    NULL values pass through NULL and are excluded from the stats.
+    """
+    import ray
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max, Min, Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({group_col: batch[group_col],
+                      "v": batch[value_col]}).drop_null()
+        if t.num_rows == 0:
+            return pa.table({group_col: pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64()),
+                             "s": pa.array([], type=pa.float64()),
+                             "ss": pa.array([], type=pa.float64()),
+                             "mn": pa.array([], type=pa.float64()),
+                             "mx": pa.array([], type=pa.float64())})
+        v = t["v"]
+        sq = pc.multiply(v, v)
+        t2 = pa.table({group_col: t[group_col], "v": v, "sq": sq,
+                       "one": pa.array(np.ones(t.num_rows, np.int64))})
+        a = t2.group_by(group_col).aggregate(
+            [("one", "sum"), ("v", "sum"), ("sq", "sum"),
+             ("v", "min"), ("v", "max")])
+        return pa.table({group_col: a[group_col],
+                         "n": a["one_sum"].cast(pa.int64()),
+                         "s": a["v_sum"], "ss": a["sq_sum"],
+                         "mn": a["v_min"], "mx": a["v_max"]})
+
+    stats_ds = (ds.map_batches(partial, batch_format="pyarrow")
+                .groupby(group_col)
+                .aggregate(Sum("n", alias_name="n"),
+                           Sum("s", alias_name="s"),
+                           Sum("ss", alias_name="ss"),
+                           Min("mn", alias_name="mn"),
+                           Max("mx", alias_name="mx")))
+    tbls = [t for t in ray.get(stats_ds.to_arrow_refs()) if t.num_rows]
+    if tbls:
+        st = pa.concat_tables(tbls).combine_chunks()
+        keys = np.asarray(st[group_col].to_pylist(), dtype="S")
+        order = np.argsort(keys, kind="stable")
+        keys = keys[order]
+        n = st["n"].to_numpy()[order].astype(np.float64)
+        s = st["s"].to_numpy()[order]
+        ss = st["ss"].to_numpy()[order]
+        mn = st["mn"].to_numpy()[order]
+        mx = st["mx"].to_numpy()[order]
+        mean = s / n
+        var = np.maximum(ss / n - mean * mean, 0.0)
+        std = np.sqrt(var)
+    else:
+        keys = np.zeros(0, dtype="S1")
+        mean = std = mn = mx = np.zeros(0)
+    ref = ray.put((keys, mean, std, mn, mx))
+    cache: dict = {}
+
+    def scale(batch: pa.Table) -> pa.Table:
+        key = ref.hex() if hasattr(ref, "hex") else id(ref)
+        if key not in cache:
+            cache[key] = ray.get(ref)
+            while len(cache) > 4:
+                cache.pop(next(iter(cache)))
+        kv, me, sd, lo, hi = cache[key]
+        g = batch[group_col]
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        gb = np.asarray(g.to_pylist(), dtype="S")
+        pos = np.minimum(np.searchsorted(kv, gb), max(len(kv) - 1, 0))
+        v = batch[value_col]
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        x = v.to_numpy(zero_copy_only=False).astype(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            z = np.where(sd[pos] > 0, (x - me[pos]) / sd[pos], 0.0) \
+                if len(kv) else np.zeros(len(x))
+            span = hi[pos] - lo[pos] if len(kv) else np.zeros(len(x))
+            mmx = np.where(span > 0, (x - lo[pos]) / span, 0.0) \
+                if len(kv) else np.zeros(len(x))
+        r4 = lambda a: np.trunc(a * 1e4 + np.copysign(0.5, a)) / 1e4
+        za = pa.array(np.nan_to_num(r4(z)), type=pa.float64())
+        ma = pa.array(np.nan_to_num(r4(mmx)), type=pa.float64())
+        if v.null_count:
+            valid = v.is_valid()
+            za = pc.if_else(valid, za, pa.scalar(None, pa.float64()))
+            ma = pc.if_else(valid, ma, pa.scalar(None, pa.float64()))
+        return pa.table({id_col: batch[id_col],
+                         group_col: batch[group_col],
+                         value_col: v,
+                         "zscore": za, "minmax": ma})
+
+    return ds.map_batches(scale, batch_format="pyarrow")

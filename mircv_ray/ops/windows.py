@@ -1247,3 +1247,83 @@ def time_window_agg(events_ds, width_us: int, key_col: str = "user_id",
         frag_tails.map_batches(tag_tails, batch_format="pyarrow"))
     return tagged.groupby([key_col, "__frag"]).map_groups(
         rank_frag, batch_format="pyarrow")
+
+
+def event_transitions(events_ds, key_col: str = "user_id",
+                      order_col: str = "ts", type_col: str = "event_type",
+                      id_col: str = "event_id"):
+    """First-order Markov transition matrix over per-key event
+    sequences: for consecutive events (ordered by (order, id)) of the
+    same key, count (from_type, to_type) pairs and the row-normalized
+    transition probability — the behavioral sibling of the text
+    bigram LM (ops/lm.py). Returns (from_type, to_type, n_transitions,
+    prob [round 6]).
+
+    Scale shape: slim (key, us, id, type) rows enter ONE key groupby;
+    each group sorts and emits its arrow-combined (from, to) counts —
+    only type-pair rows (|types|² at most) leave the group; one tiny
+    pair groupby sums and ONE constant-key task row-normalizes
+    (types²-sized, never event-sized).
+    """
+    from ray.data.aggregate import Sum
+
+    prep = events_ds.select_columns([key_col, order_col, id_col,
+                                     type_col])
+
+    def pairs(group: pa.Table) -> pa.Table:
+        empty = pa.table({"from_type": pa.array([], type=pa.string()),
+                          "to_type": pa.array([], type=pa.string()),
+                          "c": pa.array([], type=pa.int64())})
+        if group.num_rows < 2 or group.num_columns == 0:
+            return empty
+        order = pc.sort_indices(group,
+                                sort_keys=[(order_col, "ascending"),
+                                           (id_col, "ascending")])
+        g = group.take(order)
+        t = g[type_col]
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        n = len(t)
+        tp = pa.table({"from_type": t.slice(0, n - 1),
+                       "to_type": t.slice(1, n - 1)})
+        a = tp.group_by(["from_type", "to_type"]).aggregate(
+            [([], "count_all")])
+        return pa.table({"from_type": a["from_type"],
+                         "to_type": a["to_type"],
+                         "c": a["count_all"].cast(pa.int64())})
+
+    counts = (prep.groupby(key_col)
+              .map_groups(pairs, batch_format="pyarrow")
+              .groupby(["from_type", "to_type"])
+              .aggregate(Sum("c", alias_name="n_transitions")))
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__all", pa.array(np.zeros(batch.num_rows, np.int8)))
+
+    def normalize(group: pa.Table) -> pa.Table:
+        empty = pa.table({"from_type": pa.array([], type=pa.string()),
+                          "to_type": pa.array([], type=pa.string()),
+                          "n_transitions": pa.array([], type=pa.int64()),
+                          "prob": pa.array([], type=pa.float64())})
+        if group.num_rows == 0 or "from_type" not in group.column_names:
+            return empty
+        f = group["from_type"]
+        if isinstance(f, pa.ChunkedArray):
+            f = f.combine_chunks()
+        n = group["n_transitions"].to_numpy().astype(np.float64)
+        denc = pc.dictionary_encode(f)
+        if isinstance(denc, pa.ChunkedArray):
+            denc = denc.combine_chunks()
+        codes = denc.indices.to_numpy(zero_copy_only=False)
+        tot = np.bincount(codes, weights=n)
+        p = n / tot[codes]
+        p = np.trunc(p * 1e6 + 0.5) / 1e6
+        return pa.table({"from_type": f, "to_type": group["to_type"],
+                         "n_transitions": group["n_transitions"]
+                         .cast(pa.int64()),
+                         "prob": pa.array(p, type=pa.float64())})
+
+    return (counts.map_batches(tag, batch_format="pyarrow")
+            .groupby("__all").map_groups(normalize,
+                                         batch_format="pyarrow"))

@@ -136,3 +136,53 @@ class TestWinsorize:
                           "value": pa.array([None], type=pa.float64())})
         with _pt.raises(ValueError):
             winsorize(rd.from_arrow(empty), "value")
+
+
+class TestZscoreNormalize:
+    """zscore_normalize: per-group z-score + min-max scaling
+    (ops/quantiles.py: zscore_normalize) vs pandas."""
+
+    @pytest.mark.parametrize("parts", [1, 7])
+    def test_matches_pandas(self, ray_session, parts):
+        import ray.data as rd
+        from mircv_ray.ops import zscore_normalize
+        rng = np.random.default_rng(33)
+        n = 3000
+        tbl = pa.table({
+            "event_id": pa.array(np.arange(n), type=pa.int64()),
+            "event_type": pa.array(rng.choice(["a", "b", "c"],
+                                              n).tolist()),
+            "value": pa.array(np.round(rng.normal(40, 25, n), 3)),
+        })
+        out = (zscore_normalize(rd.from_arrow(tbl).repartition(parts),
+                                "event_type", "value")
+               .to_pandas().sort_values("event_id")
+               .reset_index(drop=True))
+        df = tbl.to_pandas()
+        g = df.groupby("event_type").value
+        mean = g.transform("mean")
+        std = g.transform(lambda s: s.std(ddof=0))
+        z = ((df.value - mean) / std).to_numpy()
+        mn = g.transform("min")
+        mx = g.transform("max")
+        mm = ((df.value - mn) / (mx - mn)).to_numpy()
+        r4 = lambda a: np.trunc(a * 1e4 + np.copysign(0.5, a)) / 1e4
+        np.testing.assert_allclose(out.zscore, r4(z), atol=1.1e-4)
+        np.testing.assert_allclose(out.minmax, r4(mm), atol=1.1e-4)
+        assert (out.minmax >= 0).all() and (out.minmax <= 1).all()
+
+    def test_degenerate_and_nulls(self, ray_session):
+        import ray.data as rd
+        from mircv_ray.ops import zscore_normalize
+        tbl = pa.table({
+            "event_id": pa.array([0, 1, 2], type=pa.int64()),
+            "event_type": pa.array(["x", "x", "y"]),
+            "value": pa.array([7.0, None, 3.0]),
+        })
+        out = (zscore_normalize(rd.from_arrow(tbl), "event_type",
+                                "value")
+               .to_pandas().sort_values("event_id"))
+        # group x has ONE non-null value -> zero variance -> 0; group y
+        # single value -> 0; null passes through
+        assert list(out.zscore.fillna(-9)) == [0.0, -9.0, 0.0]
+        assert list(out.minmax.fillna(-9)) == [0.0, -9.0, 0.0]

@@ -395,3 +395,57 @@ class TestTimeWindowAgg:
                             salt_bucket_us=self.W)
         with pytest.raises(ValueError):
             time_window_agg(rd.from_arrow(tbl), 0)
+
+
+class TestEventTransitions:
+    """event_transitions: per-user Markov transition counts
+    (ops/windows.py: event_transitions) vs pandas."""
+
+    @pytest.mark.parametrize("parts", [1, 6])
+    def test_matches_pandas(self, ray_session, parts):
+        import ray.data as rd
+        from mircv_ray.ops import event_transitions
+        rng = np.random.default_rng(47)
+        n = 2500
+        tbl = pa.table({
+            "event_id": pa.array(np.arange(n), type=pa.int64()),
+            "ts": pa.array(rng.integers(0, 10**9, n),
+                           type=pa.timestamp("us")),
+            "user_id": pa.array(rng.integers(0, 30, n),
+                                type=pa.int64()),
+            "event_type": pa.array(
+                rng.choice(["a", "b", "c", "d"], n).tolist()),
+        })
+        out = (event_transitions(rd.from_arrow(tbl).repartition(parts))
+               .to_pandas().sort_values(["from_type", "to_type"])
+               .reset_index(drop=True))
+        df = (tbl.to_pandas()
+              .sort_values(["user_id", "ts", "event_id"]))
+        df["to"] = df.groupby("user_id").event_type.shift(-1)
+        pairs = df[df.to.notna()].groupby(["event_type", "to"]) \
+            .size().reset_index(name="n")
+        tot = pairs.groupby("event_type").n.transform("sum")
+        pairs["p"] = np.trunc(pairs.n / tot * 1e6 + 0.5) / 1e6
+        pairs = pairs.sort_values(["event_type", "to"]) \
+            .reset_index(drop=True)
+        assert list(out.from_type) == list(pairs.event_type)
+        assert list(out.to_type) == list(pairs.to)
+        assert list(out.n_transitions) == list(pairs.n)
+        np.testing.assert_allclose(out.prob, pairs.p, atol=1e-12)
+        # row-normalization: probs per from_type sum to ~1
+        sums = out.groupby("from_type").prob.sum()
+        np.testing.assert_allclose(sums, 1.0, atol=1e-4)
+
+    def test_single_event_users_emit_nothing(self, ray_session):
+        import ray.data as rd
+        from mircv_ray.ops import event_transitions
+        tbl = pa.table({
+            "event_id": pa.array([0, 1, 2], type=pa.int64()),
+            "ts": pa.array([10, 20, 5], type=pa.timestamp("us")),
+            "user_id": pa.array([1, 1, 2], type=pa.int64()),
+            "event_type": pa.array(["a", "b", "c"]),
+        })
+        out = event_transitions(rd.from_arrow(tbl)).to_pandas()
+        assert len(out) == 1
+        assert (out.from_type[0], out.to_type[0],
+                out.n_transitions[0], out.prob[0]) == ("a", "b", 1, 1.0)
