@@ -2435,6 +2435,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _sorted_table(out.map_batches(r8, batch_format="pyarrow"),
                              ["doc_id"])
 
+    def seed_distance(sf_dir: str):
+        # multi-source BFS hop distance over the pagerank_docs edge
+        # graph from the doc_id % 97 == 0 seeds, capped at 6 hops
+        import ray.data as rd
+        from mircv_ray.ops import bfs_depths
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id"])
+        n = ds.count()
+
+        def mk_edges(b: pa.Table) -> pa.Table:
+            did = b["doc_id"].to_numpy().astype(np.int64)
+            src = did[did % 10 != 0]
+            d1 = (src * 2654435761 + 7) % n
+            d2 = (src * 40503 + 13) % n
+            return pa.table({
+                "src": pa.array(np.concatenate([src, src]),
+                                type=pa.int64()),
+                "dst": pa.array(np.concatenate([d1, d2]),
+                                type=pa.int64())})
+
+        edges = ds.map_batches(mk_edges, batch_format="pyarrow")
+        ids = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id"]).to_pandas()
+        seeds = [int(i) for i in ids.doc_id if i % 97 == 0]
+        out = bfs_depths(edges, seeds, max_depth=6)
+        t = _sorted_table(out, ["node"])
+        return pa.table({"doc_id": t["node"], "depth": t["depth"]})
+
     def keywords_tfidf(sf_dir: str):
         # per-doc top-5 TF-IDF keywords, ties by term asc; scores
         # round 6 for the hash (ordering uses the unrounded doubles on
@@ -3217,6 +3245,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_docs": pagerank_docs,
         "keywords_tfidf": keywords_tfidf,
         "hits_docs": hits_docs,
+        "seed_distance": seed_distance,
         "dataset_split": dataset_split,
         "stratified_sample": stratified_sample,
         "alpha_mix_weights": alpha_mix_weights,
@@ -4353,6 +4382,25 @@ ORDER BY term_a, term_b
         # ranks round 8 (float sum-order skew ~1e-16 vs a 1e-8 grid)
         "pagerank_docs": _pagerank_sql(),
         "hits_docs": _hits_sql(),
+        # recursive CTE with UNION (distinct) bounds rows to distinct
+        # (node, depth) pairs; depth < 6 caps the recursion
+        "seed_distance": """
+WITH RECURSIVE n AS (SELECT count(*)::BIGINT AS cnt FROM documents),
+e AS (
+  SELECT doc_id AS src,
+         (doc_id * 2654435761 + 7) % (SELECT cnt FROM n) AS dst
+  FROM documents WHERE doc_id % 10 <> 0
+  UNION ALL
+  SELECT doc_id, (doc_id * 40503 + 13) % (SELECT cnt FROM n)
+  FROM documents WHERE doc_id % 10 <> 0),
+bfs(node, depth) AS (
+  SELECT doc_id, 0 FROM documents WHERE doc_id % 97 = 0
+  UNION
+  SELECT e.dst, b.depth + 1
+  FROM bfs b JOIN e ON e.src = b.node WHERE b.depth < 6)
+SELECT node AS doc_id, min(depth)::BIGINT AS depth
+FROM bfs GROUP BY node ORDER BY doc_id
+""",
         # per-doc top-5 TF-IDF keywords: identical tf*log10(N/df)
         # doubles order both sides; ties by term asc; scores round 6
         "keywords_tfidf": f"""

@@ -337,3 +337,107 @@ def hits(edges, nodes, n_iter: int = 5):
             .map_batches(lambda b: _add_pkey(b, ["node"]),
                          batch_format="pyarrow"))
     return pair.groupby("pkey").map_groups(pivot, batch_format="pyarrow")
+
+
+_DIST = pa.schema([("node", pa.int64()), ("depth", pa.int64())])
+_BTAG = pa.schema([("key", pa.int64()), ("side", pa.int8()),
+                   ("dst", pa.int64()), ("d", pa.int64())])
+
+
+def bfs_depths(edges, sources, max_depth: int = 6):
+    """Multi-source BFS hop distance — depth(v) = min hops from any
+    seed along directed edges, capped at ``max_depth`` (the crawl-depth
+    / seed-proximity analysis; the unweighted companion to
+    :func:`pagerank`). Unreachable nodes are absent from the output.
+
+    Bellman-Ford rounds on Datasets (exactly ``max_depth`` of them —
+    deterministic, partition-independent): each round co-partitions the
+    current distance rows with the edges by src hash (scatter emits
+    (dst, depth+1) per edge from a settled src), unions the previous
+    distances, and a node-hash gather keeps the min — the pagerank
+    two-exchange shape with int depths instead of float mass. State is
+    node-sized end to end; the driver holds only the seed list.
+    """
+    import ray
+    from .dedup import _add_pkey
+
+    if max_depth < 0:
+        raise ValueError(f"max_depth must be >= 0, got {max_depth}")
+    seeds = sorted(set(int(s) for s in sources))
+    if not seeds:
+        return ray.data.from_arrow(_DIST.empty_table())
+
+    def tag_edge(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return _BTAG.empty_table()
+        m = batch.num_rows
+        return pa.table({"key": batch["src"].cast(pa.int64()),
+                         "side": pa.array(np.ones(m, dtype=np.int8)),
+                         "dst": batch["dst"].cast(pa.int64()),
+                         "d": pa.nulls(m, pa.int64())}).cast(_BTAG)
+
+    e_tagged = edges.map_batches(tag_edge,
+                                 batch_format="pyarrow").materialize()
+
+    dist = ray.data.from_arrow(pa.table({
+        "node": pa.array(seeds, type=pa.int64()),
+        "depth": pa.array(np.zeros(len(seeds), np.int64))}))
+    n_blocks = max(dist.num_blocks(), 1)
+
+    def tag_dist(batch: pa.Table) -> pa.Table:
+        m = batch.num_rows
+        return pa.table({"key": batch["node"],
+                         "side": pa.array(np.zeros(m, dtype=np.int8)),
+                         "dst": pa.nulls(m, pa.int64()),
+                         "d": batch["depth"]}).cast(_BTAG)
+
+    def scatter(group: pa.Table) -> pa.Table:
+        if group.num_columns == 0 or group.num_rows == 0:
+            return _DIST.empty_table()
+        side = group["side"].to_numpy(zero_copy_only=False)
+        dk = group.filter(pa.array(side == 0))
+        ed = group.filter(pa.array(side == 1))
+        if dk.num_rows == 0 or ed.num_rows == 0:
+            return _DIST.empty_table()
+        keys = dk["key"].to_numpy()
+        order = np.argsort(keys, kind="stable")
+        keys_s = keys[order]
+        d_s = dk["d"].to_numpy()[order]
+        ek = ed["key"].to_numpy()
+        pos = np.searchsorted(keys_s, ek)
+        ok = pos < len(keys_s)
+        ok[ok] &= keys_s[np.minimum(pos, len(keys_s) - 1)][ok] == ek[ok]
+        return pa.table({
+            "node": ed["dst"].to_numpy()[ok],
+            "depth": pa.array(d_s[pos[ok]] + 1,
+                              type=pa.int64())}).cast(_DIST)
+
+    def gather(group: pa.Table) -> pa.Table:
+        if group.num_columns == 0 or group.num_rows == 0:
+            return _DIST.empty_table()
+        node = group["node"].to_numpy()
+        d = group["depth"].to_numpy()
+        order = np.argsort(node, kind="stable")
+        n_s, d_s = node[order], d[order]
+        starts = np.flatnonzero(np.append(True, n_s[1:] != n_s[:-1]))
+        return pa.table({"node": pa.array(n_s[starts]),
+                         "depth": pa.array(np.minimum.reduceat(d_s,
+                                                               starts),
+                                           type=pa.int64())})
+
+    for _ in range(max_depth):
+        tagged = (dist.map_batches(tag_dist, batch_format="pyarrow")
+                  .union(e_tagged)
+                  .map_batches(lambda b: _add_pkey(b, ["key"]),
+                               batch_format="pyarrow"))
+        contribs = tagged.groupby("pkey").map_groups(
+            scatter, batch_format="pyarrow")
+        unioned = (contribs.union(dist.map_batches(
+            lambda b: pa.table({"node": b["node"], "depth": b["depth"]}),
+            batch_format="pyarrow"))
+            .map_batches(lambda b: _add_pkey(b, ["node"]),
+                         batch_format="pyarrow"))
+        dist = unioned.groupby("pkey").map_groups(
+            gather, batch_format="pyarrow") \
+            .repartition(n_blocks).materialize()
+    return dist

@@ -168,3 +168,64 @@ def test_hits_edgeless_and_validation(ray_session):
     import pytest
     with pytest.raises(ValueError):
         hits(e, v, n_iter=0)
+
+
+# ---------------------------------------------------------------- BFS
+
+def _bfs_brute(edges, sources, max_depth):
+    from collections import deque
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, []).append(v)
+    dist = {s: 0 for s in sources}
+    q = deque(sources)
+    while q:
+        u = q.popleft()
+        if dist[u] >= max_depth:
+            continue
+        for v in adj.get(u, []):
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                q.append(v)
+    return dist
+
+
+def _bfs_run(edges, sources, max_depth, parts=3):
+    import ray
+    import ray.data as rd
+    from mircv_ray.ops import bfs_depths
+    e = rd.from_arrow(pa.table({
+        "src": pa.array([s for s, _ in edges], type=pa.int64()),
+        "dst": pa.array([t for _, t in edges], type=pa.int64()),
+    })).repartition(parts)
+    out = bfs_depths(e, sources, max_depth)
+    t = pa.concat_tables(ray.get(out.to_arrow_refs()),
+                         promote_options="default").combine_chunks()
+    return dict(zip(t["node"].to_pylist(), t["depth"].to_pylist()))
+
+
+def test_bfs_matches_brute_force(ray_session):
+    rng = np.random.default_rng(51)
+    edges = [(int(a), int(b))
+             for a, b in rng.integers(0, 200, (600, 2))]
+    for k in (0, 2, 5):
+        got = _bfs_run(edges, [0, 7, 99], k)
+        exp = _bfs_brute(edges, [0, 7, 99], k)
+        assert got == exp, k
+
+
+def test_bfs_cycles_and_partition_invariance(ray_session):
+    edges = [(0, 1), (1, 2), (2, 0),       # cycle
+             (2, 3), (3, 3),               # self-loop
+             (5, 6)]                       # disconnected from seed
+    got = _bfs_run(edges, [0], 10, parts=1)
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}
+    got7 = _bfs_run(edges, [0], 10, parts=7)
+    assert got7 == got
+    import pytest as _pt
+    import ray.data as rd
+    e = rd.from_arrow(pa.table({"src": pa.array([0], type=pa.int64()),
+                                "dst": pa.array([1], type=pa.int64())}))
+    with _pt.raises(ValueError):
+        from mircv_ray.ops import bfs_depths
+        bfs_depths(e, [0], max_depth=-1)
