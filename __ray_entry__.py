@@ -2268,6 +2268,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from mircv_ray.ops import zipf_fit
         return zipf_fit(_docs_ds(sf_dir))
 
+    def events_profile(sf_dir: str):
+        # per-column row/null/exact-distinct profile of the events
+        # table — the ingestion data-validation pass
+        from mircv_ray.ops import profile_table
+        ev = rd.read_parquet(f"{sf_dir}/events.parquet")
+        return _sorted_table(profile_table(ev), ["column"])
+
     def transition_matrix(sf_dir: str):
         # per-user first-order Markov transitions between event types,
         # row-normalized (round 6)
@@ -3230,6 +3237,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winsorized_values": winsorized_values,
         "normalized_values": normalized_values,
         "transition_matrix": transition_matrix,
+        "events_profile": events_profile,
         "corpus_diff": corpus_diff_new,
         "orders_customers": orders_customers,
         "building_orders": building_orders,
@@ -4585,6 +4593,29 @@ SELECT count(*)::BIGINT AS n_terms,
        round(regr_intercept(log10(c::DOUBLE), log10(rnk::DOUBLE)), 6)
            AS zipf_intercept
 FROM r
+""",
+        # one UNION ALL branch per column; COUNT(DISTINCT) excludes
+        # NULLs exactly like the engine's drop_null + pair distinct
+        "events_profile": """
+SELECT 'event_id' AS "column", count(*)::BIGINT AS n_rows,
+       sum((event_id IS NULL)::INT)::BIGINT AS n_null,
+       count(DISTINCT event_id)::BIGINT AS n_distinct FROM events
+UNION ALL
+SELECT 'ts', count(*), sum((ts IS NULL)::INT),
+       count(DISTINCT ts) FROM events
+UNION ALL
+SELECT 'user_id', count(*), sum((user_id IS NULL)::INT),
+       count(DISTINCT user_id) FROM events
+UNION ALL
+SELECT 'event_type', count(*), sum((event_type IS NULL)::INT),
+       count(DISTINCT event_type) FROM events
+UNION ALL
+SELECT 'value', count(*), sum((value IS NULL)::INT),
+       count(DISTINCT value) FROM events
+UNION ALL
+SELECT 'props', count(*), sum((props IS NULL)::INT),
+       count(DISTINCT props) FROM events
+ORDER BY "column"
 """,
         # lead() over the same (ts, event_id) per-user order; integer
         # counts hash-exact, probs the same n/tot doubles round 6

@@ -29,6 +29,7 @@ from .chunking import chunk_documents
 from .ltr import ltr_features
 from .passage import build_passage_index, passage_topk_maxp
 from .packing import greedy_pack, pack_sequences
+from .profile import profile_table
 from .collocations import pmi_collocations
 from .multimodal import DecodeImage, SampleFrames, make_media_table
 from .sampling import alpha_mix_weights, hash_split, importance_resample, shuffle_shards, source_quota_sample, stratified_sample
@@ -70,7 +71,7 @@ __all__ = [
     "kmeans_assign", "kmeans_fit", "semantic_dedup",
     "chunk_documents", "comb_fuse", "rrf_fuse", "ltr_features",
     "build_passage_index", "passage_topk_maxp",
-    "greedy_pack", "pack_sequences",
+    "greedy_pack", "pack_sequences", "profile_table",
     "pmi_collocations",
     "mg_heavy_hitters",
     "bloom_build", "bloom_params", "bloom_probe", "bloom_test",

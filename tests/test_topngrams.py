@@ -274,3 +274,46 @@ class TestHeapsFit:
         assert abs(out["heaps_beta"][0].as_py() - beta) < 2e-6
         assert abs(out["heaps_log10_k"][0].as_py() - logk) < 2e-6
         assert 0.1 < out["heaps_beta"][0].as_py() < 1.0
+
+
+class TestProfileTable:
+    """profile_table: per-column row/null/distinct profile
+    (ops/profile.py: profile_table) vs pandas."""
+
+    @pytest.mark.parametrize("parts", [1, 6])
+    def test_matches_pandas(self, ray_session, parts):
+        import ray.data as rd
+        from mircv_ray.ops import profile_table
+        rng = np.random.default_rng(55)
+        n = 2000
+        vals = rng.normal(size=n)
+        vals[::17] = np.nan                       # becomes null below
+        tbl = pa.table({
+            "id": pa.array(np.arange(n), type=pa.int64()),
+            "cat": pa.array(rng.choice(["a", "b", "c", None],
+                                       n).tolist(), type=pa.string()),
+            "x": pa.array([None if np.isnan(v) else float(v)
+                           for v in vals], type=pa.float64()),
+        })
+        out = (profile_table(rd.from_arrow(tbl).repartition(parts))
+               .to_pandas().sort_values("column")
+               .reset_index(drop=True))
+        df = tbl.to_pandas()
+        assert list(out.column) == ["cat", "id", "x"]
+        assert (out.n_rows == n).all()
+        exp_null = [int(df.cat.isna().sum()), 0, int(df.x.isna().sum())]
+        assert list(out.n_null) == exp_null
+        exp_dist = [df.cat.nunique(), n, df.x.nunique()]
+        assert list(out.n_distinct) == exp_dist
+
+    def test_column_subset_and_allnull(self, ray_session):
+        import ray.data as rd
+        from mircv_ray.ops import profile_table
+        tbl = pa.table({"a": pa.array([1, 1, 2], type=pa.int64()),
+                        "b": pa.array([None, None, None],
+                                      type=pa.string())})
+        out = (profile_table(rd.from_arrow(tbl), columns=["b"])
+               .to_pandas())
+        assert list(out.column) == ["b"]
+        assert list(out.n_null) == [3]
+        assert list(out.n_distinct) == [0]
