@@ -2268,6 +2268,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from mircv_ray.ops import zipf_fit
         return zipf_fit(_docs_ds(sf_dir))
 
+    def doc_sentences(sf_dir: str):
+        # rule-based sentence split on [.!?]+ runs, trimmed, empties
+        # dropped, 0-based kept-rank per doc
+        from mircv_ray.ops import split_sentences
+        return _sorted_table(split_sentences(_docs_ds(sf_dir)),
+                             ["doc_id", "sent_id"])
+
     def events_profile(sf_dir: str):
         # per-column row/null/exact-distinct profile of the events
         # table — the ingestion data-validation pass
@@ -3238,6 +3245,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalized_values": normalized_values,
         "transition_matrix": transition_matrix,
         "events_profile": events_profile,
+        "doc_sentences": doc_sentences,
         "corpus_diff": corpus_diff_new,
         "orders_customers": orders_customers,
         "building_orders": building_orders,
@@ -4593,6 +4601,23 @@ SELECT count(*)::BIGINT AS n_terms,
        round(regr_intercept(log10(c::DOUBLE), log10(rnk::DOUBLE)), 6)
            AS zipf_intercept
 FROM r
+""",
+        # split + ordinality + whitespace trim, rank among kept rows
+        "doc_sentences": r"""
+WITH s AS (
+  SELECT d.doc_id,
+         regexp_replace(u.s, '^\s+|\s+$', '', 'g') AS sentence, u.i
+  FROM (SELECT doc_id,
+               regexp_split_to_array(coalesce(text, ''),
+                                     '[.!?]+') AS ss
+        FROM documents) d,
+  LATERAL (SELECT unnest(d.ss) AS s,
+                  generate_subscripts(d.ss, 1) AS i) u),
+k AS (SELECT doc_id, sentence,
+             row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1
+                 AS sent_id
+      FROM s WHERE length(sentence) >= 1)
+SELECT doc_id, sent_id, sentence FROM k ORDER BY doc_id, sent_id
 """,
         # one UNION ALL branch per column; COUNT(DISTINCT) excludes
         # NULLs exactly like the engine's drop_null + pair distinct

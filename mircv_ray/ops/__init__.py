@@ -25,7 +25,7 @@ from .clustering import kmeans_assign, kmeans_fit, semantic_dedup
 from .dsir import dsir_weights
 from .bpe import bpe_encode_counts, bpe_train
 from .fusion import comb_fuse, rrf_fuse
-from .chunking import chunk_documents
+from .chunking import chunk_documents, split_sentences
 from .ltr import ltr_features
 from .passage import build_passage_index, passage_topk_maxp
 from .packing import greedy_pack, pack_sequences
@@ -69,7 +69,7 @@ __all__ = [
     "StreamingTumblingWindow", "stream_tumbling_window_agg",
     "StreamingSessionizer", "stream_sessionize",
     "kmeans_assign", "kmeans_fit", "semantic_dedup",
-    "chunk_documents", "comb_fuse", "rrf_fuse", "ltr_features",
+    "chunk_documents", "split_sentences", "comb_fuse", "rrf_fuse", "ltr_features",
     "build_passage_index", "passage_topk_maxp",
     "greedy_pack", "pack_sequences", "profile_table",
     "pmi_collocations",

@@ -87,3 +87,52 @@ def chunk_documents(ds, size: int = 100, stride: int | None = None,
         })
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+_SENT_RE = r"[.!?]+"
+
+
+def split_sentences(ds, id_col: str = "doc_id", text_col: str = "text",
+                    min_chars: int = 1):
+    """Rule-based sentence splitting — the preprocessing step between
+    documents and sentence-level dedup/embedding (the chunker's
+    punctuation-aware sibling: ``chunk_documents`` windows TOKENS, this
+    splits on terminal punctuation runs ``[.!?]+``). Sentences are
+    whitespace-trimmed; empties (and those under ``min_chars``) drop;
+    ``sent_id`` is the 0-based index among the KEPT sentences of the
+    doc — deterministic and SQL-mirrorable via ordinality.
+
+    Map-only, one regex split per batch over the Arrow value stream —
+    offsets of the flat split give every per-doc index without a
+    Python row loop.
+    """
+    if min_chars < 1:
+        raise ValueError("min_chars must be >= 1")
+
+    def split(batch: pa.Table) -> pa.Table:
+        t = batch[text_col]
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        lists = pc.split_pattern_regex(pc.fill_null(t, ""),
+                                       pattern=_SENT_RE)
+        flat = pc.utf8_trim_whitespace(pc.list_flatten(lists))
+        parent = pc.list_parent_indices(lists) \
+            .to_numpy(zero_copy_only=False)
+        keep = pc.greater_equal(pc.utf8_length(flat),
+                                pa.scalar(min_chars, pa.int32()))
+        keep_np = keep.to_numpy(zero_copy_only=False)
+        flat = flat.filter(keep)
+        parent = parent[keep_np]
+        # 0-based rank among kept sentences per doc
+        starts = np.flatnonzero(
+            np.append(True, parent[1:] != parent[:-1]))
+        pos = np.arange(len(parent)) - np.repeat(
+            starts, np.diff(np.append(starts, len(parent))))
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        return pa.table({
+            id_col: pa.array(ids[parent], type=pa.int64()),
+            "sent_id": pa.array(pos, type=pa.int64()),
+            "sentence": flat,
+        })
+
+    return ds.map_batches(split, batch_format="pyarrow")

@@ -64,3 +64,50 @@ def test_validation(ray_session):
         chunk_documents(ds, size=0)
     with pytest.raises(ValueError, match="stride"):
         chunk_documents(ds, size=5, stride=0)
+
+
+class TestSplitSentences:
+    """split_sentences (ops/chunking.py) vs a python brute force."""
+
+    @staticmethod
+    def _brute(texts, min_chars=1):
+        import re
+        rows = []
+        for i, t in enumerate(texts):
+            kept = [s.strip() for s in re.split(r"[.!?]+", t or "")]
+            kept = [s for s in kept if len(s) >= min_chars]
+            for j, s in enumerate(kept):
+                rows.append((i, j, s))
+        return rows
+
+    @pytest.mark.parametrize("parts", [1, 5])
+    def test_matches_brute_force(self, ray_session, parts):
+        import ray.data as rd
+        from mircv_ray.ops import split_sentences
+        texts = ["One. Two sentences! And... a third? tail no punct",
+                 "",
+                 None,
+                 "only one sentence with no terminal",
+                 "a. b. c.",
+                 "!!!???...",                       # punctuation only
+                 "  padded .  spaced ! "]
+        tbl = pa.table({"doc_id": pa.array(range(len(texts)),
+                                           type=pa.int64()),
+                        "text": pa.array(texts, type=pa.string())})
+        out = (split_sentences(rd.from_arrow(tbl).repartition(parts))
+               .to_pandas().sort_values(["doc_id", "sent_id"])
+               .reset_index(drop=True))
+        exp = self._brute(texts)
+        assert list(zip(out.doc_id, out.sent_id, out.sentence)) == exp
+
+    def test_min_chars_and_validation(self, ray_session):
+        import ray.data as rd
+        from mircv_ray.ops import split_sentences
+        tbl = pa.table({"doc_id": pa.array([0], type=pa.int64()),
+                        "text": pa.array(["ab. c. defg."])})
+        out = (split_sentences(rd.from_arrow(tbl), min_chars=2)
+               .to_pandas())
+        assert list(out.sentence) == ["ab", "defg"]
+        assert list(out.sent_id) == [0, 1]
+        with pytest.raises(ValueError):
+            split_sentences(rd.from_arrow(tbl), min_chars=0)
