@@ -1202,6 +1202,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         idx = _basic_index(sf_dir)
         return dump_postings(idx, docno_offset=-1)
 
+    def pruned_postings(sf_dir: str):
+        # static index pruning (Carmel et al. SIGIR'01, uniform top-k):
+        # the pruned index's ENTIRE posting store must equal per-term
+        # top-5 of the full postings — and it is a fully functional
+        # standard index (engine-queryable, recomputed df/UBs,
+        # unchanged doc lengths), pytest-pinned
+        import tempfile
+        from mircv_ray.build import prune_index
+        from mircv_ray.query.dump import dump_postings
+        idx = _basic_index(sf_dir)
+        out = tempfile.mkdtemp(prefix="pruned_idx_")
+        prune_index(idx, out, keep_per_term=5)
+        return _sorted_table(dump_postings(out, docno_offset=-1),
+                             ["term", "doc_id"])
+
     def champion_lists(sf_dir: str):
         # per-term top-3 postings by (tf desc, doc_id) — the inexact
         # top-k "fancy list" structure (IIR Sec 7.1.3); lossless
@@ -3177,6 +3192,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms": top_terms,
         "postings": postings,
         "champion_lists": champion_lists,
+        "pruned_postings": pruned_postings,
         "merge_postings": merge_postings,
         "upsert_postings": upsert_postings,
         "delete_postings": delete_postings,
@@ -3767,6 +3783,16 @@ SELECT term, df FROM df ORDER BY df DESC, term LIMIT 50
         "postings": f"""
 WITH {_TOKS_CTE}
 SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY term, doc_id
+""",
+        # pruning keeps exactly the champion criterion per term
+        "pruned_postings": f"""
+WITH {_TOKS_CTE},
+p AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY term, doc_id),
+r AS (SELECT term, doc_id, tf,
+             row_number() OVER (PARTITION BY term
+                                ORDER BY tf DESC, doc_id) AS rn
+      FROM p)
+SELECT term, doc_id, tf FROM r WHERE rn <= 5 ORDER BY term, doc_id
 """,
         "champion_lists": f"""
 WITH {_TOKS_CTE},

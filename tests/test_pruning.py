@@ -1,0 +1,126 @@
+"""Static index pruning (build/pruning.py: prune_index).
+
+Pins the Carmel-style top-k pruning contract:
+- every surviving (term, doc, tf) posting is exactly the term's top-k
+  by (tf desc, docId asc) of the full index — set-equal to a brute
+  force over the full dump;
+- the pruned index is a fully functional standard index: the engine
+  queries it unmodified, df/UBs are self-consistent (equal to a
+  from-scratch encode over the kept rows), doc lengths are the FULL
+  corpus's (unchanged normalization);
+- effectiveness: top-10 overlap vs the full index stays high at a
+  generous k and degrades monotonically as k shrinks.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from mircv_ray.config import IndexConfig, QueryConfig
+from mircv_ray.sources import generate_corpus_table
+
+N_DOCS = 150
+CFG = IndexConfig(parse=True, codec="vbyte", num_shards=4, salt_buckets=2)
+QUERIES = [
+    ["def", "return", "value"],
+    ["hash", "map", "set", "list"],
+    ["posting", "term", "lexicon", "query"],
+]
+
+
+def _corpus() -> pa.Table:
+    t = generate_corpus_table(N_DOCS, seed=42).drop_columns(["sha256"])
+    return t.take(pc.sort_indices(
+        t, sort_keys=[("repo", "ascending"), ("path", "ascending")]))
+
+
+def _dump_sorted(idx: str) -> pa.Table:
+    import ray
+    from mircv_ray.query.dump import dump_postings
+    t = pa.concat_tables(
+        ray.get(dump_postings(idx, docno_offset=0).to_arrow_refs()))
+    return t.take(pc.sort_indices(t, sort_keys=[
+        ("term", "ascending"), ("doc_id", "ascending")])).combine_chunks()
+
+
+@pytest.fixture(scope="module")
+def idx(ray_session, tmp_path_factory):
+    import ray.data as rd
+    from mircv_ray.build import build_index, prune_index
+    root = tmp_path_factory.mktemp("prune")
+    full = str(root / "full")
+    build_index(rd.from_arrow(_corpus()), full, CFG)
+    p5 = str(root / "p5")
+    prune_index(full, p5, keep_per_term=5)
+    p50 = str(root / "p50")
+    prune_index(full, p50, keep_per_term=50)
+    return full, p5, p50
+
+
+def _brute_topk(full_dump: pa.Table, k: int) -> set:
+    rows = list(zip(full_dump["term"].to_pylist(),
+                    full_dump["doc_id"].to_pylist(),
+                    full_dump["tf"].to_pylist()))
+    by_term: dict = {}
+    for t, d, f in rows:
+        by_term.setdefault(t, []).append((d, f))
+    keep = set()
+    for t, posts in by_term.items():
+        posts.sort(key=lambda df: (-df[1], df[0]))
+        for d, f in posts[:k]:
+            keep.add((t, d, f))
+    return keep
+
+
+def test_pruned_postings_are_exact_topk(ray_session, idx):
+    full, p5, _ = idx
+    got = set(zip(_dump_sorted(p5)["term"].to_pylist(),
+                  _dump_sorted(p5)["doc_id"].to_pylist(),
+                  _dump_sorted(p5)["tf"].to_pylist()))
+    exp = _brute_topk(_dump_sorted(full), 5)
+    assert got == exp
+    assert len(got) < _dump_sorted(full).num_rows   # actually pruned
+
+
+def test_pruned_index_is_selfconsistent_and_queryable(ray_session, idx):
+    full, p5, p50 = idx
+    from mircv_ray.build import load_stats
+    from mircv_ray.query.engine import QueryEngine
+    sf = load_stats(full)
+    sp = load_stats(p5)
+    # unchanged normalization, fewer postings
+    assert sp["n_docs"] == sf["n_docs"]
+    assert sp["total_doc_len"] == sf["total_doc_len"]
+    eng_full = QueryEngine(full, QueryConfig(k=10))
+    eng_p50 = QueryEngine(p50, QueryConfig(k=10))
+    eng_p5 = QueryEngine(p5, QueryConfig(k=10))
+    ov50, ov5 = [], []
+    for q in QUERIES:
+        top_full = [d for d, _ in eng_full.score_terms(q)]
+        top_p50 = [d for d, _ in eng_p50.score_terms(q)]
+        top_p5 = [d for d, _ in eng_p5.score_terms(q)]
+        ov50.append(len(set(top_full) & set(top_p50))
+                    / max(len(top_full), 1))
+        ov5.append(len(set(top_full) & set(top_p5))
+                   / max(len(top_full), 1))
+    # pruning is approximate BY DESIGN (df/idf recompute over the kept
+    # lists, so even generous k shifts some ranks); the contract is a
+    # strong overlap at generous k, a useful one at aggressive k, and
+    # monotone degradation
+    assert np.mean(ov50) >= 0.6
+    assert np.mean(ov5) >= 0.2
+    assert np.mean(ov50) >= np.mean(ov5)
+
+
+def test_validation(ray_session, idx):
+    full, _, _ = idx
+    from mircv_ray.build import prune_index
+    with pytest.raises(ValueError):
+        prune_index(full, "/tmp/nope", keep_per_term=0)
+    with pytest.raises(ValueError):
+        prune_index(full, "/tmp/nope", keep_per_term=3,
+                    cfg=IndexConfig(parse=not CFG.parse,
+                                    codec=CFG.codec,
+                                    num_shards=CFG.num_shards,
+                                    salt_buckets=CFG.salt_buckets))
