@@ -68,6 +68,14 @@ def main() -> None:
     sp = sub.add_parser("status", help="print stats + tombstone count")
     sp.add_argument("index")
 
+    pr = sub.add_parser("prune", help="static index pruning: keep each "
+                        "term's top-K postings (tf desc, docId asc) "
+                        "into OUT (Carmel et al. SIGIR'01)")
+    pr.add_argument("index")
+    pr.add_argument("out")
+    pr.add_argument("--keep", type=int, default=10,
+                    help="postings kept per term (default 10)")
+
     pp = sub.add_parser("positions", help="build the positional-postings "
                         "sidecar (enables index-only phrase queries)")
     pp.add_argument("index")
@@ -256,6 +264,13 @@ def main() -> None:
                               squeeze=stats["squeeze"])
             print(json.dumps({"expansions": exp,
                               "results": t.to_pylist()}))
+        ray.shutdown()
+        return
+    if args.cmd == "prune":
+        from mircv_ray.build import prune_index
+        stats = prune_index(args.index, args.out,
+                            keep_per_term=args.keep)
+        print(json.dumps(stats["metrics"], indent=2, default=str))
         ray.shutdown()
         return
     if args.cmd == "merge":
