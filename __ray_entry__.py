@@ -2199,6 +2199,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _sorted_table(
             funnel(ev, ["signup", "click", "purchase"]), ["user_id"])
 
+    def funnel_conversion(sf_dir: str):
+        # per-stage cumulative reach + step conversion rates (round 6)
+        from mircv_ray.ops import funnel_rates
+        ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["user_id", "ts", "event_type"])
+        return _sorted_table(
+            funnel_rates(ev, ["signup", "click", "purchase"]),
+            ["stage"])
+
     def building_orders(sf_dir: str):
         # SEMI join: orders of BUILDING-segment customers — only the
         # right side's distinct keys travel, output never multiplies
@@ -3266,6 +3275,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_customers": orders_customers,
         "building_orders": building_orders,
         "funnel_signup": funnel_signup,
+        "funnel_conversion": funnel_conversion,
         "moving_spend": moving_spend,
         "events_rollup": events_rollup,
         "hourly_spend": hourly_spend,
@@ -4541,6 +4551,39 @@ SELECT event_id, user_id,
                       ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
            AS moving_count
 FROM c ORDER BY event_id
+""",
+        # the funnel_signup CTEs aggregated: reach = count of non-null
+        # stage times, conversion = reach_i / reach_{i-1} (stage 1 vs
+        # the keys entering the funnel at all)
+        "funnel_conversion": """
+WITH u AS (SELECT DISTINCT user_id FROM events
+           WHERE event_type IN ('signup', 'click', 'purchase')),
+s1 AS (SELECT user_id, min(ts) AS t FROM events
+       WHERE event_type = 'signup' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+       JOIN s1 ON s1.user_id = e.user_id
+       WHERE e.event_type = 'click' AND e.ts > s1.t
+       GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+       JOIN s2 ON s2.user_id = e.user_id
+       WHERE e.event_type = 'purchase' AND e.ts > s2.t
+       GROUP BY e.user_id),
+agg AS (SELECT (SELECT count(*) FROM u)::BIGINT AS total,
+               (SELECT count(*) FROM s1)::BIGINT AS r1,
+               (SELECT count(*) FROM s2)::BIGINT AS r2,
+               (SELECT count(*) FROM s3)::BIGINT AS r3)
+SELECT 1::BIGINT AS stage, 'signup' AS stage_name, r1 AS n_reached,
+       round(CASE WHEN total > 0 THEN r1 / total::DOUBLE
+                  ELSE 0 END, 6) AS conversion FROM agg
+UNION ALL
+SELECT 2, 'click', r2,
+       round(CASE WHEN r1 > 0 THEN r2 / r1::DOUBLE ELSE 0 END, 6)
+FROM agg
+UNION ALL
+SELECT 3, 'purchase', r3,
+       round(CASE WHEN r2 > 0 THEN r3 / r2::DOUBLE ELSE 0 END, 6)
+FROM agg
+ORDER BY stage
 """,
         # one min-CTE per stage, each strictly after the previous
         "funnel_signup": """

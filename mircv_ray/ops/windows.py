@@ -1327,3 +1327,62 @@ def event_transitions(events_ds, key_col: str = "user_id",
     return (counts.map_batches(tag, batch_format="pyarrow")
             .groupby("__all").map_groups(normalize,
                                          batch_format="pyarrow"))
+
+
+def funnel_rates(events_ds, stages: list[str], key_col: str = "user_id",
+                 order_col: str = "ts", type_col: str = "event_type"):
+    """Funnel conversion summary — one row per stage: how many keys
+    reached it (cumulative, i.e. n_stages >= i) and the conversion
+    rate from the previous stage (round 6; stage 1's rate is vs the
+    keys that entered the funnel at all). Composes :func:`funnel`;
+    the aggregate is ONE constant-key task over the (keys)-sized
+    funnel output's n_stages histogram partials.
+    """
+    fun = funnel(events_ds, stages, key_col, order_col, type_col)
+    k = len(stages)
+
+    def hist(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "n_stages" not in batch.column_names:
+            return pa.table({"n_stages": pa.array([], type=pa.int64()),
+                             "c": pa.array([], type=pa.int64())})
+        n = batch["n_stages"].to_numpy()
+        cnt = np.bincount(n, minlength=k + 1)
+        return pa.table({"n_stages": pa.array(np.arange(k + 1),
+                                              type=pa.int64()),
+                         "c": pa.array(cnt.astype(np.int64))})
+
+    from ray.data.aggregate import Sum
+    h = (fun.map_batches(hist, batch_format="pyarrow")
+         .groupby("n_stages").aggregate(Sum("c", alias_name="c")))
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__all", pa.array(np.zeros(batch.num_rows, np.int8)))
+
+    def finalize(group: pa.Table) -> pa.Table:
+        empty = pa.table({"stage": pa.array([], type=pa.int64()),
+                          "stage_name": pa.array([], type=pa.string()),
+                          "n_reached": pa.array([], type=pa.int64()),
+                          "conversion": pa.array([], type=pa.float64())})
+        if group.num_rows == 0 or "n_stages" not in group.column_names:
+            return empty
+        ns = group["n_stages"].to_numpy()
+        c = group["c"].to_numpy()
+        counts = np.zeros(k + 1, dtype=np.int64)
+        counts[ns] = c
+        total = counts.sum()
+        # reached(i) = # keys with n_stages >= i (suffix sums)
+        reached = np.cumsum(counts[::-1])[::-1]
+        prev = np.concatenate([[total], reached[1:k]])
+        with np.errstate(invalid="ignore", divide="ignore"):
+            conv = np.where(prev > 0, reached[1:] / prev, 0.0)
+        conv = np.trunc(conv * 1e6 + 0.5) / 1e6
+        return pa.table({
+            "stage": pa.array(np.arange(1, k + 1), type=pa.int64()),
+            "stage_name": pa.array(list(stages), type=pa.string()),
+            "n_reached": pa.array(reached[1:].astype(np.int64)),
+            "conversion": pa.array(conv, type=pa.float64())})
+
+    return (h.map_batches(tag, batch_format="pyarrow")
+            .groupby("__all").map_groups(finalize,
+                                         batch_format="pyarrow"))

@@ -449,3 +449,25 @@ class TestEventTransitions:
         assert len(out) == 1
         assert (out.from_type[0], out.to_type[0],
                 out.n_transitions[0], out.prob[0]) == ("a", "b", 1, 1.0)
+
+
+class TestFunnelRates:
+    def test_matches_brute_force(self, ray_session):
+        import ray.data as rd
+        from mircv_ray.ops import funnel_rates
+        tbl = TestFunnel()._events(seed=61)
+        out = (funnel_rates(rd.from_arrow(tbl).repartition(4),
+                            TestFunnel.STAGES)
+               .to_pandas().sort_values("stage").reset_index(drop=True))
+        exp = TestFunnel()._brute(tbl)
+        total = len(exp)
+        reached = [sum(1 for t in exp.values() if len(t) >= i)
+                   for i in (1, 2, 3)]
+        assert list(out.stage) == [1, 2, 3]
+        assert list(out.stage_name) == TestFunnel.STAGES
+        assert list(out.n_reached) == reached
+        prev = [total, reached[0], reached[1]]
+        conv = [np.trunc(r / p * 1e6 + 0.5) / 1e6 if p else 0.0
+                for r, p in zip(reached, prev)]
+        np.testing.assert_allclose(out.conversion, conv, atol=1e-12)
+        assert (np.diff(out.n_reached) <= 0).all()   # monotone funnel
