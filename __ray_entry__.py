@@ -2668,7 +2668,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "embedding": pa.FixedSizeListArray.from_arrays(
                 pa.array(np.concatenate([base, planted]).reshape(-1)), dim),
         })
-        out = embedding_near_dup_pairs(rd.from_arrow(aug), threshold=0.9)
+        # bands=8 (8-bit bands): a ~0.985-cosine planted pair misses a
+        # single 8-bit band with p~0.37, all eight with p~3e-4 — the
+        # default 4x16 layout leaves ~13% per-pair miss odds, enough to
+        # trip the all-20-planted assert on an unlucky data draw
+        out = embedding_near_dup_pairs(rd.from_arrow(aug), threshold=0.9,
+                                       bands=8)
         out = out.map_batches(lambda b: _round6(b, "cosine"),
                               batch_format="pyarrow")
         got = _sorted_table(out, ["a", "b"])
