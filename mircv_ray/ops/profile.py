@@ -26,21 +26,18 @@ def profile_table(ds, columns: list[str] | None = None):
     NULLs are excluded from the distinct count (SQL COUNT(DISTINCT))."""
     from ray.data.aggregate import Sum
 
-    def partials(batch: pa.Table):
+    def pair_partials(batch: pa.Table) -> pa.Table:
         cols = columns or batch.column_names
         pairs_c, pairs_v = [], []
-        stat_rows = []
         for c in cols:
             v = batch[c]
             if isinstance(v, pa.ChunkedArray):
                 v = v.combine_chunks()
-            nn = v.null_count
-            stat_rows.append((c, batch.num_rows, nn))
             uniq = pc.unique(v.drop_null())
             s = pc.cast(uniq, pa.string())
             pairs_c.append(pa.array([c] * len(s), type=pa.string()))
             pairs_v.append(s)
-        pairs = pa.table({
+        return pa.table({
             "column": pa.concat_arrays(
                 [a.combine_chunks() if isinstance(a, pa.ChunkedArray)
                  else a for a in pairs_c]) if pairs_c
@@ -49,19 +46,17 @@ def profile_table(ds, columns: list[str] | None = None):
                 [a.combine_chunks() if isinstance(a, pa.ChunkedArray)
                  else a for a in pairs_v]) if pairs_v
             else pa.array([], type=pa.string())})
-        stats = pa.table({
-            "column": pa.array([r[0] for r in stat_rows],
-                               type=pa.string()),
-            "n_rows": pa.array([r[1] for r in stat_rows],
-                               type=pa.int64()),
-            "n_null": pa.array([r[2] for r in stat_rows],
-                               type=pa.int64())})
-        return pairs, stats
 
-    pairs_ds = ds.map_batches(lambda b: partials(b)[0],
-                              batch_format="pyarrow")
-    stats_ds = (ds.map_batches(lambda b: partials(b)[1],
-                               batch_format="pyarrow")
+    def stat_partials(batch: pa.Table) -> pa.Table:
+        cols = columns or batch.column_names
+        rows = [(c, batch.num_rows, batch[c].null_count) for c in cols]
+        return pa.table({
+            "column": pa.array([r[0] for r in rows], type=pa.string()),
+            "n_rows": pa.array([r[1] for r in rows], type=pa.int64()),
+            "n_null": pa.array([r[2] for r in rows], type=pa.int64())})
+
+    pairs_ds = ds.map_batches(pair_partials, batch_format="pyarrow")
+    stats_ds = (ds.map_batches(stat_partials, batch_format="pyarrow")
                 .groupby("column")
                 .aggregate(Sum("n_rows", alias_name="n_rows"),
                            Sum("n_null", alias_name="n_null")))
