@@ -671,12 +671,13 @@ back-to-back builds); walls below are every sample's best.
   run to date: **{best['value']} raw / {best.get('node_normalized_efficiency', '?')} normalized**.
   The round-4 fused-exchange (mr) era runs are mutually consistent:
   every retained (unflagged) one lands node-normalized 0.88-1.01,
-  including FIVE fully clean primary-pair runs (31-33: normalized
-  0.984 / 0.968 / 0.94 at contention ~1.8x; 39-40, the healthiest
-  window recorded — fastest absolute walls at both levels: raw
-  0.611 / 0.577 with contention down to 1.44-1.52x, normalized
-  0.883 / 0.877 — as DRAM pressure eases, raw efficiency moves
-  toward the bar exactly as the contention model predicts) —
+  including SIX fully clean primary-pair runs (31-33: normalized
+  0.984 / 0.968 / 0.94 at contention ~1.8x; 39-41, three mutually
+  consistent samples in the healthiest window recorded — fastest
+  absolute walls at both levels: raw 0.611 / 0.577 / 0.592 with
+  contention down to 1.44-1.52x, normalized 0.883 / 0.877 / 0.879 —
+  as DRAM pressure eases, raw efficiency moves toward the bar
+  exactly as the contention model predicts) —
   the box's 1.4-1.9x per-core DRAM slowdown at 4x occupancy is the
   entire gap to raw 0.8+, a cost a real N -> 4N NODE cluster
   (constant per-node bandwidth) does not pay. Direct confirmation at
