@@ -157,7 +157,7 @@ def equi_join(left_ds, right_ds, on, how: str = "inner",
     return rd.from_arrow_refs(out)
 
 
-def semi_join(left_ds, right_ds, on: str, right_on: str | None = None,
+def semi_join(left_ds, right_ds, on, right_on=None,
               anti: bool = False,
               broadcast_max_bytes: int | None = None,
               num_partitions: int | None = None):
@@ -174,29 +174,48 @@ def semi_join(left_ds, right_ds, on: str, right_on: str | None = None,
     its payload, and the output never multiplies. Broadcast path for a
     small key set (left streams map-side, zero shuffle); above the
     threshold the same MR repartition machinery, with reduces doing one
-    vectorized ``is_in`` per partition.
+    vectorized ``is_in`` per partition. Composite keys (lists, like
+    :func:`equi_join`) combine per row into one US-separated string —
+    a row with ANY null key column matches nothing (SQL AND-equality).
     """
     import ray
     import ray.data as rd
 
-    if right_on is None:
-        right_on = on
+    on = _as_keys(on)
+    right_on = on if right_on is None else _as_keys(right_on)
+    if len(on) != len(right_on):
+        raise ValueError("on and right_on must have the same length")
     if broadcast_max_bytes is None:
         broadcast_max_bytes = BROADCAST_RIGHT_MAX_BYTES
 
+    def combined(batch: pa.Table, keys: list):
+        """One nullable string key per row (null iff any part null)."""
+        parts = []
+        valid = None
+        for c in keys:
+            k = batch[c]
+            if isinstance(k, pa.ChunkedArray):
+                k = k.combine_chunks()
+            v = k.is_valid()
+            valid = v if valid is None else pc.and_(valid, v)
+            parts.append(pc.fill_null(pc.cast(k, pa.string()), ""))
+        if len(parts) == 1:
+            joined = parts[0]
+        else:
+            joined = pc.binary_join_element_wise(*parts, "\x1f")
+        return pc.if_else(valid, joined, pa.scalar(None, pa.string()))
+
     def rkeys(batch: pa.Table) -> pa.Table:
-        k = batch[right_on]
+        k = combined(batch, right_on)
         if isinstance(k, pa.ChunkedArray):
             k = k.combine_chunks()
         uniq = pc.unique(k.drop_null())
-        return pa.table({right_on: uniq})
+        return pa.table({"__k": uniq})
 
     keys_ds = right_ds.map_batches(rkeys, batch_format="pyarrow")
 
     def filter_with(batch: pa.Table, keyset) -> pa.Table:
-        k = batch[on]
-        if isinstance(k, pa.ChunkedArray):
-            k = k.combine_chunks()
+        k = combined(batch, on)
         if keyset is None or len(keyset) == 0:
             hit = pa.array(np.zeros(batch.num_rows, dtype=bool))
         else:
@@ -208,7 +227,7 @@ def semi_join(left_ds, right_ds, on: str, right_on: str | None = None,
         tbls = [t for t in ray.get(keys_ds.to_arrow_refs())
                 if t.num_rows]
         keyset = (pc.unique(pa.concat_tables(tbls)
-                            .combine_chunks()[right_on])
+                            .combine_chunks()["__k"])
                   if tbls else None)
         ref = ray.put(keyset)
         cache: dict = {}
@@ -228,8 +247,17 @@ def semi_join(left_ds, right_ds, on: str, right_on: str | None = None,
         num_partitions = default_join_partitions()
     n = int(num_partitions)
 
-    def _split(tbl: pa.Table, _on: str, _n=n):
-        p = _key_partition(tbl, _on, _n)
+    def _split(tbl: pa.Table, _keys, _n=n):
+        # both sides partition by crc32 of the SAME combined key string
+        # (the left derives it per row; the right's "__k" IS it) — the
+        # per-column mix of equi_join would not co-locate with "__k"
+        from ..util import crc32_column
+        k = combined(tbl, _keys) if _keys != ["__k"] else tbl["__k"]
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        h = crc32_column(pc.fill_null(k, "")) % np.uint32(_n)
+        valid = k.is_valid().to_numpy(zero_copy_only=False)
+        p = np.where(valid, h.astype(np.int64), 0)
         return tuple(tbl.filter(pa.array(p == i)) for i in range(_n))
 
     split = ray.remote(_split)
@@ -246,7 +274,7 @@ def semi_join(left_ds, right_ds, on: str, right_on: str | None = None,
 
     left_schema = left_ds.schema().base_schema
     lshards = _shards(left_ds, on)
-    rshards = _shards(keys_ds, right_on)
+    rshards = _shards(keys_ds, ["__k"])
 
     @ray.remote
     def reduce(n_left: int, *parts: pa.Table) -> pa.Table:
@@ -255,7 +283,7 @@ def semi_join(left_ds, right_ds, on: str, right_on: str | None = None,
         lt = (pa.concat_tables(lefts, promote_options="default")
               .combine_chunks() if lefts else left_schema.empty_table())
         ks = (pc.unique(pa.concat_tables(rights)
-                        .combine_chunks()[right_on]) if rights else None)
+                        .combine_chunks()["__k"]) if rights else None)
         return filter_with(lt, ks)
 
     out = [reduce.remote(len(lshards[i]), *(lshards[i] + rshards[i]))

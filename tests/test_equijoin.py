@@ -222,3 +222,25 @@ class TestCompositeKeys:
         with pytest.raises(ValueError, match="length"):
             equi_join(rd.from_arrow(left), rd.from_arrow(right),
                       ["a", "b"], right_on=["a"])
+
+    @pytest.mark.parametrize("bcast", [None, 0])
+    def test_semi_composite_keys(self, ray_session, bcast):
+        import ray.data as rd
+        from mircv_ray.ops import semi_join
+        left = pa.table({"a": pa.array([1, 1, 2, None], type=pa.int64()),
+                         "b": pa.array(["x", "y", "x", "x"]),
+                         "lv": pa.array([10, 20, 30, 40])})
+        right = pa.table({"a": pa.array([1, 2], type=pa.int64()),
+                          "b": pa.array(["x", "z"])})
+        kw = {} if bcast is None else {"broadcast_max_bytes": 0,
+                                       "num_partitions": 3}
+        semi = semi_join(rd.from_arrow(left), rd.from_arrow(right),
+                         ["a", "b"], **kw).to_pandas()
+        assert list(semi.lv) == [10]          # only (1,x) matches
+        anti = (semi_join(rd.from_arrow(left), rd.from_arrow(right),
+                          ["a", "b"], anti=True, **kw)
+                .to_pandas().sort_values("lv"))
+        assert list(anti.lv) == [20, 30, 40]  # null-key row kept
+        with pytest.raises(ValueError, match="length"):
+            semi_join(rd.from_arrow(left), rd.from_arrow(right),
+                      ["a", "b"], right_on=["a"])
