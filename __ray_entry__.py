@@ -2199,6 +2199,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _sorted_table(
             funnel(ev, ["signup", "click", "purchase"]), ["user_id"])
 
+    def user_gaps(sf_dir: str):
+        # per-user inter-event gap stats in whole microseconds
+        from mircv_ray.ops import interarrival_stats
+        ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_id", "ts", "user_id"])
+        return _sorted_table(interarrival_stats(ev), ["user_id"])
+
     def funnel_conversion(sf_dir: str):
         # per-stage cumulative reach + step conversion rates (round 6)
         from mircv_ray.ops import funnel_rates
@@ -3281,6 +3288,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "building_orders": building_orders,
         "funnel_signup": funnel_signup,
         "funnel_conversion": funnel_conversion,
+        "user_gaps": user_gaps,
         "moving_spend": moving_spend,
         "events_rollup": events_rollup,
         "hourly_spend": hourly_spend,
@@ -4556,6 +4564,25 @@ SELECT event_id, user_id,
                       ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
            AS moving_count
 FROM c ORDER BY event_id
+""",
+        # lead-diff per user; mean rounds half away to whole µs
+        "user_gaps": """
+WITH o AS (SELECT user_id, epoch_us(ts) AS us,
+                  lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id)
+                      AS nxt
+           FROM events),
+g AS (SELECT user_id, nxt - us AS gap FROM o WHERE nxt IS NOT NULL)
+SELECT u.user_id,
+       coalesce(s.n, 0)::BIGINT AS n_gaps,
+       s.mn AS min_gap_us, s.mx AS max_gap_us,
+       CAST(round(s.mean_g, 0) AS BIGINT) AS mean_gap_us
+FROM (SELECT DISTINCT user_id FROM events) u
+LEFT JOIN (SELECT user_id, count(*)::BIGINT AS n,
+                  min(gap)::BIGINT AS mn, max(gap)::BIGINT AS mx,
+                  avg(gap) AS mean_g
+           FROM g GROUP BY user_id) s USING (user_id)
+ORDER BY u.user_id
 """,
         # the funnel_signup CTEs aggregated: reach = count of non-null
         # stage times, conversion = reach_i / reach_{i-1} (stage 1 vs

@@ -471,3 +471,35 @@ class TestFunnelRates:
                 for r, p in zip(reached, prev)]
         np.testing.assert_allclose(out.conversion, conv, atol=1e-12)
         assert (np.diff(out.n_reached) <= 0).all()   # monotone funnel
+
+
+class TestInterarrivalStats:
+    def test_matches_pandas(self, ray_session):
+        import ray.data as rd
+        from mircv_ray.ops import interarrival_stats
+        tbl = _events(seed=67, n=1500, n_users=20)
+        out = (interarrival_stats(rd.from_arrow(tbl).repartition(5))
+               .to_pandas().sort_values("user_id")
+               .reset_index(drop=True))
+        df = (tbl.to_pandas()
+              .assign(us=lambda d: d.ts.astype("int64"))
+              .sort_values(["user_id", "us", "event_id"]))
+        for _, r in out.iterrows():
+            d = np.diff(df[df.user_id == r.user_id].us.to_numpy())
+            assert r.n_gaps == len(d)
+            assert r.min_gap_us == d.min()
+            assert r.max_gap_us == d.max()
+            m = d.sum() / len(d)
+            assert r.mean_gap_us == int(np.trunc(m + 0.5))
+
+    def test_single_event_key(self, ray_session):
+        import ray.data as rd
+        from mircv_ray.ops import interarrival_stats
+        tbl = pa.table({"event_id": pa.array([0], type=pa.int64()),
+                        "ts": pa.array([5], type=pa.timestamp("us")),
+                        "user_id": pa.array([9], type=pa.int64()),
+                        "value": pa.array([0.0])})
+        out = interarrival_stats(rd.from_arrow(tbl)).to_pandas()
+        assert out.n_gaps[0] == 0
+        assert pd.isna(out.min_gap_us[0])
+        assert pd.isna(out.mean_gap_us[0])
