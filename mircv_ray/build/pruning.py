@@ -83,7 +83,12 @@ def prune_index(index_dir: str, out_dir: str, keep_per_term: int,
         shutil.copytree(Path(index_dir, "docs"), out / "docs")
     else:
         (out / "docs").mkdir()
-    for side in ("doc_lens",):
+    # tombstones CARRY THROUGH like merge_indexes (build/merge.py):
+    # the pruned index keeps the same docId space, so the deletion
+    # record stays valid verbatim; the postings dump below also
+    # APPLIES them, so tombstoned docs never occupy kept top-k slots
+    # and never resurrect at query time
+    for side in ("doc_lens", "tombstones"):
         p = Path(index_dir, side)
         if p.exists():
             shutil.copytree(p, out / side)
@@ -97,7 +102,8 @@ def prune_index(index_dir: str, out_dir: str, keep_per_term: int,
     # ------- postings: decode -> per-term top-k -> re-encode -------
     t1 = time.time()
     if any(Path(index_dir, "postings").glob("**/*.parquet")):
-        rows = dump_postings(index_dir, docno_offset=0)
+        rows = dump_postings(index_dir, docno_offset=0,
+                             apply_tombstones=True)
         kept = (rows.map_batches(
                     lambda b: _topm_rows(b, keep_per_term),
                     batch_format="pyarrow")

@@ -189,7 +189,11 @@ def semi_join(left_ds, right_ds, on, right_on=None,
         broadcast_max_bytes = BROADCAST_RIGHT_MAX_BYTES
 
     def combined(batch: pa.Table, keys: list):
-        """One nullable string key per row (null iff any part null)."""
+        """One nullable string key per row (null iff any part null).
+        Composite values ESCAPE the separator (\\x1e -> \\x1e0,
+        \\x1f -> \\x1e1) before joining with \\x1f, so the mapping from
+        key tuples to strings is injective — distinct tuples whose
+        values contain the separator can never collide (ADVICE r4)."""
         parts = []
         valid = None
         for c in keys:
@@ -198,7 +202,11 @@ def semi_join(left_ds, right_ds, on, right_on=None,
                 k = k.combine_chunks()
             v = k.is_valid()
             valid = v if valid is None else pc.and_(valid, v)
-            parts.append(pc.fill_null(pc.cast(k, pa.string()), ""))
+            s = pc.fill_null(pc.cast(k, pa.string()), "")
+            if len(keys) > 1:
+                s = pc.replace_substring(s, "\x1e", "\x1e0")
+                s = pc.replace_substring(s, "\x1f", "\x1e1")
+            parts.append(s)
         if len(parts) == 1:
             joined = parts[0]
         else:

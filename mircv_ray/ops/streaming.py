@@ -236,7 +236,13 @@ class StreamingSessionizer:
                     u.tolist(), s0.tolist(), s1.tolist(),
                     n.tolist(), v.tolist()):
                 slot = self._open.get(user)
-                if slot is not None and seg_start - slot[1] <= self.gap:
+                # symmetric bridge rule (sessions-as-intervals merge,
+                # covers out-of-order segments on EITHER side of the
+                # open slot; for in-order input it reduces to the
+                # classic seg_start - last <= gap)
+                if slot is not None and \
+                        max(seg_start, slot[0]) - \
+                        min(seg_end, slot[1]) <= self.gap:
                     slot[0] = min(slot[0], seg_start)
                     slot[1] = max(slot[1], seg_end)
                     slot[2] += cnt
@@ -246,17 +252,55 @@ class StreamingSessionizer:
                         and seg_end + self.gap <= self.watermark):
                     self.late_rows += cnt      # could never stay open
                     continue
-                if slot is not None:
+                if slot is None:
+                    self._open[user] = [seg_start, seg_end, cnt, sm]
+                elif seg_start > slot[1]:
                     # a later segment with gap > gap_us supersedes the
                     # open session; it PENDS until its own finalization
                     # rule (last + gap <= watermark) allows the emit
                     self._pending.append([user, *slot])
-                self._open[user] = [seg_start, seg_end, cnt, sm]
+                    self._open[user] = [seg_start, seg_end, cnt, sm]
+                else:
+                    # an EARLIER disjoint segment (disorder > gap):
+                    # pends directly, the open session stays open
+                    self._pending.append(
+                        [user, seg_start, seg_end, cnt, sm])
+            # a late (but in-lateness) segment can EXTEND the open
+            # session backward far enough to bridge a pending one —
+            # without re-absorbing it, bounded-disorder input would emit
+            # two sessions where the batch operator emits one
+            if self._pending:
+                for user in dict.fromkeys(u.tolist()):
+                    self._absorb_pending(user)
             ts_max = batch["ts"].cast(pa.int64()).to_numpy().max()
             wm = int(ts_max) - self.lateness
             if self.watermark is None or wm > self.watermark:
                 self.watermark = wm
         return self._emit_closed(flush=False)
+
+    def _absorb_pending(self, user) -> None:
+        """Merge the user's pending sessions that now bridge the open
+        slot (two event sets merge iff the gap between the later start
+        and the earlier end is <= gap_us — covers both orders and
+        overlap). Looping re-checks after each merge: absorbing one
+        pending extends the open span, which can bridge an earlier one."""
+        slot = self._open.get(user)
+        if slot is None:
+            return
+        merged = True
+        while merged:
+            merged = False
+            for i in range(len(self._pending) - 1, -1, -1):
+                p = self._pending[i]
+                if p[0] != user:
+                    continue
+                if max(slot[0], p[1]) - min(slot[1], p[2]) <= self.gap:
+                    slot[0] = min(slot[0], p[1])
+                    slot[1] = max(slot[1], p[2])
+                    slot[2] += p[3]
+                    slot[3] += p[4]
+                    self._pending.pop(i)
+                    merged = True
 
     def _emit_closed(self, flush: bool) -> pa.Table:
         rows = [p for p in self._pending

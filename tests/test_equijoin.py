@@ -244,3 +244,28 @@ class TestCompositeKeys:
         with pytest.raises(ValueError, match="length"):
             semi_join(rd.from_arrow(left), rd.from_arrow(right),
                       ["a", "b"], right_on=["a"])
+
+
+class TestSemiJoinSeparatorEscape:
+    # ADVICE r4: composite key values containing the \x1f separator (or
+    # the \x1e escape char) must never collide across distinct tuples
+    @pytest.mark.parametrize("bcast", [1 << 30, 0])
+    @pytest.mark.parametrize("anti", [False, True])
+    def test_separator_values_do_not_collide(self, ray_session, anti,
+                                             bcast):
+        import ray.data as rd
+        from mircv_ray.ops import semi_join
+        left = pa.table({
+            "a": ["x\x1f", "x", "x\x1e", "x\x1e1", "plain"],
+            "b": ["y", "\x1fy", "1y", "y", "p"],
+            "v": [0, 1, 2, 3, 4],
+        })
+        # only the exact tuple ("x\x1f", "y") and ("plain", "p") exist
+        # on the right; the old concatenation collided rows 0/1 and 2/3
+        right = pa.table({"a": ["x\x1f", "plain"], "b": ["y", "p"]})
+        out = (semi_join(rd.from_arrow(left).repartition(3),
+                         rd.from_arrow(right), on=["a", "b"],
+                         anti=anti, broadcast_max_bytes=bcast,
+                         num_partitions=4)
+               .to_pandas().sort_values("v").v.tolist())
+        assert out == ([1, 2, 3] if anti else [0, 4])

@@ -124,3 +124,32 @@ def test_validation(ray_session, idx):
                                     codec=CFG.codec,
                                     num_shards=CFG.num_shards,
                                     salt_buckets=CFG.salt_buckets))
+
+
+def test_prune_applies_and_carries_tombstones(ray_session, idx,
+                                              tmp_path):
+    # ADVICE r4: pruning a tombstoned index must neither resurrect
+    # deleted docs' postings nor lose the deletion record
+    import shutil
+    from mircv_ray.build import (delete_docs, load_stats, prune_index)
+    from mircv_ray.build.tombstones import load_tombstones
+    from mircv_ray.query.engine import QueryEngine
+    full, _, _ = idx
+    src = str(tmp_path / "tomb_src")
+    shutil.copytree(full, src)
+    deleted = [3, 11, 42]                       # engine docIds
+    delete_docs(src, deleted)
+    out = str(tmp_path / "tomb_pruned")
+    prune_index(src, out, keep_per_term=5)
+    # (a) the sidecar carries through verbatim
+    assert load_tombstones(out).tolist() == sorted(deleted)
+    # (b) no pruned posting references a tombstoned doc (dump returns
+    # engine docIds at offset 0)
+    dump = _dump_sorted(out)
+    assert not set(dump["doc_id"].to_pylist()) & set(deleted)
+    # (c) the engine never returns a deleted doc from the pruned index
+    eng = QueryEngine(out, QueryConfig(k=10))
+    for q in QUERIES:
+        assert not {d for d, _ in eng.score_terms(q)} & set(deleted)
+    # normalization statistics still the full corpus's
+    assert load_stats(out)["n_docs"] == load_stats(full)["n_docs"]

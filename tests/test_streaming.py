@@ -166,6 +166,37 @@ class TestStreamingSessionizer:
         assert agg.late_rows == 0
         assert got == _batch_sessions(tbl)
 
+    def test_late_bridge_remerges_pending(self, ray_session):
+        # ADVICE r4: ts 100,5000,5101 arriving 100/5101/5000 with
+        # gap=5000, lateness=800 — the late 5000 bridges the pending
+        # [100] and the open [5101]; the batch answer is ONE session
+        agg = StreamingSessionizer(GAP, allowed_lateness_us=800)
+        for ts, eid in ((100, 0), (5101, 2), (5000, 1)):
+            agg.ingest(pa.table({
+                "event_id": pa.array([eid], type=pa.int64()),
+                "ts": pa.array([ts], type=pa.int64()),
+                "user_id": pa.array([7], type=pa.int64()),
+                "value": pa.array([1.0])}))
+        out = agg.flush()
+        assert agg.late_rows == 0
+        assert out.num_rows == 1
+        assert out["n_events"][0].as_py() == 3
+        assert out["start_us"][0].as_py() == 100
+        assert out["end_us"][0].as_py() == 5101
+
+    def test_heavy_disorder_within_lateness_equals_batch(self,
+                                                         ray_session):
+        # jitter exceeding the gap itself: supersede-then-bridge and
+        # earlier-disjoint segments all occur; equality must still hold
+        tbl = _sess_events(n=3000, seed=3)
+        rng = np.random.default_rng(2)
+        jit = tbl["ts"].to_numpy() + rng.integers(0, 6000, tbl.num_rows)
+        order = np.argsort(jit, kind="stable")
+        shuffled = tbl.take(pa.array(order))   # disorder bounded by 6000
+        got, agg = _drive_sessions(shuffled, lateness=6000)
+        assert agg.late_rows == 0
+        assert got == _batch_sessions(tbl)
+
     def test_state_bounded_and_flush(self, ray_session):
         tbl = _sess_events(horizon=50_000_000)  # sparse: many sessions
         agg = StreamingSessionizer(GAP, 0)
