@@ -38,6 +38,13 @@ class IndexConfig:
                                         # kept as the explicit-exchange
                                         # reference implementation)
     group_batch_size: int = 4096        # (term[,seg]) groups per build batch
+    mr2_tree_fanin: int = 0             # mr exchange two-level reduce merge
+                                        # tree: when the map-task count
+                                        # exceeds this fan-in, per-bucket
+                                        # combine tasks merge map-slice
+                                        # groups before the key reduces
+                                        # (0 = MIRCV_MR2_TREE_FANIN env
+                                        # default, 256)
     squeeze: bool = True            # run-of-3+ squeeze (Parser.java:63-90); the
                                     # "basic" SQL-checkable mode turns this off
 

@@ -175,18 +175,38 @@ class TestDeterminism:
         table = generate_corpus_table(70, seed=29)
         ds = rd.from_arrow(table.drop_columns(["sha256"]))
         readers = {}
-        for ex in ("groupby", "mr"):
+        # "mr_tree" = the fused exchange with the two-level reduce
+        # merge tree FORCED on (fan-in 2 over ~9 map tasks of 8 docs):
+        # the tree must be byte-invisible in the output
+        cfgs = {
+            "groupby": IndexConfig(parse=True, num_shards=4,
+                                   salt_buckets=2, exchange="groupby"),
+            "mr": IndexConfig(parse=True, num_shards=4,
+                              salt_buckets=2, exchange="mr"),
+            "mr_tree": IndexConfig(parse=True, num_shards=4,
+                                   salt_buckets=2, exchange="mr",
+                                   explode_batch_size=8,
+                                   mr2_tree_fanin=2),
+        }
+        stats = {}
+        for ex, cfg in cfgs.items():
             out = str(tmp_path / f"idx_{ex}")
-            build_index(ds, out, IndexConfig(parse=True, num_shards=4,
-                                             salt_buckets=2, exchange=ex))
+            stats[ex] = build_index(ds, out, cfg)
             readers[ex] = IndexReader(out)
-        a, b = readers["groupby"], readers["mr"]
-        assert a._lex == b._lex
-        for term in a._lex:
-            ia, ta = _decode_term_postings(a, term)
-            ib, tb = _decode_term_postings(b, term)
-            assert ia.tolist() == ib.tolist()
-            assert ta.tolist() == tb.tolist()
+        # the forced-low threshold really activated the combine level
+        sub = stats["mr_tree"]["metrics"]["postings_sub"]
+        assert sub["n_map_tasks"] > sub["tree_fanin"] == 2
+        assert sub["n_combines"] > 0
+        assert stats["mr"]["metrics"]["postings_sub"]["n_combines"] == 0
+        a = readers["groupby"]
+        for other in ("mr", "mr_tree"):
+            b = readers[other]
+            assert a._lex == b._lex
+            for term in a._lex:
+                ia, ta = _decode_term_postings(a, term)
+                ib, tb = _decode_term_postings(b, term)
+                assert ia.tolist() == ib.tolist(), (other, term)
+                assert ta.tolist() == tb.tolist(), (other, term)
 
     @pytest.mark.parametrize("codec", ["ef", "none"])
     def test_codec_invariance(self, ray_session, tmp_path, codec):
