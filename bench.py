@@ -685,7 +685,16 @@ back-to-back builds); walls below are every sample's best.
   stage 0.83** — where DRAM contention is mild, raw efficiency itself
   clears the bar, so bandwidth, not coordination, is the residual:
   the exchange's scheduling fixed costs are sub-second (see the
-  round-4 structural fix below).
+  round-4 structural fix below). Round 5 REPLICATED the low-occupancy
+  result on the final round-5 code (merge tree + uint16 tf): clean
+  2 -> 8 runs 44 (**raw 0.831 / stage 0.831**, contention 1.037) and
+  48 (**raw 0.822**, norm 0.943) clear the bar outright; runs 45-47
+  (raw 0.789-0.792, contention 1.11-1.16) sit just under with the
+  SAME walls and higher measured contention — the raw number tracks
+  the contention probe sample-by-sample, which is exactly the
+  bandwidth-residual model. A mult=16 run (47, 792k docs, 2x work
+  per level) landed the same raw 0.789, ruling out fixed stage
+  startup as the limiter.
 - **weather** = first-touch ms/MB probe (max of start/end stamps of
   each level's winning rep). Round 4 isolated the VM's documented
   3.8x run noise to a precise mechanism: first-touch faults on freshly
@@ -695,6 +704,40 @@ back-to-back builds); walls below are every sample's best.
   > ~2 ms/MB flag a degraded run. mircv_ray retains malloc/jemalloc
   arenas (see `_tune_malloc`) so steady-state kernels reuse hot pages,
   which bounds — but cannot eliminate — the exposure.
+
+Round-5 structural additions:
+- **two-level reduce merge tree** (`_mr2_combine`,
+  `build/index_build.py`): past MR2_TREE_FANIN (256, env/IndexConfig
+  knob) map tasks, per-bucket combine tasks merge map-slice groups
+  into single key-sorted objects before the key reduces, recursing
+  per level, so reduce ref fan-in is bounded at ANY map count instead
+  of growing linearly with data — the r4 verdict's one predictable
+  100x-scale gap (at 100 TB, maps ~10^5 would otherwise put 10^5
+  refs + fetches on every reduce). Output bytes pinned identical to
+  groupby and plain mr with the tree FORCED on
+  (test_exchange_invariance, fan-in 2 over 9 maps, 3 levels). Bench
+  knob run at sf0.1x32 (MIRCV_MR2_TREE_FANIN=4, 7 maps, 128
+  combines): build 3.04 s / 1.57 M postings/s vs 1.96 s / 2.43 M on
+  the default path in the same session — the expected small-constant
+  regression at a 7-map fleet where the tree only adds a hop; its
+  win is bounded fan-in two orders of magnitude up. Default path
+  (tree dormant below 256 maps): unchanged.
+- **uint16 tf exchange width** (`packed_tf_dtype` /
+  `packed_tf_values`, `mircv_ray/util.py`): each batch packs its tf
+  run-lengths as uint16 when every value fits 16 bits (int32 past
+  that — a doc with >= 2^16 occurrences of one term), width
+  self-describing per ROW (byte length / n) so mixed-width groups
+  decode exactly. MEASURED (20k-doc explode, MIRCV_TF_WIDE A/B): tf
+  stream 7.73 -> 3.93 MB (exactly halved), total partial payload
+  16.64 -> 12.84 MB (-22.9%) — the bytes every map sort, exchange
+  hop and reduce fetch moves. Wall-clock at sf0.1 sits inside run
+  noise (the whole tf stream is ~4 MB there); the saving scales
+  linearly with data where the exchange is bandwidth-bound. Output
+  pinned: exchange-invariance pytest, a wide-tf (70,000x one term)
+  e2e across both exchanges, and a wide≡narrow full-index equality
+  test that catches dtype-promotion drift (np.log10 over uint16
+  computes in float32 without the explicit float64 pin — found and
+  fixed by exactly that test).
 
 Round-4 structural fix (the named cause of the r3 efficiency loss):
 the postings exchange's Dataset sort shuffle carried seconds of pure

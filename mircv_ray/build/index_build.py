@@ -57,6 +57,7 @@ from ..codecs.blocks import encode_blocks, encode_stream_blocks, stream_block_bo
 from ..config import IndexConfig
 from ..text.tokenizer import Tokenizer
 from ..util import (binary_column_values_view, crc32_column,
+                    packed_tf_dtype, packed_tf_values,
                     sha256_hex_column, sort_pairs)
 from .manifests import read_manifest, stage_complete, write_manifest
 
@@ -455,7 +456,12 @@ def _make_explode(num_shards: int, salt_buckets: int, n_docs: int):
         np.logical_or(c2[1:] != c2[:-1], d2[1:] != d2[:-1],
                       out=tok_change[1:])
         pstarts = np.flatnonzero(tok_change)
-        tfs = np.diff(np.append(pstarts, len(c2))).astype(np.int32)
+        tfs64 = np.diff(np.append(pstarts, len(c2)))
+        # tf exchange width: uint16 unless this batch holds a doc with
+        # >= 2^16 occurrences of one term — halves the tf stream's
+        # shuffle + sort traffic (packed_tf_values resolves the width
+        # per row on the consumer side, so batches decide independently)
+        tfs = tfs64.astype(packed_tf_dtype(tfs64))
         run_codes_all = c2[pstarts]
         run_dids = d2[pstarts]
         # seg is monotone in doc_id, so (code, doc_id) order is also
@@ -610,7 +616,7 @@ def _make_build_segments(seg_len_slices, avg_doc_len: float,
         # value buffers, read as zero-copy typed views (the exchange
         # packs ids at int32 below 2^31 docs — see _ids_dtype)
         ids_flat = binary_column_values_view(group["ids_raw"], ids_dt)
-        tfs_flat = binary_column_values_view(group["tfs_raw"], np.int32)
+        tfs_flat = packed_tf_values(group["tfs_raw"], n_col)
         val_codes = np.repeat(rcodes_all, n_col)
         vorder = sort_pairs(val_codes, ids_flat)  # O3: explicit docId sort
         # the stream stays at the packed width (int32 below 2^31 docs);
@@ -625,7 +631,10 @@ def _make_build_segments(seg_len_slices, avg_doc_len: float,
         # A6/A7 cores via segment maxima over the whole stream
         bj_all = 0.3 + b * (doc_lens[ids_all - 1 - seg_lo] / avg_doc_len)
         b25_vals = tfs_all / (k1 * bj_all + tfs_all)
-        tf_vals = 1.0 + np.log10(tfs_all)
+        # dtype pinned: np.log10 of a uint16 array (the narrow packed
+        # width) would otherwise compute in FLOAT32 and shift the
+        # tfidf upper bounds off the float64 oracle
+        tf_vals = 1.0 + np.log10(tfs_all, dtype=np.float64)
         b25_arr = np.maximum.reduceat(b25_vals, bounds)
         tfidf_arr = np.maximum.reduceat(tf_vals, bounds)
         # every dictionary entry occurs in the column, so the sorted
@@ -930,11 +939,11 @@ def _mr2_map(chunks, batch_rows: int, mapping_box, num_shards: int,
 # two-level reduce merge tree (judge r4 item 1): with M map tasks every
 # key reduce fetches M bucket slices, so reduce ref fan-in and fetch
 # counts grow linearly with data (M ~ 10^5 at 100 TB). Above this map
-# count, one intermediate combine level per bucket merges map-slice
-# groups of <= MR2_TREE_FANIN slices into single objects, bounding each
-# reduce's fan-in at ceil(M / fanin) — <= fanin itself up to fanin^2
-# (~65k) maps; past THAT a second combine level would recurse the same
-# way (not needed at any currently plannable fleet size).
+# count, intermediate combine levels per bucket merge slice groups of
+# <= MR2_TREE_FANIN into single objects, recursing until each bucket's
+# ref list fits one reduce's fan-in budget — one level up to fanin^2
+# (~65k) maps, two up to fanin^3, so fan-in stays bounded at ANY map
+# count while each level adds exactly one object-store hop.
 MR2_TREE_FANIN = 256
 
 
@@ -1098,24 +1107,33 @@ def _mr2_exchange_build(tok_ds, mapping_ref, build_fn, out_dir: str,
         int(_os.environ.get("MIRCV_MR2_TREE_FANIN", MR2_TREE_FANIN))
     t_tree0 = time.time()
     n_combines = 0
+    tree_levels = 0
     if len(map_refs) > fanin:
-        groups_idx = [range(i, min(i + fanin, len(map_refs)))
-                      for i in range(0, len(map_refs), fanin)]
-        combined: dict[int, list] = {}
+        # recurse until every bucket's ref list fits one reduce's
+        # fan-in budget: level 1 combines map slices, level 2 (maps >
+        # fanin^2, ~10^5 at the default) combines combined objects,
+        # and so on — each level is one more object-store hop for a
+        # fan-in that stays bounded at ANY map count
+        per_bucket = {b: [map_refs[i][b] for i in range(len(map_refs))]
+                      for b in keys_by_bucket}
         comb_refs: list = []
-        for bkt in keys_by_bucket:
-            lst = [_mr2_combine.remote(
-                cfg.salt_buckets, [map_refs[i][bkt] for i in g])
-                for g in groups_idx]
-            combined[bkt] = lst
-            comb_refs.extend(lst)
+        while len(next(iter(per_bucket.values()))) > fanin:
+            tree_levels += 1
+            nxt: dict[int, list] = {}
+            for bkt, refs in per_bucket.items():
+                lst = [_mr2_combine.remote(cfg.salt_buckets,
+                                           refs[i:i + fanin])
+                       for i in range(0, len(refs), fanin)]
+                nxt[bkt] = lst
+                comb_refs.extend(lst)
+            per_bucket = nxt
         n_combines = len(comb_refs)
         # barrier WITHOUT fetching (like the map barrier): reduces take
         # nested ref lists, so their in-task ray.get must never block a
         # CPU slot on an unfinished combine
         ray.wait(comb_refs, num_returns=len(comb_refs),
                  fetch_local=False)
-        bucket_blob = {b: ray.put(combined[b]) for b in keys_by_bucket}
+        bucket_blob = {b: ray.put(per_bucket[b]) for b in keys_by_bucket}
     else:
         # one reduce per KEY (task granularity = per-key max, ~1 s — a
         # 4-key bucket reduce was the stage's straggler at 32 cpus), but
@@ -1206,6 +1224,7 @@ def _mr2_exchange_build(tok_ds, mapping_ref, build_fn, out_dir: str,
         # the lo/hi ratio measures single-box per-core contention
         "map_busy_s": round(sum(s["busy_s"] for s in map_stats), 3),
         "tree_fanin": fanin, "n_combines": n_combines,
+        "tree_levels": tree_levels,
         "combine_wall_s": round(t_tree - t_tree0, 3),
         "submit_s": round(t_submit - t_tree, 3),
         "reduce_wall_s": round(t_done - t_submit, 3),

@@ -97,7 +97,9 @@ def _rows_to_partials(num_shards: int, salt_buckets: int, n_docs: int):
         from .index_build import _ids_dtype
         codes = denc.indices.to_numpy()
         did = batch["doc_id"].to_numpy().astype(_ids_dtype(n_docs))
-        tf = batch["tf"].to_numpy().astype(np.int32)
+        tf64 = batch["tf"].to_numpy()
+        from ..util import packed_tf_dtype
+        tf = tf64.astype(packed_tf_dtype(tf64))
         from ..util import sort_pairs
         order = sort_pairs(codes, did)
         codes, did, tf = codes[order], did[order], tf[order]

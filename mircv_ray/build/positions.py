@@ -45,7 +45,8 @@ import ray
 from ..codecs.vbyte import vbyte_decode, vbyte_encode, vbyte_lengths
 from ..config import IndexConfig
 from ..text.tokenizer import Tokenizer, tokenize_text
-from ..util import crc32_column, sort_pairs
+from ..util import (crc32_column, packed_tf_dtype, packed_tf_values,
+                    sort_pairs)
 from .index_build import (AttachIds, _broadcast_mapping, _ids_dtype,
                           _packed_runs, _term_shards_memo)
 
@@ -105,7 +106,11 @@ def _make_pos_explode(num_shards: int, salt_buckets: int, n_docs: int):
         np.logical_or(c2[1:] != c2[:-1], d2[1:] != d2[:-1],
                       out=occ_change[1:])
         pstarts = np.flatnonzero(occ_change)
-        cnts = np.diff(np.append(pstarts, len(c2))).astype(np.int32)
+        cnts64 = np.diff(np.append(pstarts, len(c2)))
+        # per-doc occurrence counts share the tf distribution: uint16
+        # unless one doc holds >= 2^16 occurrences (packed_tf_values
+        # resolves the width per row on the consumer side)
+        cnts = cnts64.astype(packed_tf_dtype(cnts64))
         run_codes_all = c2[pstarts]
         run_dids = d2[pstarts]
         if n_docs * salt_buckets < 2**31:
@@ -160,7 +165,7 @@ def _encode_pos_group(group: pa.Table, out_dir: str, n_docs: int) -> dict:
     # column (same contract as the main build's build_segments)
     from ..util import binary_column_values_view as flat_of
     ids = flat_of(group["ids_raw"], ids_dt)
-    cnts = flat_of(group["cnt_raw"], np.int32)
+    cnts = packed_tf_values(group["cnt_raw"], n_runs)
     run_of = np.repeat(np.arange(len(n_runs), dtype=np.int64), n_runs)
     # doc-level order: (term, docId) across all partial rows
     order = sort_pairs(tcodes[run_of], ids)

@@ -61,6 +61,72 @@ def binary_column_values_view(col, dtype) -> "np.ndarray":
     return data[lo:hi].copy().view(dtype)
 
 
+def packed_tf_values(col, n_col) -> "np.ndarray":
+    """Typed read of a PACKED-RUN tf column whose per-row item width is
+    SELF-DESCRIBING (row byte length / row value count): the partial-
+    posting exchange packs tfs as uint16 when every tf in the producing
+    batch fits 16 bits (the overwhelmingly common case — a wider tf
+    needs a doc with >= 2^16 occurrences of one term), int32 otherwise,
+    halving the tf stream's exchange + sort DRAM traffic. Batches
+    decide independently, so width resolves per ROW here. All-uint16 /
+    all-int32 columns return the zero-copy flat view; mixed columns
+    materialize one int32 array (rare by construction).
+
+    ``n_col`` is the per-row value count (the partial format's ``n``
+    column)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.zeros(0, dtype=np.int32)
+    nv = np.asarray(n_col, dtype=np.int64)
+    offs = np.frombuffer(col.buffers()[1], dtype=np.int32,
+                         count=n + 1, offset=col.offset * 4)
+    data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+    blen = (offs[1:] - offs[:-1]).astype(np.int64)
+    lo, hi = int(offs[0]), int(offs[-1])
+    narrow = blen == 2 * nv
+    wide = blen == 4 * nv
+    if not (narrow | wide).all():
+        raise ValueError("tf run byte length matches neither uint16 "
+                         "nor int32 packing")
+    if narrow.all():
+        flat = data[lo:hi]
+        return (flat if lo % 2 == 0 else flat.copy()).view(np.uint16)
+    if wide.all():
+        flat = data[lo:hi]
+        return (flat if lo % 4 == 0 else flat.copy()).view(np.int32)
+    out = np.empty(int(nv.sum()), dtype=np.int32)
+    vout = np.cumsum(nv) - nv
+    for width, m in ((2, narrow & ~wide), (4, wide)):
+        if not m.any():
+            continue
+        cnt = nv[m]
+        pos_out = np.repeat(vout[m], cnt) + multi_arange(cnt)
+        bpos = np.repeat(offs[:-1][m].astype(np.int64), cnt) + \
+            width * multi_arange(cnt)
+        v = data[bpos].astype(np.int32)
+        v |= data[bpos + 1].astype(np.int32) << 8
+        if width == 4:
+            v |= data[bpos + 2].astype(np.int32) << 16
+            v |= data[bpos + 3].astype(np.int32) << 24
+        out[pos_out] = v
+    return out
+
+
+def packed_tf_dtype(tfs: "np.ndarray"):
+    """Exchange width for a batch's tf run lengths: uint16 while every
+    value fits, int32 past 2^16 (see :func:`packed_tf_values`).
+    MIRCV_TF_WIDE=1 forces the legacy int32 packing everywhere — the
+    A/B knob for measuring the narrow format's traffic saving."""
+    import os
+    if os.environ.get("MIRCV_TF_WIDE") == "1":
+        return np.int32
+    if len(tfs) == 0 or int(tfs.max()) < (1 << 16):
+        return np.uint16
+    return np.int32
+
+
 def sort_pairs(major: "np.ndarray", minor: "np.ndarray") -> "np.ndarray":
     """argsort of (major, minor) pairs of NON-NEGATIVE int64s.
 

@@ -197,6 +197,8 @@ class TestDeterminism:
         sub = stats["mr_tree"]["metrics"]["postings_sub"]
         assert sub["n_map_tasks"] > sub["tree_fanin"] == 2
         assert sub["n_combines"] > 0
+        # ~9 maps at fan-in 2 recurse: 9 -> 5 -> 3 -> 2 groups
+        assert sub["tree_levels"] >= 2
         assert stats["mr"]["metrics"]["postings_sub"]["n_combines"] == 0
         a = readers["groupby"]
         for other in ("mr", "mr_tree"):
