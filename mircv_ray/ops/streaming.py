@@ -258,12 +258,12 @@ class StreamingSessionizer:
                     # a later segment with gap > gap_us supersedes the
                     # open session; it PENDS until its own finalization
                     # rule (last + gap <= watermark) allows the emit
-                    self._pending.append([user, *slot])
+                    self._pend_segment([user, *slot])
                     self._open[user] = [seg_start, seg_end, cnt, sm]
                 else:
                     # an EARLIER disjoint segment (disorder > gap):
                     # pends directly, the open session stays open
-                    self._pending.append(
+                    self._pend_segment(
                         [user, seg_start, seg_end, cnt, sm])
             # a late (but in-lateness) segment can EXTEND the open
             # session backward far enough to bridge a pending one —
@@ -277,6 +277,29 @@ class StreamingSessionizer:
             if self.watermark is None or wm > self.watermark:
                 self.watermark = wm
         return self._emit_closed(flush=False)
+
+    def _pend_segment(self, seg: list) -> None:
+        """Park a closed-for-now session, first coalescing it with any
+        pending session of the same user it bridges (two directly-
+        pended out-of-order segments can bridge EACH OTHER without
+        either bridging the open slot — the pending list must stay
+        merge-closed or such pairs would emit as two sessions)."""
+        user = seg[0]
+        merged = True
+        while merged:
+            merged = False
+            for i in range(len(self._pending) - 1, -1, -1):
+                p = self._pending[i]
+                if p[0] != user:
+                    continue
+                if max(seg[1], p[1]) - min(seg[2], p[2]) <= self.gap:
+                    seg[1] = min(seg[1], p[1])
+                    seg[2] = max(seg[2], p[2])
+                    seg[3] += p[3]
+                    seg[4] += p[4]
+                    self._pending.pop(i)
+                    merged = True
+        self._pending.append(seg)
 
     def _absorb_pending(self, user) -> None:
         """Merge the user's pending sessions that now bridge the open

@@ -232,3 +232,36 @@ class TestStreamingSessionizer:
             StreamingSessionizer(0)
         with pytest.raises(ValueError):
             StreamingSessionizer(10, -1)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+class TestSessionizerProperty:
+    # property fuzz of the round-5 disorder fix: ANY event stream whose
+    # arrival disorder is bounded by allowed_lateness must reproduce
+    # the batch sessionize exactly (sessions as sets; late_rows == 0)
+    @given(st.integers(min_value=0, max_value=9999),
+           st.integers(min_value=0, max_value=12000),
+           st.integers(min_value=10, max_value=400))
+    @settings(max_examples=25, deadline=None)
+    def test_bounded_disorder_equals_batch(self, seed, jitter_max,
+                                           batch_size):
+        rng = np.random.default_rng(seed)
+        n = 400
+        tbl = pa.table({
+            "event_id": pa.array(np.arange(n), type=pa.int64()),
+            "ts": pa.array(np.sort(rng.integers(0, 150_000, n)),
+                           type=pa.int64()),
+            "user_id": pa.array(rng.integers(0, 8, n), type=pa.int64()),
+            "value": pa.array(np.round(rng.uniform(0, 10, n), 2)),
+        })
+        jit = tbl["ts"].to_numpy() + rng.integers(
+            0, jitter_max + 1, n)
+        order = np.argsort(jit, kind="stable")
+        got, agg = _drive_sessions(tbl.take(pa.array(order)),
+                                   lateness=jitter_max,
+                                   batch_size=batch_size)
+        assert agg.late_rows == 0
+        assert got == _batch_sessions(tbl)

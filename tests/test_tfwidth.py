@@ -121,3 +121,37 @@ class TestWideTfEndToEnd:
             ib, tb = b.decoded(term)
             assert ia.tolist() == ib.tolist()
             assert ta.tolist() == tb.tolist()
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+class TestPackedTfValuesProperty:
+    # property fuzz: arbitrary run partitions x arbitrary per-batch
+    # width choices (incl. values straddling 2^16) round-trip exactly
+    @given(st.lists(
+        st.tuples(
+            st.lists(st.lists(st.integers(min_value=1,
+                                          max_value=200_000),
+                              min_size=1, max_size=6),
+                     min_size=1, max_size=5),
+            st.booleans()),          # force-wide flag per batch
+        min_size=1, max_size=5))
+    @settings(max_examples=60, deadline=None)
+    def test_roundtrip_any_mix(self, batches):
+        from mircv_ray.build.index_build import _packed_runs
+        cols, all_vals, all_ns = [], [], []
+        for runs, force_wide in batches:
+            flat = np.array([v for r in runs for v in r],
+                            dtype=np.int64)
+            starts = np.cumsum([0] + [len(r) for r in runs[:-1]])
+            dt = np.int32 if (force_wide or flat.max() >= 1 << 16) \
+                else np.uint16
+            cols.append(_packed_runs(flat.astype(dt),
+                                     np.asarray(starts)))
+            all_vals.extend(flat.tolist())
+            all_ns.extend(len(r) for r in runs)
+        col = pa.concat_arrays(cols)
+        got = packed_tf_values(col, np.array(all_ns, dtype=np.int64))
+        assert got.tolist() == all_vals
