@@ -731,7 +731,11 @@ Round-5 structural additions:
   decode exactly. MEASURED (20k-doc explode, MIRCV_TF_WIDE A/B): tf
   stream 7.73 -> 3.93 MB (exactly halved), total partial payload
   16.64 -> 12.84 MB (-22.9%) — the bytes every map sort, exchange
-  hop and reduce fetch moves. Wall-clock at sf0.1 sits inside run
+  hop and reduce fetch moves. The positions sidecar's exchange gets
+  the same treatment on BOTH its occurrence streams (in-doc
+  positions are doc-length-bounded): pos 14.66 -> 7.39 MB, cnt
+  7.73 -> 3.93 MB, total 31.3 -> 20.2 MB (-35.4%) at the same
+  explode. Wall-clock at sf0.1 sits inside run
   noise (the whole tf stream is ~4 MB there); the saving scales
   linearly with data where the exchange is bandwidth-bound. Output
   pinned: exchange-invariance pytest, a wide-tf (70,000x one term)

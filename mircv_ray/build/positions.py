@@ -88,8 +88,13 @@ def _make_pos_explode(num_shards: int, salt_buckets: int, n_docs: int):
         lens = np.asarray(tokens.value_lengths().fill_null(0),
                           dtype=np.int64)
         starts = np.cumsum(lens) - lens
-        pos = (np.arange(len(codes), dtype=np.int64)
-               - starts[parents]).astype(np.int32)
+        pos64 = np.arange(len(codes), dtype=np.int64) - starts[parents]
+        # in-doc positions are bounded by doc length: uint16 unless the
+        # batch holds a doc past 2^16 tokens — pos is the LARGEST
+        # stream of this exchange (one entry per occurrence), so the
+        # narrow width halves most of its traffic (width resolves per
+        # row on the consumer side, like the tf stream)
+        pos = pos64.astype(packed_tf_dtype(pos64))
         did = batch["doc_id"].to_numpy().astype(ids_dt)[parents]
         # STABLE (term, doc) sort keeps stream order within a run, so
         # each run's positions come out ascending — util.sort_pairs is
@@ -175,7 +180,11 @@ def _encode_pos_group(group: pa.Table, out_dir: str, n_docs: int) -> dict:
     # occurrence-level gather: each doc's positions move as one slice —
     # vectorized segmented gather (no per-doc Python):
     # gather[j] = src_start(of j's doc in output order) + local offset
-    pos = flat_of(group["pos_raw"], np.int32)
+    # per-row pos counts = the row's summed occurrence counts (int64
+    # accumulate: a uint16 reduceat would wrap past 65535 occurrences)
+    row_starts = (np.cumsum(n_runs) - n_runs).astype(np.int64)
+    n_pos = np.add.reduceat(cnts.astype(np.int64), row_starts)
+    pos = packed_tf_values(group["pos_raw"], n_pos)
     occ_starts_src = (np.cumsum(cnts) - cnts).astype(np.int64)
     total_occ = int(cnts_o.sum())
     out_starts = np.cumsum(cnts_o) - cnts_o

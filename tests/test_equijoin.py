@@ -269,3 +269,47 @@ class TestSemiJoinSeparatorEscape:
                          num_partitions=4)
                .to_pandas().sort_values("v").v.tolist())
         assert out == ([1, 2, 3] if anti else [0, 4])
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_keytext = st.text(
+    alphabet=st.sampled_from(list("ab\x1e\x1f01")), max_size=4)
+
+
+class TestSemiJoinProperty:
+    # property fuzz of the separator escaping: composite keys drawn
+    # from an alphabet CONTAINING the separator and escape chars must
+    # match pandas tuple semantics exactly, both paths, semi and anti
+    @pytest.mark.usefixtures("ray_session")
+    @given(st.lists(st.tuples(_keytext, _keytext), min_size=1,
+                    max_size=25),
+           st.lists(st.tuples(_keytext, _keytext), max_size=15),
+           st.booleans(), st.booleans())
+    @settings(max_examples=40, deadline=None)
+    def test_matches_pandas_tuples(self, left_keys, right_keys, anti,
+                                   bcast):
+        import ray.data as rd
+        from mircv_ray.ops import semi_join
+        left = pa.table({
+            "a": [a for a, _ in left_keys],
+            "b": [b for _, b in left_keys],
+            "v": list(range(len(left_keys))),
+        })
+        right = pa.table({"a": [a for a, _ in right_keys] or
+                          pa.array([], pa.string()),
+                          "b": [b for _, b in right_keys] or
+                          pa.array([], pa.string())})
+        rset = set(right_keys)
+        exp = [i for i, k in enumerate(left_keys)
+               if (k in rset) != anti]
+        df = semi_join(rd.from_arrow(left).repartition(2),
+                       rd.from_arrow(right), on=["a", "b"],
+                       anti=anti,
+                       broadcast_max_bytes=(1 << 30) if bcast else 0,
+                       num_partitions=3).to_pandas()
+        # all-empty results may drop block schema (known Ray quirk,
+        # see test_empty_right_and_string_keys)
+        got = sorted(df.v.tolist()) if "v" in df.columns else []
+        assert got == exp

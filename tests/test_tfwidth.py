@@ -90,6 +90,25 @@ class TestWideTfEndToEnd:
         for r in (a, b):
             ids, tfs = r.decoded(term)
             assert 70000 in tfs.tolist()
+        # the positions sidecar shares the width machinery: a >= 2^16
+        # in-doc position forces its batch onto the wide path, mixed
+        # with the other (narrow) batches in the same partition
+        from mircv_ray.build import build_positions_index
+        from mircv_ray.build.positions import read_term_positions
+        out_mr = str(tmp_path / "idx_mr")
+        build_positions_index(
+            out_mr, rd.from_arrow(table.select(
+                ["repo", "path", "content"])),
+            IndexConfig(parse=True, num_shards=4, salt_buckets=2,
+                        tokenize_batch_size=4, explode_batch_size=4))
+        got = read_term_positions(out_mr, term, num_shards=4,
+                                  salt_buckets=2)
+        assert got is not None
+        ids_p, cnts_p, pos_p = got
+        j = list(cnts_p).index(70000)
+        start = int(np.cumsum(cnts_p)[j]) - 70000
+        assert pos_p[start:start + 70000].tolist() == \
+            list(range(70000))
 
     def test_narrow_equals_legacy_wide_exactly(self, ray_session,
                                                tmp_path, monkeypatch):
