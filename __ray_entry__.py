@@ -2543,6 +2543,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              columns=["source", "text"])
         return _sorted_table(amw(ds, alpha=0.3), ["source"])
 
+    def temperature_mix(sf_dir: str):
+        # MATERIALIZED temperature mix (T=2): per-source doc targets
+        # from count^(1/T) largest-remainder quotas, selection = the
+        # deterministic knuth32 bottom-target per source
+        from mircv_ray.ops import temperature_mix_sample
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "source"])
+        return _sorted_table(
+            temperature_mix_sample(ds, 300, temperature=2.0),
+            ["source", "sample_rank"])
+
     def stratified_sample(sf_dir: str):
         # deterministic per-lang bottom-20-by-hash sample (knuth32 mode
         # is exactly SQL-mirrorable, like dataset_split)
@@ -3304,6 +3315,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dataset_split": dataset_split,
         "stratified_sample": stratified_sample,
         "alpha_mix_weights": alpha_mix_weights,
+        "temperature_mix": temperature_mix,
         "lm_logprob": lm_logprob,
         "bigram_lm": bigram_lm,
         "gopher_quality": gopher_quality,
@@ -4883,6 +4895,36 @@ r AS (SELECT doc_id, lang,
 SELECT doc_id, lang, sample_rank FROM r
 WHERE sample_rank <= 20
 ORDER BY lang, sample_rank
+""",
+        # temperature mix T=2 over 300 docs: count^(1/2) weights,
+        # largest-remainder rounding (frac desc, source asc), capped
+        # at each source's size; selection = knuth32 bottom-target
+        "temperature_mix": """
+WITH c AS (SELECT source, COUNT(*)::BIGINT AS n
+           FROM documents GROUP BY source),
+w AS (SELECT source, n, pow(n, 1.0/2.0) AS wt FROM c),
+e AS (SELECT source, n, 300.0 * wt / SUM(wt) OVER () AS exact FROM w),
+b AS (SELECT source, n, CAST(floor(exact) AS BIGINT) AS base,
+             exact - floor(exact) AS frac FROM e),
+rk AS (SELECT source, n, base,
+              row_number() OVER (ORDER BY frac DESC, source) AS fr
+       FROM b),
+t AS (SELECT source,
+             LEAST(base + CASE WHEN fr <= 300 - (SELECT SUM(base)
+                                                 FROM b)
+                          THEN 1 ELSE 0 END, n) AS target
+      FROM rk),
+h AS (SELECT doc_id, source,
+             (doc_id * 2654435761) % 4294967296 AS hv
+      FROM documents),
+r AS (SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY hv, doc_id) AS sample_rank
+      FROM h)
+SELECT r.doc_id, r.source, r.sample_rank
+FROM r JOIN t USING (source)
+WHERE r.sample_rank <= t.target
+ORDER BY source, sample_rank
 """,
         # unigram LM over the corpus's own alnum tokens; per-doc float
         # sums round to 4 decimals on BOTH sides (engines associate

@@ -32,7 +32,7 @@ from .packing import greedy_pack, pack_sequences
 from .profile import profile_table
 from .collocations import pmi_collocations
 from .multimodal import DecodeImage, SampleFrames, make_media_table
-from .sampling import alpha_mix_weights, hash_split, importance_resample, shuffle_shards, source_quota_sample, stratified_sample
+from .sampling import alpha_mix_weights, hash_split, importance_resample, shuffle_shards, source_quota_sample, stratified_sample, temperature_mix_sample
 from .sketches import (bloom_build, bloom_params, bloom_probe, bloom_test,
                        cm_build, cm_query, exact_distinct_per_group,
                        hll_distinct_per_group, mg_heavy_hitters)
@@ -55,7 +55,7 @@ __all__ = [
     "ngram_jaccard_pairs", "shingle_sets", "embedding_near_dup_pairs",
     "jaccard_simjoin_exact", "cosine_all_pairs", "pii_redact",
     "repetition_stats", "connected_components", "source_quota_sample",
-    "hash_split", "stratified_sample", "alpha_mix_weights",
+    "hash_split", "stratified_sample", "alpha_mix_weights", "temperature_mix_sample",
     "importance_resample", "shuffle_shards",
     "knn_graph", "knn_graph_lsh", "global_ntile", "dsir_weights", "unigram_logprob", "char_entropy", "zipf_fit", "nfc_normalize", "heaps_fit",
     "bpe_train", "bpe_encode_counts",

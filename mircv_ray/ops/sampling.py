@@ -333,6 +333,123 @@ def alpha_mix_weights(ds, alpha: float = 0.3, source_col: str = "source",
             .groupby("__all").map_groups(normalize, batch_format="pyarrow"))
 
 
+TEMPERATURE_MIX_MAX_SOURCES = 1_000_000
+
+
+def temperature_mix_sample(ds, total_docs: int, temperature: float = 2.0,
+                           source_col: str = "source",
+                           id_col: str = "doc_id", salt: int = 0):
+    """MATERIALIZED temperature-scaled source mix — the sampling step
+    the `alpha_mix_weights` table feeds (XLM/mC4-style mixing, applied
+    at the document level): per-source DOC targets from count^(1/T)
+    weights with largest-remainder rounding (ties by source asc),
+    capped at each source's size (single-pass, no redistribution — the
+    SQL-mirrorable rule), then each source's target_s docs with the
+    smallest (knuth32(id), id) — the `stratified_sample` deterministic
+    without-replacement rule with a per-source n.
+
+    Returns (id_col, source_col, sample_rank), rank 1..target_s in
+    hash order. T > 1 flattens the mix toward uniform (up-weights
+    low-resource sources); T = 1 is proportional sampling.
+
+    Shape: one source-cardinality groupby count; the quota math runs
+    on the driver over the SOURCE TABLE (mixing is over named
+    sources/domains — bounded by construction; a guard raises past
+    ``TEMPERATURE_MIX_MAX_SOURCES`` rather than pulling an unbounded
+    table). Selection is the stratified machinery: map-side lossless
+    per-batch bottom-n (at most target_s rows per (source, batch)
+    enter the ONE source exchange), per-group re-apply. Content never
+    shuffles.
+    """
+    import ray
+
+    if total_docs < 0:
+        raise ValueError("total_docs must be >= 0")
+    if temperature <= 0:
+        raise ValueError("temperature must be positive")
+
+    counts_ds = ds.groupby(source_col).count()
+    rows = counts_ds.take_all()
+    if len(rows) > TEMPERATURE_MIX_MAX_SOURCES:
+        raise ValueError(
+            f"{len(rows)} distinct sources exceed the mixing-table "
+            f"bound ({TEMPERATURE_MIX_MAX_SOURCES}); temperature "
+            "mixing is defined over a bounded set of named sources")
+    empty = pa.table({id_col: pa.array([], type=pa.int64()),
+                      source_col: pa.array([], type=pa.string()),
+                      "sample_rank": pa.array([], type=pa.int64())})
+    if not rows or total_docs == 0:
+        import ray.data as rd
+        return rd.from_arrow(empty)
+    srcs = np.asarray([r[source_col] for r in rows], dtype="S")
+    n = np.asarray([r["count()"] for r in rows], dtype=np.int64)
+    order = np.argsort(srcs, kind="stable")
+    srcs, n = srcs[order], n[order]
+    # quota: largest-remainder rounding of total * n^(1/T) / sum,
+    # frac ties broken by source asc (same rule as the SQL oracle)
+    w = np.power(n.astype(np.float64), 1.0 / temperature)
+    exact = total_docs * w / w.sum()
+    base = np.floor(exact).astype(np.int64)
+    rem = int(total_docs - base.sum())
+    bump_order = np.lexsort((srcs, -(exact - np.floor(exact))))
+    target = base.copy()
+    target[bump_order[:max(rem, 0)]] += 1
+    target = np.minimum(target, n)
+    tgt_ref = ray.put((srcs, target))
+    cache: dict = {}
+
+    def bottom_n(tbl: pa.Table, with_rank: bool) -> pa.Table:
+        key = tgt_ref.hex() if hasattr(tgt_ref, "hex") else id(tgt_ref)
+        if key not in cache:
+            cache[key] = ray.get(tgt_ref)
+            while len(cache) > 4:
+                cache.pop(next(iter(cache)))
+        skeys, tvals = cache[key]
+        if tbl.num_rows == 0 or tbl.num_columns == 0:
+            return empty
+        ids = tbl[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        v = ids.to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (((v + np.uint64(salt)) * np.uint64(2654435761))
+             % np.uint64(2**32)).astype(np.int64)
+        idv = ids.to_numpy(zero_copy_only=False)
+        grp = tbl[source_col]
+        if isinstance(grp, pa.ChunkedArray):
+            grp = grp.combine_chunks()
+        denc = grp.dictionary_encode()
+        if isinstance(denc, pa.ChunkedArray):
+            denc = denc.combine_chunks()
+        codes = denc.indices.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        # per-dictionary-value target via the sorted source table
+        dvals = np.asarray(denc.dictionary.to_pylist(), dtype="S")
+        pos_d = np.minimum(np.searchsorted(skeys, dvals),
+                           max(len(skeys) - 1, 0))
+        dtgt = np.where(skeys[pos_d] == dvals, tvals[pos_d], 0) \
+            if len(skeys) else np.zeros(len(dvals), dtype=np.int64)
+        order = np.lexsort((idv, h, codes))
+        gc = codes[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], gc[1:] != gc[:-1]]))
+        pos = np.arange(len(gc)) - np.repeat(starts, np.diff(
+            np.concatenate([starts, [len(gc)]])))
+        keepm = pos < dtgt[gc]
+        keep = order[keepm]
+        out = pa.table({id_col: ids.take(pa.array(keep)),
+                        source_col: grp.take(pa.array(keep))})
+        if with_rank:
+            out = out.append_column(
+                "sample_rank", pa.array(pos[keepm] + 1,
+                                        type=pa.int64()))
+        return out
+
+    pre = ds.select_columns([id_col, source_col]).map_batches(
+        lambda b: bottom_n(b, False), batch_format="pyarrow")
+    return pre.groupby(source_col).map_groups(
+        lambda g: bottom_n(g, True), batch_format="pyarrow")
+
+
 def importance_resample(ds, n: int, log10_weight_col: str = "log_weight",
                         id_col: str = "doc_id", salt: int = 0):
     """Deterministic importance resampling — the RESAMPLE step of DSIR

@@ -308,3 +308,74 @@ class TestShuffleShards:
         assert list(a.shuffle_rank) != list(b.shuffle_rank)
         with pytest.raises(ValueError):
             shuffle_shards(rd.from_arrow(tbl), 0)
+
+
+class TestTemperatureMixSample:
+    def _docs(self, seed=5):
+        rng = np.random.default_rng(seed)
+        sources = (["web"] * 300 + ["books"] * 60 + ["code"] * 25
+                   + ["wiki"] * 8)
+        ids = rng.permutation(len(sources))
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "source": pa.array(sources),
+        })
+
+    def _brute(self, tbl, total, T, salt=0):
+        import collections
+        rows = list(zip(tbl["doc_id"].to_pylist(),
+                        tbl["source"].to_pylist()))
+        n = collections.Counter(s for _, s in rows)
+        srcs = sorted(n)
+        w = {s: n[s] ** (1.0 / T) for s in srcs}
+        W = sum(w[s] for s in srcs)
+        exact = {s: total * w[s] / W for s in srcs}
+        base = {s: int(np.floor(exact[s])) for s in srcs}
+        rem = total - sum(base.values())
+        for s in sorted(srcs, key=lambda s: (-(exact[s] - np.floor(
+                exact[s])), s))[:max(rem, 0)]:
+            base[s] += 1
+        target = {s: min(base[s], n[s]) for s in srcs}
+        out = set()
+        for s in srcs:
+            sids = sorted((d for d, src in rows if src == s),
+                          key=lambda d: ((d * 2654435761) % 2**32, d))
+            for rank, d in enumerate(sids[:target[s]], 1):
+                out.add((d, s, rank))
+        return out, target
+
+    @pytest.mark.parametrize("total,T", [(100, 2.0), (50, 1.0),
+                                         (380, 5.0), (500, 2.0)])
+    def test_matches_brute_force(self, ray_session, total, T):
+        import ray.data as rd
+        from mircv_ray.ops import temperature_mix_sample
+        tbl = self._docs()
+        got_t = temperature_mix_sample(
+            rd.from_arrow(tbl).repartition(5), total, temperature=T) \
+            .to_pandas()
+        got = set(zip(got_t.doc_id, got_t.source, got_t.sample_rank))
+        exp, target = self._brute(tbl, total, T)
+        assert got == exp
+        # T>1 up-weights the small sources vs proportional share
+        if T > 1 and total <= 380:
+            share = {s: target[s] / max(total, 1) for s in target}
+            assert share.get("wiki", 0) >= 8 / 393 - 1e-9
+
+    def test_total_exceeds_corpus_and_zero(self, ray_session):
+        import ray.data as rd
+        from mircv_ray.ops import temperature_mix_sample
+        tbl = self._docs()
+        full = temperature_mix_sample(rd.from_arrow(tbl), 10_000,
+                                      temperature=3.0).to_pandas()
+        assert len(full) == tbl.num_rows          # everything capped
+        empty = temperature_mix_sample(rd.from_arrow(tbl), 0)
+        assert empty.count() == 0
+
+    def test_validation(self, ray_session):
+        import ray.data as rd
+        from mircv_ray.ops import temperature_mix_sample
+        tbl = self._docs()
+        with pytest.raises(ValueError, match="temperature"):
+            temperature_mix_sample(rd.from_arrow(tbl), 10, temperature=0)
+        with pytest.raises(ValueError, match="total_docs"):
+            temperature_mix_sample(rd.from_arrow(tbl), -1)
