@@ -2543,6 +2543,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              columns=["source", "text"])
         return _sorted_table(amw(ds, alpha=0.3), ["source"])
 
+    def retention_cohorts(sf_dir: str):
+        # weekly cohort retention triangle: users bucketed by first-
+        # activity week, distinct-active counts per (cohort, offset)
+        from mircv_ray.ops import retention_cohorts as rc
+        ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["user_id", "ts"])
+        return _sorted_table(rc(ev), ["cohort_us", "period_offset"])
+
     def temperature_mix(sf_dir: str):
         # MATERIALIZED temperature mix (T=2): per-source doc targets
         # from count^(1/T) largest-remainder quotas, selection = the
@@ -3316,6 +3324,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": stratified_sample,
         "alpha_mix_weights": alpha_mix_weights,
         "temperature_mix": temperature_mix,
+        "retention_cohorts": retention_cohorts,
         "lm_logprob": lm_logprob,
         "bigram_lm": bigram_lm,
         "gopher_quality": gopher_quality,
@@ -4895,6 +4904,21 @@ r AS (SELECT doc_id, lang,
 SELECT doc_id, lang, sample_rank FROM r
 WHERE sample_rank <= 20
 ORDER BY lang, sample_rank
+""",
+        # weekly retention triangle: distinct (user, week) pairs,
+        # cohort = each user's min week, count distinct users per
+        # (cohort, offset)
+        "retention_cohorts": """
+WITH b AS (SELECT DISTINCT user_id,
+                  (epoch_us(ts) // 604800000000) * 604800000000 AS wk
+           FROM events),
+f AS (SELECT user_id, MIN(wk) AS cohort FROM b GROUP BY user_id)
+SELECT f.cohort AS cohort_us,
+       (b.wk - f.cohort) // 604800000000 AS period_offset,
+       COUNT(*)::BIGINT AS n_users
+FROM b JOIN f USING (user_id)
+GROUP BY 1, 2
+ORDER BY 1, 2
 """,
         # temperature mix T=2 over 300 docs: count^(1/2) weights,
         # largest-remainder rounding (frac desc, source asc), capped

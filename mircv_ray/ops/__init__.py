@@ -43,7 +43,7 @@ from .quantiles import global_ntile, global_rank, grouped_quantiles, grouped_qua
 from .streaming import (StreamingSessionizer, StreamingTumblingWindow,
                         stream_sessionize, stream_tumbling_window_agg)
 from .substring import ngram_window_rows, shared_ngram_pairs
-from .windows import event_transitions, funnel, funnel_rates, interarrival_stats, hopping_window_agg, moving_agg, pivot_counts, props_extract, rollup_agg, running_agg, time_window_agg, sessionize, top_users_by_type, tumbling_window_agg
+from .windows import event_transitions, funnel, retention_cohorts, funnel_rates, interarrival_stats, hopping_window_agg, moving_agg, pivot_counts, props_extract, rollup_agg, running_agg, time_window_agg, sessionize, top_users_by_type, tumbling_window_agg
 
 __all__ = [
     "DecodeImage", "SampleFrames", "make_media_table",
@@ -65,7 +65,7 @@ __all__ = [
     "equi_join", "semi_join",
     "grouped_quantiles", "grouped_quantiles_tdigest", "global_rank", "winsorize", "zscore_normalize",
     "pq_train", "pq_encode", "pq_cosine_topk", "pq_cosine_topk_rerank",
-    "tumbling_window_agg", "hopping_window_agg", "sessionize", "props_extract", "top_users_by_type", "running_agg", "funnel", "moving_agg", "rollup_agg", "pivot_counts", "time_window_agg", "event_transitions", "funnel_rates", "interarrival_stats",
+    "tumbling_window_agg", "hopping_window_agg", "sessionize", "props_extract", "top_users_by_type", "running_agg", "funnel", "moving_agg", "rollup_agg", "pivot_counts", "time_window_agg", "event_transitions", "funnel_rates", "interarrival_stats", "retention_cohorts",
     "StreamingTumblingWindow", "stream_tumbling_window_agg",
     "StreamingSessionizer", "stream_sessionize",
     "kmeans_assign", "kmeans_fit", "semantic_dedup",

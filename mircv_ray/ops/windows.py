@@ -244,6 +244,69 @@ def _sessionize_salted(events_ds, gap_us: int, salt_width_us: int):
     return frags.groupby("user_id").map_groups(merge, batch_format="pyarrow")
 
 
+US_PER_WEEK = 7 * 24 * 60 * 60 * 1_000_000
+
+
+def retention_cohorts(events_ds, bucket_us: int = US_PER_WEEK,
+                      key_col: str = "user_id"):
+    """Classic cohort retention: bucket users by their FIRST-activity
+    period (the cohort), then count how many of each cohort were active
+    again ``k`` periods later — the product-analytics retention
+    triangle. Returns (cohort_us, period_offset, n_users): cohort_us =
+    the cohort bucket's start epoch-us, period_offset = whole buckets
+    since the cohort (0 = the cohort period itself, where every cohort
+    member is active by definition), n_users = DISTINCT active users.
+
+    Shape: per-batch arrow distinct over (key, bucket) — only
+    batch-distinct slim pairs enter the ONE key groupby; each key
+    group (its distinct buckets: bounded by the corpus's period count,
+    never events) derives cohort = min(bucket) and emits one
+    (cohort, offset) row per active bucket; a final aggregate-sized
+    (cohort, offset) groupby counts. Content and event rows never
+    shuffle; no driver state.
+    """
+    if bucket_us <= 0:
+        raise ValueError("bucket_us must be positive")
+
+    from .. import use_push_shuffle
+    use_push_shuffle(events_ds)
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64()).to_numpy()
+        bucket = (ts // bucket_us) * bucket_us
+        t = pa.table({key_col: batch[key_col],
+                      "bucket_us": pa.array(bucket, type=pa.int64())})
+        return t.group_by([key_col, "bucket_us"]).aggregate([])
+
+    empty = pa.table({"cohort_us": pa.array([], type=pa.int64()),
+                      "period_offset": pa.array([], type=pa.int64()),
+                      "n": pa.array([], type=pa.int64())})
+
+    def per_key(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or group.num_columns == 0:
+            return empty
+        b = group["bucket_us"]
+        if isinstance(b, pa.ChunkedArray):
+            b = b.combine_chunks()
+        buckets = np.unique(b.to_numpy())     # re-distinct across batches
+        cohort = int(buckets[0])              # unique() sorts ascending
+        return pa.table({
+            "cohort_us": pa.array(np.full(len(buckets), cohort),
+                                  type=pa.int64()),
+            "period_offset": pa.array((buckets - cohort) // bucket_us,
+                                      type=pa.int64()),
+            "n": pa.array(np.ones(len(buckets), dtype=np.int64)),
+        })
+
+    from ray.data.aggregate import Sum
+    rows = (events_ds.map_batches(pairs, batch_format="pyarrow")
+            .groupby(key_col)
+            .map_groups(per_key, batch_format="pyarrow")
+            .groupby(["cohort_us", "period_offset"])
+            .aggregate(Sum("n", alias_name="n_users")))
+    return rows
+
+
 def props_extract(batch: pa.Table) -> pa.Table:
     """Vectorized JSON field extraction from the events ``props`` column
     (schema '{"k": <int>}'): one regex kernel pass, no per-row Python."""

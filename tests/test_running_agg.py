@@ -503,3 +503,49 @@ class TestInterarrivalStats:
         assert out.n_gaps[0] == 0
         assert pd.isna(out.min_gap_us[0])
         assert pd.isna(out.mean_gap_us[0])
+
+
+class TestRetentionCohorts:
+    def _events(self, seed=13, n=2500, n_users=40):
+        rng = np.random.default_rng(seed)
+        return pa.table({
+            "event_id": pa.array(np.arange(n), type=pa.int64()),
+            "ts": pa.array(np.sort(rng.integers(
+                0, 6 * 7 * 24 * 3600 * 1_000_000, n)), type=pa.int64()),
+            "user_id": pa.array(rng.integers(0, n_users, n),
+                                type=pa.int64()),
+            "event_type": pa.array(["e"] * n),
+            "value": pa.array(np.ones(n)),
+        })
+
+    @pytest.mark.parametrize("npart", [1, 6])
+    def test_matches_brute_force(self, ray_session, npart):
+        import ray.data as rd
+        from mircv_ray.ops import retention_cohorts
+        W = 7 * 24 * 3600 * 1_000_000
+        tbl = self._events()
+        got = (retention_cohorts(rd.from_arrow(tbl).repartition(npart),
+                                 bucket_us=W)
+               .to_pandas().sort_values(["cohort_us", "period_offset"])
+               .reset_index(drop=True))
+        # brute force
+        import collections
+        buckets = collections.defaultdict(set)
+        for uid, ts in zip(tbl["user_id"].to_pylist(),
+                           tbl["ts"].to_pylist()):
+            buckets[uid].add((ts // W) * W)
+        exp = collections.Counter()
+        for uid, bs in buckets.items():
+            c = min(bs)
+            for b in bs:
+                exp[(c, (b - c) // W)] += 1
+        assert {(r.cohort_us, r.period_offset): r.n_users
+                for r in got.itertuples()} == dict(exp)
+        # offset 0 of the earliest cohort covers every user active then
+        assert (got.period_offset >= 0).all()
+
+    def test_validation(self, ray_session):
+        import ray.data as rd
+        from mircv_ray.ops import retention_cohorts
+        with pytest.raises(ValueError, match="bucket_us"):
+            retention_cohorts(rd.from_arrow(self._events()), bucket_us=0)
