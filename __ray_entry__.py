@@ -1202,6 +1202,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         idx = _basic_index(sf_dir)
         return dump_postings(idx, docno_offset=-1)
 
+    def resharded_postings(sf_dir: str):
+        # re-LAYOUT (reshard 4->5, resalt 2->3) without re-tokenizing:
+        # the resharded index's posting store must be LOGICALLY
+        # identical to the source's — layout is invisible to the data
+        from mircv_ray.build import reshard_index
+        from mircv_ray.query.dump import dump_postings
+        key = hashlib.sha1(f"{sf_dir}|reshard|v{_CACHE_VERSION}"
+                           .encode()).hexdigest()[:12]
+        out = _CACHE_ROOT / f"resharded_{key}"
+        if not (out / "stats.json").exists():
+            reshard_index(_basic_index(sf_dir), str(out),
+                          num_shards=5, salt_buckets=3)
+        return dump_postings(str(out), docno_offset=-1)
+
     def pruned_postings(sf_dir: str):
         # static index pruning (Carmel et al. SIGIR'01, uniform top-k):
         # the pruned index's ENTIRE posting store must equal per-term
@@ -3231,6 +3245,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lexicon": lexicon,
         "top_terms": top_terms,
         "postings": postings,
+        "resharded_postings": resharded_postings,
         "champion_lists": champion_lists,
         "pruned_postings": pruned_postings,
         "merge_postings": merge_postings,
@@ -3825,6 +3840,12 @@ df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term)
 SELECT term, df FROM df ORDER BY df DESC, term LIMIT 50
 """,
         "postings": f"""
+WITH {_TOKS_CTE}
+SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY term, doc_id
+""",
+        # re-layout is data-invisible: the resharded store must equal
+        # the SAME logical postings as the source index
+        "resharded_postings": f"""
 WITH {_TOKS_CTE}
 SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY term, doc_id
 """,

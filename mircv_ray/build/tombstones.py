@@ -195,3 +195,39 @@ def vacuum_index(index_dir: str, out_dir: str,
                    payload={"seconds": time.time() - t2})
     metrics["lexicon_seconds"] = time.time() - t2
     return _write_stats(out, cfg, n_new, total_new, metrics)
+
+
+def reshard_index(index_dir: str, out_dir: str,
+                  num_shards: int | None = None,
+                  salt_buckets: int | None = None,
+                  codec: str | None = None) -> dict:
+    """Re-LAYOUT an index — change its term-hash shard count, docId
+    salting, or codec — without re-tokenizing or touching content: the
+    operational fix when a fleet resizes or term skew evolves (a shard
+    layout tuned for N nodes starves 4N; finer salting splits a
+    mega-term that emerged after the build). Runs the vacuum pipeline
+    (postings decode -> re-encode into the new layout, docs/doc-length
+    sidecar rewritten for the new salt ranges) with the SOURCE index's
+    tombstones applied along the way, producing exactly what a
+    from-scratch build over the surviving docs with the new knobs
+    would produce — every query path runs on it unmodified.
+
+    Defaults keep the source value for any knob not given. Tokenizer
+    knobs (parse/squeeze) and BM25 parameters carry over verbatim.
+    """
+    stats = load_stats(index_dir)
+    cfg = IndexConfig(
+        parse=stats["parse"], squeeze=stats["squeeze"],
+        codec=codec or stats["codec"],
+        num_shards=int(num_shards or stats["num_shards"]),
+        salt_buckets=int(salt_buckets or stats["salt_buckets"]),
+        k1=stats["k1"], b=stats["b"])
+    cfg.codec_valid()
+    if cfg.num_shards <= 0 or cfg.salt_buckets <= 0:
+        raise ValueError("num_shards and salt_buckets must be positive")
+    metrics = vacuum_index(index_dir, out_dir, cfg)
+    metrics["metrics"]["resharded_from"] = {
+        "num_shards": stats["num_shards"],
+        "salt_buckets": stats["salt_buckets"],
+        "codec": stats["codec"]}
+    return metrics

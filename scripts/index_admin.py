@@ -65,6 +65,16 @@ def main() -> None:
     vp.add_argument("index")
     vp.add_argument("out")
 
+    rs = sub.add_parser("reshard", help="re-layout the index (shard "
+                        "count / docId salting / codec) into OUT "
+                        "without re-tokenizing — the operational fix "
+                        "when the fleet resizes or term skew evolves")
+    rs.add_argument("index")
+    rs.add_argument("out")
+    rs.add_argument("--num-shards", type=int, default=None)
+    rs.add_argument("--salt-buckets", type=int, default=None)
+    rs.add_argument("--codec", default=None)
+
     sp = sub.add_parser("status", help="print stats + tombstone count")
     sp.add_argument("index")
 
@@ -270,6 +280,15 @@ def main() -> None:
         from mircv_ray.build import prune_index
         stats = prune_index(args.index, args.out,
                             keep_per_term=args.keep)
+        print(json.dumps(stats["metrics"], indent=2, default=str))
+        ray.shutdown()
+        return
+    if args.cmd == "reshard":
+        from mircv_ray.build import reshard_index
+        stats = reshard_index(args.index, args.out,
+                              num_shards=args.num_shards,
+                              salt_buckets=args.salt_buckets,
+                              codec=args.codec)
         print(json.dumps(stats["metrics"], indent=2, default=str))
         ray.shutdown()
         return

@@ -206,3 +206,63 @@ class TestLifecycle:
         vacuum_index(out, str(tmp_path / "empty"))
         st = load_stats(str(tmp_path / "empty"))
         assert st["n_docs"] == 0 and st["num_terms"] == 0
+
+
+class TestReshardIndex:
+    def test_reshard_preserves_postings_and_queries(self, ray_session,
+                                                    tmp_path):
+        import ray.data as rd
+        from mircv_ray.build import build_index, delete_docs, reshard_index
+        from mircv_ray.config import IndexConfig, QueryConfig
+        from mircv_ray.query.engine import IndexReader, QueryEngine
+        from mircv_ray.sources import generate_corpus_table
+
+        table = generate_corpus_table(90, seed=33).drop_columns(["sha256"])
+        src = str(tmp_path / "src")
+        build_index(rd.from_arrow(table), src,
+                    IndexConfig(parse=True, num_shards=4, salt_buckets=2))
+        delete_docs(src, [5, 17])
+        out = str(tmp_path / "resharded")
+        met = reshard_index(src, out, num_shards=7, salt_buckets=3,
+                            codec="ef")
+        assert met["num_shards"] == 7 and met["codec"] == "ef"
+        # reference layout: a from-scratch vacuum at the same knobs
+        from mircv_ray.build import vacuum_index
+        ref = str(tmp_path / "ref")
+        vacuum_index(src, ref, IndexConfig(
+            parse=True, squeeze=True, codec="ef", num_shards=7,
+            salt_buckets=3))
+        a, b = IndexReader(out), IndexReader(ref)
+        assert a._lex == b._lex
+        for term in list(a._lex)[:50]:
+            ia, ta = a.decoded(term)
+            ib, tb = b.decoded(term)
+            assert ia.tolist() == ib.tolist()
+            assert ta.tolist() == tb.tolist()
+        # queries are LAYOUT-invariant: the resharded (7/3/ef) index
+        # returns exactly the results of a same-survivor-set index at
+        # the ORIGINAL layout (4/2/vbyte) — collection stats recompute
+        # over the survivors either way (vacuum semantics), only the
+        # physical sharding/salting/codec changed
+        orig_layout = str(tmp_path / "orig_layout")
+        vacuum_index(src, orig_layout, IndexConfig(
+            parse=True, squeeze=True, codec="vbyte", num_shards=4,
+            salt_buckets=2))
+        es = QueryEngine(orig_layout, QueryConfig(k=10))
+        er = QueryEngine(out, QueryConfig(k=10))
+        for q in (["def", "return"], ["hash", "map", "value"]):
+            assert es.score_terms(q) == er.score_terms(q)
+
+    def test_reshard_validation(self, ray_session, tmp_path):
+        import ray.data as rd
+        from mircv_ray.build import build_index, reshard_index
+        from mircv_ray.config import IndexConfig
+        from mircv_ray.sources import generate_corpus_table
+        src = str(tmp_path / "v")
+        build_index(rd.from_arrow(
+            generate_corpus_table(10, seed=1).drop_columns(["sha256"])),
+            src, IndexConfig(parse=True, num_shards=2, salt_buckets=1))
+        with pytest.raises(ValueError):
+            reshard_index(src, str(tmp_path / "x"), num_shards=-1)
+        with pytest.raises(ValueError):
+            reshard_index(src, str(tmp_path / "x"), codec="zstd")
