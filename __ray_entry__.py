@@ -1272,6 +1272,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def bm25_topk(sf_dir: str):
         return _topk_run(sf_dir, "BM25")
 
+    def score_explain(sf_dir: str):
+        # per-term contribution breakdown of each query's TOP-1 BM25
+        # doc — the "why did this doc rank here" debugging surface;
+        # contributions use the engine's exact expressions, so they
+        # sum to the engine score (pytest-pinned)
+        from mircv_ray.config import QueryConfig
+        from mircv_ray.query import QueryEngine
+        from mircv_ray.query.explain import explain_scores
+        idx = _basic_index(sf_dir)
+        eng = QueryEngine(idx, QueryConfig(standard="BM25", k=1,
+                                           parse=False, squeeze=False))
+        qs, docs = [], []
+        for terms in _BM25_QUERIES:
+            top = eng.score_terms(list(terms), conjunctive=False)
+            if top:
+                qs.append(list(terms))
+                docs.append(top[0][0])
+            else:
+                qs.append(list(terms))
+                docs.append(1 << 60)        # matches nothing: no rows
+        t = explain_scores(idx, qs, docs, reader=eng.reader)
+        for c in ("idf", "contribution"):
+            t = _round6(t, c)
+        return t.take(pc.sort_indices(
+            t, sort_keys=[("qid", "ascending"), ("term", "ascending")]))
+
     def bm25_conjunctive(sf_dir: str):
         # M14/J3: conjunctive AND via the faithful MaxScore loop; no SQL
         # oracle (the reference's conjunctive semantics are not a clean
@@ -3253,6 +3279,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "delete_postings": delete_postings,
         "vacuum_postings": vacuum_postings,
         "bm25_topk": bm25_topk,
+        "score_explain": score_explain,
         "bm25_conjunctive": bm25_conjunctive,
         "tfidf_topk": tfidf_topk,
         "phrase_search": phrase_search,
@@ -3903,6 +3930,44 @@ FROM tok t JOIN surv s ON t.doc_id = s.doc_id
 GROUP BY t.term, s.new_id
 """,
         "bm25_topk": _topk_sql(_BM25_EXPR),
+        # per-term breakdown of each query's top-1 BM25 doc: the same
+        # scoring CTEs, rn=1, then one row per distinct query term
+        # present in that doc
+        "score_explain": f"""
+WITH {_TOKS_CTE},
+{_values_clause()},
+doclen AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM docs) AS n,
+                 (SELECT count(*) FROM tok)::DOUBLE
+                 / (SELECT count(*) FROM docs) AS avgdl),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scores AS (
+  SELECT q.qid, tf.doc_id,
+         sum({_BM25_EXPR}) AS score
+  FROM q
+  JOIN df ON df.term = q.term
+  JOIN tf ON tf.term = q.term
+  JOIN doclen dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.qid, tf.doc_id),
+top1 AS (SELECT qid, doc_id FROM (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score DESC, doc_id) AS rn
+  FROM scores) WHERE rn = 1),
+qd AS (SELECT DISTINCT qid, term FROM q)
+SELECT t1.qid, t1.doc_id, qd.term, tf.tf, df.df,
+       round(log10(s.n / df.df), 6) AS idf,
+       round({_BM25_EXPR}, 6) AS contribution
+FROM top1 t1
+JOIN qd ON qd.qid = t1.qid
+JOIN df ON df.term = qd.term
+JOIN tf ON tf.term = qd.term AND tf.doc_id = t1.doc_id
+JOIN doclen dl ON dl.doc_id = t1.doc_id
+CROSS JOIN stats s
+ORDER BY t1.qid, qd.term
+""",
         "tfidf_topk": _topk_sql(_TFIDF_EXPR),
         # BM25F: body + title(=substr 40) fields, each through the
         # identical tokenizer CTE pair; tfx combines per-field
