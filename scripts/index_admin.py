@@ -65,6 +65,15 @@ def main() -> None:
     vp.add_argument("index")
     vp.add_argument("out")
 
+    ex = sub.add_parser("explain", help="per-term score breakdown of "
+                        "a doc for a query: why did it rank here")
+    ex.add_argument("index")
+    ex.add_argument("query", help="comma-separated raw terms")
+    ex.add_argument("docno", type=int,
+                    help="document number (engine docId - 1)")
+    ex.add_argument("--standard", default="BM25",
+                    choices=["BM25", "TFIDF"])
+
     rs = sub.add_parser("reshard", help="re-layout the index (shard "
                         "count / docId salting / codec) into OUT "
                         "without re-tokenizing — the operational fix "
@@ -281,6 +290,20 @@ def main() -> None:
         stats = prune_index(args.index, args.out,
                             keep_per_term=args.keep)
         print(json.dumps(stats["metrics"], indent=2, default=str))
+        ray.shutdown()
+        return
+    if args.cmd == "explain":
+        from mircv_ray.build import load_stats
+        from mircv_ray.query.explain import explain_scores
+        from mircv_ray.text.tokenizer import tokenize_text
+        stats = load_stats(args.index)
+        terms = []
+        for part in args.query.split(","):
+            terms += tokenize_text(part, parse=stats["parse"],
+                                   squeeze=stats["squeeze"])
+        t = explain_scores(args.index, [terms], [args.docno + 1],
+                           standard=args.standard)
+        print(json.dumps(t.to_pylist(), indent=2))
         ray.shutdown()
         return
     if args.cmd == "reshard":
