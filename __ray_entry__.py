@@ -1111,6 +1111,31 @@ def _non_blank(batch: pa.Table) -> pa.Table:
     return batch.filter(keep)
 
 
+def _federated_indexes(sf_dir: str) -> list[str]:
+    """Build (once, resumable) TWO sub-indexes over a doc_id split of
+    the documents corpus — the federated entry's partitioned twin of
+    the basic index."""
+    import ray.data as rd
+    from mircv_ray.build import build_index
+    from mircv_ray.config import IndexConfig
+    from mircv_ray.sources import documents_as_corpus_table
+    tbl = documents_as_corpus_table(sf_dir)
+    ids = np.array([int(p[4:12]) for p in tbl["path"].to_pylist()])
+    cut = int(np.median(ids))
+    cfg = IndexConfig(parse=False, squeeze=False, codec="vbyte",
+                      num_shards=4, salt_buckets=2)
+    dirs = []
+    for name, mask in (("lo", ids < cut), ("hi", ids >= cut)):
+        key = hashlib.sha1(f"{sf_dir}|fed{name}|v{_CACHE_VERSION}"
+                           .encode()).hexdigest()[:12]
+        out = _CACHE_ROOT / f"fed_{name}_{key}"
+        if not (out / "stats.json").exists():
+            build_index(rd.from_arrow(tbl.filter(pa.array(mask))),
+                        str(out), cfg)
+        dirs.append(str(out))
+    return dirs
+
+
 def _topk_run(sf_dir: str, standard: str) -> pa.Table:
     from mircv_ray.config import QueryConfig
     from mircv_ray.query import QueryEngine
@@ -1271,6 +1296,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def bm25_topk(sf_dir: str):
         return _topk_run(sf_dir, "BM25")
+
+    def federated_bm25(sf_dir: str):
+        # scatter-gather over a PARTITIONED corpus (two sub-indexes
+        # split at the median doc_id) with global statistics — must
+        # equal the MONOLITHIC index's ranking exactly, so the oracle
+        # is bm25_topk's own SQL over the whole corpus
+        from mircv_ray.query.federated import federated_topk
+        dirs = _federated_indexes(sf_dir)
+        t = federated_topk(dirs, [list(q) for q in _BM25_QUERIES], k=10)
+        return _round6(t, "score")
 
     def score_explain(sf_dir: str):
         # per-term contribution breakdown of each query's TOP-1 BM25
@@ -3279,6 +3314,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "delete_postings": delete_postings,
         "vacuum_postings": vacuum_postings,
         "bm25_topk": bm25_topk,
+        "federated_bm25": federated_bm25,
         "score_explain": score_explain,
         "bm25_conjunctive": bm25_conjunctive,
         "tfidf_topk": tfidf_topk,
@@ -3930,6 +3966,10 @@ FROM tok t JOIN surv s ON t.doc_id = s.doc_id
 GROUP BY t.term, s.new_id
 """,
         "bm25_topk": _topk_sql(_BM25_EXPR),
+        # federated == monolithic: the partitioned scatter-gather with
+        # global stats must reproduce the single-index ranking, so its
+        # oracle IS the monolithic BM25 SQL
+        "federated_bm25": _topk_sql(_BM25_EXPR),
         # per-term breakdown of each query's top-1 BM25 doc: the same
         # scoring CTEs, rn=1, then one row per distinct query term
         # present in that doc
