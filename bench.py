@@ -686,16 +686,17 @@ back-to-back builds); walls below are every sample's best.
   clears the bar, so bandwidth, not coordination, is the residual:
   the exchange's scheduling fixed costs are sub-second (see the
   round-4 structural fix below). Round 5 REPLICATED the low-occupancy
-  result on the final round-5 code (merge tree + uint16 tf): THREE
+  result on the final round-5 code (merge tree + uint16 tf): FOUR
   clean 2 -> 8 runs clear the bar outright — 44 (**raw 0.831 / stage
-  0.831**, contention 1.037), 48 (**raw 0.822**, norm 0.943) and 49
-  (**raw 0.808**, contention 1.044); runs 45-47 (raw 0.789-0.792,
-  contention 1.11-1.16) sit just under with the SAME walls and
-  higher measured contention — the raw number tracks the contention
-  probe sample-by-sample, which is exactly the bandwidth-residual
-  model (the >=0.8 runs are precisely the low-contention windows). A
-  mult=16 run (47, 792k docs, 2x work per level) landed the same raw
-  0.789, ruling out fixed stage startup as the limiter.
+  0.831**, contention 1.037), 48 (**raw 0.822**, norm 0.943), 49
+  (**raw 0.808**, contention 1.044) and 52 (**raw 0.817**, norm
+  0.924); runs 45-47 and 51 (raw 0.780-0.792, contention 1.11-1.16)
+  sit just under with the SAME walls and higher measured contention —
+  the raw number tracks the contention probe sample-by-sample, which
+  is exactly the bandwidth-residual model (the >=0.8 runs are
+  precisely the low-contention windows). A mult=16 run (47, 792k
+  docs, 2x work per level) landed the same raw 0.789, ruling out
+  fixed stage startup as the limiter.
 - **weather** = first-touch ms/MB probe (max of start/end stamps of
   each level's winning rep). Round 4 isolated the VM's documented
   3.8x run noise to a precise mechanism: first-touch faults on freshly
