@@ -1105,6 +1105,9 @@ def _mr2_exchange_build(tok_ds, mapping_ref, build_fn, out_dir: str,
     import os as _os
     fanin = cfg.mr2_tree_fanin or \
         int(_os.environ.get("MIRCV_MR2_TREE_FANIN", MR2_TREE_FANIN))
+    # fan-in 1 would chunk refs into groups of one and never shrink the
+    # per-bucket list (infinite combine levels); 2 is the minimum tree
+    fanin = max(fanin, 2)
     t_tree0 = time.time()
     n_combines = 0
     tree_levels = 0

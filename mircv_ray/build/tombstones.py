@@ -216,11 +216,15 @@ def reshard_index(index_dir: str, out_dir: str,
     knobs (parse/squeeze) and BM25 parameters carry over verbatim.
     """
     stats = load_stats(index_dir)
+    # None-sentinel checks, NOT truthiness: an explicit 0 must hit the
+    # validation below instead of silently keeping the source layout
     cfg = IndexConfig(
         parse=stats["parse"], squeeze=stats["squeeze"],
-        codec=codec or stats["codec"],
-        num_shards=int(num_shards or stats["num_shards"]),
-        salt_buckets=int(salt_buckets or stats["salt_buckets"]),
+        codec=stats["codec"] if codec is None else codec,
+        num_shards=int(stats["num_shards"] if num_shards is None
+                       else num_shards),
+        salt_buckets=int(stats["salt_buckets"] if salt_buckets is None
+                         else salt_buckets),
         k1=stats["k1"], b=stats["b"])
     cfg.codec_valid()
     if cfg.num_shards <= 0 or cfg.salt_buckets <= 0:

@@ -202,29 +202,11 @@ def hash_split(ds, id_col: str, fractions: dict[str, float],
     return ds.map_batches(assign, batch_format="pyarrow")
 
 
-def stratified_sample(ds, group_col: str, n_per_group: int,
-                      id_col: str = "doc_id", hash_mode: str = "knuth32",
-                      salt: int = 0):
-    """Deterministic stratified sampling: the ``n_per_group`` rows of
-    each group with the smallest (hash(id), id) — a uniform
-    without-replacement sample per stratum that is a pure function of
-    the ids (no RNG state; resume / backfill / any partitioning
-    re-derives the identical sample, the property a 100-TB sampling
-    pass needs). ``salt`` re-draws the sample.
-
-    Shape: map-side lossless pre-top-k — each batch keeps at most
-    ``n_per_group`` rows per group (the global bottom-n by hash is a
-    subset of the union of per-batch bottom-ns), so only <= n rows per
-    (group, batch) enter the single ``group_col`` exchange; the final
-    per-group merge re-applies the same bottom-n rule. Content columns
-    never shuffle — sample ids join back to content map-side if needed.
-
-    Returns (id_col, group_col, sample_rank) with rank 1..n in hash
-    order. ``hash_mode`` as in :func:`hash_split` ("knuth32" is
-    SQL-mirrorable; "crc32" for general string ids).
-    """
-    if n_per_group <= 0:
-        raise ValueError("n_per_group must be positive")
+def _make_row_hash(hash_mode: str, salt: int):
+    """The deterministic sample key: knuth32 (SQL-mirrorable, integer
+    ids) or crc32 of the id's string form (any type). Shared by every
+    hash-bottom-n sampler so the selection rule can never drift
+    between them."""
     if hash_mode not in ("crc32", "knuth32"):
         raise ValueError(f"unknown hash_mode {hash_mode!r}")
 
@@ -236,8 +218,30 @@ def stratified_sample(ds, group_col: str, n_per_group: int,
         from ..util import crc32_column
         return crc32_column(pc.cast(ids, pa.string()),
                             seed=salt).astype(np.int64)
+    return row_hash
+
+
+def _bottom_n_select(ds, group_col: str, id_col: str, row_hash,
+                     dict_targets):
+    """Deterministic per-group bottom-n selection — the shared
+    machinery of `stratified_sample` (constant n) and
+    `temperature_mix_sample` (per-group targets): each group keeps its
+    ``target`` rows with the smallest (hash(id), id), rank 1.. in hash
+    order. ``dict_targets(dictionary_values: np.bytes_ array) ->
+    int64 targets`` resolves each batch-dictionary value's quota.
+
+    Shape: map-side LOSSLESS pre-bottom-n (the global bottom-n is a
+    subset of the union of per-batch bottom-ns), so at most target
+    rows per (group, batch) enter the single ``group_col`` exchange;
+    the per-group merge re-applies the same rule. Content never
+    shuffles."""
+    empty = pa.table({id_col: pa.array([], type=pa.int64()),
+                      group_col: pa.array([], type=pa.string()),
+                      "sample_rank": pa.array([], type=pa.int64())})
 
     def bottom_n(tbl: pa.Table, with_rank: bool) -> pa.Table:
+        if tbl.num_rows == 0 or tbl.num_columns == 0:
+            return empty if with_rank else tbl
         ids = tbl[id_col]
         if isinstance(ids, pa.ChunkedArray):
             ids = ids.combine_chunks()
@@ -246,31 +250,60 @@ def stratified_sample(ds, group_col: str, n_per_group: int,
         grp = tbl[group_col]
         if isinstance(grp, pa.ChunkedArray):
             grp = grp.combine_chunks()
-        codes = grp.dictionary_encode().indices.to_numpy(
+        denc = grp.dictionary_encode()
+        if isinstance(denc, pa.ChunkedArray):
+            denc = denc.combine_chunks()
+        codes = denc.indices.to_numpy(
             zero_copy_only=False).astype(np.int64)
+        dtgt = dict_targets(
+            np.asarray(denc.dictionary.to_pylist(), dtype="S"))
         order = np.lexsort((idv, h, codes))
         gc = codes[order]
         # rank within each group run (runs are contiguous after lexsort)
-        starts = np.flatnonzero(np.concatenate([[True], gc[1:] != gc[:-1]]))
+        starts = np.flatnonzero(
+            np.concatenate([[True], gc[1:] != gc[:-1]]))
         pos = np.arange(len(gc)) - np.repeat(starts, np.diff(
             np.concatenate([starts, [len(gc)]])))
-        keep = order[pos < n_per_group]
+        keepm = pos < dtgt[gc]
+        keep = order[keepm]
         out = pa.table({id_col: ids.take(pa.array(keep)),
                         group_col: grp.take(pa.array(keep))})
         if with_rank:
             out = out.append_column(
                 "sample_rank",
-                pa.array(pos[pos < n_per_group] + 1, type=pa.int64()))
+                pa.array(pos[keepm] + 1, type=pa.int64()))
         return out
 
     pre = ds.map_batches(lambda b: bottom_n(b, False),
                          batch_format="pyarrow")
     return pre.groupby(group_col).map_groups(
-        lambda g: bottom_n(g, True) if g.num_rows else pa.table(
-            {id_col: pa.array([], type=pa.int64()),
-             group_col: pa.array([], type=pa.string()),
-             "sample_rank": pa.array([], type=pa.int64())}),
-        batch_format="pyarrow")
+        lambda g: bottom_n(g, True), batch_format="pyarrow")
+
+
+def stratified_sample(ds, group_col: str, n_per_group: int,
+                      id_col: str = "doc_id", hash_mode: str = "knuth32",
+                      salt: int = 0):
+    """Deterministic stratified sampling: the ``n_per_group`` rows of
+    each group with the smallest (hash(id), id) — a uniform
+    without-replacement sample per stratum that is a pure function of
+    the ids (no RNG state; resume / backfill / any partitioning
+    re-derives the identical sample, the property a 100-TB sampling
+    pass needs). ``salt`` re-draws the sample.
+
+    Shape: see :func:`_bottom_n_select` (the shared machinery; this is
+    the constant-target case).
+
+    Returns (id_col, group_col, sample_rank) with rank 1..n in hash
+    order. ``hash_mode`` as in :func:`hash_split` ("knuth32" is
+    SQL-mirrorable; "crc32" for general string ids).
+    """
+    if n_per_group <= 0:
+        raise ValueError("n_per_group must be positive")
+    row_hash = _make_row_hash(hash_mode, salt)
+    return _bottom_n_select(
+        ds.select_columns([id_col, group_col]), group_col, id_col,
+        row_hash,
+        lambda dvals: np.full(len(dvals), n_per_group, dtype=np.int64))
 
 
 def alpha_mix_weights(ds, alpha: float = 0.3, source_col: str = "source",
@@ -368,13 +401,16 @@ def temperature_mix_sample(ds, total_docs: int, temperature: float = 2.0,
     if temperature <= 0:
         raise ValueError("temperature must be positive")
 
-    counts_ds = ds.groupby(source_col).count()
-    rows = counts_ds.take_all()
-    if len(rows) > TEMPERATURE_MIX_MAX_SOURCES:
+    counts_ds = ds.groupby(source_col).count().materialize()
+    # cardinality check BEFORE any driver pull — the guard must protect
+    # the driver heap, not fire after it is already blown
+    n_sources = counts_ds.count()
+    if n_sources > TEMPERATURE_MIX_MAX_SOURCES:
         raise ValueError(
-            f"{len(rows)} distinct sources exceed the mixing-table "
+            f"{n_sources} distinct sources exceed the mixing-table "
             f"bound ({TEMPERATURE_MIX_MAX_SOURCES}); temperature "
             "mixing is defined over a bounded set of named sources")
+    rows = counts_ds.take_all()
     empty = pa.table({id_col: pa.array([], type=pa.int64()),
                       source_col: pa.array([], type=pa.string()),
                       "sample_rank": pa.array([], type=pa.int64())})
@@ -398,56 +434,24 @@ def temperature_mix_sample(ds, total_docs: int, temperature: float = 2.0,
     tgt_ref = ray.put((srcs, target))
     cache: dict = {}
 
-    def bottom_n(tbl: pa.Table, with_rank: bool) -> pa.Table:
+    def dict_targets(dvals: np.ndarray) -> np.ndarray:
+        # per-dictionary-value target via the broadcast source table
         key = tgt_ref.hex() if hasattr(tgt_ref, "hex") else id(tgt_ref)
         if key not in cache:
             cache[key] = ray.get(tgt_ref)
             while len(cache) > 4:
                 cache.pop(next(iter(cache)))
         skeys, tvals = cache[key]
-        if tbl.num_rows == 0 or tbl.num_columns == 0:
-            return empty
-        ids = tbl[id_col]
-        if isinstance(ids, pa.ChunkedArray):
-            ids = ids.combine_chunks()
-        v = ids.to_numpy(zero_copy_only=False).astype(np.uint64)
-        h = (((v + np.uint64(salt)) * np.uint64(2654435761))
-             % np.uint64(2**32)).astype(np.int64)
-        idv = ids.to_numpy(zero_copy_only=False)
-        grp = tbl[source_col]
-        if isinstance(grp, pa.ChunkedArray):
-            grp = grp.combine_chunks()
-        denc = grp.dictionary_encode()
-        if isinstance(denc, pa.ChunkedArray):
-            denc = denc.combine_chunks()
-        codes = denc.indices.to_numpy(zero_copy_only=False) \
-            .astype(np.int64)
-        # per-dictionary-value target via the sorted source table
-        dvals = np.asarray(denc.dictionary.to_pylist(), dtype="S")
+        if not len(skeys):
+            return np.zeros(len(dvals), dtype=np.int64)
         pos_d = np.minimum(np.searchsorted(skeys, dvals),
-                           max(len(skeys) - 1, 0))
-        dtgt = np.where(skeys[pos_d] == dvals, tvals[pos_d], 0) \
-            if len(skeys) else np.zeros(len(dvals), dtype=np.int64)
-        order = np.lexsort((idv, h, codes))
-        gc = codes[order]
-        starts = np.flatnonzero(
-            np.concatenate([[True], gc[1:] != gc[:-1]]))
-        pos = np.arange(len(gc)) - np.repeat(starts, np.diff(
-            np.concatenate([starts, [len(gc)]])))
-        keepm = pos < dtgt[gc]
-        keep = order[keepm]
-        out = pa.table({id_col: ids.take(pa.array(keep)),
-                        source_col: grp.take(pa.array(keep))})
-        if with_rank:
-            out = out.append_column(
-                "sample_rank", pa.array(pos[keepm] + 1,
-                                        type=pa.int64()))
-        return out
+                           len(skeys) - 1)
+        return np.where(skeys[pos_d] == dvals, tvals[pos_d], 0)
 
-    pre = ds.select_columns([id_col, source_col]).map_batches(
-        lambda b: bottom_n(b, False), batch_format="pyarrow")
-    return pre.groupby(source_col).map_groups(
-        lambda g: bottom_n(g, True), batch_format="pyarrow")
+    row_hash = _make_row_hash("knuth32", salt)
+    return _bottom_n_select(
+        ds.select_columns([id_col, source_col]), source_col, id_col,
+        row_hash, dict_targets)
 
 
 def importance_resample(ds, n: int, log10_weight_col: str = "log_weight",

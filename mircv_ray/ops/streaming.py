@@ -180,7 +180,9 @@ class StreamingSessionizer:
       sessions emit exactly once, session_id 0-based per user in close
       order (== the batch operator's time order);
     - a batch-segment whose events could only form an
-      already-finalizable session (seg_end + gap <= watermark) is LATE:
+      already-finalizable session (seg_end + gap < watermark, STRICT:
+      at equality a future in-contract event at exactly watermark can
+      still sit exactly gap away and merge) is LATE:
       dropped and counted in ``late_rows`` (the tumbling operator's
       default).
 
@@ -249,7 +251,7 @@ class StreamingSessionizer:
                     slot[3] += sm
                     continue
                 if (self.watermark is not None
-                        and seg_end + self.gap <= self.watermark):
+                        and seg_end + self.gap < self.watermark):
                     self.late_rows += cnt      # could never stay open
                     continue
                 if slot is None:
@@ -257,7 +259,7 @@ class StreamingSessionizer:
                 elif seg_start > slot[1]:
                     # a later segment with gap > gap_us supersedes the
                     # open session; it PENDS until its own finalization
-                    # rule (last + gap <= watermark) allows the emit
+                    # rule (last + gap < watermark) allows the emit
                     self._pend_segment([user, *slot])
                     self._open[user] = [seg_start, seg_end, cnt, sm]
                 else:
@@ -328,7 +330,7 @@ class StreamingSessionizer:
     def _emit_closed(self, flush: bool) -> pa.Table:
         rows = [p for p in self._pending
                 if flush or (self.watermark is not None
-                             and p[2] + self.gap <= self.watermark)]
+                             and p[2] + self.gap < self.watermark)]
         if rows:
             emitted = {id(p) for p in rows}
             self._pending = [p for p in self._pending
@@ -336,7 +338,7 @@ class StreamingSessionizer:
         if self.watermark is not None or flush:
             for user in sorted(self._open):
                 st = self._open[user]
-                if flush or st[1] + self.gap <= self.watermark:
+                if flush or st[1] + self.gap < self.watermark:
                     rows.append([user, *st])
                     del self._open[user]
         if not rows:

@@ -23,29 +23,40 @@ the driver merges (indexes x k) rows. Nothing corpus-sized moves.
 
 from __future__ import annotations
 
-import re
-
 import numpy as np
 import pyarrow as pa
 
-_PATH_ID_RE = re.compile(r"doc_(\d+)\.txt$")
+_PATH_ID_RE = r"doc_\d{8}\.txt$"
+_GID_CACHE: dict = {}
 
 
 def corpus_global_ids(index_dir: str) -> np.ndarray:
     """local docno (0-based) -> GLOBAL doc id for indexes built over
     `documents_as_corpus` subsets (the path carries the original
-    doc_id: doc_%08d.txt). Reads only the docs table's path column."""
+    doc_id: doc_%08d.txt). Reads only the docs table's path column;
+    fully vectorized (one regex-validate + one slice-cast over the
+    Arrow column — never a per-row Python loop) and memoized per
+    worker process: the mapping is query-invariant."""
+    cached = _GID_CACHE.get(index_dir)
+    if cached is not None:
+        return cached
+    import pyarrow.compute as pc
     import pyarrow.parquet as pq
     t = pq.read_table(f"{index_dir}/docs", columns=["doc_id", "path"])
-    order = np.argsort(t["doc_id"].to_numpy())
-    out = np.empty(t.num_rows, dtype=np.int64)
-    paths = t["path"].to_pylist()
-    for i, row in enumerate(order):
-        m = _PATH_ID_RE.search(paths[row])
-        if m is None:
-            raise ValueError(f"path {paths[row]!r} does not carry a "
-                             "global doc id (doc_%08d.txt)")
-        out[i] = int(m.group(1))
+    paths = t["path"].combine_chunks() if isinstance(
+        t["path"], pa.ChunkedArray) else t["path"]
+    ok = pc.match_substring_regex(paths, _PATH_ID_RE)
+    if t.num_rows and not pc.all(ok).as_py():
+        bad = paths.filter(pc.invert(ok))[0].as_py()
+        raise ValueError(f"path {bad!r} does not carry a global doc "
+                         "id (doc_%08d.txt)")
+    gids = pc.cast(pc.utf8_slice_codeunits(paths, 4, 12),
+                   pa.int64()).to_numpy(zero_copy_only=False)
+    # out[docno] = gid of the doc ranked docno-th by engine docId
+    out = gids[np.argsort(t["doc_id"].to_numpy(), kind="stable")]
+    while len(_GID_CACHE) > 8:
+        _GID_CACHE.pop(next(iter(_GID_CACHE)))
+    _GID_CACHE[index_dir] = out
     return out
 
 

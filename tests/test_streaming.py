@@ -265,3 +265,27 @@ class TestSessionizerProperty:
                                    batch_size=batch_size)
         assert agg.late_rows == 0
         assert got == _batch_sessions(tbl)
+
+
+def test_boundary_disorder_exactly_lateness_and_gap(ray_session):
+    # round-5 review finding: an event with disorder EXACTLY equal to
+    # allowed_lateness sitting EXACTLY gap away must still merge —
+    # finalize/late rules are strict (<), not <=
+    agg = StreamingSessionizer(100, allowed_lateness_us=50)
+    t1 = pa.table({"event_id": pa.array([0, 1], type=pa.int64()),
+                   "ts": pa.array([1000, 1150], type=pa.int64()),
+                   "user_id": pa.array([1, 2], type=pa.int64()),
+                   "value": pa.array([1.0, 1.0])})
+    t2 = pa.table({"event_id": pa.array([2], type=pa.int64()),
+                   "ts": pa.array([1100], type=pa.int64()),
+                   "user_id": pa.array([1], type=pa.int64()),
+                   "value": pa.array([1.0])})
+    out = pa.concat_tables([x for x in
+                            (agg.ingest(t1), agg.ingest(t2), agg.flush())
+                            if x.num_rows])
+    assert agg.late_rows == 0
+    rows = {(r["user_id"], r["n_events"], r["start_us"], r["end_us"])
+            for r in out.to_pylist()}
+    assert (1, 2, 1000, 1100) in rows          # ONE merged session
+    assert (2, 1, 1150, 1150) in rows
+    assert len(rows) == 2
