@@ -3460,7 +3460,7 @@ s AS (
 SELECT user_id, session_id,
        count(*)::BIGINT AS n_events,
        min(t) AS start_us, max(t) AS end_us,
-       CAST(round(sum(value) * 100) AS BIGINT) AS sum_value_cents
+       SUM(CAST(round(value * 100) AS BIGINT)) AS sum_value_cents
 FROM s GROUP BY user_id, session_id
 ORDER BY user_id, session_id
 """
@@ -4336,7 +4336,7 @@ ORDER BY event_type, rank
 SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
        event_type,
        count(*)::BIGINT AS n_events,
-       CAST(round(sum(value) * 100) AS BIGINT) AS sum_value_cents
+       SUM(CAST(round(value * 100) AS BIGINT)) AS sum_value_cents
 FROM events GROUP BY 1, 2
 ORDER BY 1, 2
 """,
@@ -4346,7 +4346,7 @@ ORDER BY 1, 2
 SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
        event_type,
        count(*)::BIGINT AS n_events,
-       CAST(round(sum(value) * 100) AS BIGINT) AS sum_value_cents
+       SUM(CAST(round(value * 100) AS BIGINT)) AS sum_value_cents
 FROM events GROUP BY 1, 2
 ORDER BY 1, 2
 """,
@@ -4357,7 +4357,7 @@ g AS (SELECT (t // 1800000000) * 1800000000 - j * 1800000000
          AS window_start_us, event_type, value FROM w)
 SELECT window_start_us, event_type,
        count(*)::BIGINT AS n_events,
-       CAST(round(sum(value) * 100) AS BIGINT) AS sum_value_cents
+       SUM(CAST(round(value * 100) AS BIGINT)) AS sum_value_cents
 FROM g GROUP BY 1, 2
 ORDER BY 1, 2
 """,

@@ -66,8 +66,10 @@ def _asof_core(left_ds, right_ds, by_cols: list[str], on: str,
             raise ValueError(f"attach output {c!r} already a left column")
     right_schema = right_schema_override or right_ds.schema()
     right_types = dict(zip(right_schema.names, right_schema.types))
-    right_keep = [on, right_order] + [c for c in attach
-                                      if c not in (on, right_order)]
+    # dedupe: right_order == on (no separate tiebreak column) must not
+    # produce a duplicate __r_<on> union field (KeyError in resolve)
+    right_keep = [on] + ([right_order] if right_order != on else []) \
+        + [c for c in attach if c not in (on, right_order)]
     if right_end is not None and right_end not in right_keep:
         right_keep.append(right_end)
 
@@ -230,8 +232,9 @@ def _salted_core(left_ds, right_ds, by: str, on: str,
         .drop_columns(list(attach.values()))
 
     # ---- carry table: per-key RUNNING best right as of each bucket ----
-    right_keep = [on, right_order] + [c for c in attach
-                                      if c not in (on, right_order)]
+    # (deduped like _asof_core's: right_order may equal on)
+    right_keep = [on] + ([right_order] if right_order != on else []) \
+        + [c for c in attach if c not in (on, right_order)]
 
     def batch_bests(batch: pa.Table) -> pa.Table:
         # per-batch best right per (key, bucket): sort + last-of-run
@@ -405,28 +408,38 @@ def interval_join(left_ds, intervals_ds, by: str, on: str,
     the as-of join: one tagged-union shuffle, per-key vectorized
     searchsorted + end check.
     """
-    names = list(intervals_ds.schema().names)
+    intervals_ds, attach, interval_order, end_col = _prep_interval_args(
+        intervals_ds, on, start_col, end_col, attach, interval_order)
+    return _asof_core(left_ds, intervals_ds, [by], on, interval_order,
+                      attach, tolerance=None, right_end=end_col)
+
+
+def _prep_interval_args(intervals_ds, on: str, start_col: str,
+                        end_col: str, attach: dict,
+                        interval_order: str | None):
+    """Shared interval-join preamble (unsalted + salted): present the
+    interval start under the left's ``on`` name (the core resolves
+    left.on against the right column of the same name), remap attach /
+    order / end references accordingly, and reject ambiguous schemas."""
     if interval_order is None:
         interval_order = end_col
-
-    def rename(batch: pa.Table) -> pa.Table:
-        # the core resolves left.on against the RIGHT column of the same
-        # name: present the interval start under the left's `on` name
-        return batch.rename_columns(
-            [{start_col: on}.get(n, n) for n in batch.schema.names])
-
     if start_col != on:
-        if on in names:
+        if on in intervals_ds.schema().names:
             raise ValueError(
                 f"intervals already have a column named {on!r}; rename "
                 "one side to disambiguate the join key")
+
+        def rename(batch: pa.Table) -> pa.Table:
+            return batch.rename_columns(
+                [{start_col: on}.get(n, n) for n in batch.schema.names])
+
         intervals_ds = intervals_ds.map_batches(rename,
                                                 batch_format="pyarrow")
-    attach = {({start_col: on}.get(c, c)): out for c, out in attach.items()}
+    attach = {({start_col: on}.get(c, c)): out
+              for c, out in attach.items()}
     interval_order = {start_col: on}.get(interval_order, interval_order)
-    return _asof_core(left_ds, intervals_ds, [by], on, interval_order,
-                      attach, tolerance=None,
-                      right_end={start_col: on}.get(end_col, end_col))
+    return (intervals_ds, attach, interval_order,
+            {start_col: on}.get(end_col, end_col))
 
 
 def interval_join_salted(left_ds, intervals_ds, by: str, on: str,
@@ -442,23 +455,8 @@ def interval_join_salted(left_ds, intervals_ds, by: str, on: str,
     start-wise candidate consult the per-key running-interval carry
     (an in-bucket candidate failing its end check is a final null,
     matching the unsalted latest-starting-only semantics)."""
-    names = list(intervals_ds.schema().names)
-    if interval_order is None:
-        interval_order = end_col
-
-    def rename(batch: pa.Table) -> pa.Table:
-        return batch.rename_columns(
-            [{start_col: on}.get(n, n) for n in batch.schema.names])
-
-    if start_col != on:
-        if on in names:
-            raise ValueError(
-                f"intervals already have a column named {on!r}; rename "
-                "one side to disambiguate the join key")
-        intervals_ds = intervals_ds.map_batches(rename,
-                                                batch_format="pyarrow")
-    attach = {({start_col: on}.get(c, c)): out for c, out in attach.items()}
-    interval_order = {start_col: on}.get(interval_order, interval_order)
+    intervals_ds, attach, interval_order, end_col = _prep_interval_args(
+        intervals_ds, on, start_col, end_col, attach, interval_order)
     return _salted_core(left_ds, intervals_ds, by, on, interval_order,
                         attach, salt_width, tolerance=None,
-                        right_end={start_col: on}.get(end_col, end_col))
+                        right_end=end_col)

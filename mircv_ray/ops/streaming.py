@@ -73,14 +73,17 @@ class StreamingTumblingWindow:
         if batch.num_rows:
             ts = batch["ts"].cast(pa.int64()).to_numpy()
             win = (ts // self.width) * self.width
+            # cents at the LEAF (the batch operator's convention):
+            # integer sums associate, so stream batching is invisible
             t = pa.table({"w": pa.array(win, type=pa.int64()),
                           "event_type": batch["event_type"],
-                          "value": batch["value"]})
+                          "c": pa.array(_round_half_away(
+                              batch["value"].to_numpy() * 100.0))})
             a = t.group_by(["w", "event_type"]).aggregate(
-                [([], "count_all"), ("value", "sum")])
+                [([], "count_all"), ("c", "sum")])
             ws = a["w"].to_numpy()
             ns = a["count_all"].to_numpy()
-            vs = a["value_sum"].to_numpy()
+            vs = a["c_sum"].to_numpy()
             # grouped (window, type) keys — bytes via one values-buffer
             # view; state keys stay bytes until emit
             from ..util import binary_values_list
@@ -90,9 +93,9 @@ class StreamingTumblingWindow:
                         and w < self._finalized_until):
                     self.late_rows += int(n)    # window already emitted
                     continue
-                slot = self._open.setdefault((int(w), et), [0, 0.0])
+                slot = self._open.setdefault((int(w), et), [0, 0])
                 slot[0] += int(n)
-                slot[1] += float(v)
+                slot[1] += int(v)
             new_wm = int(ts.max()) - self.lateness
             if self.watermark is None or new_wm > self.watermark:
                 self.watermark = new_wm
@@ -122,14 +125,13 @@ class StreamingTumblingWindow:
         if pop:
             for k in keys:
                 del self._open[k]
-        sums = np.array([r[3] for r in rows])
         return pa.table({
             "window_start_us": pa.array([r[0] for r in rows], pa.int64()),
             "event_type": pa.array([r[1].decode() for r in rows],
                                    pa.string()),
             "n_events": pa.array([r[2] for r in rows], pa.int64()),
-            "sum_value_cents": pa.array(
-                _round_half_away(sums * 100.0), pa.int64()),
+            "sum_value_cents": pa.array([r[3] for r in rows],
+                                        pa.int64()),
         })
 
     @property
@@ -219,7 +221,9 @@ class StreamingSessionizer:
         g = batch.take(order)
         user = g["user_id"].to_numpy()
         ts = g["ts"].cast(pa.int64()).to_numpy()
-        val = g["value"].to_numpy()
+        # cents at the LEAF (the batch sessionize convention): integer
+        # segment sums associate exactly across merges and re-merges
+        val = _round_half_away(g["value"].to_numpy() * 100.0)
         new_seg = np.empty(len(ts), dtype=bool)
         new_seg[0] = True
         if len(ts) > 1:
@@ -349,7 +353,6 @@ class StreamingSessionizer:
             sid = self._next_sid.get(r[0], 0)
             self._next_sid[r[0]] = sid + 1
             sids.append(sid)
-        sums = np.array([r[4] for r in rows])
         return pa.table({
             "user_id": pa.array([r[0] for r in rows], pa.int64()),
             "session_id": pa.array(sids, pa.int64()),
@@ -357,7 +360,7 @@ class StreamingSessionizer:
             "start_us": pa.array([r[1] for r in rows], pa.int64()),
             "end_us": pa.array([r[2] for r in rows], pa.int64()),
             "sum_value_cents": pa.array(
-                _round_half_away(sums * 100.0), pa.int64()),
+                [int(r[4]) for r in rows], pa.int64()),
         })
 
     def flush(self) -> pa.Table:

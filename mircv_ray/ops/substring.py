@@ -90,8 +90,7 @@ def _winnow_select(h: np.ndarray, wins_per_doc: np.ndarray,
     pos = multi_arange(wins_per_doc) + np.repeat(
         doc_off + pad * np.arange(docs, dtype=np.int64), wins_per_doc)
     padded[pos] = h
-    sw = np.lib.stride_tricks.sliding_window_view(padded, w)
-    arg = sw.argmin(axis=1) + np.arange(len(sw), dtype=np.int64)
+    arg = _sliding_argmin(padded, w)
     sel = np.unique(arg)
     real = np.zeros(out_len, dtype=bool)
     real[pos] = True
@@ -99,6 +98,47 @@ def _winnow_select(h: np.ndarray, wins_per_doc: np.ndarray,
     back = np.full(out_len, -1, dtype=np.int64)
     back[pos] = np.arange(total, dtype=np.int64)
     return back[sel]
+
+
+def _sliding_argmin(padded: np.ndarray, w: int) -> np.ndarray:
+    """O(total) sliding-window argmin with the LEFTMOST-tie rule —
+    block decomposition (the classic two-scan sparse-table-free
+    sliding minimum): split into w-sized blocks, compute per-block
+    prefix argmins (left->right, STRICT decrease keeps the earlier
+    index on ties) and suffix argmins (right->left, <= prefers the
+    leftmost original index), then every window [i, i+w) is the better
+    of suffix[i] (its block's tail) and prefix[i+w-1] (the next
+    block's head), ties to the left part. Replaces
+    sliding_window_view(...).argmin(axis=1), whose re-scan made
+    selection O(total*w) — ~w times the needed work at the
+    production w~100 (round-5 review finding)."""
+    out_len = len(padded)
+    nb = -(-out_len // w)
+    B = np.full((nb, w), _SENTINEL, dtype=np.uint64)
+    B.ravel()[:out_len] = padded
+    idx = np.arange(w, dtype=np.int64)
+    # prefix argmin per block: new minimum only on strict decrease
+    pv = np.minimum.accumulate(B, axis=1)
+    strict = np.empty((nb, w), dtype=bool)
+    strict[:, 0] = True
+    strict[:, 1:] = B[:, 1:] < pv[:, :-1]
+    prefix = np.maximum.accumulate(np.where(strict, idx, -1), axis=1)
+    # suffix argmin per block via the reversed scan; <= prefers the
+    # later reversed element == the leftmost original
+    Br = B[:, ::-1]
+    sv = np.minimum.accumulate(Br, axis=1)
+    le = np.empty((nb, w), dtype=bool)
+    le[:, 0] = True
+    le[:, 1:] = Br[:, 1:] <= sv[:, :-1]
+    suffix_r = np.maximum.accumulate(np.where(le, idx, -1), axis=1)
+    base = (np.arange(nb, dtype=np.int64) * w)[:, None]
+    prefix_g = (prefix + base).ravel()[:out_len]
+    suffix_g = ((w - 1) - suffix_r[:, ::-1] + base).ravel()[:out_len]
+    n_win = out_len - w + 1
+    i = np.arange(n_win, dtype=np.int64)
+    a = suffix_g[i]              # argmin of [i .. end of i's block]
+    b = prefix_g[i + w - 1]      # argmin of [next block start .. i+w-1]
+    return np.where(padded[a] <= padded[b], a, b)
 
 
 def ngram_window_rows(batch: pa.Table, text_col: str = "text",

@@ -43,29 +43,26 @@ def tumbling_window_agg(events_ds, width_us: int = US_PER_HOUR):
     def partial(batch: pa.Table) -> pa.Table:
         ts = batch["ts"].cast(pa.int64()).to_numpy()  # epoch micros
         win = (ts // width_us) * width_us
+        # cents at the LEAF (one half-away round per event, int64 sums
+        # after — the rollup_agg convention): integer partial sums
+        # associate exactly, so any partial boundary (Ray block,
+        # stream batch, hop replication) yields the identical result
+        # for ANY float input, not just 2-decimal values
         t = pa.table({"window_start_us": pa.array(win, type=pa.int64()),
                       "event_type": batch["event_type"],
-                      "value": batch["value"]})
+                      "c": pa.array(_round_half_away(
+                          batch["value"].to_numpy() * 100.0))})
         a = t.group_by(["window_start_us", "event_type"]).aggregate(
-            [([], "count_all"), ("value", "sum")])
+            [([], "count_all"), ("c", "sum")])
         return pa.table({"window_start_us": a["window_start_us"],
                          "event_type": a["event_type"],
                          "n": a["count_all"].cast(pa.int64()),
-                         "v": a["value_sum"]})
+                         "c": a["c_sum"].cast(pa.int64())})
 
     partials = events_ds.map_batches(partial, batch_format="pyarrow")
-    agg = partials.groupby(["window_start_us", "event_type"]).aggregate(
-        Sum("n", alias_name="n_events"), Sum("v", alias_name="sum_value"))
-
-    def finalize(b: pa.Table) -> pa.Table:
-        # value has 2 decimal places in the source, so the sum in cents is
-        # integral up to fp error — an int64 column compares exactly across
-        # engines where a rounded float can straddle a rounding boundary
-        i = b.schema.get_field_index("sum_value")
-        cents = pc.round(pc.multiply(b["sum_value"], 100.0),
-                         round_mode="half_towards_infinity").cast(pa.int64())
-        return b.remove_column(i).append_column("sum_value_cents", cents)
-    return agg.map_batches(finalize, batch_format="pyarrow")
+    return partials.groupby(["window_start_us", "event_type"]).aggregate(
+        Sum("n", alias_name="n_events"),
+        Sum("c", alias_name="sum_value_cents"))
 
 
 def hopping_window_agg(events_ds, width_us: int = US_PER_HOUR,
@@ -97,25 +94,20 @@ def hopping_window_agg(events_ds, width_us: int = US_PER_HOUR,
             "event_type": pa.array(
                 np.repeat(batch["event_type"].to_numpy(zero_copy_only=False),
                           k)),
-            "value": pa.array(np.repeat(batch["value"].to_numpy(), k)),
+            "c": pa.array(np.repeat(_round_half_away(
+                batch["value"].to_numpy() * 100.0), k)),
         })
         a = t.group_by(["window_start_us", "event_type"]).aggregate(
-            [([], "count_all"), ("value", "sum")])
+            [([], "count_all"), ("c", "sum")])
         return pa.table({"window_start_us": a["window_start_us"],
                          "event_type": a["event_type"],
                          "n": a["count_all"].cast(pa.int64()),
-                         "v": a["value_sum"]})
+                         "c": a["c_sum"].cast(pa.int64())})
 
     partials = events_ds.map_batches(partial, batch_format="pyarrow")
-    agg = partials.groupby(["window_start_us", "event_type"]).aggregate(
-        Sum("n", alias_name="n_events"), Sum("v", alias_name="sum_value"))
-
-    def finalize(b: pa.Table) -> pa.Table:
-        i = b.schema.get_field_index("sum_value")
-        cents = pc.round(pc.multiply(b["sum_value"], 100.0),
-                         round_mode="half_towards_infinity").cast(pa.int64())
-        return b.remove_column(i).append_column("sum_value_cents", cents)
-    return agg.map_batches(finalize, batch_format="pyarrow")
+    return partials.groupby(["window_start_us", "event_type"]).aggregate(
+        Sum("n", alias_name="n_events"),
+        Sum("c", alias_name="sum_value_cents"))
 
 
 def sessionize(events_ds, gap_us: int = 30 * 60 * 1_000_000,
@@ -131,8 +123,10 @@ def sessionize(events_ds, gap_us: int = 30 * 60 * 1_000_000,
     task holds one user-time-slice; the per-user pass then merges only
     SUB-SESSION aggregates (one row per fragment, never events) with the
     same gap rule — fragments split inside a slice have gap > gap_us by
-    construction, so the uniform merge is exact. Results are identical to
-    the unsalted path (pytest-pinned). Pick width >> gap_us (e.g. a day
+    construction, so the uniform merge is exact. Values convert to int64
+    cents at the LEAF (per event), so fragment sums are exact integer
+    partials and the salted path is identical to the unsalted one for
+    ANY float input (pytest-pinned), not just 2-decimal values. Pick width >> gap_us (e.g. a day
     for a 30-min gap) so fragments stay few.
     """
     from .. import use_push_shuffle
@@ -147,7 +141,12 @@ def sessionize(events_ds, gap_us: int = 30 * 60 * 1_000_000,
                                                   ("event_id", "ascending")])
         group = group.take(order)
         ts = group["ts"].cast(pa.int64()).to_numpy()
-        val = group["value"].to_numpy()
+        # cents at the LEAF (one half-away round per event, int64 sums
+        # after): integer addition associates, so salted / streaming /
+        # unsalted agree EXACTLY for ANY float input — float session
+        # sums re-associated across fragment boundaries could flip a
+        # cent (the rollup_agg convention; round-5 review finding)
+        cents = _round_half_away(group["value"].to_numpy() * 100.0)
         user = int(group["user_id"][0].as_py())
         new_sess = np.empty(len(ts), dtype=np.int64)
         new_sess[0] = 0
@@ -163,7 +162,7 @@ def sessionize(events_ds, gap_us: int = 30 * 60 * 1_000_000,
             "start_us": pa.array(ts[starts], type=pa.int64()),
             "end_us": pa.array(ts[ends - 1], type=pa.int64()),
             "sum_value_cents": pa.array(
-                _round_half_away(np.add.reduceat(val, starts) * 100.0)),
+                np.add.reduceat(cents, starts).astype(np.int64)),
         })
 
     return (events_ds
@@ -174,8 +173,8 @@ def sessionize(events_ds, gap_us: int = 30 * 60 * 1_000_000,
 
 def _sessionize_salted(events_ds, gap_us: int, salt_width_us: int):
     """Day-salted sessionize (see sessionize): phase 1 builds per-slice
-    session FRAGMENTS carrying float value sums; phase 2 merges fragment
-    rows per user and finalizes cents — events never regroup globally."""
+    session FRAGMENTS carrying exact int64 cent sums; phase 2 merges
+    fragment rows per user — events never regroup globally."""
 
     def add_salt(batch: pa.Table) -> pa.Table:
         ts = batch["ts"].cast(pa.int64()).to_numpy()
@@ -192,7 +191,7 @@ def _sessionize_salted(events_ds, gap_us: int, salt_width_us: int):
                                                   ("event_id", "ascending")])
         group = group.take(order)
         ts = group["ts"].to_numpy()
-        val = group["value"].to_numpy()
+        cents = _round_half_away(group["value"].to_numpy() * 100.0)
         user = int(group["user_id"][0].as_py())
         new_f = np.empty(len(ts), dtype=np.int64)
         new_f[0] = 0
@@ -206,8 +205,8 @@ def _sessionize_salted(events_ds, gap_us: int, salt_width_us: int):
             "n_events": pa.array(ends - starts, type=pa.int64()),
             "start_us": pa.array(ts[starts], type=pa.int64()),
             "end_us": pa.array(ts[ends - 1], type=pa.int64()),
-            "sum_value": pa.array(np.add.reduceat(val, starts),
-                                  type=pa.float64()),
+            "sum_cents": pa.array(
+                np.add.reduceat(cents, starts).astype(np.int64)),
         })
 
     def merge(group: pa.Table) -> pa.Table:
@@ -217,7 +216,7 @@ def _sessionize_salted(events_ds, gap_us: int, salt_width_us: int):
         s = group["start_us"].to_numpy()
         e = group["end_us"].to_numpy()
         n = group["n_events"].to_numpy()
-        v = group["sum_value"].to_numpy()
+        v = group["sum_cents"].to_numpy()
         new_sess = np.empty(len(s), dtype=np.int64)
         new_sess[0] = 0
         if len(s) > 1:
@@ -232,8 +231,8 @@ def _sessionize_salted(events_ds, gap_us: int, salt_width_us: int):
             "n_events": pa.array(np.add.reduceat(n, starts), type=pa.int64()),
             "start_us": pa.array(s[starts], type=pa.int64()),
             "end_us": pa.array(e[ends_idx], type=pa.int64()),
-            "sum_value_cents": pa.array(_round_half_away(
-                np.add.reduceat(v, starts) * 100.0)),
+            "sum_value_cents": pa.array(
+                np.add.reduceat(v, starts).astype(np.int64)),
         })
 
     frags = (events_ds
@@ -1489,7 +1488,7 @@ def interarrival_stats(events_ds, key_col: str = "user_id",
                 "max_gap_us": pa.nulls(1, pa.int64()),
                 "mean_gap_us": pa.nulls(1, pa.int64())})
         mean = float(d.sum()) / len(d)
-        mean_i = int(np.trunc(mean + np.copysign(0.5, mean)))
+        mean_i = int(_round_half_away(np.array([mean]))[0])
         return pa.table({
             key_col: key,
             "n_gaps": pa.array([len(d)], type=pa.int64()),

@@ -249,3 +249,39 @@ class TestIntervalJoin:
         for _, g in df.groupby("user_id"):
             sid = g.session_id.to_numpy()
             assert (np.diff(sid) >= 0).all()
+
+
+class TestAsofRightOrderEqualsOn:
+    # round-5 review: right_order == on (no separate tiebreak column)
+    # must not duplicate the __r_<on> union field and crash
+    @pytest.mark.parametrize("salted", [False, True])
+    def test_right_order_is_on(self, ray_session, salted):
+        import ray.data as rd
+        left, right = _rand_tables(seed=5, n_left=300, n_right=120)
+        kw = dict(by="k", on="t", right_order="t",
+                  attach={"t": "r_t", "val": "r_val"})
+        if salted:
+            from mircv_ray.ops import asof_join_backward_salted
+            fn, kw2 = asof_join_backward_salted, dict(kw, salt_width=500)
+        else:
+            fn, kw2 = asof_join_backward, kw
+        got = _collect(fn(
+            rd.from_arrow(left).repartition(4),
+            rd.from_arrow(right).repartition(3), **kw2), ["lid"])
+        # brute force with (t, t) tie order == (t) order, last wins
+        import collections
+        rights = collections.defaultdict(list)
+        for r in right.to_pylist():
+            rights[r["k"]].append(r)
+        exp = []
+        for l in sorted(left.to_pylist(), key=lambda r: r["lid"]):
+            best = None
+            for r in rights.get(l["k"], []):
+                if r["t"] <= l["t"] and (
+                        best is None or (r["t"], r["t"]) >=
+                        (best["t"], best["t"])):
+                    best = r
+            exp.append((l["lid"], None if best is None else best["t"],
+                        None if best is None else best["val"]))
+        assert [(r["lid"], r["r_t"], r["r_val"])
+                for r in got.to_pylist()] == exp

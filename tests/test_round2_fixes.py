@@ -130,17 +130,18 @@ def test_sessionize_rounding_half_away(ray_session):
     import ray.data as rd
 
     from mircv_ray.ops import sessionize
-    # one user, one session; values sum to 0.125 -> 12.5 cents: DuckDB
-    # round() is half away from zero => 13
+    # leaf-cents: EACH EVENT rounds half away from zero (DuckDB
+    # round() semantics) to int cents, then sums exactly —
+    # 0.125 -> 12.5 -> 13 and 0.0625 -> 6.25 -> 6, total 19
     t = pa.table({
         "user_id": pa.array([7, 7], type=pa.int64()),
         "ts": pa.array([1_000_000, 2_000_000], type=pa.timestamp("us")),
         "event_id": pa.array([1, 2], type=pa.int64()),
-        "value": pa.array([0.0625, 0.0625], type=pa.float64()),
+        "value": pa.array([0.125, 0.0625], type=pa.float64()),
     })
     out = sessionize(rd.from_arrow(t)).to_pandas()
     assert len(out) == 1
-    assert int(out["sum_value_cents"][0]) == 13
+    assert int(out["sum_value_cents"][0]) == 19
 
 
 # ----------------------------------------------- id-mapping join scale path

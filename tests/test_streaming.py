@@ -23,10 +23,11 @@ def _events(n=5000, seed=3, n_types=3, horizon=50_000):
 def _batch_answer(tbl: pa.Table) -> dict:
     df = tbl.to_pandas()
     df["w"] = (df.ts // WIDTH) * WIDTH
+    # leaf-cents: each event rounds to int cents, sums are exact ints
+    df["c"] = np.trunc(df.value * 100 + np.copysign(0.5, df.value))         .astype(np.int64)
     g = df.groupby(["w", "event_type"]).agg(
-        n=("value", "size"), s=("value", "sum")).reset_index()
-    return {(int(r.w), r.event_type):
-            (int(r.n), int(np.trunc(r.s * 100 + np.copysign(0.5, r.s))))
+        n=("c", "size"), s=("c", "sum")).reset_index()
+    return {(int(r.w), r.event_type): (int(r.n), int(r.s))
             for r in g.itertuples()}
 
 
@@ -120,17 +121,17 @@ def _batch_sessions(tbl: pa.Table) -> set:
     out = set()
     for user, g in df.groupby("user_id"):
         ts = g.ts.to_numpy()
-        val = g.value.to_numpy()
+        # leaf-cents per event, exact int sums
+        cents = np.trunc(g.value.to_numpy() * 100
+                         + np.copysign(0.5, g.value.to_numpy()))             .astype(np.int64)
         new = np.empty(len(ts), dtype=bool)
         new[0] = True
         new[1:] = np.diff(ts) > GAP
         sess = np.cumsum(new) - 1
         for sid in range(sess.max() + 1):
             m = sess == sid
-            s = val[m].sum()
             out.add((int(user), sid, int(m.sum()), int(ts[m].min()),
-                     int(ts[m].max()),
-                     int(np.trunc(s * 100 + np.copysign(0.5, s)))))
+                     int(ts[m].max()), int(cents[m].sum())))
     return out
 
 

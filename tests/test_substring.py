@@ -165,3 +165,20 @@ class TestSharedNgramPairs:
         want = sorted(zip(oracle["a"].to_pylist(), oracle["b"].to_pylist()))
         assert got == want
         assert {(5, 12), (5, 40), (12, 40)} <= set(want)
+
+
+def test_sliding_argmin_equivalence_ties():
+    # round-5 review: the O(total) block-decomposition sliding argmin
+    # must equal sliding_window_view(...).argmin (leftmost tie) exactly,
+    # including tie-heavy and sentinel-laden inputs
+    from mircv_ray.ops.substring import _SENTINEL, _sliding_argmin
+    rng = np.random.default_rng(3)
+    for _ in range(60):
+        n = int(rng.integers(2, 300))
+        w = int(rng.integers(2, max(min(n, 40), 3)))
+        padded = rng.integers(0, 5, n).astype(np.uint64)
+        padded[rng.integers(0, n, n // 4)] = _SENTINEL
+        sw = np.lib.stride_tricks.sliding_window_view(padded, w)
+        exp = sw.argmin(axis=1) + np.arange(len(sw), dtype=np.int64)
+        got = _sliding_argmin(padded, w)
+        assert (got == exp).all()
