@@ -162,6 +162,11 @@ def explode_bands(batch: pa.Table, id_col: str = "doc_id",
     if isinstance(sig, pa.ChunkedArray):
         sig = sig.combine_chunks()
     num_perm = sig.type.list_size
+    if bands <= 0 or num_perm % bands:
+        # a non-divisor silently dead-weights trailing permutations;
+        # bands > num_perm would degenerate to ONE global bucket
+        raise ValueError(f"bands={bands} must divide num_perm="
+                         f"{num_perm}")
     rows = num_perm // bands
     mat = sig.values.to_numpy(zero_copy_only=False).reshape(-1, num_perm)
     out_id, out_band, out_hash = [], [], []
@@ -186,7 +191,9 @@ _PAIR_PARTITIONS = 512  # LSH buckets hash-packed into this many groups
 
 def _pair_rows_in_partition(
         sort_keys: list[np.ndarray],
-        max_bucket: int) -> tuple[np.ndarray, np.ndarray, int]:
+        max_bucket: int,
+        star_neg_ids: np.ndarray | None = None
+) -> tuple[np.ndarray, np.ndarray, int]:
     """Row-index pairs within equal-key runs, fully vectorized.
 
     ``sort_keys`` are already-sorted parallel key arrays defining the
@@ -225,6 +232,24 @@ def _pair_rows_in_partition(
             out_a.append(np.repeat(sel, int(s) - 1))
             out_b.append((sel[:, None]
                           + np.arange(1, int(s))[None, :]).ravel())
+            if star_neg_ids is not None:
+                # contamination mode (round-5 review): EVERY negative-
+                # id row (a probe) must ALSO star against the bucket —
+                # the min-id star alone preserves connectivity for
+                # transitive dedup, but probe-doc pairs are consumed
+                # DIRECTLY, so a probe sharing a bucket with another
+                # probe would otherwise silently lose all its docs.
+                # Over-cap buckets are rare and probes are few, so the
+                # per-bucket loop is cheap.
+                for st in sel.tolist():
+                    rows = np.arange(st, st + int(s))
+                    negs = rows[star_neg_ids[rows]]
+                    for c in negs[1:] if (len(negs) and negs[0] == st) \
+                            else negs:
+                        others = rows[rows != c]
+                        out_a.append(np.full(len(others), c,
+                                             dtype=np.int64))
+                        out_b.append(others)
             continue
         idx = sel[:, None] + np.arange(s)[None, :]   # (runs, s) row indices
         ia, ib = np.triu_indices(int(s), k=1)
@@ -248,9 +273,12 @@ def _add_pkey(batch: pa.Table, key_cols: list[str],
 
 
 def _make_partition_pairs(key_cols: list[str], id_col: str,
-                          max_bucket: int, extra_col: str | None = None):
+                          max_bucket: int, extra_col: str | None = None,
+                          star_neg: bool = False):
     """map_groups fn over one pkey partition: sort by bucket keys + id,
-    emit (a, b[, extra_a, extra_b]) for every intra-bucket pair."""
+    emit (a, b[, extra_a, extra_b]) for every intra-bucket pair.
+    ``star_neg``: negative-id rows (reserved probe range) also star
+    against over-cap buckets (see _pair_rows_in_partition)."""
 
     def fn(group: pa.Table) -> pa.Table:
         order = pc.sort_indices(
@@ -258,7 +286,8 @@ def _make_partition_pairs(key_cols: list[str], id_col: str,
             + [(id_col, "ascending")])
         group = group.take(order)
         keys = [group[c].to_numpy() for c in key_cols]
-        ra, rb, n_capped = _pair_rows_in_partition(keys, max_bucket)
+        neg = (group[id_col].to_numpy() < 0) if star_neg else None
+        ra, rb, n_capped = _pair_rows_in_partition(keys, max_bucket, neg)
         if n_capped:
             logger.warning(
                 "%d bucket(s) over max_bucket=%d in this partition: "
@@ -266,8 +295,13 @@ def _make_partition_pairs(key_cols: list[str], id_col: str,
                 "representative instead of all O(n^2) pairs (connected "
                 "components preserved)", n_capped, max_bucket)
         ids = group[id_col].to_numpy()
-        cols = {"a": pa.array(ids[ra], type=pa.int64()),
-                "b": pa.array(ids[rb], type=pa.int64())}
+        ia, ib = ids[ra], ids[rb]
+        swap = ia > ib           # probe stars can emit center > other;
+        if swap.any():           # the pair contract is a < b by id
+            ra, rb = np.where(swap, rb, ra), np.where(swap, ra, rb)
+            ia, ib = ids[ra], ids[rb]
+        cols = {"a": pa.array(ia, type=pa.int64()),
+                "b": pa.array(ib, type=pa.int64())}
         if extra_col is not None:
             ex = group[extra_col].to_numpy()
             cols["extra_a"] = pa.array(ex[ra])
@@ -536,13 +570,15 @@ def _distinct_pairs(pairs_ds):
 
 
 def _bucketed_pairs(band_rows, key_cols: list[str], id_col: str,
-                    max_bucket: int = 200, extra_col: str | None = None):
+                    max_bucket: int = 200, extra_col: str | None = None,
+                    star_neg: bool = False):
     """band/bucket rows -> candidate pair rows (one packed-partition
     groupby instead of millions of per-bucket UDF dispatches)."""
     packed = band_rows.map_batches(lambda b: _add_pkey(b, key_cols),
                                    batch_format="pyarrow")
     return packed.groupby("pkey").map_groups(
-        _make_partition_pairs(key_cols, id_col, max_bucket, extra_col),
+        _make_partition_pairs(key_cols, id_col, max_bucket, extra_col,
+                              star_neg),
         batch_format="pyarrow")
 
 
@@ -571,6 +607,8 @@ def minhash_candidate_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     """
     from .. import use_push_shuffle
     use_push_shuffle(ds)
+    if bands <= 0 or num_perm % bands:
+        raise ValueError(f"bands={bands} must divide num_perm={num_perm}")
     # materialize the PACKED signatures once: that single copy feeds both
     # the banding pipeline (unpacked zero-copy per batch) and the two
     # verify joins; blocks stay in the (spill-backed) object store, never
@@ -583,6 +621,19 @@ def minhash_candidate_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
 
     def explode_packed(batch: pa.Table) -> pa.Table:
         mat = _unpack_fixed(batch["sig"], np.uint64, num_perm)
+        # docs with NO shingles (fewer than shingle_k tokens, empty or
+        # NULL text) carry the all-max sentinel signature — real minima
+        # are < 2^61 (mod-Mersenne), so the sentinel is unambiguous.
+        # They must never band: identical sentinels would otherwise
+        # pair EVERY short doc with every other at est 1.0 and a
+        # downstream transitive dedup would collapse unrelated docs
+        # (round-5 review finding; Jaccard over empty sets is
+        # undefined, the convention is "never a candidate")
+        real = mat[:, 0] != np.iinfo(np.uint64).max
+        if not real.all():
+            keep = pa.array(real)
+            mat = mat[real]
+            batch = batch.filter(keep)
         tbl = pa.table({
             id_col: batch[id_col],
             "sig": pa.FixedSizeListArray.from_arrays(
@@ -613,9 +664,15 @@ def minhash_candidate_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
 # ---------------------------------------------------------------- simhash
 
 def simhash64(batch: pa.Table, text_col: str = "text",
-              id_col: str = "doc_id") -> pa.Table:
+              id_col: str = "doc_id",
+              drop_empty: bool = False) -> pa.Table:
     """64-bit SimHash over token hashes (tf-weighted sign sums),
-    vectorized with reduceat over the flat token stream."""
+    vectorized with reduceat over the flat token stream.
+    ``drop_empty`` removes zero-token docs (empty/NULL/punct-only
+    text) from the OUTPUT — they all share signature 0 and would
+    otherwise pair as 'exact' near-duplicates of each other despite
+    sharing no content (the pairs pipeline passes True; the plain
+    signature table keeps every doc)."""
     base, counts = _token_ids_flat(batch, text_col)
     n_docs = len(counts)
     out = np.zeros(n_docs, dtype=np.uint64)
@@ -623,16 +680,25 @@ def simhash64(batch: pa.Table, text_col: str = "text",
         # re-hash crc32 (32-bit) up to 64 bits
         with np.errstate(over="ignore"):
             h64 = base * np.uint64(0x9E3779B97F4A7C15) + np.uint64(0x165667B1)
-        bits = ((h64[:, None] >> np.arange(64, dtype=np.uint64)) &
-                np.uint64(1)).astype(np.int64) * 2 - 1  # (flat, 64) in {-1,+1}
         starts = (np.cumsum(counts) - counts)
         nz = counts > 0
-        sums = np.add.reduceat(bits, starts[nz], axis=0)
-        sig_bits = (sums > 0).astype(np.uint64)
-        vals = (sig_bits << np.arange(64, dtype=np.uint64)).sum(axis=1)
+        starts_nz = starts[nz]
+        tot = counts[nz]
+        vals = np.zeros(len(tot), dtype=np.uint64)
+        # one flat pass per BIT position (64 passes of O(flat) temps)
+        # instead of a (flat, 64) int64 sign matrix — 512 bytes/token
+        # of transient allocation on large-doc batches (round-5 review
+        # finding). sign-sum > 0  <=>  2*ones > tokens, identical bits.
+        for j in range(64):
+            bit = ((h64 >> np.uint64(j)) & np.uint64(1)).astype(np.int64)
+            ones = np.add.reduceat(bit, starts_nz)
+            vals |= (2 * ones > tot).astype(np.uint64) << np.uint64(j)
         out[nz] = vals
-    return pa.table({id_col: batch[id_col],
-                     "simhash": pa.array(out.astype(np.int64))})
+    t = pa.table({id_col: batch[id_col],
+                  "simhash": pa.array(out.astype(np.int64))})
+    if drop_empty:
+        t = t.filter(pa.array(counts > 0))
+    return t
 
 
 def near_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
@@ -679,7 +745,8 @@ def near_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                          "b": batch["b"].filter(pa.array(keep)),
                          "hamming": pa.array(ham[keep])})
 
-    sig = ds.map_batches(lambda b: simhash64(b, text_col, id_col),
+    sig = ds.map_batches(lambda b: simhash64(b, text_col, id_col,
+                                             drop_empty=True),
                          batch_format="pyarrow")
     pairs = _bucketed_pairs(sig.map_batches(explode, batch_format="pyarrow"),
                             ["band", "band_key"], id_col, max_bucket=500,
@@ -763,9 +830,11 @@ def _sigs_from_sets(batch: pa.Table, id_col: str, num_perm: int,
 
 
 def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
+                        star_neg_probes: bool = False,
                         threshold: float = 0.5, shingle_k: int = 3,
                         num_perm: int = _NUM_PERM, bands: int = 16,
-                        seed: int = 1, join_partitions: int | None = None):
+                        seed: int = 1, join_partitions: int | None = None,
+                        max_bucket: int = 200):
     """Near-dup pairs with EXACT n-gram (shingle-set) Jaccard >= threshold.
 
     Candidates come from the same MinHash-LSH banding as
@@ -780,6 +849,8 @@ def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     """
     from .. import use_push_shuffle
     use_push_shuffle(ds)
+    if bands <= 0 or num_perm % bands:
+        raise ValueError(f"bands={bands} must divide num_perm={num_perm}")
     # ONE content scan: shingle sets are materialized packed; signatures
     # derive from the sets (identical minima), so text never re-tokenizes
     sets_bin = ds.map_batches(
@@ -789,9 +860,26 @@ def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     sig_in = sets_bin.map_batches(
         lambda b: _sigs_from_sets(b, id_col, num_perm, seed),
         batch_format="pyarrow")
-    band_rows = sig_in.map_batches(
-        lambda b: explode_bands(b, id_col, bands), batch_format="pyarrow")
-    pairs = _bucketed_pairs(band_rows, ["band", "band_hash"], id_col)
+
+    def band_nonempty(b: pa.Table) -> pa.Table:
+        # zero-shingle docs carry the all-max sentinel signature: the
+        # exact verify would reject their pairs anyway (jac 0), but
+        # banding them puts EVERY short doc in one bucket — a
+        # quadratic candidate blowup for nothing
+        sig = b["sig"]
+        if isinstance(sig, pa.ChunkedArray):
+            sig = sig.combine_chunks()
+        mat = sig.values.to_numpy(zero_copy_only=False)             .reshape(-1, sig.type.list_size).astype(np.uint64)
+        real = mat[:, 0] != np.iinfo(np.uint64).max
+        if not real.all():
+            b = b.filter(pa.array(real))
+        return explode_bands(b, id_col, bands)
+
+    band_rows = sig_in.map_batches(band_nonempty,
+                                   batch_format="pyarrow")
+    pairs = _bucketed_pairs(band_rows, ["band", "band_hash"], id_col,
+                            max_bucket=max_bucket,
+                            star_neg=star_neg_probes)
     joined = _join_pair_state(pairs, sets_bin, id_col, "shingles",
                               join_partitions)
     return joined.map_batches(_make_exact_jaccard_verify(threshold),
@@ -1043,7 +1131,8 @@ def contamination_fuzzy(ds, probe_texts, threshold: float = 0.5,
                         shingle_k: int = 3, text_col: str = "text",
                         id_col: str = "doc_id", num_perm: int = _NUM_PERM,
                         bands: int = 16, seed: int = 1,
-                        join_partitions: int | None = None):
+                        join_partitions: int | None = None,
+                        max_bucket: int = 200):
     """Fuzzy decontamination: (doc_id, probe_idx, jaccard) for every
     document whose EXACT shingle-set Jaccard against a benchmark probe
     is >= threshold (the n-gram-overlap half of the standard LLM
@@ -1074,7 +1163,13 @@ def contamination_fuzzy(ds, probe_texts, threshold: float = 0.5,
     pairs = ngram_jaccard_pairs(
         union, text_col=text_col, id_col=id_col, threshold=threshold,
         shingle_k=shingle_k, num_perm=num_perm, bands=bands, seed=seed,
-        join_partitions=join_partitions)
+        join_partitions=join_partitions, max_bucket=max_bucket,
+        # probes (negative ids) must each star against over-cap
+        # buckets: the min-id star alone preserves transitive
+        # connectivity but contamination consumes probe-doc pairs
+        # DIRECTLY, and two probes sharing a hot bucket would
+        # otherwise silently lose one probe's matches entirely
+        star_neg_probes=True)
 
     def cross_only(batch: pa.Table) -> pa.Table:
         empty = pa.table({id_col: pa.array([], type=pa.int64()),

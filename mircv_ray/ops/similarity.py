@@ -145,6 +145,10 @@ def pq_train(emb_ds, m: int = 8, k: int = 256, sample_limit: int = 20000,
     split the normalized space into ``m`` subspaces and run
     deterministic mini k-means with ``k`` centroids in each. Returns
     (m, k, dim//m) float64 codebooks."""
+    if not 1 <= k <= 256:
+        # pq_encode packs codes as uint8: k > 256 would silently WRAP
+        # centroid indices (260 -> 4) and corrupt every ADC lookup
+        raise ValueError(f"k must be in [1, 256] (uint8 codes), got {k}")
     sample = emb_ds.limit(sample_limit).to_pandas()
     x = _normalize(np.stack(sample[emb_col].to_numpy()).astype(np.float64))
     dim = x.shape[1]
@@ -330,6 +334,13 @@ def mmr_rerank(emb_ds, queries: np.ndarray, k: int = 5, lam: float = 0.7,
         raise ValueError(f"need 1 <= k <= n_cand, got k={k} n_cand={n_cand}")
     cand = cosine_topk(emb_ds, queries, k=n_cand, emb_col=emb_col,
                        id_col=id_col).to_pandas()     # queries x n_cand rows
+    if len(cand) == 0 or "vec_id" not in cand.columns:
+        # empty corpus: the zero-row scan drops block schema (the
+        # pq_cosine_topk_rerank guard, applied here too)
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int64()),
+                         "vec_id": pa.array([], pa.int64()),
+                         "score": pa.array([], pa.float64())})
     cand_ids = np.unique(cand["vec_id"].to_numpy())
 
     import ray
@@ -401,6 +412,11 @@ def rocchio_dense(emb_ds, queries: np.ndarray, k: int = 10,
     q = np.asarray(queries, dtype=np.float64)
     fb = cosine_topk(emb_ds, q, k=n_fb, emb_col=emb_col,
                      id_col=id_col).to_pandas()
+    if len(fb) == 0 or "vec_id" not in fb.columns:
+        # empty corpus: no feedback, no results (schema-true empty)
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         "vec_id": pa.array([], pa.int64()),
+                         "score": pa.array([], pa.float64())})
     fb_ids = np.unique(fb["vec_id"].to_numpy())
 
     import ray
@@ -526,7 +542,7 @@ def embedding_near_dup_pairs(emb_ds, threshold: float = 0.9,
         for j in range(bits):
             h |= signs[:, j].astype(np.uint64) << np.uint64(j)
         width = bits // bands
-        ids_out, band_out, key_out, h_out = [], [], [], []
+        ids_out, band_out, key_out = [], [], []
         for bi in range(bands):
             shift = np.uint64(bi * width)
             mask = np.uint64((1 << width) - 1)

@@ -496,3 +496,93 @@ class TestStreamBlockEncode:
             np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64),
             bb, np.zeros(0, dtype=np.int64))
         assert ib == b"" and tfb == b""
+
+
+# ------------------------------------------------ round-5 review fixes
+
+class TestShortDocFalseDuplicates:
+    def test_minhash_short_docs_never_pair(self, ray_session):
+        # round-5 review: docs with fewer than shingle_k tokens share
+        # the sentinel signature and must NOT pair (confirmed live
+        # before the fix: "hi" vs "good morning" at est 1.0)
+        import ray.data as rd
+        from mircv_ray.ops import minhash_candidate_pairs
+        t = pa.table({
+            "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+            "text": ["hi", "good morning", None,
+                     "a real document with enough tokens to shingle "
+                     "a real document with enough tokens to shingle"],
+        })
+        out = minhash_candidate_pairs(rd.from_arrow(t),
+                                      threshold=0.5).to_pandas()
+        assert len(out) == 0
+
+    def test_simhash_empty_docs_never_pair(self, ray_session):
+        import ray.data as rd
+        from mircv_ray.ops import near_dup_pairs
+        t = pa.table({
+            "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+            "text": ["!!!", "???", "regular words here"],
+        })
+        out = near_dup_pairs(rd.from_arrow(t),
+                             max_hamming=3).to_pandas()
+        assert len(out) == 0
+
+    def test_bands_must_divide_num_perm(self, ray_session):
+        import ray.data as rd
+        from mircv_ray.ops import minhash_candidate_pairs
+        t = pa.table({"doc_id": pa.array([1], type=pa.int64()),
+                      "text": ["some words in a longer doc here ok"]})
+        with pytest.raises(ValueError, match="divide"):
+            minhash_candidate_pairs(rd.from_arrow(t), bands=12,
+                                    num_perm=64).to_pandas()
+
+
+class TestContaminationFuzzyProbeStar:
+    def test_two_probes_in_one_hot_bucket_both_report(self, ray_session):
+        # round-5 review: with two near-identical probes and a bucket
+        # larger than the star cap, BOTH probes must report their docs
+        import ray.data as rd
+        from mircv_ray.ops import contamination_fuzzy
+        base = ("alpha beta gamma delta epsilon zeta eta theta iota "
+                "kappa " * 4)
+        p1 = base + "one"
+        p2 = base + "two"
+        docs = [base + ("one" if i % 2 else "two") for i in range(24)]
+        t = pa.table({"doc_id": pa.array(range(len(docs)),
+                                         type=pa.int64()),
+                      "text": pa.array(docs)})
+        # max_bucket=5 FORCES the star-cap path on every bucket
+        out = contamination_fuzzy(
+            rd.from_arrow(t), [p1, p2], threshold=0.5,
+            max_bucket=5).to_pandas()
+        # every doc is >= 0.5-jaccard to BOTH probes; with the tiny
+        # star cap the old code lost one probe's pairs entirely
+        assert set(out.probe_idx) == {0, 1}
+        per_probe = out.groupby("probe_idx").doc_id.nunique()
+        assert per_probe.min() == len(docs)
+
+
+class TestSimilarityEmptyGuards:
+    def test_mmr_and_rocchio_empty_corpus(self, ray_session):
+        import ray.data as rd
+        from mircv_ray.ops import mmr_rerank, rocchio_dense
+        empty = rd.from_arrow(pa.table({
+            "vec_id": pa.array([], type=pa.int64()),
+            "embedding": pa.array([], type=pa.list_(pa.float64())),
+        }))
+        q = np.ones((2, 4))
+        assert mmr_rerank(empty, q, k=1, n_cand=2).num_rows == 0
+        assert rocchio_dense(empty, q).num_rows == 0
+
+    def test_pq_train_rejects_k_over_256(self, ray_session):
+        import ray.data as rd
+        from mircv_ray.ops import pq_train
+        rng = np.random.default_rng(0)
+        ds = rd.from_arrow(pa.table({
+            "vec_id": pa.array(range(50), type=pa.int64()),
+            "embedding": pa.array([rng.normal(size=8).tolist()
+                                   for _ in range(50)]),
+        }))
+        with pytest.raises(ValueError, match="256"):
+            pq_train(ds, m=2, k=512)
