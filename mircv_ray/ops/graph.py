@@ -320,17 +320,21 @@ def hits(edges, nodes, n_iter: int = 5):
         hrows = group.filter(pa.array(which == 0))
         arows = group.filter(pa.array(which == 1))
         hn = hrows["node"].to_numpy()
-        order = np.argsort(hn, kind="stable")
         an = arows["node"].to_numpy()
-        aorder = np.argsort(an, kind="stable")
-        # both sides are node-complete (the gather unions the all-nodes
-        # baseline), so the sorted node vectors are identical
+        # OUTER union of the two node sets: an edge dst absent from the
+        # nodes table appears in the authority vector only (the gather
+        # unions contribs from unknown nodes) — assuming node-complete
+        # sides crashed with unequal column lengths where pagerank
+        # degrades gracefully on the same input (round-5 review)
+        nodes = np.unique(np.concatenate([hn, an]))
+        hub = np.zeros(len(nodes))
+        auth = np.zeros(len(nodes))
+        hub[np.searchsorted(nodes, hn)] = hrows["s"].to_numpy()
+        auth[np.searchsorted(nodes, an)] = arows["s"].to_numpy()
         return pa.table({
-            "node": pa.array(hn[order]),
-            "hub": pa.array(hrows["s"].to_numpy()[order],
-                            type=pa.float64()),
-            "authority": pa.array(arows["s"].to_numpy()[aorder],
-                                  type=pa.float64())})
+            "node": pa.array(nodes),
+            "hub": pa.array(hub, type=pa.float64()),
+            "authority": pa.array(auth, type=pa.float64())})
 
     pair = (h.map_batches(tag_side(0), batch_format="pyarrow")
             .union(a.map_batches(tag_side(1), batch_format="pyarrow"))

@@ -38,9 +38,11 @@ def exact_distinct_per_group(ds, group_col: str, value_col: str,
     use_push_shuffle(ds)
 
     def local_pairs(batch: pa.Table) -> pa.Table:
-        # per-batch dedupe so only locally-unique pairs enter the shuffle
-        return batch.select([group_col, value_col]) \
-                    .group_by([group_col, value_col]).aggregate([])
+        # per-batch dedupe so only locally-unique pairs enter the
+        # shuffle; NULL values are excluded like SQL COUNT(DISTINCT)
+        t = batch.select([group_col, value_col])
+        return t.filter(pc.is_valid(t[value_col])) \
+                .group_by([group_col, value_col]).aggregate([])
 
     uniq = (ds.map_batches(local_pairs, batch_format="pyarrow")
               .groupby([group_col, value_col]).count())
@@ -50,7 +52,19 @@ def exact_distinct_per_group(ds, group_col: str, value_col: str,
         return pa.table({group_col: a[group_col],
                          "c": a["count()_count"].cast(pa.int64())})
 
+    def group_zeros(batch: pa.Table) -> pa.Table:
+        # groups whose every value is NULL must still appear with 0
+        # (SQL: SELECT g, COUNT(DISTINCT v) GROUP BY g) — emit one
+        # zero partial per batch-distinct group
+        gonly = batch.select([group_col]).group_by(group_col) \
+            .aggregate([])
+        return pa.table({group_col: gonly[group_col],
+                         "c": pa.array(
+                             np.zeros(gonly.num_rows, dtype=np.int64))})
+
     agg = (uniq.map_batches(local_counts, batch_format="pyarrow")
+               .union(ds.map_batches(group_zeros,
+                                     batch_format="pyarrow"))
                .groupby(group_col).aggregate(Sum("c", alias_name=alias)))
 
     def finish(batch: pa.Table) -> pa.Table:
@@ -123,6 +137,17 @@ def hll_distinct_per_group(ds, group_col: str, value_col: str,
         if batch.num_rows == 0:
             return pa.table({group_col: batch[group_col],
                              "regs": pa.array([], pa.binary())})
+        # NULL group or value rows are dropped (a NULL value never
+        # counts toward COUNT(DISTINCT); null-key grouping is left to
+        # the exact operator) — without the filter the zero-copy
+        # index/hash paths raise ArrowInvalid mid-pipeline
+        ok = pc.and_(pc.is_valid(batch[group_col]),
+                     pc.is_valid(batch[value_col]))
+        if not pc.all(ok).as_py():
+            batch = batch.filter(ok)
+            if batch.num_rows == 0:
+                return pa.table({group_col: batch[group_col],
+                                 "regs": pa.array([], pa.binary())})
         g = batch[group_col]
         if isinstance(g, pa.ChunkedArray):
             g = g.combine_chunks()
@@ -207,7 +232,6 @@ def _mg_prune(t: pa.Table, group_col: str, item_col: str, c_col: str,
         neq = np.zeros(0, dtype=bool)
     run_id = np.cumsum(np.append(0, neq.astype(np.int64)))
     starts = np.flatnonzero(np.append(True, neq))
-    within = np.arange(len(g)) - starts[run_id]
     c = t[c_col].to_numpy()
     lens = np.diff(np.append(starts, len(g)))
     # the (k+1)-th largest per run, 0 where the run has <= k items
@@ -431,6 +455,11 @@ def cm_build(ds, key_col: str, width: int = 1 << 16,
 
     def triples(batch: pa.Table) -> pa.Table:
         col = batch[key_col]
+        if col.null_count:
+            # NULL keys are dropped (zero-copy index/hash paths would
+            # raise ArrowInvalid; a NULL key has no sketch cell)
+            batch = batch.filter(pc.is_valid(col))
+            col = batch[key_col]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
         denc = pc.dictionary_encode(col)

@@ -78,8 +78,8 @@ def lang_id(batch: pa.Table, text_col: str = "text",
     resolve to 'unknown'. Vectorized: one count_substring_regex per
     marker set.
     """
-    t = batch[text_col]
-    lowered = pc.utf8_lower(t)
+    t = pc.fill_null(batch[text_col], "")   # NULL text: zero votes,
+    lowered = pc.utf8_lower(t)               # never NaN->INT64_MIN casts
     votes = []
     for name, markers in _LANGS:
         pat = r"\b(" + "|".join(sorted(markers)) + r")\b"
@@ -148,7 +148,10 @@ def repetition_stats(batch: pa.Table, text_col: str = "text",
     lexsort + run-length pass each.
     """
     from .dedup import _shingle_hashes, _token_ids_flat
-    base, counts = _token_ids_flat(batch, text_col)
+    # hash64: distinct/top-bigram counts are SQL-oracle-gated EXACT —
+    # 32-bit crc32 collides with near-certainty by ~100k distinct
+    # tokens in one doc (d^2/2^33), silently shrinking n_distinct
+    base, counts = _token_ids_flat(batch, text_col, hash64=True)
     n_docs = len(counts)
     parent = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
     order = np.lexsort((base, parent))
@@ -460,8 +463,17 @@ def _lm_score_joined(ds, counts_ds, log_total: float, id_col: str,
             run_dids = np.zeros(0, dtype=np.int64)
         term_col = pa.concat_arrays(
             [terms, pa.array([""] * len(did_all), type=pa.string())])
+        # the ''-term sentinel rows (one per doc) never match a count
+        # row — partition them by DOC ID hash, not crc32(''), or every
+        # sentinel in the corpus lands in ONE pkey group and the scale
+        # path re-creates the single-heap hotspot it exists to avoid
         pkey = (crc32_column(term_col)
                 % np.uint32(nparts)).astype(np.int64)
+        sent = np.arange(len(term_col)) >= len(k)
+        doc_ids_all = np.concatenate([run_dids, did_all])
+        pkey[sent] = (doc_ids_all[sent].astype(np.uint64)
+                      * np.uint64(2654435761)
+                      % np.uint64(nparts)).astype(np.int64)
         nrows = len(term_col)
         return pa.table({
             "pkey": pa.array(pkey, type=pa.int64()),
@@ -614,8 +626,8 @@ def contamination_ngram(ds, probes, n: int = 20, text_col: str = "text",
         bitmap = ray.get(bitmap_ref)
         # char-budget slices bound the O(batch bytes) hash temps and
         # each yielded block (the shared_ngram_pairs pattern)
-        lens_all = pc.binary_length(batch[text_col]).to_numpy(
-            zero_copy_only=False).astype(np.int64)
+        lens_all = pc.fill_null(pc.binary_length(batch[text_col]), 0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
         budget = 4 << 20
         cum = np.cumsum(lens_all)
         total = int(cum[-1]) if len(cum) else 0
@@ -836,7 +848,6 @@ def char_entropy(batch: pa.Table, text_col: str = "text",
     t = pc.fill_null(t, "")
     n = len(t)
     lens = pc.utf8_length(t).to_numpy(zero_copy_only=False).astype(np.int64)
-    from ..util import binary_column_values
     raw = binary_column_values(t, np.uint8)
     # concatenation of valid utf-8 strings is valid utf-8: one decode +
     # one utf-32 encode turns the whole batch into codepoints
@@ -879,7 +890,6 @@ def zipf_fit(ds, text_col: str = "text"):
     SQL's regr_slope/regr_intercept exactly in reals).
     """
     import ray
-    import ray.data as rd
     from ray.data.aggregate import Sum
 
     def count_pass(batch: pa.Table) -> pa.Table:
@@ -962,7 +972,6 @@ def nfc_normalize(ds, id_col: str = "doc_id", text_col: str = "text"):
         if isinstance(t, pa.ChunkedArray):
             t = t.combine_chunks()
         t = pc.fill_null(t, "")
-        from ..util import binary_column_values
         raw = binary_column_values(t, np.uint8)
         n = batch.num_rows
         if len(raw) == 0 or raw.max() < 0x80:    # pure ASCII: identity
@@ -1069,13 +1078,12 @@ def heaps_fit(ds, id_col: str = "doc_id", text_col: str = "text"):
                                                     np.int64)),
                          "n_new": b["n_new"]}, schema=schema)
 
-    from ray.data.aggregate import Sum as _Sum
     per_doc = (toks_per_doc.map_batches(tag_tok, batch_format="pyarrow")
                .union(new_per_doc.map_batches(tag_new,
                                               batch_format="pyarrow"))
                .groupby(id_col)
-               .aggregate(_Sum("n_tok", alias_name="n_tok"),
-                          _Sum("n_new", alias_name="n_new")))
+               .aggregate(Sum("n_tok", alias_name="n_tok"),
+                          Sum("n_new", alias_name="n_new")))
     sorted_ds = per_doc.sort(id_col)
 
     refs, rows = [], []

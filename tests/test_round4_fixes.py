@@ -586,3 +586,54 @@ class TestSimilarityEmptyGuards:
         }))
         with pytest.raises(ValueError, match="256"):
             pq_train(ds, m=2, k=512)
+
+
+class TestNullSemanticsReviewBatch4:
+    def test_lang_id_null_text(self, ray_session):
+        from mircv_ray.ops.textops import lang_id
+        t = pa.table({"doc_id": pa.array([1, 2], type=pa.int64()),
+                      "text": pa.array(["the of and to in is that",
+                                        None])})
+        out = lang_id(t).to_pylist()
+        assert out[0]["lang_pred"] == "en"
+        assert out[1] == {"doc_id": 2, "lang_pred": "unknown",
+                          "lang_votes": 0}
+
+    def test_exact_distinct_sql_null_semantics(self, ray_session):
+        # NULL values never count (SQL COUNT(DISTINCT)); a group whose
+        # every value is NULL still appears with 0
+        import ray.data as rd
+        from mircv_ray.ops import exact_distinct_per_group
+        t = pa.table({"g": ["a", "a", "a", "b", "b"],
+                      "v": ["x", None, "x", None, None]})
+        out = (exact_distinct_per_group(rd.from_arrow(t), "g", "v")
+               .to_pandas().set_index("g").n_distinct.to_dict())
+        assert out == {"a": 1, "b": 0}
+
+    def test_hll_and_cm_tolerate_nulls(self, ray_session):
+        import ray.data as rd
+        from mircv_ray.ops import cm_build, hll_distinct_per_group
+        t = pa.table({"g": ["a", None, "a", "b"],
+                      "v": ["x", "y", None, "z"]})
+        out = (hll_distinct_per_group(rd.from_arrow(t), "g", "v")
+               .to_pandas().set_index("g").n_distinct_hll.to_dict())
+        assert out == {"a": 1, "b": 1}          # null rows dropped
+        sk = cm_build(rd.from_arrow(pa.table({
+            "k": pa.array(["x", None, "x"])})), key_col="k")
+        assert sk is not None
+
+    def test_hits_edge_to_unknown_node(self, ray_session):
+        # an edge dst absent from the nodes table used to crash the
+        # final pivot with unequal column lengths
+        import ray.data as rd
+        from mircv_ray.ops import hits
+        nodes = rd.from_arrow(pa.table({
+            "node": pa.array([1, 2], type=pa.int64())}))
+        edges = rd.from_arrow(pa.table({
+            "src": pa.array([1, 2], type=pa.int64()),
+            "dst": pa.array([2, 7], type=pa.int64())}))  # 7 unknown
+        out = hits(edges, nodes, n_iter=3).to_pandas() \
+            .set_index("node")
+        assert 7 in out.index
+        assert out.loc[7].authority > 0
+        assert out.loc[7].hub == 0.0
